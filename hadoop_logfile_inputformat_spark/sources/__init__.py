@@ -1,0 +1,6 @@
+from hadoop_logfile_inputformat_spark.sources.logfile import (  # noqa: F401
+    LogfileDataSource,
+    iter_records,
+    plan_partitions,
+    register_logfile_source,
+)

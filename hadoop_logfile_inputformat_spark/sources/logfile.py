@@ -1,0 +1,400 @@
+"""``logfile`` Python DataSource: multi-line logfile ingestion for Spark.
+
+Spark-native re-statement of the reference Hadoop input format
+(reference: LogfileInputFormat.java:46-120, LogfileRecordReader.java:33-346).
+Instead of a JVM ``FileInputFormat`` producing ``((Path, Long), Text)``
+pairs, this is a PySpark 4.x ``pyspark.sql.datasource.DataSource`` whose
+DataFrame schema is::
+
+    path STRING, offset BIGINT, record STRING
+
+Record semantics (parity with the reference, §1.4 of SURVEY.md):
+
+- A *record* is one line fully matching the configured first-line regex
+  plus all following non-matching lines, up to (exclusive) the next
+  matching line or EOF (LogfileRecordReader.java:293-319).
+- ``offset`` is the byte offset of the record's first line within the
+  (decompressed) file.  The reference tracks char positions
+  (LogfileRecordReader.java:55-61); we use bytes — documented delta.
+- Continuation lines are re-joined with ``"\n"`` regardless of the
+  writer's terminator.  The reference uses the *reader's* platform
+  separator (LogfileRecordReader.java:311); we normalize — documented
+  delta.
+
+Split semantics (parity with LogfileInputFormat.java:112-119 and
+LogfileRecordReader.java:200-206, 285-291):
+
+- Plain text files are split into byte ranges of ``maxPartitionBytes``
+  (default 128 MiB, mirroring Hadoop's split sizing).  A record is owned
+  by the split within whose ``[start, end)`` range its first line
+  *starts*; the reader of a split seeks to ``start - 1`` and discards
+  one (partial) line — the ``-1`` trick of LogfileRecordReader.java:204
+  — then skips non-matching lines (:285-291, they belong to the
+  previous split's last record) and reads past ``end`` to finish its
+  last record (:293-319).
+- Compressed files (``.gz``/``.bz2``) are never split: exactly one
+  partition per file (LogfileInputFormat.java:112-119).  At 100 TB this
+  is the documented skew hazard — prefer many ~128 MB–1 GB gz files.
+  Splittable-compressed formats the reference rejects outright
+  (LogfileRecordReader.java:163-165); we read them whole-file instead.
+
+Pattern configuration (parity with LogfileInputFormat.java:50-101):
+
+- option ``pattern``              — default first-line regex
+- option ``pattern.<path|glob>``  — per-path override; resolution order
+  is exact path, then basename, then fnmatch glob, then default; a file
+  with no resolvable pattern is a hard error (mirrors
+  LogfileRecordReader.java:150-154).
+
+Scale design: partition planning happens once on the driver
+(``partitions()``); each partition reads with bounded memory (only the
+current record is buffered, LogfileRecordReader.java:86-91 parity) and
+hands rows to the JVM as Arrow RecordBatches (vectorized transfer).
+Path filters are pushed down (``pushFilters``) so Catalyst predicates on
+``path`` prune files *before* task launch.
+"""
+
+from __future__ import annotations
+
+import bz2
+import fnmatch
+import glob as _glob
+import gzip
+import io
+import os
+import re
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Iterator, List, Sequence, Tuple
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+    StringContains,
+    StringStartsWith,
+)
+from pyspark.sql.types import StructType
+
+if TYPE_CHECKING:
+    import pyarrow as pa
+
+DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+ARROW_BATCH_RECORDS = 4096
+
+#: File suffixes that force whole-file (non-split) reads.
+_COMPRESSION_OPENERS = {
+    ".gz": gzip.open,
+    ".gzip": gzip.open,
+    ".bz2": bz2.open,
+}
+
+
+def _compression_opener(path: str):
+    _, ext = os.path.splitext(path)
+    return _COMPRESSION_OPENERS.get(ext.lower())
+
+
+@dataclass(frozen=True)
+class LogfilePartition(InputPartition):
+    """One unit of parallel work: a byte range of one file.
+
+    ``end`` is an exclusive upper bound on *first-line start offsets*
+    owned by this partition; the reader may consume bytes past ``end``
+    to complete its final record (LogfileRecordReader.java:293-319
+    parity). For compressed files ``start == 0`` and ``end`` is +inf
+    (represented as -1).
+    """
+
+    path: str
+    start: int
+    end: int  # -1 => unbounded (compressed whole-file partition)
+    pattern: str
+
+
+def iter_records(
+    fobj,
+    *,
+    start: int,
+    end: int,
+    regex: "re.Pattern[str]",
+    encoding: str = "utf-8",
+    max_record_bytes: int = 0,
+) -> Iterator[Tuple[int, str]]:
+    """Yield ``(offset, record_text)`` for every record owned by
+    ``[start, end)`` of the byte stream ``fobj``.
+
+    Pure-Python core of the scan operator, kept free of Spark imports so
+    the split-boundary algorithm is unit/property-testable in isolation
+    (the reference never tested it directly — SURVEY.md §5).
+
+    Ownership rule: a record belongs to this range iff its first line
+    starts at ``s`` with ``start <= s < end``.  The ``-1`` seek trick
+    (LogfileRecordReader.java:200-206) makes that rule exact even when
+    ``start`` lands precisely on a line boundary.  ``end < 0`` means
+    unbounded (whole file).
+
+    ``max_record_bytes`` guards against records that never terminate
+    (pattern never matches again — the reference buffers unboundedly,
+    LogfileRecordReader.java:310-314): when > 0, continuation lines
+    beyond the cap are dropped (the record is emitted truncated).
+    """
+    unbounded = end < 0
+    pos = start
+    if start > 0:
+        fobj.seek(start - 1)
+        fobj.readline()  # discard (partial) line; -1 trick
+        pos = fobj.tell()
+
+    rec_offset = -1
+    rec_parts: List[str] = []
+    rec_bytes = 0
+
+    for raw in fobj:
+        line_start = pos
+        pos += len(raw)
+        line = raw.decode(encoding, errors="replace")
+        if line.endswith("\n"):
+            line = line[:-1]
+        if line.endswith("\r"):
+            line = line[:-1]
+
+        if regex.fullmatch(line) is not None:
+            # full-line match = Java Matcher.matches() parity
+            # (LogfileRecordReader.java:272-274)
+            # a first line: close any open record
+            if rec_offset >= 0:
+                yield rec_offset, "\n".join(rec_parts)
+                rec_offset = -1
+                rec_parts = []
+            if not unbounded and line_start >= end:
+                # owned by the next split (LogfileRecordReader eos rule)
+                return
+            rec_offset = line_start
+            rec_parts = [line]
+            rec_bytes = len(raw)
+        elif rec_offset >= 0:
+            # continuation line of the open record
+            if max_record_bytes <= 0 or rec_bytes < max_record_bytes:
+                rec_parts.append(line)
+                rec_bytes += len(raw)
+        # else: line precedes this split's first record — owned by the
+        # previous split (LogfileRecordReader.java:285-291 parity)
+
+    if rec_offset >= 0:
+        yield rec_offset, "\n".join(rec_parts)
+
+
+class PatternResolver:
+    """Per-path first-line-pattern resolution.
+
+    Parity with LogfileInputFormat.setPattern/getPattern
+    (LogfileInputFormat.java:70-101): per-path key first, fall back to
+    default, else hard error (LogfileRecordReader.java:150-154).
+    Extends the reference with basename and glob matching so one option
+    can cover a directory of per-day files.
+    """
+
+    def __init__(self, default: str | None, per_path: dict):
+        self.default = default
+        self.per_path = dict(per_path)
+
+    @classmethod
+    def from_options(cls, options) -> "PatternResolver":
+        default = options.get("pattern")
+        per_path = {}
+        for key in options.keys():
+            if key.startswith("pattern."):
+                per_path[key[len("pattern."):]] = options[key]
+        return cls(default, per_path)
+
+    def resolve(self, path: str) -> str:
+        if path in self.per_path:
+            return self.per_path[path]
+        base = os.path.basename(path)
+        if base in self.per_path:
+            return self.per_path[base]
+        for key, pat in self.per_path.items():
+            if fnmatch.fnmatch(path, key) or fnmatch.fnmatch(base, key):
+                return pat
+        if self.default is not None:
+            return self.default
+        raise ValueError(
+            f"No first-line pattern could be determined for path '{path}'. "
+            "Set option 'pattern' (default) or 'pattern.<path>' (override)."
+        )
+
+
+def _expand_paths(path_spec: str) -> List[str]:
+    """Expand a load() path (file, directory, or glob) to files.
+
+    Comma-separated specs are supported (Hadoop-style multi-path).
+    """
+    files: List[str] = []
+    for spec in path_spec.split(","):
+        spec = spec.strip()
+        if not spec:
+            continue
+        if os.path.isdir(spec):
+            spec = os.path.join(spec, "*")
+        matches = sorted(_glob.glob(spec))
+        if not matches and os.path.isfile(spec):
+            matches = [spec]
+        files.extend(m for m in matches if os.path.isfile(m))
+    if not files:
+        raise FileNotFoundError(f"logfile source: no input files match '{path_spec}'")
+    return files
+
+
+def plan_partitions(
+    files: Sequence[str],
+    resolver: PatternResolver,
+    max_partition_bytes: int = DEFAULT_MAX_PARTITION_BYTES,
+) -> List[LogfilePartition]:
+    """Driver-side split planning (analogue of FileInputFormat.getSplits
+    constrained by LogfileInputFormat.isSplitable, java:112-119).
+
+    Plain files become ``ceil(size / max_partition_bytes)`` byte-range
+    partitions; compressed files exactly one partition each.
+    """
+    parts: List[LogfilePartition] = []
+    for path in files:
+        pattern = resolver.resolve(path)  # fail fast on the driver
+        if _compression_opener(path) is not None:
+            parts.append(LogfilePartition(path, 0, -1, pattern))
+            continue
+        size = os.path.getsize(path)
+        if size == 0:
+            continue
+        start = 0
+        while start < size:
+            end = min(start + max_partition_bytes, size)
+            if end >= size:
+                end = size  # last split: end == size, reader hits EOF
+            parts.append(LogfilePartition(path, start, end, pattern))
+            start = end
+    return parts
+
+
+class LogfileReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.options = options
+        self.resolver = PatternResolver.from_options(options)
+        self.max_partition_bytes = int(
+            options.get("maxpartitionbytes", DEFAULT_MAX_PARTITION_BYTES)
+        )
+        self.max_record_bytes = int(options.get("maxrecordbytes", 0))
+        self.encoding = options.get("encoding", "utf-8")
+        path_spec = options.get("path")
+        if not path_spec:
+            raise ValueError("logfile source requires a load path")
+        self.files = _expand_paths(path_spec)
+
+    def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
+        """Prune the file list from ``path`` predicates before planning.
+
+        Accepted (fully handled here, because each partition holds rows
+        of exactly one path): EqualTo/StartsWith/Contains on ``path``.
+        Everything else is returned for Spark to evaluate post-scan.
+        """
+        for f in filters:
+            handled = False
+            col = getattr(f, "attribute", None)
+            if col == ("path",):
+                if isinstance(f, EqualTo):
+                    self.files = [p for p in self.files if p == f.value]
+                    handled = True
+                elif isinstance(f, StringStartsWith):
+                    self.files = [p for p in self.files if p.startswith(f.value)]
+                    handled = True
+                elif isinstance(f, StringContains):
+                    self.files = [p for p in self.files if f.value in p]
+                    handled = True
+            if not handled:
+                yield f
+
+    def partitions(self) -> List[LogfilePartition]:
+        return plan_partitions(self.files, self.resolver, self.max_partition_bytes)
+
+    def read(self, partition: LogfilePartition) -> Iterator["pa.RecordBatch"]:
+        """Stream one split; yield Arrow batches of (path, offset, record).
+
+        Bounded memory: only the current record plus one Arrow batch of
+        assembled records is ever buffered (LogfileRecordReader.java:86-91
+        parity, batched for vectorized Python→JVM transfer).
+        """
+        import pyarrow as pa
+
+        regex = re.compile(partition.pattern)
+        opener = _compression_opener(partition.path)
+        if opener is not None:
+            fobj = opener(partition.path, "rb")
+        else:
+            fobj = open(partition.path, "rb", buffering=io.DEFAULT_BUFFER_SIZE * 16)
+
+        arrow_schema = pa.schema(
+            [("path", pa.string()), ("offset", pa.int64()), ("record", pa.string())]
+        )
+        offsets: List[int] = []
+        records: List[str] = []
+        try:
+            for offset, record in iter_records(
+                fobj,
+                start=partition.start,
+                end=partition.end,
+                regex=regex,
+                encoding=self.encoding,
+                max_record_bytes=self.max_record_bytes,
+            ):
+                offsets.append(offset)
+                records.append(record)
+                if len(offsets) >= ARROW_BATCH_RECORDS:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array([partition.path] * len(offsets), pa.string()),
+                            pa.array(offsets, pa.int64()),
+                            pa.array(records, pa.string()),
+                        ],
+                        schema=arrow_schema,
+                    )
+                    offsets, records = [], []
+            if offsets:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([partition.path] * len(offsets), pa.string()),
+                        pa.array(offsets, pa.int64()),
+                        pa.array(records, pa.string()),
+                    ],
+                    schema=arrow_schema,
+                )
+        finally:
+            fobj.close()
+
+
+class LogfileDataSource(DataSource):
+    """``spark.read.format("logfile")`` — see module docstring.
+
+    Usage::
+
+        register_logfile_source(spark)
+        df = (spark.read.format("logfile")
+              .option("pattern", r"^\\d{4}-\\d{2}-\\d{2} .*")
+              .load("/logs/*.log"))
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "logfile"
+
+    def schema(self) -> str:
+        return "path string, offset bigint, record string"
+
+    def reader(self, schema: StructType) -> LogfileReader:
+        return LogfileReader(schema, self.options)
+
+
+def register_logfile_source(spark) -> None:
+    """Register the ``logfile`` format on a SparkSession (idempotent)."""
+    spark.dataSource.register(LogfileDataSource)

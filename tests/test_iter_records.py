@@ -1,0 +1,138 @@
+"""Unit/property tests of the split-boundary record-assembly algorithm.
+
+This is the correctness heart of the engine (SURVEY.md §7.3 #1): sweep
+partition boundaries over generated logs and assert the multiset of
+(offset, record) is invariant — the property the reference only tested
+implicitly at one split size (Test.java:117-152).
+"""
+
+import io
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hadoop_logfile_inputformat_spark.sources.logfile import iter_records
+
+PAT = re.compile(r"^\d{4}-\d{2}-\d{2} .*")
+
+
+def _read_all(data: bytes, splits):
+    """Read [start, end) ranges as independent partitions; concatenate."""
+    out = []
+    for start, end in splits:
+        out.extend(iter_records(io.BytesIO(data), start=start, end=end, regex=PAT))
+    return out
+
+
+def _mk_log(records):
+    """records: list of (first_line_body, n_continuations)."""
+    lines = []
+    for i, (body, ncont) in enumerate(records):
+        lines.append(f"2024-01-{(i % 27) + 1:02d} {body}")
+        lines.extend(f"\tcont {i}.{j}" for j in range(ncont))
+    return ("\n".join(lines) + "\n").encode()
+
+
+def _splits_of(size: int, n: int):
+    """n roughly-equal byte-range splits covering [0, size)."""
+    if size == 0:
+        return []
+    step = max(1, size // n)
+    bounds = list(range(0, size, step)) + [size]
+    return [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1) if bounds[i] < bounds[i + 1]]
+
+
+def test_single_partition_basic():
+    data = _mk_log([("rec one", 0), ("rec two", 2), ("rec three", 1)])
+    recs = list(iter_records(io.BytesIO(data), start=0, end=-1, regex=PAT))
+    assert len(recs) == 3
+    assert recs[0][1] == "2024-01-01 rec one"
+    assert recs[1][1].count("\n") == 2
+    assert recs[2][0] == data.index(b"2024-01-03")
+
+
+def test_offsets_point_at_record_starts():
+    data = _mk_log([(f"rec {i}", i % 4) for i in range(50)])
+    for off, rec in iter_records(io.BytesIO(data), start=0, end=-1, regex=PAT):
+        first = rec.split("\n", 1)[0]
+        assert data[off:off + len(first.encode())].decode() == first
+
+
+def test_split_invariance_exhaustive_boundaries():
+    """Every possible single split point — includes line starts,
+    mid-line, mid-record, inside the final record."""
+    data = _mk_log([("alpha", 0), ("beta", 3), ("gamma", 1), ("delta", 0)])
+    golden = _read_all(data, [(0, len(data))])
+    assert len(golden) == 4
+    for cut in range(1, len(data)):
+        got = _read_all(data, [(0, cut), (cut, len(data))])
+        assert got == golden, f"split at byte {cut} broke record assembly"
+
+
+def test_leading_garbage_discarded_only_in_later_splits():
+    """Lines before the first match at start==0 are dropped (no previous
+    split owns them) — matches reference findFirstFirstLine behavior."""
+    data = b"no match here\nstill no match\n2024-01-01 first\n\tcont\n"
+    recs = list(iter_records(io.BytesIO(data), start=0, end=-1, regex=PAT))
+    assert len(recs) == 1
+    assert recs[0][0] == data.index(b"2024-01-01")
+
+
+def test_record_crossing_split_end_owned_by_first_split():
+    data = _mk_log([("a", 0), ("b", 5)])
+    # cut in the middle of record b's continuations
+    cut = data.index(b"\tcont 1.2")
+    first = list(iter_records(io.BytesIO(data), start=0, end=cut, regex=PAT))
+    second = list(iter_records(io.BytesIO(data), start=cut, end=len(data), regex=PAT))
+    assert [r[1].split("\n")[0][11:] for r in first] == ["a", "b"]
+    assert first[1][1].count("\n") == 5  # full record, read past end
+    assert second == []
+
+
+def test_first_line_exactly_at_split_start():
+    data = _mk_log([("a", 1), ("b", 0), ("c", 0)])
+    cut = data.index(b"2024-01-02 b")  # split starts exactly at b's line
+    first = _read_all(data, [(0, cut)])
+    second = _read_all(data, [(cut, len(data))])
+    assert [r[1][11:] for r in second] == ["b", "c"]
+    assert [r[1].split("\n")[0][11:] for r in first] == ["a"]
+
+
+def test_max_record_bytes_truncates_runaway_record():
+    body = b"2024-01-01 start\n" + b"x" * 100 + b"\n" + b"y" * 100 + b"\n"
+    recs = list(
+        iter_records(io.BytesIO(body), start=0, end=-1, regex=PAT, max_record_bytes=50)
+    )
+    assert len(recs) == 1
+    assert "y" not in recs[0][1]  # second continuation dropped by cap
+
+
+def test_crlf_lines_normalized():
+    data = b"2024-01-01 a\r\n\tcont\r\n2024-01-02 b\r\n"
+    recs = list(iter_records(io.BytesIO(data), start=0, end=-1, regex=PAT))
+    assert [r[1] for r in recs] == ["2024-01-01 a\n\tcont", "2024-01-02 b"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    records=st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(blacklist_characters="\n\r", codec="utf-8"),
+                max_size=20,
+            ).filter(lambda s: not s.startswith("\t")),
+            st.integers(min_value=0, max_value=4),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    n_splits=st.integers(min_value=1, max_value=12),
+)
+def test_property_split_invariance(records, n_splits):
+    data = _mk_log(records)
+    golden = _read_all(data, [(0, len(data))])
+    assert len(golden) == len(records)
+    got = _read_all(data, _splits_of(len(data), n_splits))
+    assert got == golden
