@@ -1,0 +1,237 @@
+"""Deduplication operators over the ``documents`` table.
+
+The training-data-pipeline surface (charter north star): exact dedup,
+exact n-gram Jaccard, MinHash+LSH, SimHash — all pure DataFrame
+compositions (no Python UDFs; shingling/hashing/banding are Catalyst
+expressions, JVM-side and codegen-friendly).
+
+Scale shape, in order of preference at 100 TB:
+
+1. ``exact_dedup``      — one shuffle on a 256-bit content hash.
+2. ``minhash_lsh_pairs`` — shuffles bounded by (bands × docs); candidate
+   verification touches only bucket-colliding pairs.
+3. ``simhash_pairs``     — chunked-key join (pigeonhole on hamming
+   distance) instead of a cross join.
+4. ``ngram_jaccard_pairs`` — exact all-pairs via common-shingle join;
+   the DuckDB-oracle ground truth for the approximate variants, but the
+   one to avoid at full scale (document-frequency cap mitigates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_logfile_inputformat_spark.operators.tables import load
+
+SHINGLE_WORDS = 3
+N_PERMUTATIONS = 32
+LSH_BANDS = 8  # rows per band = 32 / 8 = 4
+JACCARD_THRESHOLD = 0.10
+
+
+def _shingled(docs: DataFrame, min_words: int = SHINGLE_WORDS) -> DataFrame:
+    """(doc_id, shingle) rows: distinct lowercase 3-word shingles."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    shingles = F.expr(
+        "array_distinct(transform(sequence(1, size(toks) - 2),"
+        " i -> concat_ws(' ', slice(toks, i, 3))))"
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= min_words)
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+    )
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate grouping by full-content SHA-256.
+
+    One hash-shuffle; the survivor of each duplicate group is the
+    minimum doc_id (deterministic).  Output marks every document so the
+    result is total (works as a filter *or* an audit).
+    """
+    d = load(spark, sf_dir, "documents")
+    h = F.sha2(F.col("text"), 256)
+    w = Window.partitionBy("text_hash")
+    return (
+        d.select("doc_id", h.alias("text_hash"))
+        .withColumn("keep_id", F.min("doc_id").over(w))
+        .withColumn("is_dup", (F.col("doc_id") != F.col("keep_id")).cast("int"))
+        .select("doc_id", "text_hash", "keep_id", "is_dup")
+    )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact word-shingle Jaccard similarity for all candidate pairs.
+
+    ``|A ∩ B|`` comes from a self-join on shingle; ``|A ∪ B|`` from
+    per-doc shingle counts.  ``max_shingle_df`` drops shingles whose
+    document frequency exceeds the cap — at 100 TB a handful of
+    boilerplate shingles would otherwise quadratically dominate the
+    join (standard stop-shingle mitigation; None = exact).
+    """
+    sh = _shingled(load(spark, sf_dir, "documents"))
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = (
+            sh.join(F.broadcast(dfreq.filter(F.col("df") <= max_shingle_df)), "shingle")
+            .select("doc_id", "shingle")
+        )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig array<bigint>): 32-permutation MinHash signature.
+
+    Permutation *i* is ``min(xxhash64(shingle, i))`` — seeded 64-bit
+    hashing instead of explicit universal-hash coefficients; all 32
+    mins compute in ONE aggregation pass (map-side partial min).
+    """
+    sh = _shingled(load(spark, sf_dir, "documents"))
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(N_PERMUTATIONS)
+    ]
+    sig = F.array(*[F.col(f"h{i}") for i in range(N_PERMUTATIONS)])
+    return sh.groupBy("doc_id").agg(*mins).select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """MinHash + LSH banding near-duplicate pairs, verified exactly.
+
+    Pipeline: signatures → 8 bands of 4 rows hashed to buckets →
+    bucket-colliding candidate pairs → exact Jaccard verification of
+    candidates only.  The only all-pairs work is within buckets;
+    everything shuffles on (band, bucket-hash) or doc_id.
+
+    Verification reuses :func:`ngram_jaccard_pairs` semantics, so with a
+    low-enough threshold this converges to the exact result — asserted
+    in tests (recall vs the exact oracle).
+    """
+    rows_per_band = N_PERMUTATIONS // LSH_BANDS
+    sigs = minhash_signatures(spark, sf_dir)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    *[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for bi in range(LSH_BANDS)
+        ]
+    )
+    buckets = sigs.select("doc_id", F.explode(band_cols).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(spark, sf_dir, threshold=0.0)
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash bigint): 64-bit SimHash over word shingles.
+
+    Per doc: for each bit k, sum ±1 over shingle hashes' bit k; the
+    sign vector packs into one 64-bit integer.  Entirely Catalyst
+    higher-order functions — one groupBy(doc_id) shuffle.
+    """
+    sh = _shingled(load(spark, sf_dir, "documents"))
+    hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    per_doc = hashed.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+    simhash = F.expr(
+        "aggregate(sequence(0, 63), 0L, (acc, k) -> acc + IF("
+        " aggregate(hs, 0L, (s, h) -> s + IF(getbit(h, k) = 1, 1L, -1L)) > 0,"
+        " shiftleft(1L, k), 0L))"
+    )
+    return per_doc.select("doc_id", simhash.alias("simhash"))
+
+
+def simhash_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 12
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance.
+
+    Candidate generation by pigeonhole: split the 64-bit hash into 8
+    8-bit chunks; any pair within hamming ≤ 12 shares ≥ 1 identical
+    chunk (12 < 8 chunks ⇒ some chunk untouched... strictly, distance
+    < 8 guarantees it; larger thresholds trade recall).  The join key
+    is (chunk_index, chunk_value) — never a cross join.
+    """
+    sh = simhash_64(spark, sf_dir)
+    chunk = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    F.shiftrightunsigned(F.col("simhash"), i * 8)
+                    .bitwiseAND(F.lit(255))
+                    .alias("cv"),
+                )
+                for i in range(8)
+            ]
+        )
+    )
+    chunks = sh.select("doc_id", "simhash", chunk.alias("c")).select(
+        "doc_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

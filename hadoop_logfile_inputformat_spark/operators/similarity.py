@@ -1,0 +1,170 @@
+"""Similarity search over the ``embeddings`` table (array<float> × 64).
+
+Brute-force cosine top-k is the correctness baseline (DuckDB-oracled);
+IVF probing is the scale path.  All vector math is Catalyst
+higher-order functions over the array column — JVM-side, no Python in
+the row loop.  At 100 TB the brute-force variant is what you run *per
+probe-cluster*, not globally; ``ann_ivf_topk`` shows that composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_logfile_inputformat_spark.operators.tables import load
+
+QUERY_MODULUS = 50  # vec_id % 50 == 0 → deterministic query subset
+TOP_K = 5
+IVF_CENTROID_MODULUS = 25  # 1/25 of vectors act as IVF centroids
+IVF_NPROBE = 3
+
+
+def _norm(col: str) -> Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate({col}, CAST(0.0 AS DOUBLE),"
+            f" (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+    )
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
+
+
+def cosine_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    query_modulus: int = QUERY_MODULUS,
+) -> DataFrame:
+    """Brute-force cosine top-k for a deterministic query subset.
+
+    The (small) query side is broadcast, so the 'cross' join is a
+    broadcast nested loop over the corpus — no shuffle of the corpus at
+    all; ranking shuffles only |queries| × |corpus| similarity rows
+    pre-filtered to each query's partition.  Similarity is rounded and
+    ties broken by neighbor id, making ranks engine-deterministic.
+    """
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    sim = F.round(_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm")), 4)
+    pairs = (
+        F.broadcast(q)
+        .join(v, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    query_modulus: int = QUERY_MODULUS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-style approximate top-k: deterministic centroid subset,
+    inverted lists, nprobe-cluster search.
+
+    Build: every vector is assigned to its nearest centroid (centroids
+    broadcast).  Search: each query probes its ``nprobe`` nearest
+    centroids and ranks only vectors in those clusters.  At scale the
+    corpus is thus partitioned by ``centroid_id`` and each query
+    touches nprobe/|centroids| of it instead of all of it.
+    """
+    v = _vectors(spark, sf_dir)
+    cent = v.filter(F.col("vec_id") % IVF_CENTROID_MODULUS == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    sim_vc = _dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
+    best_c = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_sim"), F.asc("centroid_id")
+    )
+    assigned = (
+        v.join(F.broadcast(cent), how="cross")
+        .select("vec_id", "embedding", "nrm", "centroid_id", sim_vc.alias("c_sim"))
+        .withColumn("rnk", F.row_number().over(best_c))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk", "c_sim")
+    )
+    queries = assigned.filter(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("centroid_id")
+    )
+    probes = (
+        F.broadcast(queries)
+        .join(F.broadcast(cent), how="cross")
+        .select(
+            "query_id", "q_emb", "q_nrm", "centroid_id",
+            (_dot("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm"))).alias("c_sim"),
+        )
+        .withColumn("p", F.row_number().over(probe_w))
+        .filter(F.col("p") <= nprobe)
+        .drop("p", "c_sim")
+    )
+    sim = F.round(_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm")), 4)
+    hits = (
+        F.broadcast(probes)
+        .join(assigned, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.9
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (doc_a < doc_b).
+
+    Exact all-pairs formulation for the oracle; the scale path is the
+    same computation restricted to IVF-cluster co-membership (vectors
+    this similar land in the same cluster except at boundaries).
+    """
+    v = _vectors(spark, sf_dir)
+    a = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 4)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,143 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Language ID, quality scoring, token counting, fingerprinting — the
+text half of the training-data-pipeline surface.  Everything is
+built-in column expressions (regexp/array functions); the operators are
+embarrassingly parallel (no shuffle except final output), which is the
+right shape for a 100 TB corpus pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_logfile_inputformat_spark.operators.tables import load
+
+#: Tiny per-language stopword profiles for the n-gram/stopword LangID
+#: heuristic.  Word-boundary regexes work identically in Java regex
+#: (Spark) and RE2 (DuckDB) for these patterns, which keeps the
+#: operator oracle-checkable.
+LANG_PROFILES = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b",
+    "fr": r"\b(le|la|les|et|est|dans|une|pour|que|pas)\b",
+    "es": r"\b(el|los|las|y|es|en|una|por|con|para)\b",
+}
+CJK_PATTERN = r"[一-鿿]"
+
+STOPWORDS_EN = ("the", "a", "an", "and", "of", "to", "in", "is", "for", "on")
+
+
+def _ws_tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: lengths, word stats, character
+    class ratios, stopword ratio, and a composite keep/drop signal."""
+    d = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    toks = _ws_tokens(text)
+    n_chars = F.length(text)
+    n_words = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    sw_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    n_stop = F.expr(
+        f"size(filter(split(trim(lower(text)), '\\\\s+'), t -> t IN ({sw_list})))"
+    )
+    avg_word_len = F.round(
+        F.length(F.regexp_replace(text, r"\s+", "")) / n_words, 4
+    )
+    return d.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        avg_word_len.alias("avg_word_len"),
+        F.round(n_alpha / n_chars, 4).alias("alpha_ratio"),
+        F.round(n_digit / n_chars, 4).alias("digit_ratio"),
+        F.round(n_punct / n_chars, 4).alias("punct_ratio"),
+        F.round(n_stop / n_words, 4).alias("stopword_ratio"),
+        (
+            (n_words >= 5) & (n_chars >= 20) & (n_alpha / n_chars > 0.5)
+        ).cast("int").alias("quality_keep"),
+    )
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language detection.
+
+    Scores = per-language stopword hit counts (CJK scored by character
+    count); winner = argmax with a fixed priority order on ties
+    (deterministic, engine-independent).
+    """
+    d = load(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    # F.regexp_extract_all with lit patterns — not F.expr — so regex
+    # backslashes never pass through SQL string-literal unescaping.
+    scores = {
+        lang: F.size(F.regexp_extract_all(lower, F.lit(pat), F.lit(0))).cast("long")
+        for lang, pat in LANG_PROFILES.items()
+    }
+    scores["zh"] = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(CJK_PATTERN), F.lit(0))
+    ).cast("long")
+    langs = list(scores)  # priority order on ties: en, de, fr, es, zh
+    best = F.greatest(*[scores[lg] for lg in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lg in langs:
+        pred = pred.when(scores[lg] == best, F.lit(lg))
+    return d.select("doc_id", pred.alias("lang_pred"), best.alias("best_score"))
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token statistics: whitespace tokens, a BPE-ish regex token count
+    (letter runs / digits / punctuation as separate tokens), and the
+    chars/4 LLM-token estimate."""
+    d = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_ws = F.size(_ws_tokens(text))
+    n_bpe_ish = F.size(
+        F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0)")
+    )
+    est_llm = F.ceil(F.length(text) / 4.0).cast("long")
+    return d.select(
+        "doc_id",
+        n_ws.cast("long").alias("n_ws_tokens"),
+        n_bpe_ish.cast("long").alias("n_regex_tokens"),
+        est_llm.alias("est_llm_tokens"),
+    )
+
+
+def document_fingerprints(
+    spark: SparkSession, sf_dir: str, k: int = 8, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (MOSS-style).
+
+    Character k-gram rolling hashes; within every ``window`` of
+    consecutive k-gram hashes the minimum is selected; the distinct
+    minima are the fingerprint set.  Entirely higher-order array
+    expressions; xxhash64 is engine-specific, so this operator is
+    rows-only-checked (no SQL oracle).
+    """
+    d = load(spark, sf_dir, "documents")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)),"
+        f" i -> xxhash64(substring(text, i, {k})))"
+    )
+    fps = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(grams) - {window - 1}, 1)),"
+        f" i -> array_min(slice(grams, i, {window}))))"
+    )
+    return (
+        d.select("doc_id", grams.alias("grams"))
+        .select("doc_id", fps.alias("fps"))
+        .select(
+            "doc_id",
+            F.size("fps").alias("n_fingerprints"),
+            F.array_min("fps").alias("fp_min"),
+            F.array_max("fps").alias("fp_max"),
+        )
+    )

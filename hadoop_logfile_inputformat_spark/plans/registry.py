@@ -1,0 +1,334 @@
+"""Query registry: every implemented operator as a named (builder,
+oracle) pair.
+
+``QUERIES[name]`` is a callable ``(spark, sf_dir) -> DataFrame``;
+``ORACLES[name]`` is the equivalent ANSI SQL that DuckDB runs over the
+same parquet tables (views ``region nation customer supplier part
+orders lineitem events documents embeddings``).  Queries without an
+oracle entry are genuinely non-SQL-expressible or rely on
+engine-specific hashing (xxhash64); the driver records a rows-only
+check for those.
+
+Cross-engine determinism rules applied throughout (see operator
+docstrings): double aggregates rounded identically on both sides,
+every LIMIT preceded by a total order, approximate operators verified
+against their exact twins in tests instead of via SQL.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_logfile_inputformat_spark.operators import (
+    dedup,
+    relational,
+    similarity,
+    text,
+)
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- relational surface (SURVEY.md §2.3-2.6 coverage) ---
+    "q1_pricing_summary": relational.q1_pricing_summary,
+    "q3_shipping_priority": relational.q3_shipping_priority,
+    "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+    "top_orders_per_customer": relational.q_top_orders_per_customer,
+    "rollup_order_counts": relational.q_rollup_order_counts,
+    "distinct_custs_per_status": relational.q_distinct_custs_per_status,
+    "events_hourly": relational.q_events_hourly,
+    "events_sessionize": relational.q_events_sessionize,
+    "customers_without_orders": relational.q_customers_without_orders,
+    "suppliers_with_shipments": relational.q_suppliers_with_shipments,
+    "priority_customer_union": relational.q_priority_customer_union,
+    "running_monthly_revenue": relational.q_running_monthly_revenue,
+    "part_brand_revenue": relational.q_part_brand_revenue,
+    "events_json_extract": relational.q_events_json_extract,
+    "order_value_median": relational.q_order_value_median,
+    # --- dedup surface ---
+    "dedup_exact": dedup.exact_dedup,
+    "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+    "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+    "dedup_simhash": dedup.simhash_pairs,
+    # --- similarity surface ---
+    "ann_cosine_topk": similarity.cosine_topk,
+    "ann_ivf_topk": similarity.ann_ivf_topk,
+    "embedding_near_dup": similarity.embedding_near_dup_pairs,
+    # --- text-analysis surface ---
+    "text_quality": text.text_quality,
+    "language_id": text.language_id,
+    "token_counts": text.token_counts,
+    "doc_fingerprints": text.document_fingerprints,
+}
+
+
+def query_names() -> list:
+    return list(QUERIES)
+
+
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in text.STOPWORDS_EN)
+
+_SHINGLES_CTE = """
+toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> concat_ws(' ', t[i], t[i + 1], t[i + 2])))) AS shingle
+    FROM toks WHERE len(t) >= 3
+)
+"""
+
+ORACLES: Dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                        AS sum_qty,
+               round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+               round(avg(l_quantity), 4)                                        AS avg_qty,
+               round(avg(l_extendedprice), 4)                                   AS avg_price,
+               round(avg(l_discount), 4)                                        AS avg_disc,
+               count(*)                                                         AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate  > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+    "top_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, totalprice, rn
+        FROM (
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice, 2) AS totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders
+        )
+        WHERE rn <= 3
+    """,
+    "rollup_order_counts": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "distinct_custs_per_status": """
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    "events_hourly": """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "events_sessionize": """
+        WITH g AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR date_part('epoch', ts) - date_part('epoch', lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT user_id,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM g
+        )
+        SELECT user_id,
+               CAST(max(session_id) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM s GROUP BY user_id
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "suppliers_with_shipments": """
+        SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+    """,
+    "priority_customer_union": """
+        SELECT c_custkey FROM customer WHERE c_acctbal > 8000
+        UNION
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+    "running_monthly_revenue": """
+        WITH monthly AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT month, revenue,
+               round(sum(revenue) OVER (ORDER BY month
+                                        ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue
+        FROM monthly
+    """,
+    "part_brand_revenue": """
+        SELECT p_brand,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    "events_json_extract": """
+        SELECT event_type,
+               round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events
+        GROUP BY event_type
+    """,
+    "order_value_median": """
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    "dedup_exact": """
+        SELECT doc_id,
+               sha256(text) AS text_hash,
+               min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id,
+               CAST(doc_id <> min(doc_id) OVER (PARTITION BY sha256(text)) AS INT) AS is_dup
+        FROM documents
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLES_CTE},
+        counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_common / (ca.n + cb.n - n_common), 4) AS jaccard
+        FROM common
+        JOIN counts ca ON ca.doc_id = doc_a
+        JOIN counts cb ON cb.doc_id = doc_b
+        WHERE round(n_common / (ca.n + cb.n - n_common), 4) >= {dedup.JACCARD_THRESHOLD}
+    """,
+    "ann_cosine_topk": f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, e,
+                   sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+            FROM v
+        ),
+        q AS (SELECT * FROM n WHERE vec_id % {similarity.QUERY_MODULUS} = 0),
+        sims AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) AS sim
+            FROM q JOIN n c ON c.vec_id <> q.vec_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM sims
+        )
+        SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {similarity.TOP_K}
+    """,
+    "embedding_near_dup": """
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, e,
+                   sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+            FROM v
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS sim
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.9
+    """,
+    "text_quality": f"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(string_split_regex(trim(text), '\\s+')) AS n_words,
+               round(length(regexp_replace(text, '\\s+', '', 'g'))
+                     / len(string_split_regex(trim(text), '\\s+')), 4) AS avg_word_len,
+               round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     / length(text), 4) AS alpha_ratio,
+               round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                     / length(text), 4) AS digit_ratio,
+               round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                     / length(text), 4) AS punct_ratio,
+               round(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                     t -> t IN ({_STOPWORDS_SQL})))
+                     / len(string_split_regex(trim(text), '\\s+')), 4) AS stopword_ratio,
+               CAST(len(string_split_regex(trim(text), '\\s+')) >= 5
+                    AND length(text) >= 20
+                    AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        / length(text) > 0.5 AS INT) AS quality_keep
+        FROM documents
+    """,
+    "token_counts": """
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_regex_tokens,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_llm_tokens
+        FROM documents
+    """,
+    "language_id": None,  # filled in below from text.LANG_PROFILES
+}
+
+# language_id oracle assembled from the same profile constants the Spark
+# operator uses, so both engines score identical patterns.
+_lang_scores = ", ".join(
+    f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{lang}"
+    for lang, pat in text.LANG_PROFILES.items()
+)
+_langs = list(text.LANG_PROFILES) + ["zh"]
+_best = "greatest(" + ", ".join(f"s_{lg}" for lg in _langs) + ")"
+_pred = "CASE WHEN " + _best + " <= 0 THEN 'und' " + " ".join(
+    f"WHEN s_{lg} = {_best} THEN '{lg}'" for lg in _langs
+) + " END"
+ORACLES["language_id"] = f"""
+    WITH scored AS (
+        SELECT doc_id, {_lang_scores},
+               len(regexp_extract_all(text, '{text.CJK_PATTERN}')) AS s_zh
+        FROM documents
+    )
+    SELECT doc_id, {_pred} AS lang_pred, {_best} AS best_score
+    FROM scored
+"""
