@@ -30,8 +30,8 @@ LSH_BANDS = 8  # rows per band = 32 / 8 = 4
 JACCARD_THRESHOLD = 0.10
 
 
-def _shingled(docs: DataFrame, min_words: int = SHINGLE_WORDS) -> DataFrame:
-    """(doc_id, shingle) rows: distinct lowercase 3-word shingles."""
+def _shingle_sets(docs: DataFrame, min_words: int = SHINGLE_WORDS) -> DataFrame:
+    """(doc_id, shingles array<string>): distinct lowercase 3-word shingles."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     shingles = F.expr(
         "array_distinct(transform(sequence(1, size(toks) - 2),"
@@ -40,7 +40,14 @@ def _shingled(docs: DataFrame, min_words: int = SHINGLE_WORDS) -> DataFrame:
     return (
         docs.select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= min_words)
-        .select("doc_id", F.explode(shingles).alias("shingle"))
+        .select("doc_id", shingles.alias("shingles"))
+    )
+
+
+def _shingled(docs: DataFrame, min_words: int = SHINGLE_WORDS) -> DataFrame:
+    """(doc_id, shingle) rows: exploded form of :func:`_shingle_sets`."""
+    return _shingle_sets(docs, min_words).select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
 
 
@@ -131,9 +138,11 @@ def minhash_lsh_pairs(
     candidates only.  The only all-pairs work is within buckets;
     everything shuffles on (band, bucket-hash) or doc_id.
 
-    Verification reuses :func:`ngram_jaccard_pairs` semantics, so with a
-    low-enough threshold this converges to the exact result — asserted
-    in tests (recall vs the exact oracle).
+    Verification touches ONLY bucket-colliding pairs: the candidate
+    list joins twice against per-doc shingle arrays and Jaccard comes
+    from ``array_intersect`` sizes — never the all-pairs common-shingle
+    join the exact operator uses.  Same formula as the exact twin, so
+    recall is asserted against it in tests.
     """
     rows_per_band = N_PERMUTATIONS // LSH_BANDS
     sigs = minhash_signatures(spark, sf_dir)
@@ -163,11 +172,16 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(spark, sf_dir, threshold=0.0)
+    sets = _shingle_sets(load(spark, sf_dir, "documents"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        candidates.join(exact, ["doc_a", "doc_b"])
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 

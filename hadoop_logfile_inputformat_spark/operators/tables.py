@@ -32,6 +32,9 @@ TABLES = (
 #: filtered side is provably small, otherwise left to AQE.
 ALWAYS_BROADCAST = {"region", "nation"}
 
+#: Tables feeding compute-dense per-row operators — see ``load``.
+COMPUTE_HEAVY = {"documents", "embeddings"}
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
@@ -45,6 +48,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
+    if name in COMPUTE_HEAVY:
+        # documents/embeddings feed compute-dense per-row operators
+        # (shingling, 32-way hashing, vector math).  A small corpus in
+        # one parquet file would otherwise pin that work to ONE task;
+        # fan it out to the cluster.  Guarded so it never adds a
+        # shuffle when the scan is already parallel (the 100 TB case).
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, target // 2):
+            df = df.repartition(target)
     if name in ALWAYS_BROADCAST:
         return F.broadcast(df)
     return df
