@@ -1,0 +1,167 @@
+"""Driver-program parity: the reference's two CLI pipelines as library
+functions, plus registry-facing logfile queries.
+
+- :func:`sample_logs`   ≙ Sample.main (Sample.java:64-105): scan →
+  Bernoulli sample → formatted projection → single text file.
+- :func:`verify_counts` ≙ Test.main (Test.java:76-155): generate a
+  corpus with golden counts → read plain and gzip globs → compare
+  total + per-level counts → SUCCESS/FAILURE matrix.
+
+The registry queries build a deterministic fixture corpus on first use
+(seeded generator, content-addressed directory), so the driver's
+rows-only checks exercise the actual ``logfile`` data source.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_logfile_inputformat_spark.functions.logparse import (
+    format_record_lines,
+    parse_log_records,
+)
+from hadoop_logfile_inputformat_spark.sources.logfile import register_logfile_source
+from hadoop_logfile_inputformat_spark.testing.loggen import (
+    FORMAT_A,
+    FORMAT_B,
+    LogfileSummary,
+    write_log_corpus,
+)
+
+_FIXTURE_SEED = 42
+_FIXTURE_FILES = 4
+_FIXTURE_SECONDS = 2.0
+
+
+def sample_logs(
+    spark: SparkSession,
+    input_glob: str,
+    output_dir: str,
+    pattern: str,
+    fraction: float = 0.01,
+    seed: int | None = None,
+    per_path_patterns: dict | None = None,
+) -> None:
+    """Sample.java pipeline: scan → sample(fraction) → format → one
+    text file.
+
+    Deliberate improvement over the reference: ``coalesce(1)`` instead
+    of ``repartition(1)`` (Sample.java:101) — merges partitions without
+    a full shuffle.  Fraction validated to [0, 1] (Sample.java:125-127
+    parity).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"sample fraction must be in [0, 1], got {fraction}")
+    if os.path.exists(output_dir) and os.listdir(output_dir):
+        raise FileExistsError(f"output dir '{output_dir}' exists and is not empty")
+    register_logfile_source(spark)
+    reader = spark.read.format("logfile").option("pattern", pattern)
+    for path, pat in (per_path_patterns or {}).items():
+        reader = reader.option(f"pattern.{path}", pat)
+    df = reader.load(input_glob)
+    sampled = df.sample(withReplacement=False, fraction=fraction, seed=seed)
+    format_record_lines(sampled).coalesce(1).write.text(output_dir)
+
+
+def verify_counts(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Test.java pipeline: golden-count verification matrix.
+
+    Generates the corpus (plain + byte-identical gzip), reads both
+    through the ``logfile`` source, and returns a DataFrame of
+    ``(metric, expected, actual_log, actual_gz, success)`` rows —
+    the PySpark-native restatement of Test.java:135-152's printout.
+    """
+    register_logfile_source(spark)
+    summary, path_formats, _ = write_log_corpus(
+        work_dir, n_files=_FIXTURE_FILES, seconds_per_file=_FIXTURE_SECONDS,
+        seed=_FIXTURE_SEED,
+    )
+
+    def counts(glob: str) -> dict:
+        r = spark.read.format("logfile")
+        for path, fmt in path_formats.items():
+            r = r.option(f"pattern.{path}", FORMAT_A if fmt == "A" else FORMAT_B)
+        parsed = parse_log_records(r.load(glob))
+        rows = parsed.groupBy("level").count().collect()
+        out = {row["level"]: row["count"] for row in rows}
+        out["TOTAL"] = sum(out.values())
+        return out
+
+    log_counts = counts(os.path.join(work_dir, "*.log"))
+    gz_counts = counts(os.path.join(work_dir, "*.log.gz"))
+    expected = dict(summary.by_level, TOTAL=summary.total)
+    rows = []
+    for metric in ("TOTAL", "INFO", "WARN", "ERROR"):
+        e, a, g = expected[metric], log_counts.get(metric, 0), gz_counts.get(metric, 0)
+        rows.append((metric, e, a, g, e == a == g))
+    return spark.createDataFrame(
+        rows, "metric string, expected long, actual_log long, actual_gz long, success boolean"
+    )
+
+
+def _fixture_dir() -> str:
+    """Deterministic shared fixture corpus for registry queries."""
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"hlis_logfixture_s{_FIXTURE_SEED}_f{_FIXTURE_FILES}_{_FIXTURE_SECONDS}",
+    )
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        write_log_corpus(
+            d, n_files=_FIXTURE_FILES, seconds_per_file=_FIXTURE_SECONDS,
+            seed=_FIXTURE_SEED,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+def _read_fixture(spark: SparkSession, ext: str) -> DataFrame:
+    register_logfile_source(spark)
+    d = _fixture_dir()
+    # both layouts tried per record downstream, so a single default
+    # pattern alternation suffices for boundary detection; named groups
+    # must be anonymized (duplicate names are illegal in one regex)
+    def _anon(p: str) -> str:
+        return p.replace("(?P<timestamp>", "(?:").replace("(?P<loglevel>", "(?:")
+
+    combined = f"(?:{_anon(FORMAT_A)})|(?:{_anon(FORMAT_B)})"
+    return (
+        spark.read.format("logfile")
+        .option("pattern", combined)
+        .load(os.path.join(d, f"*.{ext}"))
+    )
+
+
+def logfile_count_by_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query (rows-only): golden-count pipeline over the
+    deterministic fixture, plain files.  ``sf_dir`` is unused — the
+    corpus is the generator's, as in the reference's Test driver."""
+    parsed = parse_log_records(_read_fixture(spark, "log"))
+    return parsed.groupBy("level").agg(F.count("*").alias("n")).orderBy("level")
+
+
+def logfile_gzip_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query (rows-only): per-level counts must be identical
+    for the plain and gzip duals; returns the FULL OUTER comparison
+    (empty mismatch column set when equivalent)."""
+    plain = (
+        parse_log_records(_read_fixture(spark, "log"))
+        .groupBy("level").agg(F.count("*").alias("n_log"))
+    )
+    gz = (
+        parse_log_records(_read_fixture(spark, "log.gz"))
+        .groupBy("level").agg(F.count("*").alias("n_gz"))
+    )
+    return (
+        plain.join(gz, "level", "full_outer")
+        .select(
+            "level", "n_log", "n_gz",
+            (F.col("n_log") == F.col("n_gz")).alias("equal"),
+        )
+        .orderBy("level")
+    )

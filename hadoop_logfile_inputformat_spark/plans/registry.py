@@ -23,10 +23,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hadoop_logfile_inputformat_spark.operators import (
     dedup,
+    logparity,
     relational,
     similarity,
     text,
 )
+
+
+def _media_features_query(spark, sf_dir):
+    from hadoop_logfile_inputformat_spark.multimodal import (
+        attach_fake_media,
+        extract_media_features,
+    )
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    return extract_media_features(attach_fake_media(load(spark, sf_dir, "documents")))
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- relational surface (SURVEY.md §2.3-2.6 coverage) ---
@@ -59,6 +70,12 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_id": text.language_id,
     "token_counts": text.token_counts,
     "doc_fingerprints": text.document_fingerprints,
+    # --- logfile-source surface (reference parity; custom data source,
+    # not SQL-expressible → rows-only checks, full tests in tests/) ---
+    "logfile_count_by_level": logparity.logfile_count_by_level,
+    "logfile_gzip_equivalence": logparity.logfile_gzip_equivalence,
+    # --- multimodal surface (mapInPandas binary plumbing) ---
+    "media_features": _media_features_query,
 }
 
 

@@ -1,0 +1,8 @@
+from hadoop_logfile_inputformat_spark.streaming.logfile_stream import (  # noqa: F401
+    LogfileStreamDataSource,
+    register_logfile_stream_source,
+)
+from hadoop_logfile_inputformat_spark.streaming.pipelines import (  # noqa: F401
+    events_hourly_stream,
+    sessionize_stream,
+)

@@ -1,0 +1,48 @@
+"""Multimodal plumbing tests: binary columns through mapInPandas."""
+
+from pyspark.sql import functions as F
+
+from hadoop_logfile_inputformat_spark.multimodal import (
+    attach_fake_media,
+    extract_media_features,
+    sample_video_frames,
+)
+from hadoop_logfile_inputformat_spark.multimodal.media import encode_fake_image
+from hadoop_logfile_inputformat_spark.operators.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_media_features_end_to_end(spark):
+    docs = load(spark, SF, "documents").limit(50)
+    media = attach_fake_media(docs)
+    feats = extract_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(r.ok for r in rows)
+    assert all(r.width == r.doc_id % 16 + 4 for r in rows)
+    assert all(r.n_bytes == 20 + r.width * r.height for r in rows)
+    assert all(0 <= r.mean_luma <= 255 for r in rows)
+
+
+def test_corrupt_payload_isolated_not_fatal(spark):
+    good = encode_fake_image(4, 4, 1)
+    rows = [(1, "image", bytearray(good)), (2, "image", bytearray(b"garbage")),
+            (3, "image", None)]
+    media = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    out = {r.doc_id: r for r in extract_media_features(media).collect()}
+    assert out[1].ok and out[1].width == 4
+    assert not out[2].ok and out[2].error
+    assert not out[3].ok
+
+
+def test_frame_sampling_schema_and_fanout(spark):
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(encode_fake_image(50, 50, 0)))],
+        "doc_id long, media_type string, payload binary",
+    )
+    frames = sample_video_frames(media, every_nth=1)
+    rows = frames.collect()
+    assert len(rows) == (len(encode_fake_image(50, 50, 0)) // 1024) + 1
+    assert frames.columns == ["doc_id", "frame_idx", "frame_payload"]
+    assert all(len(r.frame_payload) <= 64 for r in rows)

@@ -1,0 +1,84 @@
+"""Operator-level tests: approximate ops vs their exact twins, plus
+invariants the DuckDB oracle can't express."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_logfile_inputformat_spark.operators import dedup, similarity
+from hadoop_logfile_inputformat_spark.plans.registry import ORACLES, QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark):
+    """At this threshold LSH candidate generation must not lose pairs
+    the exact operator finds (recall == 1 on the test corpus)."""
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(spark, SF).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(spark, SF).collect()
+    }
+    assert lsh == exact
+    assert exact  # corpus must actually produce near-dup pairs
+
+
+def test_simhash_pairs_have_low_hamming(spark):
+    rows = dedup.simhash_pairs(spark, SF, max_hamming=12).collect()
+    assert rows
+    assert all(0 <= r.hamming <= 12 for r in rows)
+    assert all(r.doc_a < r.doc_b for r in rows)
+
+
+def test_exact_dedup_is_total_and_consistent(spark):
+    rows = dedup.exact_dedup(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert all((r.is_dup == 0) == (r.doc_id == r.keep_id) for r in rows)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(spark, SF).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_ivf_topk(spark, SF).collect()
+    }
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall collapsed: {recall}"
+
+
+def test_cosine_topk_selfsim_excluded_and_ranked(spark):
+    rows = similarity.cosine_topk(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_every_query_runs_and_every_oracle_key_exists(spark):
+    missing = set(k for k, v in ORACLES.items() if v is not None) - set(QUERIES)
+    assert not missing
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF)
+        assert df.columns, name
+
+
+def test_fingerprints_nonempty_and_stable(spark):
+    from hadoop_logfile_inputformat_spark.operators.text import document_fingerprints
+
+    a = {(r.doc_id, r.fp_min, r.fp_max) for r in
+         document_fingerprints(spark, SF).collect()}
+    b = {(r.doc_id, r.fp_min, r.fp_max) for r in
+         document_fingerprints(spark, SF).collect()}
+    assert a == b and a

@@ -1,0 +1,164 @@
+"""Streaming tests: incremental logfile tailing with multi-line holdback,
+plus watermarked window pipelines over a deterministic event stream."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_logfile_inputformat_spark.streaming import (
+    events_hourly_stream,
+    register_logfile_stream_source,
+    sessionize_stream,
+)
+from hadoop_logfile_inputformat_spark.testing.loggen import FORMAT_A
+
+
+def _await_rows(spark, query, table, want, timeout=60):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        query.processAllAvailable()
+        got = spark.table(table).count()
+        if got >= want:
+            return
+        time.sleep(0.3)
+    raise AssertionError(f"only {spark.table(table).count()} rows, wanted {want}")
+
+
+def test_logfile_stream_tails_incrementally(spark, tmp_path):
+    """Append-as-you-go tailing: records appear as complete lines land;
+    a record is only emitted once its terminator (next first-line or
+    stable EOF) is seen."""
+    log = tmp_path / "app.log"
+    log.write_text("2024-01-01 00:00:00,000 | INFO | a | one\n")
+    register_logfile_stream_source(spark)
+    stream = (
+        spark.readStream.format("logfile-stream")
+        .option("pattern", FORMAT_A.replace("(?P<timestamp>", "(").replace("(?P<loglevel>", "("))
+        .option("tailStableBatches", 1)
+        .load(str(tmp_path))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tail_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        # batch 1: only 'one' is complete once a second record starts
+        with open(log, "a") as f:
+            f.write("2024-01-01 00:00:01,000 | ERROR | a | boom\n\tat Frame.x(F.java:1)\n")
+        _await_rows(spark, q, "tail_t", 1)
+        rows = {r.record.split(" | ")[-1].split("\n")[0]
+                for r in spark.table("tail_t").collect()}
+        assert "one" in rows
+        # the ERROR record is dangling (file may still grow); after the
+        # file is stable for tailStableBatches polls it must flush
+        _await_rows(spark, q, "tail_t", 2)
+        recs = {r.offset: r.record for r in spark.table("tail_t").collect()}
+        assert any("boom" in rec and "\n\tat" in rec for rec in recs.values())
+    finally:
+        q.stop()
+
+
+def test_logfile_stream_offsets_are_replayable(spark, tmp_path):
+    """readBetweenOffsets must reproduce a batch exactly (recovery)."""
+    from hadoop_logfile_inputformat_spark.streaming.logfile_stream import (
+        LogfileSimpleStreamReader,
+    )
+
+    log = tmp_path / "x.log"
+    pat = r"^\d{4}-\d{2}-\d{2} .*"
+    log.write_text(
+        "2024-01-01 a\n\tcont\n2024-01-02 b\n2024-01-03 c\n"
+    )
+    r = LogfileSimpleStreamReader(
+        {"path": str(tmp_path), "pattern": pat, "tailstablebatches": 1}
+    )
+    start = r.initialOffset()
+    rows1, off1 = r.read(start)
+    rows1 = list(rows1)
+    replay = list(r.readBetweenOffsets(start, off1))
+    assert rows1 == replay
+    # tail 'c' held back on the first poll (file not yet stable)
+    texts = [rec for _, _, rec in rows1]
+    assert texts == ["2024-01-01 a\n\tcont", "2024-01-02 b"]
+    # second poll with no growth: file stable → tail flushes
+    rows2, off2 = r.read(off1)
+    assert [rec for _, _, rec in rows2] == ["2024-01-03 c"]
+
+
+def _event_stream(spark, tmp_path, rows):
+    src = tmp_path / "events_in"
+    src.mkdir()
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long, event_type string, value double")
+    df.coalesce(1).write.parquet(str(src / "batch0"))
+    return (
+        spark.readStream.schema("ts timestamp, user_id long, event_type string, value double")
+        .parquet(str(src / "*"))
+    )
+
+
+def test_events_hourly_stream_windows(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (base, 1, "click", 1.0),
+        (base + dt.timedelta(minutes=30), 1, "click", 2.0),
+        (base + dt.timedelta(hours=1, minutes=5), 2, "view", 5.0),
+    ]
+    agg = events_hourly_stream(_event_stream(spark, tmp_path, rows))
+    q = (
+        agg.writeStream.format("memory").queryName("hourly_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # append mode: windows emit only when the watermark closes them;
+        # feed a late-future event to push the watermark forward
+        spark.createDataFrame(
+            [(base + dt.timedelta(hours=5), 3, "click", 0.0)],
+            "ts timestamp, user_id long, event_type string, value double",
+        ).coalesce(1).write.mode("append").parquet(str(tmp_path / "events_in" / "b1"))
+        _await_rows(spark, q, "hourly_t", 2)
+        got = {(r.window_start.hour, r.event_type): (r.n_events, r.sum_value)
+               for r in spark.table("hourly_t").collect()}
+        assert got[(10, "click")] == (2, 3.0)
+        assert got[(11, "view")] == (1, 5.0)
+    finally:
+        q.stop()
+
+
+def test_sessionize_stream_gap_semantics(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)
+    rows = [
+        (base, 1, "click", 1.0),
+        (base + dt.timedelta(minutes=10), 1, "click", 1.0),   # same session
+        (base + dt.timedelta(minutes=50), 1, "click", 1.0),   # new session
+    ]
+    agg = sessionize_stream(_event_stream(spark, tmp_path, rows))
+    q = (
+        agg.writeStream.format("memory").queryName("sess_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(base + dt.timedelta(hours=6), 9, "click", 0.0)],
+            "ts timestamp, user_id long, event_type string, value double",
+        ).coalesce(1).write.mode("append").parquet(str(tmp_path / "events_in" / "b1"))
+        _await_rows(spark, q, "sess_t", 2)
+        sess = [r for r in spark.table("sess_t").collect() if r.user_id == 1]
+        assert len(sess) == 2
+        assert sorted(r.n_events for r in sess) == [1, 2]
+    finally:
+        q.stop()
