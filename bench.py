@@ -27,6 +27,14 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_trade",
+    "q9_profit_by_nation_year",
+    "q18_large_volume_customers",
+    "asof_purchase_last_click",
+    "weekly_moving_revenue",
+    "cube_returnflag_status",
+    "price_band_counts",
     "top_orders_per_customer",
     "rollup_order_counts",
     "events_hourly",

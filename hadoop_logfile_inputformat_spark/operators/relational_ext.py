@@ -1,0 +1,487 @@
+"""Extended relational surface: the operator classes SURVEY.md §2.3-2.6
+marks "not present" in the reference, populated as first-class queries.
+
+Covers: pure filter-agg scans, EXISTS/NOT-EXISTS semi joins with
+non-equi conditions, multi-nation fact joins, correlated-aggregate
+joins, scalar subqueries, as-of joins, range (interval) joins, pivot,
+CUBE grouping sets, NTILE deciles, range-frame moving windows, global
+top-k, INTERSECT/EXCEPT chains and statistical aggregates.
+
+Every builder returns a DataFrame whose column names match its DuckDB
+oracle in ``plans.registry`` (driver contract).  Scale notes inline:
+each query states the shuffle it pays and why that is the minimal one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_logfile_inputformat_spark.operators.tables import load, money, msum
+
+def _revenue():
+    """Exact-decimal revenue addend (lazy: Column creation needs an
+    active SparkContext).  See tables.MONEY for why decimals."""
+    return money("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - money("l_discount")
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure predicate scan → single-row aggregate.
+
+    No join, no wide shuffle: map-side partial sums reduce to one row.
+    At 100 TB the only cost is the parquet scan; all three predicates
+    push down (verify: PushedFilters in .explain).
+    """
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            msum(money("l_extendedprice") * money("l_discount")).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi join with a non-equi residual.
+
+    Orders that have ≥1 line shipped more than 60 days after the order
+    date.  left_semi keeps the probe side unduplicated — no DISTINCT
+    needed, and only orders columns flow out of the join.
+    """
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume.
+
+    Two independent broadcast joins against nation (bounded dim) attach
+    supplier- and customer-nation; the only big shuffles are the
+    l⋈o and o⋈c key joins.  supp≠cust inequality applied post-join.
+    """
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("c_nationkey") == F.col("c_nk"))
+        .join(n2, F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            msum(_revenue()).alias("volume"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year.
+
+    No partsupp table in this dataset; supply cost is proxied as
+    10% of p_retailprice per unit.  part broadcasts (0.2% of fact
+    rows); nation broadcasts always; one shuffle on l_suppkey.
+    """
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    l = load(spark, sf_dir, "lineitem")
+    amount = _revenue() - F.lit("0.1").cast("decimal(2,1)") * money(
+        "p_retailprice"
+    ) * money("l_quantity")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg(msum(amount).alias("profit"))
+    )
+
+
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join + double aggregation.
+
+    count(o_orderkey) over a left join keeps zero-order customers; the
+    second groupBy is tiny (|distinct order counts| rows).
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("n_custs"))
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate ratio over one month."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01"))
+    )
+    rev = _revenue()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(3,2)")
+    )
+    return l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(rev).cast("double"),
+            4,
+        ).alias("promo_pct"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate (avg qty per part) join.
+
+    The correlated subquery becomes an aggregate-then-join: per-part
+    averages are |part| rows — broadcast side at any SF.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    half_avg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        l.join(F.broadcast(half_avg), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a fact aggregate, joined back to dims.
+
+    The heavy groupBy(l_orderkey) runs first and the >170 filter cuts
+    it to a sliver before any join — join input is minimal.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 170)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs join residual over brand/size/qty."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    l = load(spark, sf_dir, "lineitem")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            msum(_revenue()).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery + NOT EXISTS anti join.
+
+    The global average is a 1-row DataFrame crossJoin-broadcast into
+    the filter (no driver collect); the anti join removes customers
+    with any *recent* order (every customer has some order in this
+    dataset, so the recency filter keeps the result non-trivial).
+    """
+    c = load(spark, sf_dir, "customer")
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    click at-or-before the purchase time.
+
+    Spark has no ASOF JOIN; the classic MPP formulation is a tagged
+    union + one window pass: sort (user_id, ts, kind) with clicks
+    before purchases at equal ts, carry the last non-null click via
+    ``last(ignorenulls)``.  ONE shuffle on user_id — no range join, no
+    per-row subquery; scales linearly and AQE handles user skew.
+    (DuckDB oracle uses its native ASOF LEFT JOIN.)
+    """
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("c_ts"),
+        F.lit(None).cast("double").alias("c_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .select(
+            "user_id",
+            "ts",
+            "kind",
+            "event_id",
+            F.last("c_ts", ignorenulls=True).over(w).alias("click_ts"),
+            F.round(F.last("c_value", ignorenulls=True).over(w), 2).alias(
+                "click_value"
+            ),
+        )
+        .filter(F.col("kind") == 1)
+        .select("event_id", "user_id", "ts", "click_ts", "click_value")
+    )
+
+
+def q_price_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: orders binned into broadcast price bands.
+
+    The band table is tiny and broadcast, so the non-equi condition is
+    evaluated as a broadcast nested-loop join — the right physical plan
+    for interval joins against a bounded dim at any scale.
+    """
+    bands = spark.range(10).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 50000.0).alias("lo"),
+        ((F.col("id") + 1) * 50000.0).alias("hi"),
+    )
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+PRIORITIES = [
+    ("1-URGENT", "n_urgent"),
+    ("2-HIGH", "n_high"),
+    ("3-MEDIUM", "n_medium"),
+    ("4-NOT SPECIFIED", "n_notspec"),
+    ("5-LOW", "n_low"),
+]
+
+
+def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts, status rows × priority columns.
+
+    The pivot value list is explicit so the plan is one pass (no
+    distinct-values pre-job) — required at scale.
+    """
+    o = load(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", [v for v, _ in PRIORITIES])
+        .count()
+    )
+    return piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(a) for v, a in PRIORITIES],
+    )
+
+
+def q_cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over lineitem flags (all 4 subtotal levels)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile stats over customer balances.
+
+    Single-partition window (global order) — fine for |customer| at
+    any SF that fits a sort; tie-broken on c_custkey so the decile
+    assignment is total and deterministic.
+    """
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+def q_weekly_moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-frame moving window: 7-day trailing revenue per day.
+
+    RANGE frame over a day-number key (not ROWS): days missing from
+    the data still age out correctly.  Daily sums are rounded before
+    the window so both engines accumulate identical addends.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    day_num = F.datediff(F.col("day"), F.lit("1970-01-01"))
+    w = Window.orderBy(day_num).rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "revenue",
+        F.round(F.sum("revenue").over(w), 2).alias("ma7"),
+    )
+
+
+def q_global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k with dim enrichment AFTER the limit.
+
+    TakeOrderedAndProject keeps only k rows per partition then k total;
+    the customer join sees 20 rows, so its side choice is irrelevant.
+    Total ORDER BY (price desc, key asc) makes the k-set deterministic.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    top = o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(20)
+    return top.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey",
+        "c_name",
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+
+
+def q_building_bigspender_not_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op chain: INTERSECT then EXCEPT over customer-key sets."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = (
+        o.filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return building.intersect(big).subtract(rich)
+
+
+def q_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: correlation / stddev / covariance."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches next to their exact twins (HLL++ distinct,
+    interpolation-free approx percentile).  No SQL oracle — DuckDB's
+    sketch implementations differ; correctness is asserted in tests as
+    bounded relative error vs the exact columns.
+    """
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.round(F.expr("approx_percentile(value, 0.95)"), 2).alias("p95_value"),
+        F.round(F.expr("percentile(value, 0.95)"), 2).alias("p95_exact"),
+    )

@@ -36,6 +36,32 @@ ALWAYS_BROADCAST = {"region", "nation"}
 COMPUTE_HEAVY = {"documents", "embeddings"}
 
 
+#: Money/measure columns in the testdata are 2-decimal values stored as
+#: doubles.  Casting to DECIMAL(12,2) recovers the exact value in both
+#: Spark and DuckDB, after which products/sums/rounding are EXACT and
+#: bit-identical cross-engine.  Summing raw doubles instead makes the
+#: 2-dp rounding of small-group sums nondeterministic: Spark's round()
+#: goes through the double's shortest decimal repr (HALF_UP on
+#: "...315") while DuckDB rounds the binary value ("...31499…" down) —
+#: observed as ±0.01 flips on ~0.25% of groups.
+MONEY = "decimal(12,2)"
+
+
+def money(name: str):
+    """Exact-decimal view of a 2-dp measure column."""
+    return F.col(name).cast(MONEY)
+
+
+def msum(expr, scale: int = 2):
+    """Exact decimal sum rounded to ``scale``, emitted as double.
+
+    The cast-to-double of the rounded decimal is deterministic (nearest
+    double of the same decimal on both engines), so any downstream
+    value-hash normalization matches.
+    """
+    return F.round(F.sum(expr), scale).cast("double")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
@@ -45,9 +71,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer `div`, not `/`: float division of 1e18-scale nanos
+        # loses precision and lands ±1 µs off the truncation DuckDB
+        # (and any nanos→micros reader) applies.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if name in COMPUTE_HEAVY:
         # documents/embeddings feed compute-dense per-row operators
         # (shingling, 32-way hashing, vector math).  A small corpus in

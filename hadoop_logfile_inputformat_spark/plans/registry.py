@@ -25,6 +25,7 @@ from hadoop_logfile_inputformat_spark.operators import (
     dedup,
     logparity,
     relational,
+    relational_ext,
     similarity,
     text,
 )
@@ -56,6 +57,28 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_brand_revenue": relational.q_part_brand_revenue,
     "events_json_extract": relational.q_events_json_extract,
     "order_value_median": relational.q_order_value_median,
+    # --- extended relational surface (TPC-H adaptations + operator
+    # classes absent from the reference: see relational_ext docstring) ---
+    "q6_forecast_revenue": relational_ext.q6_forecast_revenue,
+    "q4_order_priority": relational_ext.q4_order_priority,
+    "q7_nation_trade": relational_ext.q7_nation_trade,
+    "q9_profit_by_nation_year": relational_ext.q9_profit_by_nation_year,
+    "q13_customer_order_distribution": relational_ext.q13_customer_order_distribution,
+    "q14_promo_revenue": relational_ext.q14_promo_revenue,
+    "q17_small_quantity_revenue": relational_ext.q17_small_quantity_revenue,
+    "q18_large_volume_customers": relational_ext.q18_large_volume_customers,
+    "q19_disjunctive_revenue": relational_ext.q19_disjunctive_revenue,
+    "q22_idle_rich_customers": relational_ext.q22_idle_rich_customers,
+    "asof_purchase_last_click": relational_ext.asof_purchase_last_click,
+    "price_band_counts": relational_ext.q_price_band_counts,
+    "pivot_status_priority": relational_ext.q_pivot_status_priority,
+    "cube_returnflag_status": relational_ext.q_cube_returnflag_status,
+    "acctbal_deciles": relational_ext.q_acctbal_deciles,
+    "weekly_moving_revenue": relational_ext.q_weekly_moving_revenue,
+    "global_topk_orders": relational_ext.q_global_topk_orders,
+    "building_bigspender_not_rich": relational_ext.q_building_bigspender_not_rich,
+    "stats_by_returnflag": relational_ext.q_stats_by_returnflag,
+    "approx_sketches": relational_ext.q_approx_sketches,
     # --- dedup surface ---
     "dedup_exact": dedup.exact_dedup,
     "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -104,8 +127,8 @@ ORACLES: Dict[str, str] = {
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)                                        AS sum_qty,
                round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE)                             AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_charge,
                round(avg(l_quantity), 4)                                        AS avg_qty,
                round(avg(l_extendedprice), 4)                                   AS avg_price,
                round(avg(l_discount), 4)                                        AS avg_disc,
@@ -116,7 +139,7 @@ ORACLES: Dict[str, str] = {
     """,
     "q3_shipping_priority": """
         SELECT l_orderkey, o_orderdate, o_orderpriority,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -129,7 +152,7 @@ ORACLES: Dict[str, str] = {
     """,
     "q5_local_supplier_volume": """
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -221,7 +244,7 @@ ORACLES: Dict[str, str] = {
     """,
     "part_brand_revenue": """
         SELECT p_brand,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
                round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
@@ -239,6 +262,204 @@ ORACLES: Dict[str, str] = {
                count(*) AS n_orders
         FROM orders
         GROUP BY o_orderpriority
+    """,
+    "q6_forecast_revenue": """
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+    """,
+    "q7_nation_trade": """
+        SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS volume,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND n2.n_name <> n1.n_name
+        GROUP BY 1, 2, 3
+    """,
+    "q9_profit_by_nation_year": """
+        SELECT n_name AS nation, year(l_shipdate) AS o_year,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                         - CAST(0.1 AS DECIMAL(2,1)) * CAST(p_retailprice AS DECIMAL(12,2))
+                           * CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY 1, 2
+    """,
+    "q13_customer_order_distribution": """
+        WITH per_cust AS (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        SELECT c_count, count(*) AS n_custs FROM per_cust GROUP BY c_count
+    """,
+    "q14_promo_revenue": """
+        SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                                      ELSE CAST(0 AS DECIMAL(3,2)) END) AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS promo_pct,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+    "q17_small_quantity_revenue": """
+        WITH ha AS (
+            SELECT l_partkey AS pk, avg(l_quantity) * 0.5 AS half_avg_qty
+            FROM lineitem GROUP BY 1
+        )
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*) AS n_items
+        FROM lineitem JOIN ha ON l_partkey = pk
+        WHERE l_quantity < half_avg_qty
+    """,
+    "q18_large_volume_customers": """
+        WITH big AS (
+            SELECT l_orderkey, sum(l_quantity) AS qty
+            FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 170
+        )
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+               round(o_totalprice, 2) AS totalprice,
+               round(qty, 2) AS sum_qty
+        FROM big
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "q19_disjunctive_revenue": """
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+               AND l_quantity BETWEEN 20 AND 40)
+    """,
+    "q22_idle_rich_customers": """
+        SELECT c_mktsegment, count(*) AS n_custs,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_mktsegment
+    """,
+    "asof_purchase_last_click": """
+        WITH clicks AS (
+            SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+        ),
+        purch AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id, p.ts,
+               c.ts AS click_ts, round(c.value, 2) AS click_value
+        FROM purch p
+        ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "price_band_counts": """
+        SELECT band_id, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        JOIN (SELECT CAST(range AS INT) AS band_id,
+                     range * 50000.0 AS lo, (range + 1) * 50000.0 AS hi
+              FROM range(10)) b
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band_id
+    """,
+    "pivot_status_priority": """
+        SELECT o_orderstatus,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT')        AS n_urgent,
+               count(*) FILTER (WHERE o_orderpriority = '2-HIGH')          AS n_high,
+               count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')        AS n_medium,
+               count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+               count(*) FILTER (WHERE o_orderpriority = '5-LOW')           AS n_low
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "cube_returnflag_status": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "acctbal_deciles": """
+        WITH t AS (
+            SELECT c_acctbal,
+                   ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+            FROM customer
+        )
+        SELECT decile, count(*) AS n_custs,
+               round(min(c_acctbal), 2) AS min_bal,
+               round(max(c_acctbal), 2) AS max_bal,
+               round(avg(c_acctbal), 4) AS avg_bal
+        FROM t GROUP BY decile
+    """,
+    "weekly_moving_revenue": """
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
+        ),
+        d AS (
+            SELECT day, revenue,
+                   date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) AS dn
+            FROM daily
+        )
+        SELECT day, revenue,
+               round(sum(revenue) OVER (ORDER BY dn
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+        FROM d
+    """,
+    "global_topk_orders": """
+        WITH top AS (
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+        )
+        SELECT o_orderkey, c_name, round(o_totalprice, 2) AS totalprice
+        FROM top JOIN customer ON o_custkey = c_custkey
+    """,
+    "building_bigspender_not_rich": """
+        (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT DISTINCT o_custkey AS c_custkey FROM orders
+         WHERE o_totalprice > 300000)
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+    "stats_by_returnflag": """
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+               round(stddev_samp(l_quantity), 4) AS qty_stddev,
+               round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+               count(*) AS n_items
+        FROM lineitem GROUP BY l_returnflag
     """,
     "dedup_exact": """
         SELECT doc_id,

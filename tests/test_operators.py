@@ -74,6 +74,49 @@ def test_every_query_runs_and_every_oracle_key_exists(spark):
         assert df.columns, name
 
 
+def test_approx_sketches_bounded_error(spark):
+    """HLL distinct and approx percentile must stay near their exact
+    twins (the invariant the SQL oracle can't check)."""
+    from hadoop_logfile_inputformat_spark.operators.relational_ext import (
+        q_approx_sketches,
+    )
+
+    rows = q_approx_sketches(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(2, 0.1 * r.exact_users)
+        assert abs(r.p95_value - r.p95_exact) <= max(1.0, 0.2 * abs(r.p95_exact))
+
+
+def test_asof_join_invariants(spark):
+    """Every matched click is at-or-before its purchase, and the match
+    is the latest such click (verified by brute force on the fixture)."""
+    from hadoop_logfile_inputformat_spark.operators.relational_ext import (
+        asof_purchase_last_click,
+    )
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    rows = asof_purchase_last_click(spark, SF).collect()
+    assert rows
+    clicks = {}
+    for c in (
+        load(spark, SF, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "ts")
+        .collect()
+    ):
+        clicks.setdefault(c.user_id, []).append(c.ts)
+    n_matched = 0
+    for r in rows:
+        prior = [t for t in clicks.get(r.user_id, []) if t <= r.ts]
+        if r.click_ts is None:
+            assert not prior
+        else:
+            n_matched += 1
+            assert r.click_ts == max(prior)
+    assert n_matched > 0
+
+
 def test_fingerprints_nonempty_and_stable(spark):
     from hadoop_logfile_inputformat_spark.operators.text import document_fingerprints
 
