@@ -63,30 +63,45 @@ def _decode_fake(payload: bytes):
     return w, h, 1, (sum(body) / len(body)) if body else 0.0
 
 
-def attach_fake_media(docs: DataFrame) -> DataFrame:
-    """Derive a deterministic binary media column from ``documents`` —
-    the testdata has no media table, so the payload is synthesized
-    (content-addressed by doc_id) to exercise the binary plumbing."""
-    w = (F.col("doc_id") % 16 + 4).cast("int")
-    h = (F.col("doc_id") % 8 + 4).cast("int")
-    return docs.select(
-        "doc_id",
-        F.lit("image").alias("media_type"),
-        _fake_payload_col(w, h).alias("payload"),
+def _le32_hex(col):
+    """Hex of a 32-bit little-endian int (mirrors struct.pack('<i'))."""
+    return F.concat(
+        *[
+            F.lpad(F.hex(F.shiftright(col, s).bitwiseAND(F.lit(255))), 2, "0")
+            for s in (0, 8, 16, 24)
+        ]
     )
 
 
-def _fake_payload_col(w, h):
-    # header || body, built from pure column expressions so the fake
-    # payload generation itself is distributed and deterministic
-    from pyspark.sql.functions import udf
-    from pyspark.sql.types import BinaryType
+def attach_fake_media(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic binary media column from ``documents`` —
+    the testdata has no media table, so the payload is synthesized
+    (content-addressed by doc_id) to exercise the binary plumbing.
 
-    @udf(BinaryType())
-    def _mk(doc_id, width, height):  # pragma: no cover - trivial
-        return encode_fake_image(int(width), int(height), int(doc_id))
-
-    return _mk(F.col("doc_id"), w, h)
+    Byte-identical to :func:`encode_fake_image` but built from pure
+    column expressions (hex assembly + unhex): no Python UDF, so
+    payload generation is JVM-side and costs no Python workers.
+    """
+    base = docs.select(
+        F.col("doc_id"),
+        (F.col("doc_id") % 16 + 4).cast("int").alias("w"),
+        (F.col("doc_id") % 8 + 4).cast("int").alias("h"),
+    )
+    header_hex = F.concat(
+        F.lit(_MAGIC.hex().upper()),
+        _le32_hex(F.col("w")),
+        _le32_hex(F.col("h")),
+        _le32_hex(F.col("doc_id").cast("int")),
+    )
+    body_hex = F.expr(
+        "array_join(transform(sequence(0, w * h - 1),"
+        " i -> lpad(hex((i * 31 + CAST(doc_id AS INT)) % 251), 2, '0')), '')"
+    )
+    return base.select(
+        "doc_id",
+        F.lit("image").alias("media_type"),
+        F.unhex(F.concat(header_hex, body_hex)).alias("payload"),
+    )
 
 
 def decode_image_batch(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

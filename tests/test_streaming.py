@@ -11,6 +11,7 @@ from hadoop_logfile_inputformat_spark.streaming import (
     events_hourly_stream,
     register_logfile_stream_source,
     sessionize_stream,
+    sessionize_with_state,
 )
 from hadoop_logfile_inputformat_spark.testing.loggen import FORMAT_A
 
@@ -160,5 +161,56 @@ def test_sessionize_stream_gap_semantics(spark, tmp_path):
         sess = [r for r in spark.table("sess_t").collect() if r.user_id == 1]
         assert len(sess) == 2
         assert sorted(r.n_events for r in sess) == [1, 2]
+    finally:
+        q.stop()
+
+
+def test_stateful_sessionizer_closes_across_batches(spark, tmp_path):
+    """applyInPandasWithState sessionizer: a session closes when a later
+    event proves the gap elapsed — across micro-batch boundaries — and
+    the emitted row carries the custom accumulated state."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(mins, user, typ, val):
+        return (t0 + dt.timedelta(minutes=mins), user, typ, val)
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    schema = "ts timestamp, user_id long, event_type string, value double"
+    batch1 = [ev(0, 1, "view", 1.0), ev(5, 1, "click", 2.0),
+              ev(0, 2, "view", 5.0)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        sessionize_with_state(stream, gap_s=1800)
+        .writeStream.format("memory")
+        .queryName("sess_state")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("sess_state").count() == 0  # nothing closed yet
+
+        # batch 2: user 1 comes back 40 min later -> first session closes;
+        # user 2 stays silent -> still open
+        batch2 = [ev(45, 1, "purchase", 3.0)]
+        spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+            str(src / "b1")
+        )
+        q.processAllAvailable()
+        rows = spark.table("sess_state").collect()
+        assert len(rows) == 1
+        s = rows[0]
+        assert s.user_id == 1
+        assert s.n_events == 2
+        assert s.sum_value == 3.0
+        assert s.first_type == "view" and s.last_type == "click"
+        assert s.session_start == t0
+        assert s.session_end == t0 + dt.timedelta(minutes=5)
     finally:
         q.stop()
