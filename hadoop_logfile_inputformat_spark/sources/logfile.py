@@ -186,6 +186,143 @@ def iter_records(
         yield rec_offset, "\n".join(rec_parts)
 
 
+def _truncate_record_bytes(data: bytes, cap: int) -> bytes:
+    """Line-precise truncation parity with the line scanner's
+    ``max_record_bytes`` rule: keep appending whole lines while the
+    accumulated byte count (incl. newlines) is still under the cap."""
+    out: List[bytes] = []
+    size = 0
+    for i, line in enumerate(data.split(b"\n")):
+        if i > 0 and size >= cap:
+            break
+        out.append(line)
+        size += len(line) + 1
+    return b"\n".join(out)
+
+
+def iter_records_chunked(
+    fobj,
+    *,
+    start: int,
+    end: int,
+    pattern: str,
+    encoding: str = "utf-8",
+    max_record_bytes: int = 0,
+    chunk_bytes: int = 1 << 22,
+) -> Iterator[Tuple[int, str]]:
+    """Chunked twin of :func:`iter_records` — same contract, ~10x the
+    throughput.
+
+    Instead of a Python loop testing every line, each ~4 MB chunk is
+    scanned with ONE C-level ``re.finditer`` over a MULTILINE bytes
+    regex; records are the byte segments between consecutive first-line
+    match starts.  Property tests assert multiset equality with the
+    line scanner across random corpora and split points.
+
+    Caveat (documented): the pattern is evaluated in bytes mode, so
+    ``\\d``/``\\w``/``\\s`` are ASCII-only — correct for machine log
+    preambles; pass option ``scanner=line`` for Unicode-class patterns.
+    """
+    bpat = re.compile(
+        b"(?m)^(?:" + pattern.encode(encoding) + b")\r?$"
+    )
+    unbounded = end < 0
+    pos = start
+    if start > 0:
+        fobj.seek(start - 1)
+        fobj.readline()  # discard (partial) line; -1 trick
+        pos = fobj.tell()
+
+    base = pos          # absolute offset of scan window start
+    tail = b""          # bytes after the last complete line
+    rec_start = -1      # absolute offset of the open record
+    rec_parts: List[bytes] = []
+    rec_size = 0
+    rec_truncated = False
+
+    def emit():
+        data = b"".join(rec_parts)
+        if max_record_bytes > 0 and rec_size > max_record_bytes:
+            # cap on RAW bytes (split keeps each line's \r, so the
+            # +1-per-line accounting equals the line scanner's len(raw))
+            data = _truncate_record_bytes(data, max_record_bytes)
+        data = data.replace(b"\r\n", b"\n")
+        if data.endswith(b"\n"):
+            data = data[:-1]
+        if data.endswith(b"\r"):  # final line of a CRLF file without \n
+            data = data[:-1]
+        return rec_start, data.decode(encoding, errors="replace")
+
+    while True:
+        chunk = fobj.read(chunk_bytes)
+        eof = not chunk
+        data = tail + chunk
+        if eof:
+            scan, tail = data, b""
+        else:
+            nl = data.rfind(b"\n")
+            if nl < 0:
+                tail = data
+                continue
+            scan, tail = data[: nl + 1], data[nl + 1:]
+
+        cut = 0  # relative start of bytes not yet attributed
+        has_cr = b"\r" in scan  # one C pass per chunk, not per record
+        for m in bpat.finditer(scan):
+            s = m.start()
+            if rec_start >= 0:
+                if not rec_parts and not (max_record_bytes > 0):
+                    # fast path: record fully inside this scan window
+                    # (the overwhelmingly common case).  The byte before
+                    # a match start is always '\n', so one slice both
+                    # extracts the record and strips its terminator.
+                    data = scan[cut:s - 1]
+                    if has_cr and b"\r" in data:
+                        data = data.replace(b"\r\n", b"\n")
+                        if data.endswith(b"\r"):
+                            data = data[:-1]
+                    yield rec_start, data.decode(encoding, errors="replace")
+                else:
+                    seg = scan[cut:s]
+                    if not rec_truncated:
+                        rec_parts.append(seg)
+                        rec_size += len(seg)
+                        if (
+                            max_record_bytes > 0
+                            and rec_size > max_record_bytes + chunk_bytes
+                        ):
+                            # eager cap so a pathological record cannot
+                            # exhaust memory before its terminator arrives
+                            rec_parts = [
+                                _truncate_record_bytes(
+                                    b"".join(rec_parts), max_record_bytes
+                                )
+                            ]
+                            rec_truncated = True
+                    yield emit()
+                    rec_parts, rec_size, rec_truncated = [], 0, False
+                rec_start = -1
+            if not unbounded and base + s >= end:
+                return  # owned by the next split
+            rec_start = base + s
+            cut = s
+        if rec_start >= 0:
+            seg = scan[cut:]
+            if not rec_truncated:
+                rec_parts.append(seg)
+                rec_size += len(seg)
+                if max_record_bytes > 0 and rec_size > max_record_bytes + chunk_bytes:
+                    rec_parts = [
+                        _truncate_record_bytes(b"".join(rec_parts), max_record_bytes)
+                    ]
+                    rec_truncated = True
+        base += len(scan)
+        if eof:
+            if rec_start >= 0:
+                yield emit()
+            return
+
+
 class PatternResolver:
     """Per-path first-line-pattern resolution.
 
@@ -287,6 +424,9 @@ class LogfileReader(DataSourceReader):
         )
         self.max_record_bytes = int(options.get("maxrecordbytes", 0))
         self.encoding = options.get("encoding", "utf-8")
+        self.scanner = options.get("scanner", "chunked")
+        if self.scanner not in ("chunked", "line"):
+            raise ValueError(f"scanner must be 'chunked' or 'line', got {self.scanner!r}")
         path_spec = options.get("path")
         if not path_spec:
             raise ValueError("logfile source requires a load path")
@@ -327,12 +467,35 @@ class LogfileReader(DataSourceReader):
         """
         import pyarrow as pa
 
-        regex = re.compile(partition.pattern)
+        if partition is None:
+            # pushFilters pruned every file: partitions() returned [],
+            # and Spark falls back to one None partition — emit nothing.
+            return
+
         opener = _compression_opener(partition.path)
         if opener is not None:
             fobj = opener(partition.path, "rb")
         else:
             fobj = open(partition.path, "rb", buffering=io.DEFAULT_BUFFER_SIZE * 16)
+
+        if self.scanner == "chunked":
+            record_iter = iter_records_chunked(
+                fobj,
+                start=partition.start,
+                end=partition.end,
+                pattern=partition.pattern,
+                encoding=self.encoding,
+                max_record_bytes=self.max_record_bytes,
+            )
+        else:
+            record_iter = iter_records(
+                fobj,
+                start=partition.start,
+                end=partition.end,
+                regex=re.compile(partition.pattern),
+                encoding=self.encoding,
+                max_record_bytes=self.max_record_bytes,
+            )
 
         arrow_schema = pa.schema(
             [("path", pa.string()), ("offset", pa.int64()), ("record", pa.string())]
@@ -340,14 +503,7 @@ class LogfileReader(DataSourceReader):
         offsets: List[int] = []
         records: List[str] = []
         try:
-            for offset, record in iter_records(
-                fobj,
-                start=partition.start,
-                end=partition.end,
-                regex=regex,
-                encoding=self.encoding,
-                max_record_bytes=self.max_record_bytes,
-            ):
+            for offset, record in record_iter:
                 offsets.append(offset)
                 records.append(record)
                 if len(offsets) >= ARROW_BATCH_RECORDS:

@@ -136,3 +136,75 @@ def test_property_split_invariance(records, n_splits):
     assert len(golden) == len(records)
     got = _read_all(data, _splits_of(len(data), n_splits))
     assert got == golden
+
+
+# ---- chunked scanner: must be indistinguishable from the line scanner ----
+
+from hadoop_logfile_inputformat_spark.sources.logfile import iter_records_chunked
+
+
+def _read_all_chunked(data: bytes, splits, chunk_bytes=1 << 22, cap=0):
+    out = []
+    for start, end in splits:
+        out.extend(
+            iter_records_chunked(
+                io.BytesIO(data), start=start, end=end, pattern=PAT.pattern,
+                chunk_bytes=chunk_bytes, max_record_bytes=cap,
+            )
+        )
+    return out
+
+
+@pytest.mark.parametrize("chunk_bytes", [3, 17, 64, 1 << 22])
+def test_chunked_matches_line_scanner_all_cuts(chunk_bytes):
+    """Every single-split boundary × tiny chunk sizes (chunk boundaries
+    land mid-line, mid-record, on match starts)."""
+    data = _mk_log([("alpha", 0), ("beta", 3), ("gamma", 1), ("delta", 0)])
+    for cut in range(1, len(data)):
+        splits = [(0, cut), (cut, len(data))]
+        assert _read_all_chunked(data, splits, chunk_bytes) == _read_all(
+            data, splits
+        ), f"cut={cut} chunk={chunk_bytes}"
+
+
+def test_chunked_crlf_and_garbage_parity():
+    for data in (
+        b"2024-01-01 a\r\n\tcont\r\n2024-01-02 b\r\n",
+        b"junk\nmore junk\n2024-01-01 x\n\tc\n",
+        b"2024-01-01 only",  # no trailing newline
+        b"",
+    ):
+        assert _read_all_chunked(data, [(0, len(data))], 8) == _read_all(
+            data, [(0, len(data))]
+        )
+
+
+def test_chunked_max_record_bytes_parity():
+    body = b"2024-01-01 start\n" + b"x" * 100 + b"\n" + b"y" * 100 + b"\n"
+    got = _read_all_chunked(body, [(0, len(body))], 16, cap=50)
+    want = list(
+        iter_records(io.BytesIO(body), start=0, end=-1, regex=PAT, max_record_bytes=50)
+    )
+    assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    records=st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(blacklist_characters="\n\r", codec="utf-8"),
+                max_size=20,
+            ).filter(lambda s: not s.startswith("\t")),
+            st.integers(min_value=0, max_value=4),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    n_splits=st.integers(min_value=1, max_value=12),
+    chunk_bytes=st.sampled_from([5, 23, 128, 4096]),
+)
+def test_property_chunked_equals_line(records, n_splits, chunk_bytes):
+    data = _mk_log(records)
+    splits = _splits_of(len(data), n_splits)
+    assert _read_all_chunked(data, splits, chunk_bytes) == _read_all(data, splits)
