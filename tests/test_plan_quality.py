@@ -1,0 +1,85 @@
+"""Physical-plan quality gates.
+
+Correctness tests prove the right ANSWER; these prove the right PLAN —
+the properties that decide whether a query survives a 100x scale-up:
+filters reaching the parquet scan, column pruning, broadcast instead of
+shuffle joins for dims, semi/anti join strategies, and no row-at-a-time
+Python in any hot path.  A regression here is invisible at sf0.01 and
+fatal at 100 TB, which is exactly why it is asserted in CI.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from hadoop_logfile_inputformat_spark.plans.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0], "shipdate filter must reach the parquet scan"
+    schema_line = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_orderkey" not in schema_line, "unused columns must be pruned from the scan"
+    assert "l_partkey" not in schema_line
+
+
+def test_dim_joins_broadcast_not_shuffle(spark):
+    for name in ("q3_shipping_priority", "part_brand_revenue", "q9_profit_by_nation_year"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: dim join must broadcast"
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    plan = plan_of(spark, "price_band_counts")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_semi_and_anti_join_strategies(spark):
+    assert "LeftSemi" in plan_of(spark, "q4_order_priority")
+    assert "LeftAnti" in plan_of(spark, "customers_without_orders")
+
+
+def test_asof_join_single_user_shuffle(spark):
+    """The as-of join must stay one window pass: exactly one exchange on
+    user_id above the union, not a join of shuffled streams."""
+    plan = plan_of(spark, "asof_purchase_last_click")
+    assert "Join" not in plan, "as-of must not degrade to a physical join"
+    assert plan.count("Exchange") <= 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        n
+        for n in QUERIES
+        if n not in ("media_features", "logfile_count_by_level", "logfile_gzip_equivalence")
+    ],
+)
+def test_no_row_at_a_time_python_in_hot_paths(spark, name):
+    """BatchEvalPython = pickled row-at-a-time UDF — forbidden everywhere.
+    (media_features legitimately uses Arrow mapInPandas; the logfile
+    queries read through the Python data source itself.)"""
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+
+
+def test_scan_level_aggregate_has_partial_phase(spark):
+    """Partial (map-side) aggregation must precede the exchange, so the
+    shuffle moves |groups| rows, not |input| rows."""
+    plan = plan_of(spark, "q1_pricing_summary")
+    first_agg = plan.find("HashAggregate")
+    first_exchange = plan.find("Exchange")
+    assert first_agg != -1 and first_exchange != -1
