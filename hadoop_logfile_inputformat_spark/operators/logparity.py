@@ -145,6 +145,17 @@ def logfile_count_by_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy("level").agg(F.count("*").alias("n")).orderBy("level")
 
 
+def logfile_stack_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query (rows-only): UDTF lateral join — explode the
+    stack frames of ERROR records and rank the hottest (cls, method).
+    ``sf_dir`` unused; corpus is the deterministic fixture."""
+    from hadoop_logfile_inputformat_spark.functions.udtfs import stack_frame_hotspots
+
+    parsed = parse_log_records(_read_fixture(spark, "log"))
+    errors = parsed.filter(F.col("level") == "ERROR").select("record")
+    return stack_frame_hotspots(spark, errors)
+
+
 def logfile_gzip_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query (rows-only): per-level counts must be identical
     for the plain and gzip duals; returns the FULL OUTER comparison

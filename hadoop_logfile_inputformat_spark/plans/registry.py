@@ -97,6 +97,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # not SQL-expressible → rows-only checks, full tests in tests/) ---
     "logfile_count_by_level": logparity.logfile_count_by_level,
     "logfile_gzip_equivalence": logparity.logfile_gzip_equivalence,
+    "logfile_stack_hotspots": logparity.logfile_stack_hotspots,
     # --- multimodal surface (mapInPandas binary plumbing) ---
     "media_features": _media_features_query,
 }

@@ -51,3 +51,34 @@ def test_registry_logfile_queries(spark):
     assert set(levels) <= {"INFO", "WARN", "ERROR"} and levels
     eq = logfile_gzip_equivalence(spark, "").collect()
     assert eq and all(r.equal for r in eq)
+
+
+def test_stack_frame_udtf_explodes_error_records(spark):
+    """UDTF lateral join: ERROR records explode into one row per frame;
+    non-ERROR records contribute nothing."""
+    from hadoop_logfile_inputformat_spark.functions.logparse import parse_log_records
+    from pyspark.sql import functions as F
+
+    from hadoop_logfile_inputformat_spark.functions.udtfs import (
+        stack_frame_hotspots,
+    )
+    from hadoop_logfile_inputformat_spark.operators.logparity import _read_fixture
+
+    parsed = parse_log_records(_read_fixture(spark, "log"))
+    errors = parsed.filter(F.col("level") == "ERROR").select("record")
+    hot = stack_frame_hotspots(spark, errors).collect()
+    assert hot, "fixture corpus contains ERROR records with stack traces"
+    # generator writes Frame0..Frame7 per NPE
+    classes = {r.cls for r in hot}
+    assert any("Frame0" in c for c in classes)
+    n_errors = errors.count()
+    assert sum(r.n_frames for r in hot) == 8 * n_errors
+    # direct SQL table-function call shape
+    frames = spark.sql(
+        "SELECT * FROM explode_stack_frames("
+        "'e\\n\\tat com.x.Y.z(Y.java:12)\\n\\tat com.x.Q.r(Q.java:9)')"
+    ).collect()
+    assert [(f.frame_idx, f.cls, f.method, f.file, f.line) for f in frames] == [
+        (0, "com.x.Y", "z", "Y.java", 12),
+        (1, "com.x.Q", "r", "Q.java", 9),
+    ]

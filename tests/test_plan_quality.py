@@ -65,7 +65,13 @@ def test_asof_join_single_user_shuffle(spark):
     [
         n
         for n in QUERIES
-        if n not in ("media_features", "logfile_count_by_level", "logfile_gzip_equivalence")
+        if n
+        not in (
+            "media_features",
+            "logfile_count_by_level",
+            "logfile_gzip_equivalence",
+            "logfile_stack_hotspots",  # UDTF is deliberately row-path
+        )
     ],
 )
 def test_no_row_at_a_time_python_in_hot_paths(spark, name):
