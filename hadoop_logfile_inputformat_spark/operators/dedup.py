@@ -149,7 +149,19 @@ def minhash_lsh_pairs(
     recall is asserted against it in tests.
     """
     rows_per_band = N_PERMUTATIONS // LSH_BANDS
-    sigs = minhash_signatures(spark, sf_dir)
+    # The shingle-set DataFrame feeds THREE consumers (signatures + both
+    # sides of candidate verification); persist it once instead of
+    # re-scanning and re-shingling the corpus three times (measured
+    # 3x end-to-end at sf0.1).  MEMORY_AND_DISK: at full scale the sets
+    # spill rather than evict, which still beats recompute.
+    sets = _shingle_sets(load(spark, sf_dir, "documents")).persist()
+    sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(N_PERMUTATIONS)
+    ]
+    sig = F.array(*[F.col(f"h{i}") for i in range(N_PERMUTATIONS)])
+    sigs = sh.groupBy("doc_id").agg(*mins).select("doc_id", sig.alias("sig"))
     band_cols = F.array(
         *[
             F.struct(
@@ -176,7 +188,6 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets = _shingle_sets(load(spark, sf_dir, "documents"))
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -252,4 +263,57 @@ def simhash_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def near_dup_groups(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate clusters: connected components over near-dup pairs.
+
+    Every document is labeled with the minimum doc_id reachable through
+    exact-Jaccard near-dup edges (singletons label themselves).  This is
+    the step that turns pairwise similarity into a deduplication
+    decision (keep one doc per group) for a training-data pipeline.
+
+    Iterative min-label propagation driven from the driver until
+    fixpoint — the standard distributed-CC shape (cf. GraphFrames):
+    each round is one join + one min-aggregate, both shuffling on node
+    id; rounds = cluster diameter (tiny for near-dup clusters).  The
+    driver loop only counts changes — no row data is collected.  The
+    DuckDB oracle expresses the same fixpoint as a recursive CTE.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    ).persist()
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new_labels = (
+            labels.union(prop).groupBy("node").agg(F.min("label").alias("label"))
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("group_id")
     )

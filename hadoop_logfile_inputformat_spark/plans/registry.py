@@ -84,6 +84,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
     "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
     "dedup_simhash": dedup.simhash_pairs,
+    "dedup_groups": dedup.near_dup_groups,
     # --- similarity surface ---
     "ann_cosine_topk": similarity.cosine_topk,
     "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -483,6 +484,33 @@ ORACLES: Dict[str, str] = {
         JOIN counts ca ON ca.doc_id = doc_a
         JOIN counts cb ON cb.doc_id = doc_b
         WHERE round(n_common / (ca.n + cb.n - n_common), 4) >= {dedup.JACCARD_THRESHOLD}
+    """,
+    "dedup_groups": f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM common
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE round(n_common / (ca.n + cb.n - n_common), 4)
+                  >= {dedup.JACCARD_THRESHOLD}
+        ),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(n, m) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+        )
+        SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n
     """,
     "ann_cosine_topk": f"""
         WITH v AS (

@@ -125,3 +125,36 @@ def test_fingerprints_nonempty_and_stable(spark):
     b = {(r.doc_id, r.fp_min, r.fp_max) for r in
          document_fingerprints(spark, SF).collect()}
     assert a == b and a
+
+
+def test_near_dup_groups_match_union_find(spark):
+    """Connected components must agree with a driver-side union-find
+    over the exact near-dup pairs, and be total over documents."""
+    from hadoop_logfile_inputformat_spark.operators.dedup import near_dup_groups
+
+    pairs = [(r.doc_a, r.doc_b) for r in dedup.ngram_jaccard_pairs(spark, SF).collect()]
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    got = {r.doc_id: r.group_id for r in near_dup_groups(spark, SF).collect()}
+    assert len(got) == n_docs
+    comp = {}
+    for d in got:
+        root = find(d)
+        comp.setdefault(root, []).append(d)
+    for root, members in comp.items():
+        want = min(members)
+        for m in members:
+            assert got[m] == want, f"doc {m}: got {got[m]}, want {want}"
