@@ -176,3 +176,18 @@ def logfile_gzip_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+def logfile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query (rows-only): Sample.java pipeline as a query —
+    Bernoulli sample of the fixture corpus, formatted like the
+    reference's text-sink lines (Sample.java:99-102).  ``sf_dir``
+    unused; corpus is the deterministic fixture."""
+    from hadoop_logfile_inputformat_spark.functions.logparse import (
+        format_record_lines,
+    )
+
+    df = _read_fixture(spark, "log")
+    return format_record_lines(
+        df.sample(withReplacement=False, fraction=0.1, seed=7)
+    )

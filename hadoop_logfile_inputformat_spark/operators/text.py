@@ -141,3 +141,27 @@ def document_fingerprints(
             F.array_max("fps").alias("fp_max"),
         )
     )
+
+
+def top_bigrams(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Corpus-level n-gram frequency: top-k word bigrams.
+
+    Shingle-explode then count — ONE shuffle on the bigram key with
+    map-side partial counts, then a global top-k (TakeOrdered, no full
+    sort).  Total order (count desc, bigram asc) keeps the k-set
+    engine-deterministic.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))"
+    )
+    return (
+        d.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(k)
+    )

@@ -94,11 +94,13 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_id": text.language_id,
     "token_counts": text.token_counts,
     "doc_fingerprints": text.document_fingerprints,
+    "top_bigrams": text.top_bigrams,
     # --- logfile-source surface (reference parity; custom data source,
     # not SQL-expressible → rows-only checks, full tests in tests/) ---
     "logfile_count_by_level": logparity.logfile_count_by_level,
     "logfile_gzip_equivalence": logparity.logfile_gzip_equivalence,
     "logfile_stack_hotspots": logparity.logfile_stack_hotspots,
+    "logfile_sample": logparity.logfile_sample,
     # --- multimodal surface (mapInPandas binary plumbing) ---
     "media_features": _media_features_query,
 }
@@ -575,6 +577,19 @@ ORACLES: Dict[str, str] = {
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_regex_tokens,
                CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_llm_tokens
         FROM documents
+    """,
+    "top_bigrams": """
+        WITH toks AS (
+            SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        bg AS (
+            SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                         i -> concat_ws(' ', t[i], t[i + 1]))) AS bigram
+            FROM toks WHERE len(t) >= 2
+        )
+        SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+        ORDER BY n DESC, bigram ASC LIMIT 20
     """,
     "language_id": None,  # filled in below from text.LANG_PROFILES
 }

@@ -71,6 +71,7 @@ def test_asof_join_single_user_shuffle(spark):
             "logfile_count_by_level",
             "logfile_gzip_equivalence",
             "logfile_stack_hotspots",  # UDTF is deliberately row-path
+            "logfile_sample",  # reads through the Python data source
         )
     ],
 )
