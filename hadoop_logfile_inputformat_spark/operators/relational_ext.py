@@ -485,3 +485,55 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("approx_percentile(value, 0.95)"), 2).alias("p95_value"),
         F.round(F.expr("percentile(value, 0.95)"), 2).alias("p95_exact"),
     )
+
+
+def q_nation_wealth_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: rich-customer vs rich-supplier counts per
+    nation.  Both sides are filtered aggregates, so some nations appear
+    on only one side — the outer join preserves them with null counts.
+    """
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000)
+    cn = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_rich_custs")
+    )
+    sn = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_rich_supps")
+    )
+    return cn.join(sn, "nationkey", "full_outer").select(
+        "nationkey", "n_rich_custs", "n_rich_supps"
+    )
+
+
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not rollup/cube), authored through the
+    SQL entry point — each flag dimension totalled independently plus a
+    grand total, in one pass."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def q_monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytic: month-over-month revenue delta and percent
+    change.  Monthly sums are rounded before the window so both engines
+    difference identical values."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("mom_delta"),
+        F.round((F.col("revenue") - prev) / prev * 100.0, 4).alias("mom_pct"),
+    )

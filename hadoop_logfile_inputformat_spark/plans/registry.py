@@ -79,6 +79,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "building_bigspender_not_rich": relational_ext.q_building_bigspender_not_rich,
     "stats_by_returnflag": relational_ext.q_stats_by_returnflag,
     "approx_sketches": relational_ext.q_approx_sketches,
+    "nation_wealth_full_outer": relational_ext.q_nation_wealth_full_outer,
+    "grouping_sets_revenue": relational_ext.q_grouping_sets_revenue,
+    "monthly_revenue_mom": relational_ext.q_monthly_revenue_mom,
     # --- dedup surface ---
     "dedup_exact": dedup.exact_dedup,
     "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -464,6 +467,38 @@ ORACLES: Dict[str, str] = {
                round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
                count(*) AS n_items
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "nation_wealth_full_outer": """
+        WITH cn AS (
+            SELECT c_nationkey AS nationkey, count(*) AS n_rich_custs
+            FROM customer WHERE c_acctbal > 9000 GROUP BY 1
+        ),
+        sn AS (
+            SELECT s_nationkey AS nationkey, count(*) AS n_rich_supps
+            FROM supplier WHERE s_acctbal > 9000 GROUP BY 1
+        )
+        SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey,
+               n_rich_custs, n_rich_supps
+        FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
+    """,
+    "grouping_sets_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "monthly_revenue_mom": """
+        WITH monthly AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT month, revenue,
+               round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_delta,
+               round((revenue - lag(revenue) OVER (ORDER BY month))
+                     / lag(revenue) OVER (ORDER BY month) * 100.0, 4) AS mom_pct
+        FROM monthly
     """,
     "dedup_exact": """
         SELECT doc_id,

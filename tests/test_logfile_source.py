@@ -136,3 +136,29 @@ def test_glob_and_comma_paths(spark, corpus):
     logs = [p for p in paths if p.endswith(".log")]
     df = _reader(spark, path_formats).load(f"{logs[0]},{logs[1]}")
     assert df.select("path").distinct().count() == 2
+
+
+def test_invalid_utf8_bytes_replaced_not_fatal(spark, tmp_path):
+    """A corrupt byte sequence inside a record must not kill the scan:
+    both scanners decode with errors=replace, and offsets stay exact
+    (byte positions are computed before decoding)."""
+    raw = (
+        b"2024-01-01 ok line\n"
+        b"2024-01-02 bad \xff\xfe bytes\n"
+        b"\tcont \x80\n"
+        b"2024-01-03 tail\n"
+    )
+    p = tmp_path / "bad.log"
+    p.write_bytes(raw)
+    for scanner in ("chunked", "line"):
+        df = (
+            spark.read.format("logfile")
+            .option("pattern", r"\d{4}-\d{2}-\d{2} .*")
+            .option("scanner", scanner)
+            .load(str(p))
+        )
+        rows = sorted((r.offset, r.record) for r in df.collect())
+        assert len(rows) == 3, scanner
+        assert rows[1][0] == raw.index(b"2024-01-02")
+        assert "�" in rows[1][1]  # replacement char, not a crash
+        assert rows[2][1] == "2024-01-03 tail"
