@@ -317,3 +317,32 @@ def near_dup_groups(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("group_id")
     )
+
+
+def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: the composition a 100 TB
+    pipeline actually runs.
+
+    keep = quality_keep
+         ∩ exact-dedup survivors (min doc_id per SHA-256 group)
+         ∩ near-dup cluster representatives (min doc_id per component)
+
+    Each stage is an independently oracle-checked operator
+    (text_quality / exact_dedup / near_dup_groups); the composition is
+    two semi joins on doc_id — no data movement beyond the stages'
+    own shuffles.
+    """
+    from hadoop_logfile_inputformat_spark.operators.text import text_quality
+
+    quality = text_quality(spark, sf_dir).filter(
+        F.col("quality_keep") == 1
+    ).select("doc_id")
+    exact_keep = exact_dedup(spark, sf_dir).filter(
+        F.col("is_dup") == 0
+    ).select("doc_id")
+    near_keep = near_dup_groups(spark, sf_dir).filter(
+        F.col("group_id") == F.col("doc_id")
+    ).select("doc_id")
+    return quality.join(exact_keep, "doc_id", "left_semi").join(
+        near_keep, "doc_id", "left_semi"
+    )

@@ -88,6 +88,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
     "dedup_simhash": dedup.simhash_pairs,
     "dedup_groups": dedup.near_dup_groups,
+    "curate_documents": dedup.curate_documents,
     # --- similarity surface ---
     "ann_cosine_topk": similarity.cosine_topk,
     "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -548,6 +549,51 @@ ORACLES: Dict[str, str] = {
             SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
         )
         SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n
+    """,
+    "curate_documents": f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM common
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE round(n_common / (ca.n + cb.n - n_common), 4)
+                  >= {dedup.JACCARD_THRESHOLD}
+        ),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(n, m) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+        ),
+        groups AS (SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n),
+        quality AS (
+            SELECT doc_id FROM documents
+            WHERE len(string_split_regex(trim(text), '\\s+')) >= 5
+              AND length(text) >= 20
+              AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  / length(text) > 0.5
+        ),
+        exact_keep AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id
+                FROM documents
+            ) WHERE doc_id = keep_id
+        )
+        SELECT q.doc_id
+        FROM quality q
+        JOIN exact_keep e ON e.doc_id = q.doc_id
+        JOIN groups g ON g.doc_id = q.doc_id AND g.group_id = g.doc_id
     """,
     "ann_cosine_topk": f"""
         WITH v AS (
