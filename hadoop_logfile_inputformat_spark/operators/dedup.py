@@ -268,7 +268,7 @@ def simhash_pairs(
 
 def near_dup_groups(
     spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD,
-    max_iter: int = 25,
+    max_iter: int = 25, pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Duplicate clusters: connected components over near-dup pairs.
 
@@ -284,7 +284,9 @@ def near_dup_groups(
     driver loop only counts changes — no row data is collected.  The
     DuckDB oracle expresses the same fixpoint as a recursive CTE.
     """
-    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(spark, sf_dir, threshold)
+    pairs = pairs.select("doc_a", "doc_b")
     docs = load(spark, sf_dir, "documents").select("doc_id")
     edges = (
         pairs.union(
@@ -341,6 +343,30 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_dup") == 0
     ).select("doc_id")
     near_keep = near_dup_groups(spark, sf_dir).filter(
+        F.col("group_id") == F.col("doc_id")
+    ).select("doc_id")
+    return quality.join(exact_keep, "doc_id", "left_semi").join(
+        near_keep, "doc_id", "left_semi"
+    )
+
+
+def curate_documents_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of :func:`curate_documents`: identical
+    composition, but near-dup edges come from MinHash+LSH instead of
+    the quadratic exact-Jaccard join — this is the variant a 100 TB
+    pipeline runs (see SCALING.md).  No SQL oracle (xxhash64 LSH);
+    tests assert it equals the exact pipeline wherever LSH recall is 1.
+    """
+    from hadoop_logfile_inputformat_spark.operators.text import text_quality
+
+    lsh_pairs = minhash_lsh_pairs(spark, sf_dir)
+    quality = text_quality(spark, sf_dir).filter(
+        F.col("quality_keep") == 1
+    ).select("doc_id")
+    exact_keep = exact_dedup(spark, sf_dir).filter(
+        F.col("is_dup") == 0
+    ).select("doc_id")
+    near_keep = near_dup_groups(spark, sf_dir, pairs=lsh_pairs).filter(
         F.col("group_id") == F.col("doc_id")
     ).select("doc_id")
     return quality.join(exact_keep, "doc_id", "left_semi").join(

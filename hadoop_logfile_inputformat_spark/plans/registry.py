@@ -89,6 +89,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup.simhash_pairs,
     "dedup_groups": dedup.near_dup_groups,
     "curate_documents": dedup.curate_documents,
+    "curate_documents_scale": dedup.curate_documents_scale,
     # --- similarity surface ---
     "ann_cosine_topk": similarity.cosine_topk,
     "ann_ivf_topk": similarity.ann_ivf_topk,

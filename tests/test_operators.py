@@ -158,3 +158,16 @@ def test_near_dup_groups_match_union_find(spark):
         want = min(members)
         for m in members:
             assert got[m] == want, f"doc {m}: got {got[m]}, want {want}"
+
+
+def test_curation_scale_path_matches_exact(spark):
+    """With LSH recall == 1 on this corpus (asserted separately), the
+    scale-path curation must keep exactly the same documents."""
+    from hadoop_logfile_inputformat_spark.operators.dedup import (
+        curate_documents,
+        curate_documents_scale,
+    )
+
+    exact = {r.doc_id for r in curate_documents(spark, SF).collect()}
+    scale = {r.doc_id for r in curate_documents_scale(spark, SF).collect()}
+    assert exact == scale and exact
