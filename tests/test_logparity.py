@@ -82,3 +82,32 @@ def test_stack_frame_udtf_explodes_error_records(spark):
         (0, "com.x.Y", "z", "Y.java", 12),
         (1, "com.x.Q", "r", "Q.java", 9),
     ]
+
+
+def test_cli_sample_and_verify(spark, tmp_path):
+    """__main__ CLI parity: sample writes one text file; verify prints
+    a SUCCESS matrix and exits 0 on the generated corpus."""
+    from hadoop_logfile_inputformat_spark.__main__ import main
+    from hadoop_logfile_inputformat_spark.testing.loggen import (
+        FORMAT_A,
+        FORMAT_B,
+        write_log_corpus,
+    )
+
+    def _anon(pat):
+        return pat.replace("(?P<timestamp>", "(?:").replace("(?P<loglevel>", "(?:")
+
+    d = tmp_path / "corpus"
+    write_log_corpus(str(d), n_files=1, seconds_per_file=1.0, seed=3)
+    out = tmp_path / "out"
+    rc = main([
+        "sample", "-i", str(d / "*.log"), "-o", str(out),
+        "-p", f"(?:{_anon(FORMAT_A)})|(?:{_anon(FORMAT_B)})",
+        "-s", "0.5", "--seed", "11",
+    ])
+    assert rc == 0
+    parts = [p for p in out.iterdir() if p.name.startswith("part-")]
+    assert len(parts) == 1 and parts[0].read_text().strip()
+
+    rc = main(["verify", "-d", str(tmp_path / "work")])
+    assert rc == 0
