@@ -46,6 +46,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_cosine_topk_arrow",
     "ann_ivf_topk",
     "text_quality",
     "language_id",

@@ -92,6 +92,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_documents_scale": dedup.curate_documents_scale,
     # --- similarity surface ---
     "ann_cosine_topk": similarity.cosine_topk,
+    "ann_cosine_topk_arrow": similarity.cosine_topk_arrow,
     "ann_ivf_topk": similarity.ann_ivf_topk,
     "embedding_near_dup": similarity.embedding_near_dup_pairs,
     # --- text-analysis surface ---
@@ -687,6 +688,8 @@ _best = "greatest(" + ", ".join(f"s_{lg}" for lg in _langs) + ")"
 _pred = "CASE WHEN " + _best + " <= 0 THEN 'und' " + " ".join(
     f"WHEN s_{lg} = {_best} THEN '{lg}'" for lg in _langs
 ) + " END"
+ORACLES["ann_cosine_topk_arrow"] = ORACLES["ann_cosine_topk"]
+
 ORACLES["language_id"] = f"""
     WITH scored AS (
         SELECT doc_id, {_lang_scores},

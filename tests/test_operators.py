@@ -171,3 +171,11 @@ def test_curation_scale_path_matches_exact(spark):
     exact = {r.doc_id for r in curate_documents(spark, SF).collect()}
     scale = {r.doc_id for r in curate_documents_scale(spark, SF).collect()}
     assert exact == scale and exact
+
+
+def test_cosine_arrow_twin_equals_catalyst(spark):
+    a = {(r.query_id, r.neighbor_id, r.sim, r.rank)
+         for r in similarity.cosine_topk(spark, SF).collect()}
+    b = {(r.query_id, r.neighbor_id, r.sim, r.rank)
+         for r in similarity.cosine_topk_arrow(spark, SF).collect()}
+    assert a == b and a
