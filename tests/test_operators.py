@@ -179,3 +179,23 @@ def test_cosine_arrow_twin_equals_catalyst(spark):
     b = {(r.query_id, r.neighbor_id, r.sim, r.rank)
          for r in similarity.cosine_topk_arrow(spark, SF).collect()}
     assert a == b and a
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change join semantics — only shuffle layout."""
+    from hadoop_logfile_inputformat_spark.operators.skew import salted_join
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    o = load(spark, SF, "orders").select("o_custkey", "o_orderkey")
+    c = load(spark, SF, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = {tuple(r) for r in o.join(c, "o_custkey").collect()}
+    salted = {tuple(r) for r in salted_join(o, c, "o_custkey", n_salts=8).collect()}
+    assert salted == plain and plain
+
+    left_plain = {tuple(r) for r in o.join(c, "o_custkey", "left").collect()}
+    left_salted = {
+        tuple(r) for r in salted_join(o, c, "o_custkey", n_salts=8, how="left").collect()
+    }
+    assert left_salted == left_plain
