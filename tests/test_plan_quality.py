@@ -12,6 +12,7 @@ import io
 from contextlib import redirect_stdout
 
 import pytest
+from pyspark.sql import functions as F
 
 from hadoop_logfile_inputformat_spark.plans.registry import QUERIES
 
@@ -90,3 +91,37 @@ def test_scan_level_aggregate_has_partial_phase(spark):
     first_agg = plan.find("HashAggregate")
     first_exchange = plan.find("Exchange")
     assert first_agg != -1 and first_exchange != -1
+
+
+def test_cobucketed_join_is_exchange_free(spark, tmp_path):
+    """Writing both facts bucketed by the join key must make the join
+    plan exchange-free (the one-time-layout-for-no-shuffle trade)."""
+    from hadoop_logfile_inputformat_spark.operators.bucketing import (
+        cobucketed_join,
+        write_bucketed,
+    )
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    o = load(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    l = load(spark, SF, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(o, "t_orders_b", "o_orderkey", n_buckets=8)
+    write_bucketed(l, "t_lineitem_b", "o_orderkey", n_buckets=8)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path (tiny test tables would broadcast,
+        # which hides the property under test)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = cobucketed_join(spark, "t_orders_b", "t_lineitem_b", "o_orderkey")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "co-bucketed join must not shuffle"
+        assert j.count() == l.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
