@@ -214,3 +214,44 @@ def test_stateful_sessionizer_closes_across_batches(spark, tmp_path):
         assert s.session_end == t0 + dt.timedelta(minutes=5)
     finally:
         q.stop()
+
+
+def test_logfile_stream_to_windowed_counts(spark, tmp_path):
+    """Composition: logfile-stream source -> typed parse -> level counts,
+    end to end through the streaming engine."""
+    from hadoop_logfile_inputformat_spark.functions.logparse import parse_log_records
+
+    log = tmp_path / "app.log"
+    log.write_text(
+        "2024-01-01 00:00:00,000 | INFO | a | one\n"
+        "2024-01-01 00:00:01,000 | WARN | a | two\n"
+        "2024-01-01 00:00:02,000 | INFO | a | three\n"
+        "2024-01-01 00:00:03,000 | ERROR | a | boom\n\tat X.y(Z.java:1)\n"
+        "2024-01-01 00:00:04,000 | INFO | a | four\n"
+    )
+    register_logfile_stream_source(spark)
+    stream = (
+        spark.readStream.format("logfile-stream")
+        .option("pattern", FORMAT_A.replace("(?P<timestamp>", "(").replace("(?P<loglevel>", "("))
+        .option("tailStableBatches", 1)
+        .load(str(tmp_path))
+    )
+    counts = parse_log_records(stream).groupBy("level").count()
+    q = (
+        counts.writeStream.format("memory").queryName("lvl_t")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_lvl"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        want = {"INFO": 3, "WARN": 1, "ERROR": 1}
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = {r.level: r["count"] for r in spark.table("lvl_t").collect()}
+            if got == want:
+                break
+            time.sleep(0.3)
+        assert got == want
+    finally:
+        q.stop()
