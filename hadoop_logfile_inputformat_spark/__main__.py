@@ -35,9 +35,14 @@ def main(argv=None) -> int:
 
     args = ap.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
     from hadoop_logfile_inputformat_spark.operators import logparity
     from hadoop_logfile_inputformat_spark.session import get_spark
 
+    # getOrCreate may hand us a caller's session (embedding, tests) —
+    # only stop what we actually created.
+    borrowed = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name=f"logrecords-{args.cmd}")
     try:
         if args.cmd == "sample":
@@ -61,7 +66,8 @@ def main(argv=None) -> int:
             )
         return 0 if ok else 1
     finally:
-        spark.stop()
+        if not borrowed:
+            spark.stop()
 
 
 if __name__ == "__main__":
