@@ -69,9 +69,17 @@ def main() -> None:
     timings = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.monotonic()
-        n = len(fn(spark, sf_dir).collect())
-        timings[name] = round(time.monotonic() - t0, 3)
+        # steady-state measurement: one warm-up materialization (JIT,
+        # Python-worker spawn, shuffle-file cache), then min of two
+        # timed runs — single-shot numbers on a shared box swing ±30%.
+        len(fn(spark, sf_dir).collect())
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.monotonic()
+            n = len(fn(spark, sf_dir).collect())
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

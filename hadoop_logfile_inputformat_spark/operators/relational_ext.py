@@ -537,3 +537,33 @@ def q_monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue") - prev, 2).alias("mom_delta"),
         F.round((F.col("revenue") - prev) / prev * 100.0, 4).alias("mom_pct"),
     )
+
+
+def q_daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: a generated date spine left-joined to
+    daily revenue, missing days emitted as zero.
+
+    The spine is a single-row sequence() exploded — no driver loop, no
+    collect; the join broadcasts the (tiny) daily aggregate only when
+    AQE sizes it under threshold, else shuffles once on day.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )

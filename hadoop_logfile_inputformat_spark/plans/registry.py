@@ -82,6 +82,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_wealth_full_outer": relational_ext.q_nation_wealth_full_outer,
     "grouping_sets_revenue": relational_ext.q_grouping_sets_revenue,
     "monthly_revenue_mom": relational_ext.q_monthly_revenue_mom,
+    "daily_revenue_gapfill": relational_ext.q_daily_revenue_gapfill,
     # --- dedup surface ---
     "dedup_exact": dedup.exact_dedup,
     "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -502,6 +503,23 @@ ORACLES: Dict[str, str] = {
                round((revenue - lag(revenue) OVER (ORDER BY month))
                      / lag(revenue) OVER (ORDER BY month) * 100.0, 4) AS mom_pct
         FROM monthly
+    """,
+    "daily_revenue_gapfill": """
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        ),
+        spine AS (
+            SELECT unnest(generate_series((SELECT min(day) FROM daily),
+                                          (SELECT max(day) FROM daily),
+                                          INTERVAL 1 DAY)) AS day
+        )
+        SELECT s.day,
+               coalesce(d.revenue, 0.0) AS revenue,
+               coalesce(d.n_orders, 0) AS n_orders
+        FROM spine s LEFT JOIN daily d ON s.day = d.day
     """,
     "dedup_exact": """
         SELECT doc_id,
