@@ -567,3 +567,56 @@ def q_daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
     )
+
+
+def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly flagging: per-type z-score over event values.
+
+    Per-type mean/stddev are a tiny aggregate joined back broadcast;
+    the outlier filter is then a pure map — no second shuffle of the
+    events.  Rounded moments on both engines keep z-scores comparable.
+    """
+    e = load(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > 3.0)
+    )
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency (days since last order), frequency
+    (order count), monetary (total spend), each scored into quartiles.
+
+    One groupBy(custkey) shuffle for the aggregates; the three ntile
+    windows share one global sort partition each — at scale swap NTILE
+    for approx-percentile cut points (no global sort)."""
+    o = load(spark, sf_dir, "orders")
+    anchor = F.lit("2002-01-01")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(anchor, F.max("o_orderdate")).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).alias("r_score"),
+        F.ntile(4).over(f_w).alias("f_score"),
+        F.ntile(4).over(m_w).alias("m_score"),
+    )

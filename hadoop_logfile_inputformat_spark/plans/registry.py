@@ -83,6 +83,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_sets_revenue": relational_ext.q_grouping_sets_revenue,
     "monthly_revenue_mom": relational_ext.q_monthly_revenue_mom,
     "daily_revenue_gapfill": relational_ext.q_daily_revenue_gapfill,
+    "event_value_outliers": relational_ext.q_event_value_outliers,
+    "customer_rfm": relational_ext.q_customer_rfm,
     # --- dedup surface ---
     "dedup_exact": dedup.exact_dedup,
     "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -520,6 +522,34 @@ ORACLES: Dict[str, str] = {
                coalesce(d.revenue, 0.0) AS revenue,
                coalesce(d.n_orders, 0) AS n_orders
         FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+    "event_value_outliers": """
+        WITH stats AS (
+            SELECT event_type,
+                   round(avg(value), 6) AS mu,
+                   round(stddev_samp(value), 6) AS sigma
+            FROM events GROUP BY event_type
+        )
+        SELECT event_id, e.event_type,
+               round(value, 2) AS value,
+               round((value - mu) / sigma, 4) AS zscore
+        FROM events e JOIN stats USING (event_type)
+        WHERE abs((value - mu) / sigma) > 3.0
+    """,
+    "customer_rfm": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   date_diff('day', CAST(max(o_orderdate) AS DATE),
+                             DATE '2002-01-01') AS recency_days,
+                   count(*) AS frequency,
+                   round(sum(o_totalprice), 2) AS monetary
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, recency_days, frequency, monetary,
+               ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+               ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+               ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score
+        FROM per_cust
     """,
     "dedup_exact": """
         SELECT doc_id,
