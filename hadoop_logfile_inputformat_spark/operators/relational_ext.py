@@ -620,3 +620,45 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(f_w).alias("f_score"),
         F.ntile(4).over(m_w).alias("m_score"),
     )
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: view → click → purchase conversion.
+
+    Step timestamps are per-user min-aggregates (one shuffle on
+    user_id); a step counts only if it happens at-or-after the previous
+    step, so the funnel is ordered, not just a presence check.
+    """
+    e = load(spark, sf_dir, "events")
+    t = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & F.col("t_click").isNotNull() & (F.col("t_click") >= F.col("t_view"))
+    purchased = clicked & F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") >= F.col("t_click")
+    )
+    return t.agg(
+        F.count("*").alias("n_users"),
+        F.sum(viewed.cast("long")).alias("n_viewed"),
+        F.sum(clicked.cast("long")).alias("n_clicked"),
+        F.sum(purchased.cast("long")).alias("n_purchased"),
+    )
+
+
+def q_order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist analytics over order values (top 1%
+    orders with their exact distribution position)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    ranked = o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+    return ranked.filter(F.col("pct_rank") >= 0.99)

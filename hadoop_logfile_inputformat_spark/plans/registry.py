@@ -85,6 +85,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_revenue_gapfill": relational_ext.q_daily_revenue_gapfill,
     "event_value_outliers": relational_ext.q_event_value_outliers,
     "customer_rfm": relational_ext.q_customer_rfm,
+    "event_funnel": relational_ext.q_event_funnel,
+    "order_value_distribution": relational_ext.q_order_value_distribution,
     # --- dedup surface ---
     "dedup_exact": dedup.exact_dedup,
     "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -550,6 +552,33 @@ ORACLES: Dict[str, str] = {
                ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
                ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score
         FROM per_cust
+    """,
+    "event_funnel": """
+        WITH t AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT count(*) AS n_users,
+               CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+               CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+               CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+                             AND t_purchase >= t_click
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased
+        FROM t
+    """,
+    "order_value_distribution": """
+        WITH ranked AS (
+            SELECT o_orderkey,
+                   round(o_totalprice, 2) AS totalprice,
+                   round(percent_rank() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC), 6) AS pct_rank,
+                   round(cume_dist() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC), 6) AS cume
+            FROM orders
+        )
+        SELECT * FROM ranked WHERE pct_rank >= 0.99
     """,
     "dedup_exact": """
         SELECT doc_id,
