@@ -41,8 +41,13 @@ def main(argv=None) -> int:
     from hadoop_logfile_inputformat_spark.session import get_spark
 
     # getOrCreate may hand us a caller's session (embedding, tests) —
-    # only stop what we actually created.
-    borrowed = SparkSession.getActiveSession() is not None
+    # only stop what we actually created.  getActiveSession is
+    # thread-local, so also probe the process-wide default session (a
+    # caller may have built theirs on another thread).
+    borrowed = (
+        SparkSession.getActiveSession() is not None
+        or getattr(SparkSession, "_instantiatedSession", None) is not None
+    )
     spark = get_spark(app_name=f"logrecords-{args.cmd}")
     try:
         if args.cmd == "sample":

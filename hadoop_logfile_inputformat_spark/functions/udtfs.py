@@ -54,13 +54,20 @@ def register_udtfs(spark) -> None:
 def stack_frame_hotspots(spark, records_df, record_col: str = "record"):
     """Top stack frames across ERROR records: lateral-join the UDTF,
     aggregate by (cls, method).  The UDTF only sees pre-filtered rows."""
+    import uuid
+
+    if not record_col.isidentifier():
+        raise ValueError(f"record_col must be a plain identifier: {record_col!r}")
     register_udtfs(spark)
-    records_df.createOrReplaceTempView("_frames_in")
+    # unique view per call: a fixed name would let two concurrently
+    # built queries silently read each other's input
+    view = f"_frames_in_{uuid.uuid4().hex}"
+    records_df.createOrReplaceTempView(view)
     return spark.sql(
         f"""
         SELECT f.cls, f.method, count(*) AS n_frames,
                count(DISTINCT f.frame_idx) AS depths_seen
-        FROM _frames_in,
+        FROM {view},
         LATERAL explode_stack_frames({record_col}) AS f
         GROUP BY f.cls, f.method
         ORDER BY n_frames DESC, f.cls, f.method

@@ -121,7 +121,15 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing instead of explicit universal-hash coefficients; all 32
     mins compute in ONE aggregation pass (map-side partial min).
     """
-    sh = _shingled(load(spark, sf_dir, "documents"))
+    return _signatures_from_sets(
+        _shingle_sets(load(spark, sf_dir, "documents"))
+    )
+
+
+def _signatures_from_sets(sets: DataFrame) -> DataFrame:
+    """MinHash signatures from a (doc_id, shingles) DataFrame — the
+    single definition both the public API and the LSH path use."""
+    sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(N_PERMUTATIONS)
@@ -153,15 +161,13 @@ def minhash_lsh_pairs(
     # sides of candidate verification); persist it once instead of
     # re-scanning and re-shingling the corpus three times (measured
     # 3x end-to-end at sf0.1).  MEMORY_AND_DISK: at full scale the sets
-    # spill rather than evict, which still beats recompute.
+    # spill rather than evict, which still beats recompute.  Lifetime:
+    # the cache lives until LRU eviction or session end (the result is
+    # lazy, so it cannot be unpersisted here); batch pipelines that
+    # call this repeatedly should stage shingle sets to parquet instead
+    # (SCALING.md).
     sets = _shingle_sets(load(spark, sf_dir, "documents")).persist()
-    sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(N_PERMUTATIONS)
-    ]
-    sig = F.array(*[F.col(f"h{i}") for i in range(N_PERMUTATIONS)])
-    sigs = sh.groupBy("doc_id").agg(*mins).select("doc_id", sig.alias("sig"))
+    sigs = _signatures_from_sets(sets)
     band_cols = F.array(
         *[
             F.struct(
@@ -298,6 +304,7 @@ def near_dup_groups(
     labels = docs.select(
         F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
     ).persist()
+    converged = False
     for _ in range(max_iter):
         prop = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "label"
@@ -314,8 +321,14 @@ def near_dup_groups(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"near_dup_groups did not converge in {max_iter} rounds "
+            "(cluster diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("group_id")
     )
@@ -334,6 +347,12 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     two semi joins on doc_id — no data movement beyond the stages'
     own shuffles.
     """
+    return _curate(spark, sf_dir, pairs=None)
+
+
+def _curate(spark: SparkSession, sf_dir: str, pairs: DataFrame | None) -> DataFrame:
+    """Shared curation composition; ``pairs`` selects the near-dup edge
+    source (None = exact Jaccard, else e.g. LSH candidates)."""
     from hadoop_logfile_inputformat_spark.operators.text import text_quality
 
     quality = text_quality(spark, sf_dir).filter(
@@ -342,7 +361,7 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_keep = exact_dedup(spark, sf_dir).filter(
         F.col("is_dup") == 0
     ).select("doc_id")
-    near_keep = near_dup_groups(spark, sf_dir).filter(
+    near_keep = near_dup_groups(spark, sf_dir, pairs=pairs).filter(
         F.col("group_id") == F.col("doc_id")
     ).select("doc_id")
     return quality.join(exact_keep, "doc_id", "left_semi").join(
@@ -357,18 +376,4 @@ def curate_documents_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs (see SCALING.md).  No SQL oracle (xxhash64 LSH);
     tests assert it equals the exact pipeline wherever LSH recall is 1.
     """
-    from hadoop_logfile_inputformat_spark.operators.text import text_quality
-
-    lsh_pairs = minhash_lsh_pairs(spark, sf_dir)
-    quality = text_quality(spark, sf_dir).filter(
-        F.col("quality_keep") == 1
-    ).select("doc_id")
-    exact_keep = exact_dedup(spark, sf_dir).filter(
-        F.col("is_dup") == 0
-    ).select("doc_id")
-    near_keep = near_dup_groups(spark, sf_dir, pairs=lsh_pairs).filter(
-        F.col("group_id") == F.col("doc_id")
-    ).select("doc_id")
-    return quality.join(exact_keep, "doc_id", "left_semi").join(
-        near_keep, "doc_id", "left_semi"
-    )
+    return _curate(spark, sf_dir, pairs=minhash_lsh_pairs(spark, sf_dir))

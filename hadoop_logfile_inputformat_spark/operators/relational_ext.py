@@ -582,15 +582,18 @@ def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("value"), 6).alias("sigma"),
     )
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    # filter on the UNROUNDED z (the oracle does too) — filtering the
+    # rounded value would disagree with the oracle for z in
+    # (3.0, 3.00005]; rounding is display-only.
     return (
         e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3.0)
         .select(
             "event_id",
             "event_type",
             F.round("value", 2).alias("value"),
             F.round(z, 4).alias("zscore"),
         )
-        .filter(F.abs(F.col("zscore")) > 3.0)
     )
 
 

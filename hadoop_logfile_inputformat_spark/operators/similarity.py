@@ -205,6 +205,10 @@ def cosine_topk_arrow(
         .select("vec_id", "embedding")
         .collect()
     )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank long"
+        )
     q_ids = np.array([r.vec_id for r in qrows])
     Q = np.array([r.embedding for r in qrows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -216,7 +220,12 @@ def cosine_topk_arrow(
             ids = pdf["vec_id"].to_numpy()
             M = np.array(list(pdf["embedding"]), dtype=np.float64)
             Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-            S = Mn @ Qn.T
+            # round BEFORE local selection: the global window ranks the
+            # rounded sim with neighbor_id tie-break, so the partition-
+            # local top-k must use the same ordering or a borderline
+            # tie could keep a different neighbor than the Catalyst
+            # twin / oracle would
+            S = np.round(Mn @ Qn.T, 4)
             out = {"query_id": [], "neighbor_id": [], "sim": []}
             for qi in range(len(q_ids)):
                 col = S[:, qi]
@@ -224,10 +233,11 @@ def cosine_topk_arrow(
                 take = min(k, int(mask.sum()))
                 if take <= 0:
                     continue
-                idx = np.argpartition(-col[mask], take - 1)[:take]
+                cand_sim, cand_ids = col[mask], ids[mask]
+                order = np.lexsort((cand_ids, -cand_sim))[:take]
                 out["query_id"].extend([q_ids[qi]] * take)
-                out["neighbor_id"].extend(ids[mask][idx])
-                out["sim"].extend(np.round(col[mask][idx], 4))
+                out["neighbor_id"].extend(cand_ids[order])
+                out["sim"].extend(cand_sim[order])
             yield pd.DataFrame(out)
 
     partial = e.select("vec_id", "embedding").mapInPandas(

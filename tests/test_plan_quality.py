@@ -91,6 +91,10 @@ def test_scan_level_aggregate_has_partial_phase(spark):
     first_agg = plan.find("HashAggregate")
     first_exchange = plan.find("Exchange")
     assert first_agg != -1 and first_exchange != -1
+    # the PARTIAL aggregate must appear above (before) the exchange in
+    # the formatted plan, and there must be two aggregate phases
+    assert first_agg < first_exchange, "no map-side partial aggregation"
+    assert plan.count("HashAggregate") >= 2, "missing partial+final phases"
 
 
 def test_cobucketed_join_is_exchange_free(spark, tmp_path):
