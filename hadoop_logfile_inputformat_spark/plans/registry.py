@@ -41,6 +41,31 @@ def _media_features_query(spark, sf_dir):
     return extract_media_features(attach_fake_media(load(spark, sf_dir, "documents")))
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # Ordering note: the driver's correctness gate consumes the registry
+    # in insertion order under a budget; surfaces whose checks are
+    # cheapest and were not yet covered in round 1 (similarity, text,
+    # logfile-source, multimodal) come FIRST, the expensive recursive-CTE
+    # dedup oracles come LAST so a budget cut can only ever truncate
+    # already-green territory.
+    # --- similarity surface ---
+    "ann_cosine_topk": similarity.cosine_topk,
+    "ann_cosine_topk_arrow": similarity.cosine_topk_arrow,
+    "ann_ivf_topk": similarity.ann_ivf_topk,
+    "embedding_near_dup": similarity.embedding_near_dup_pairs,
+    # --- text-analysis surface ---
+    "text_quality": text.text_quality,
+    "language_id": text.language_id,
+    "token_counts": text.token_counts,
+    "doc_fingerprints": text.document_fingerprints,
+    "top_bigrams": text.top_bigrams,
+    # --- logfile-source surface (reference parity; custom data source,
+    # not SQL-expressible → rows-only checks, full tests in tests/) ---
+    "logfile_count_by_level": logparity.logfile_count_by_level,
+    "logfile_gzip_equivalence": logparity.logfile_gzip_equivalence,
+    "logfile_stack_hotspots": logparity.logfile_stack_hotspots,
+    "logfile_sample": logparity.logfile_sample,
+    # --- multimodal surface (mapInPandas binary plumbing) ---
+    "media_features": _media_features_query,
     # --- relational surface (SURVEY.md §2.3-2.6 coverage) ---
     "q1_pricing_summary": relational.q1_pricing_summary,
     "q3_shipping_priority": relational.q3_shipping_priority,

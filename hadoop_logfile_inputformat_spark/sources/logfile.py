@@ -32,11 +32,13 @@ LogfileRecordReader.java:200-206, 285-291):
   — then skips non-matching lines (:285-291, they belong to the
   previous split's last record) and reads past ``end`` to finish its
   last record (:293-319).
-- Compressed files (``.gz``/``.bz2``) are never split: exactly one
-  partition per file (LogfileInputFormat.java:112-119).  At 100 TB this
-  is the documented skew hazard — prefer many ~128 MB–1 GB gz files.
-  Splittable-compressed formats the reference rejects outright
-  (LogfileRecordReader.java:163-165); we read them whole-file instead.
+- Compressed files (``.gz``/``.bz2``/``.xz``) are never split: exactly
+  one partition per file (LogfileInputFormat.java:112-119).  At 100 TB
+  this is the documented skew hazard — prefer many ~128 MB–1 GB gz
+  files.  Compressed formats the stdlib cannot decode
+  (``.zst``/``.lz4``/``.snappy``/…) are rejected with a hard error
+  (parity with LogfileRecordReader.java:163-165) rather than silently
+  scanned as plain text.
 
 Pattern configuration (parity with LogfileInputFormat.java:50-101):
 
@@ -61,6 +63,7 @@ import fnmatch
 import glob as _glob
 import gzip
 import io
+import lzma
 import os
 import re
 from dataclasses import dataclass
@@ -88,12 +91,29 @@ _COMPRESSION_OPENERS = {
     ".gz": gzip.open,
     ".gzip": gzip.open,
     ".bz2": bz2.open,
+    ".xz": lzma.open,
+    ".lzma": lzma.open,
 }
+
+#: Known-compressed suffixes we cannot decode with the stdlib.  Scanning
+#: these as plain text would yield silent garbage records; the reference
+#: instead fails hard on codecs it cannot handle
+#: (LogfileRecordReader.java:163-165) and we mirror that contract.
+_UNSUPPORTED_COMPRESSION = (".zst", ".zstd", ".lz4", ".snappy", ".deflate", ".br", ".sz")
 
 
 def _compression_opener(path: str):
     _, ext = os.path.splitext(path)
-    return _COMPRESSION_OPENERS.get(ext.lower())
+    ext = ext.lower()
+    if ext in _UNSUPPORTED_COMPRESSION:
+        raise ValueError(
+            f"logfile source: unsupported compression codec '{ext}' for "
+            f"'{path}'. Supported: {sorted(_COMPRESSION_OPENERS)} (whole-file) "
+            "or uncompressed text. Refusing to scan compressed bytes as "
+            "plain text (parity with the reference's hard error, "
+            "LogfileRecordReader.java:163-165)."
+        )
+    return _COMPRESSION_OPENERS.get(ext)
 
 
 @dataclass(frozen=True)
@@ -335,7 +355,13 @@ class PatternResolver:
 
     def __init__(self, default: str | None, per_path: dict):
         self.default = default
-        self.per_path = dict(per_path)
+        # Spark stores data-source option keys case-insensitively
+        # (lowercased), so a per-path key for '/logs/App.log' arrives as
+        # 'pattern./logs/app.log'.  Normalize our side to lowercase and
+        # match paths case-insensitively so mixed-case paths still
+        # resolve (case collisions between distinct files are a
+        # limitation of Spark's option model, not of this resolver).
+        self.per_path = {k.lower(): v for k, v in per_path.items()}
 
     @classmethod
     def from_options(cls, options) -> "PatternResolver":
@@ -347,13 +373,14 @@ class PatternResolver:
         return cls(default, per_path)
 
     def resolve(self, path: str) -> str:
-        if path in self.per_path:
-            return self.per_path[path]
-        base = os.path.basename(path)
+        lpath = path.lower()
+        if lpath in self.per_path:
+            return self.per_path[lpath]
+        base = os.path.basename(lpath)
         if base in self.per_path:
             return self.per_path[base]
         for key, pat in self.per_path.items():
-            if fnmatch.fnmatch(path, key) or fnmatch.fnmatch(base, key):
+            if fnmatch.fnmatchcase(lpath, key) or fnmatch.fnmatchcase(base, key):
                 return pat
         if self.default is not None:
             return self.default

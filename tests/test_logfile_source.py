@@ -138,6 +138,64 @@ def test_glob_and_comma_paths(spark, corpus):
     assert df.select("path").distinct().count() == 2
 
 
+def test_unsupported_compression_is_hard_error(spark, tmp_path):
+    """A .zst (or other stdlib-undecodable codec) input must fail with a
+    clear error, not be scanned as plain text into garbage records —
+    parity with the reference's rejection of codecs it cannot handle
+    (LogfileRecordReader.java:163-165)."""
+    p = tmp_path / "app.log.zst"
+    p.write_bytes(b"\x28\xb5\x2f\xfd not really zstd but the suffix decides")
+    with pytest.raises(Exception, match="unsupported compression"):
+        (
+            spark.read.format("logfile")
+            .option("pattern", FORMAT_A)
+            .load(str(p))
+            .count()
+        )
+
+
+def test_xz_reads_whole_file(spark, tmp_path):
+    import lzma
+
+    content = (
+        "2024-01-01 00:00:00,000 | INFO | c | hi\n\tcont\n"
+        "2024-01-01 00:00:01,000 | WARN | c | yo\n"
+    )
+    p = tmp_path / "app.log.xz"
+    p.write_bytes(lzma.compress(content.encode()))
+    df = (
+        spark.read.format("logfile")
+        .option("pattern", FORMAT_A)
+        .option("maxPartitionBytes", 16)
+        .load(str(p))
+    )
+    rows = sorted((r.offset, r.record) for r in df.collect())
+    assert len(rows) == 2
+    assert rows[0][1].endswith("\tcont")
+    assert df.rdd.getNumPartitions() == 1  # never split
+
+
+def test_mixed_case_per_path_pattern_resolves(spark, tmp_path):
+    """Spark lowercases option keys; a per-path pattern registered for a
+    mixed-case path must still resolve (exact, basename, and glob)."""
+    p = tmp_path / "MyApp.log"
+    p.write_text("2024-01-01 00:00:00,000 | INFO | c | hi\n\tmore\n")
+    # exact-path option (arrives lowercased at the source)
+    df = (
+        spark.read.format("logfile")
+        .option(f"pattern.{p}", FORMAT_A)
+        .load(str(p))
+    )
+    assert df.count() == 1
+    # glob option with uppercase letters in the key
+    df2 = (
+        spark.read.format("logfile")
+        .option("pattern.MyApp*.log", FORMAT_A)
+        .load(str(p))
+    )
+    assert df2.count() == 1
+
+
 def test_invalid_utf8_bytes_replaced_not_fatal(spark, tmp_path):
     """A corrupt byte sequence inside a record must not kill the scan:
     both scanners decode with errors=replace, and offsets stay exact
