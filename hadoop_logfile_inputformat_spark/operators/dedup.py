@@ -215,11 +215,19 @@ def simhash_64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = _shingled(load(spark, sf_dir, "documents"))
     hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
-    per_doc = hashed.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+    # 64 conditional SUMs in ONE groupBy: partial aggregation runs
+    # map-side, so the shuffle carries 64 longs per doc regardless of
+    # shingle count.  (The previous collect_list formulation
+    # materialized every shingle hash of a doc into one array row —
+    # unbounded row width for boilerplate-heavy docs, and no map-side
+    # combine.)
+    bit_sums = [
+        F.sum(F.when(F.getbit("h", F.lit(k)) == 1, 1).otherwise(-1)).alias(f"b{k}")
+        for k in range(64)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*bit_sums)
     simhash = F.expr(
-        "aggregate(sequence(0, 63), 0L, (acc, k) -> acc + IF("
-        " aggregate(hs, 0L, (s, h) -> s + IF(getbit(h, k) = 1, 1L, -1L)) > 0,"
-        " shiftleft(1L, k), 0L))"
+        " + ".join(f"IF(b{k} > 0, shiftleft(1L, {k}), 0L)" for k in range(64))
     )
     return per_doc.select("doc_id", simhash.alias("simhash"))
 

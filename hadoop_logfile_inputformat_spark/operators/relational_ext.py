@@ -390,14 +390,30 @@ def q_cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE decile stats over customer balances.
 
-    Single-partition window (global order) — fine for |customer| at
-    any SF that fits a sort; tie-broken on c_custkey so the decile
-    assignment is total and deterministic.
+    Exact NTILE(10) with NO global-order window: distributed rank
+    (range repartition + local row_number + broadcast offsets, see
+    operators/ranks.py) and the SQL bucket-size arithmetic.  Tie-broken
+    on c_custkey so the decile assignment is total and deterministic —
+    which is also what makes rank-based NTILE bit-identical to the
+    windowed form.
     """
+    from hadoop_logfile_inputformat_spark.operators.ranks import (
+        ntile_from_rank,
+        with_global_row_number,
+    )
+
     c = load(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    ranked = with_global_row_number(
+        c.select("c_acctbal", "c_custkey"),
+        [F.asc("c_acctbal"), F.asc("c_custkey")],
+        rn_col="rn",
+        total_col="n_total",
+    )
     return (
-        c.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        ranked.select(
+            "c_acctbal",
+            ntile_from_rank(F.col("rn"), F.col("n_total"), 10).alias("decile"),
+        )
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_custs"),
@@ -601,9 +617,16 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: recency (days since last order), frequency
     (order count), monetary (total spend), each scored into quartiles.
 
-    One groupBy(custkey) shuffle for the aggregates; the three ntile
-    windows share one global sort partition each — at scale swap NTILE
-    for approx-percentile cut points (no global sort)."""
+    One groupBy(custkey) shuffle for the aggregates; each quartile
+    score is an exact distributed NTILE (range repartition + local
+    row_number + bucket arithmetic, operators/ranks.py) — three range
+    shuffles over the per-customer aggregate (already |customers|-sized,
+    not |orders|-sized), zero global-order windows."""
+    from hadoop_logfile_inputformat_spark.operators.ranks import (
+        ntile_from_rank,
+        with_global_row_number,
+    )
+
     o = load(spark, sf_dir, "orders")
     anchor = F.lit("2002-01-01")
     per_cust = o.groupBy("o_custkey").agg(
@@ -611,17 +634,27 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
-    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-    return per_cust.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(4).over(r_w).alias("r_score"),
-        F.ntile(4).over(f_w).alias("f_score"),
-        F.ntile(4).over(m_w).alias("m_score"),
+
+    def score(order_cols, name):
+        ranked = with_global_row_number(
+            per_cust.select("o_custkey", "recency_days", "frequency", "monetary"),
+            order_cols,
+            rn_col="rn",
+            total_col="n",
+        )
+        return ranked.select(
+            "o_custkey", ntile_from_rank(F.col("rn"), F.col("n"), 4).alias(name)
+        )
+
+    r = score([F.asc("recency_days"), F.asc("o_custkey")], "r_score")
+    f = score([F.desc("frequency"), F.asc("o_custkey")], "f_score")
+    m = score([F.desc("monetary"), F.asc("o_custkey")], "m_score")
+    return (
+        per_cust.join(r, "o_custkey").join(f, "o_custkey").join(m, "o_custkey")
+        .select(
+            "o_custkey", "recency_days", "frequency", "monetary",
+            "r_score", "f_score", "m_score",
+        )
     )
 
 
@@ -655,13 +688,33 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist analytics over order values (top 1%
-    orders with their exact distribution position)."""
-    o = load(spark, sf_dir, "orders")
-    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
-    ranked = o.select(
-        "o_orderkey",
-        F.round("o_totalprice", 2).alias("totalprice"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    orders with their exact distribution position).
+
+    The ordering is total (tie-break on o_orderkey), so rank ==
+    row_number and both analytics reduce to arithmetic over the
+    distributed global row number (operators/ranks.py):
+    percent_rank = (rn-1)/(n-1), cume_dist = rn/n — identical doubles
+    to the windowed form, no global-order window."""
+    from hadoop_logfile_inputformat_spark.operators.ranks import (
+        cume_dist_from_rank,
+        percent_rank_from_rank,
+        with_global_row_number,
     )
-    return ranked.filter(F.col("pct_rank") >= 0.99)
+
+    o = load(spark, sf_dir, "orders")
+    ranked = with_global_row_number(
+        o.select("o_orderkey", "o_totalprice"),
+        [F.asc("o_totalprice"), F.asc("o_orderkey")],
+        rn_col="rn",
+        total_col="n",
+    )
+    rn, n = F.col("rn"), F.col("n")
+    return (
+        ranked.select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round(percent_rank_from_rank(rn, n), 6).alias("pct_rank"),
+            F.round(cume_dist_from_rank(rn, n), 6).alias("cume"),
+        )
+        .filter(F.col("pct_rank") >= 0.99)
+    )

@@ -129,3 +129,29 @@ def test_cobucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+@pytest.mark.parametrize(
+    "name", ["acctbal_deciles", "customer_rfm", "order_value_distribution"]
+)
+def test_ranking_queries_have_no_global_sort_partition(spark, name):
+    """The ranking/NTILE queries must not funnel data-sized input into a
+    single partition (the Window.orderBy-without-partitionBy trap).
+    Distributed-rank formulation (operators/ranks.py): any remaining
+    Exchange SinglePartition may only merge a PARTIAL aggregate — a
+    bounded, ≤#partitions-row stream — never raw rows."""
+    df = QUERIES[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        assert "HashAggregate" in child and "partial_" in child, (
+            f"{name}: SinglePartition exchange over non-aggregated input:\n"
+            f"{line}\n{child}"
+        )
+    # and no global-order window anywhere (WindowExec would warn)
+    for i, line in enumerate(lines):
+        if "Window " in line and "windowspecdefinition" in line:
+            assert "__rank_pid" in line, f"{name}: un-partitioned window:\n{line}"
