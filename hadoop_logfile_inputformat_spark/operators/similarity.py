@@ -177,6 +177,101 @@ def embedding_near_dup_pairs(
     )
 
 
+N_HYPERPLANES = 128
+LSH_BAND_BITS = 8  # 16 bands of 8 bits
+
+
+def embedding_near_dup_scale(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.9,
+    n_planes: int = N_HYPERPLANES,
+    band_bits: int = LSH_BAND_BITS,
+    seed: int = 7,
+) -> DataFrame:
+    """Scale path of :func:`embedding_near_dup_pairs`: hyperplane-LSH
+    bucketed candidates, verified exactly — never an all-pairs join.
+
+    Sign-random-projection LSH (SimHash for vectors): bit *i* of a
+    vector's signature is the sign of its dot product with
+    deterministic pseudo-random hyperplane *i*; two vectors agree on a
+    bit with probability ``1 - angle/pi``.  Signatures are banded
+    exactly like the MinHash pipeline (dedup.py): vectors sharing any
+    (band, bucket) become candidates, and ONLY candidates get the exact
+    cosine verification — the same exact/approximate split dedup.py
+    uses for text.
+
+    Default parameters (16 bands x 8 bits): a true pair at cosine 0.9
+    (per-bit agreement 0.856) survives with prob ``1-(1-0.856^8)^16``
+    ~= 0.996, while an unrelated orthogonal pair collides at
+    ``16 * 2^-8`` ~= 6% — a 16x candidate reduction on adversarially
+    random data, far more on real embedding distributions where near
+    dups cluster tightly.  Tune ``band_bits`` down / bands up for lower
+    thresholds (tests exercise this on the near-random testdata).
+
+    Shuffle shape: |corpus| x bands rows keyed by (band, bucket) for
+    candidate generation, then two vec_id hash joins for verification —
+    every join key is bounded-cardinality; nothing is quadratic in the
+    corpus.
+    """
+    import numpy as np
+
+    v = _vectors(spark, sf_dir)
+    # one-row driver action to learn the dimension (bounded by design)
+    dim = len(load(spark, sf_dir, "embeddings").select("embedding").head()[0])
+    H = np.random.RandomState(seed).standard_normal((n_planes, dim))
+    planes = spark.createDataFrame(
+        [(i, [float(x) for x in H[i]]) for i in range(n_planes)],
+        "plane_id int, plane array<double>",
+    )
+    dot_sql = (
+        "aggregate(zip_with(embedding, plane,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    buckets = (
+        v.join(F.broadcast(planes), how="cross")
+        .select(
+            "vec_id",
+            (F.col("plane_id") / band_bits).cast("int").alias("band"),
+            F.expr(
+                f"shiftleft(CAST({dot_sql} > 0 AS BIGINT),"
+                f" plane_id % {band_bits})"
+            ).alias("pv"),
+        )
+        .groupBy("vec_id", "band")
+        .agg(F.sum("pv").alias("bucket"))
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    vb = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 4)
+    return (
+        candidates.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def cosine_topk_arrow(
     spark: SparkSession,
     sf_dir: str,

@@ -52,6 +52,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk_arrow": similarity.cosine_topk_arrow,
     "ann_ivf_topk": similarity.ann_ivf_topk,
     "embedding_near_dup": similarity.embedding_near_dup_pairs,
+    "embedding_near_dup_scale": similarity.embedding_near_dup_scale,
     # --- text-analysis surface ---
     "text_quality": text.text_quality,
     "language_id": text.language_id,
@@ -120,25 +121,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_groups": dedup.near_dup_groups,
     "curate_documents": dedup.curate_documents,
     "curate_documents_scale": dedup.curate_documents_scale,
-    # --- similarity surface ---
-    "ann_cosine_topk": similarity.cosine_topk,
-    "ann_cosine_topk_arrow": similarity.cosine_topk_arrow,
-    "ann_ivf_topk": similarity.ann_ivf_topk,
-    "embedding_near_dup": similarity.embedding_near_dup_pairs,
-    # --- text-analysis surface ---
-    "text_quality": text.text_quality,
-    "language_id": text.language_id,
-    "token_counts": text.token_counts,
-    "doc_fingerprints": text.document_fingerprints,
-    "top_bigrams": text.top_bigrams,
-    # --- logfile-source surface (reference parity; custom data source,
-    # not SQL-expressible → rows-only checks, full tests in tests/) ---
-    "logfile_count_by_level": logparity.logfile_count_by_level,
-    "logfile_gzip_equivalence": logparity.logfile_gzip_equivalence,
-    "logfile_stack_hotspots": logparity.logfile_stack_hotspots,
-    "logfile_sample": logparity.logfile_sample,
-    # --- multimodal surface (mapInPandas binary plumbing) ---
-    "media_features": _media_features_query,
 }
 
 
@@ -791,6 +773,12 @@ _pred = "CASE WHEN " + _best + " <= 0 THEN 'und' " + " ".join(
     f"WHEN s_{lg} = {_best} THEN '{lg}'" for lg in _langs
 ) + " END"
 ORACLES["ann_cosine_topk_arrow"] = ORACLES["ann_cosine_topk"]
+# The LSH scale path verifies candidates with the SAME exact cosine the
+# all-pairs twin computes, so at the 0.9 default threshold its output is
+# the exact result wherever LSH recall is 1 (~0.996/pair analytically;
+# exactly 1 on the synthetic testdata, where no pair comes near 0.9 —
+# asserted at lower thresholds in test_embedding_near_dup_scale_vs_exact).
+ORACLES["embedding_near_dup_scale"] = ORACLES["embedding_near_dup"]
 
 ORACLES["language_id"] = f"""
     WITH scored AS (

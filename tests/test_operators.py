@@ -53,6 +53,41 @@ def test_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.8, f"IVF recall collapsed: {recall}"
 
 
+def test_embedding_near_dup_scale_vs_exact(spark):
+    """The hyperplane-LSH scale path must be a subset of the exact
+    all-pairs twin (precision 1 by construction — candidates are
+    verified exactly) with high recall; with generous banding on this
+    corpus recall is exactly 1.  Deterministic: fixed plane seed, fixed
+    data.  Pattern parity with test_minhash_lsh_matches_exact_jaccard.
+    Uses a lowered threshold because the synthetic embeddings are
+    near-random (max cosine ~0.5 — no pairs exist at the 0.9 default)."""
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.embedding_near_dup_pairs(
+            spark, sf, threshold=0.40
+        ).collect()
+    }
+    assert exact  # corpus must actually produce pairs at this threshold
+    # production-shaped banding (16 bands x 4 bits at 64 planes)
+    prod = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.embedding_near_dup_scale(
+            spark, sf, threshold=0.40, band_bits=4, n_planes=64
+        ).collect()
+    }
+    assert prod <= exact, "scale path produced a pair the exact twin lacks"
+    assert len(prod) / len(exact) >= 0.9, f"recall {len(prod)}/{len(exact)}"
+    # generous banding (16 bands x 2 bits): recall 1 on this corpus
+    wide = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.embedding_near_dup_scale(
+            spark, sf, threshold=0.40, band_bits=2, n_planes=32
+        ).collect()
+    }
+    assert wide == exact
+
+
 def test_cosine_topk_selfsim_excluded_and_ranked(spark):
     rows = similarity.cosine_topk(spark, SF).collect()
     by_q = {}
