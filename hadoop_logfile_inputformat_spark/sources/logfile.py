@@ -343,6 +343,137 @@ def iter_records_chunked(
             return
 
 
+class _CappedReader:
+    """Wrap a binary file so no byte at or past ``cap`` is ever read.
+
+    Makes scans deterministic against concurrently-appended files: a
+    replay of a committed byte range sees exactly the bytes that
+    existed when the range was committed, even if the file has since
+    grown (the streaming reader's exactly-once contract).  Supports the
+    full surface both scanners use: ``read``/``readline``/iteration/
+    ``seek``/``tell``/``close``.
+    """
+
+    def __init__(self, fobj, cap: int):
+        self._f = fobj
+        self._cap = cap
+
+    def read(self, n: int = -1) -> bytes:
+        remaining = self._cap - self._f.tell()
+        if remaining <= 0:
+            return b""
+        if n is None or n < 0 or n > remaining:
+            n = remaining
+        return self._f.read(n)
+
+    def readline(self) -> bytes:
+        pos = self._f.tell()
+        if pos >= self._cap:
+            return b""
+        line = self._f.readline()
+        if pos + len(line) > self._cap:
+            line = line[: self._cap - pos]
+            self._f.seek(pos + len(line))
+        return line
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> bytes:
+        line = self.readline()
+        if not line:
+            raise StopIteration
+        return line
+
+    def seek(self, pos: int) -> int:
+        return self._f.seek(pos)
+
+    def tell(self) -> int:
+        return self._f.tell()
+
+    def close(self) -> None:
+        self._f.close()
+
+
+def scan_partition_arrow(
+    path: str,
+    start: int,
+    end: int,
+    pattern: str,
+    *,
+    scanner: str = "chunked",
+    encoding: str = "utf-8",
+    max_record_bytes: int = 0,
+    cap: int | None = None,
+) -> Iterator["pa.RecordBatch"]:
+    """Scan one byte range of one file; yield Arrow batches of
+    ``(path, offset, record)``.
+
+    The shared executor-side core of the batch reader and the
+    partitioned streaming reader.  Bounded memory: only the current
+    record plus one Arrow batch of assembled records is ever buffered
+    (LogfileRecordReader.java:86-91 parity, batched for vectorized
+    Python→JVM transfer).  ``cap`` hard-limits reads to ``[0, cap)``
+    (see :class:`_CappedReader`).
+    """
+    import pyarrow as pa
+
+    opener = _compression_opener(path)
+    if opener is not None:
+        fobj = opener(path, "rb")
+    else:
+        fobj = open(path, "rb", buffering=io.DEFAULT_BUFFER_SIZE * 16)
+    if cap is not None:
+        fobj = _CappedReader(fobj, cap)
+
+    if scanner == "chunked":
+        record_iter = iter_records_chunked(
+            fobj,
+            start=start,
+            end=end,
+            pattern=pattern,
+            encoding=encoding,
+            max_record_bytes=max_record_bytes,
+        )
+    else:
+        record_iter = iter_records(
+            fobj,
+            start=start,
+            end=end,
+            regex=re.compile(pattern),
+            encoding=encoding,
+            max_record_bytes=max_record_bytes,
+        )
+
+    arrow_schema = pa.schema(
+        [("path", pa.string()), ("offset", pa.int64()), ("record", pa.string())]
+    )
+
+    def _batch(offsets, records):
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array([path] * len(offsets), pa.string()),
+                pa.array(offsets, pa.int64()),
+                pa.array(records, pa.string()),
+            ],
+            schema=arrow_schema,
+        )
+
+    offsets: List[int] = []
+    records: List[str] = []
+    try:
+        for offset, record in record_iter:
+            offsets.append(offset)
+            records.append(record)
+            if len(offsets) >= ARROW_BATCH_RECORDS:
+                yield _batch(offsets, records)
+                offsets, records = [], []
+        if offsets:
+            yield _batch(offsets, records)
+    finally:
+        fobj.close()
+
+
 class PatternResolver:
     """Per-path first-line-pattern resolution.
 
@@ -488,72 +619,22 @@ class LogfileReader(DataSourceReader):
     def read(self, partition: LogfilePartition) -> Iterator["pa.RecordBatch"]:
         """Stream one split; yield Arrow batches of (path, offset, record).
 
-        Bounded memory: only the current record plus one Arrow batch of
-        assembled records is ever buffered (LogfileRecordReader.java:86-91
-        parity, batched for vectorized Python→JVM transfer).
+        Delegates to :func:`scan_partition_arrow` (shared with the
+        partitioned streaming reader).
         """
-        import pyarrow as pa
-
         if partition is None:
             # pushFilters pruned every file: partitions() returned [],
             # and Spark falls back to one None partition — emit nothing.
             return
-
-        opener = _compression_opener(partition.path)
-        if opener is not None:
-            fobj = opener(partition.path, "rb")
-        else:
-            fobj = open(partition.path, "rb", buffering=io.DEFAULT_BUFFER_SIZE * 16)
-
-        if self.scanner == "chunked":
-            record_iter = iter_records_chunked(
-                fobj,
-                start=partition.start,
-                end=partition.end,
-                pattern=partition.pattern,
-                encoding=self.encoding,
-                max_record_bytes=self.max_record_bytes,
-            )
-        else:
-            record_iter = iter_records(
-                fobj,
-                start=partition.start,
-                end=partition.end,
-                regex=re.compile(partition.pattern),
-                encoding=self.encoding,
-                max_record_bytes=self.max_record_bytes,
-            )
-
-        arrow_schema = pa.schema(
-            [("path", pa.string()), ("offset", pa.int64()), ("record", pa.string())]
+        yield from scan_partition_arrow(
+            partition.path,
+            partition.start,
+            partition.end,
+            partition.pattern,
+            scanner=self.scanner,
+            encoding=self.encoding,
+            max_record_bytes=self.max_record_bytes,
         )
-        offsets: List[int] = []
-        records: List[str] = []
-        try:
-            for offset, record in record_iter:
-                offsets.append(offset)
-                records.append(record)
-                if len(offsets) >= ARROW_BATCH_RECORDS:
-                    yield pa.RecordBatch.from_arrays(
-                        [
-                            pa.array([partition.path] * len(offsets), pa.string()),
-                            pa.array(offsets, pa.int64()),
-                            pa.array(records, pa.string()),
-                        ],
-                        schema=arrow_schema,
-                    )
-                    offsets, records = [], []
-            if offsets:
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array([partition.path] * len(offsets), pa.string()),
-                        pa.array(offsets, pa.int64()),
-                        pa.array(records, pa.string()),
-                    ],
-                    schema=arrow_schema,
-                )
-        finally:
-            fobj.close()
 
 
 class LogfileDataSource(DataSource):

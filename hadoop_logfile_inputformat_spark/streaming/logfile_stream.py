@@ -17,11 +17,22 @@ unless the file has stopped growing — the ``tail_stable_batches``
 option controls how many polls a file size must be unchanged before
 the dangling tail is emitted as a final record.
 
-Scale note: one SimpleDataSourceStreamReader runs on the driver and
-prefetches; suitable for tailing rotating app logs (the reference's use
-case).  For firehose volumes, partition-per-file ``DataSourceStreamReader``
-is the upgrade path — same offset model, planned but not required for
-parity.
+Two readers, one offset model:
+
+- ``LogfileStreamReader`` (default): a partition-parallel
+  ``DataSourceStreamReader``.  The driver's ``latestOffset`` only
+  inspects file tails (a bounded backwards scan for the last first-line
+  start — the largest safely-committable offset); executors then scan
+  each file's ``[start, end)`` backlog in parallel, split into
+  ``maxPartitionBytes`` byte ranges exactly like the batch source, so a
+  firehose catch-up of a 10 GB file fans out across the cluster.
+  Reads are hard-capped at the batch-end offset (``_CappedReader``), so
+  a replayed batch sees exactly the bytes that existed at planning time
+  even if the file has grown — deterministic exactly-once replay.
+- ``LogfileSimpleStreamReader`` (option ``reader=simple``): the
+  driver-side prefetching reader — fine for tailing rotating app logs
+  (the reference's use case) and kept as the simplest-possible
+  implementation of the same offsets.
 """
 
 from __future__ import annotations
@@ -30,13 +41,23 @@ import glob as _glob
 import io
 import os
 import re
-from typing import Iterator, Tuple
+from dataclasses import dataclass
+from typing import Iterator, List, Tuple
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.errors import PySparkNotImplementedError
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from hadoop_logfile_inputformat_spark.sources.logfile import (
+    DEFAULT_MAX_PARTITION_BYTES,
     PatternResolver,
+    _CappedReader,
     iter_records,
+    scan_partition_arrow,
 )
 
 
@@ -79,10 +100,15 @@ class LogfileSimpleStreamReader(SimpleDataSourceStreamReader):
         regex = re.compile(pattern)
         rows = []
         with open(path, "rb", buffering=io.DEFAULT_BUFFER_SIZE * 16) as f:
+            # cap reads at end_pos: a replay must see exactly the bytes
+            # that existed when the range was committed, even if
+            # continuation lines were appended since (deterministic
+            # exactly-once replay; the live read is unaffected because
+            # its dangling tail is held back anyway)
             recs = list(
                 iter_records(
-                    f, start=start_pos, end=end_pos, regex=regex,
-                    encoding=self.encoding,
+                    _CappedReader(f, end_pos), start=start_pos, end=end_pos,
+                    regex=regex, encoding=self.encoding,
                 )
             )
         if not recs:
@@ -133,11 +159,165 @@ class LogfileSimpleStreamReader(SimpleDataSourceStreamReader):
         return iter(rows)
 
 
+@dataclass(frozen=True)
+class LogfileStreamPartition(InputPartition):
+    """One executor task of one micro-batch: a byte range of one file.
+
+    ``end`` bounds record *ownership* (first-line starts in
+    ``[start, end)``); ``cap`` bounds *reads* (the file's batch-end
+    offset) so a record crossing a sub-split boundary can be completed
+    while replay stays deterministic under concurrent appends.
+    """
+
+    path: str
+    start: int
+    end: int
+    cap: int
+    pattern: str
+
+
+class LogfileStreamReader(DataSourceStreamReader):
+    """Partition-parallel streaming reader (see module docstring).
+
+    Offset json: ``{"files": {path: committed_byte_pos}}`` — identical
+    to the simple reader, so checkpoints express the same progress
+    model either way.  Committed positions are always first-line starts
+    (or a stable-file EOF), which is what makes byte-capped re-scans
+    reproduce batches exactly.
+    """
+
+    def __init__(self, options):
+        self.options = options
+        self.resolver = PatternResolver.from_options(options)
+        path_spec = options.get("path")
+        if not path_spec:
+            raise ValueError("logfile-stream source requires a load path")
+        self.path_spec = path_spec
+        self.tail_stable_batches = int(options.get("tailstablebatches", 2))
+        self.encoding = options.get("encoding", "utf-8")
+        self.scanner = options.get("scanner", "chunked")
+        self.max_partition_bytes = int(
+            options.get("maxpartitionbytes", DEFAULT_MAX_PARTITION_BYTES)
+        )
+        self.max_record_bytes = int(options.get("maxrecordbytes", 0))
+        # bytes of file tail the driver scans per poll to find the last
+        # first-line start (the largest safely-committable offset)
+        self.tail_scan_bytes = int(options.get("tailscanbytes", 1 << 20))
+        self._stable_polls: dict = {}
+        self._last_size: dict = {}
+        self._last_end: dict = {}
+
+    def _files(self):
+        spec = self.path_spec
+        if os.path.isdir(spec):
+            spec = os.path.join(spec, "*")
+        return sorted(p for p in _glob.glob(spec) if os.path.isfile(p))
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def _last_record_start(self, path: str, lo: int, hi: int) -> int:
+        """Largest first-line start in ``[lo, hi)``, or ``lo`` if none.
+
+        Bounded driver work: scans at most ``tail_scan_bytes`` of the
+        file tail.  ``lo`` must be a committed offset (line-aligned);
+        a longer jump lands mid-line and realigns with the ``-1`` trick.
+        """
+        pattern = self.resolver.resolve(path)
+        bpat = re.compile(b"(?m)^(?:" + pattern.encode(self.encoding) + b")\r?$")
+        with open(path, "rb", buffering=io.DEFAULT_BUFFER_SIZE * 16) as f:
+            if hi - lo <= self.tail_scan_bytes:
+                base = lo
+                f.seek(base)
+            else:
+                f.seek(hi - self.tail_scan_bytes - 1)
+                f.readline()  # discard partial line: -1 trick
+                base = f.tell()
+            data = f.read(hi - base)
+        # drop the trailing partial line: a truncated line must not
+        # spuriously full-match the pattern
+        nl = data.rfind(b"\n")
+        if nl < 0:
+            return lo
+        data = data[: nl + 1]
+        last = None
+        for m in bpat.finditer(data):
+            last = m.start()
+        return base + last if last is not None else lo
+
+    def latestOffset(self) -> dict:
+        ends: dict = {}
+        for path in self._files():
+            size = os.path.getsize(path)
+            if size == self._last_size.get(path):
+                self._stable_polls[path] = self._stable_polls.get(path, 0) + 1
+            else:
+                self._stable_polls[path] = 0
+            self._last_size[path] = size
+            prev = int(self._last_end.get(path, 0))
+            if size <= prev:
+                ends[path] = prev  # no growth (or truncation: frozen)
+                continue
+            if self._stable_polls.get(path, 0) >= self.tail_stable_batches:
+                ends[path] = size  # stable: flush the dangling tail
+            else:
+                # only records whose terminator exists are committable:
+                # advance to the LAST first-line start — the tail record
+                # past it stays un-consumed until the file stabilizes
+                ends[path] = max(prev, self._last_record_start(path, prev, size))
+        # vanished (rotated) files keep their frozen offsets
+        for path, pos in self._last_end.items():
+            ends.setdefault(path, int(pos))
+        self._last_end = dict(ends)
+        return {"files": ends}
+
+    def partitions(self, start: dict, end: dict) -> List[LogfileStreamPartition]:
+        s = start.get("files", {})
+        e = end.get("files", {})
+        parts: List[LogfileStreamPartition] = []
+        for path, end_pos in e.items():
+            lo = int(s.get(path, 0))
+            hi = int(end_pos)
+            if hi <= lo or not os.path.exists(path):
+                continue
+            pattern = self.resolver.resolve(path)
+            pos = lo
+            while pos < hi:
+                sub_end = min(pos + self.max_partition_bytes, hi)
+                parts.append(
+                    LogfileStreamPartition(path, pos, sub_end, hi, pattern)
+                )
+                pos = sub_end
+        if not parts:
+            # an empty micro-batch still needs one (no-op) task
+            parts.append(LogfileStreamPartition("", 0, 0, 0, ""))
+        return parts
+
+    def read(self, partition: LogfileStreamPartition) -> Iterator:
+        if not partition.path or partition.end <= partition.start:
+            return
+        yield from scan_partition_arrow(
+            partition.path,
+            partition.start,
+            partition.end,
+            partition.pattern,
+            scanner=self.scanner,
+            encoding=self.encoding,
+            max_record_bytes=self.max_record_bytes,
+            cap=partition.cap,
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class LogfileStreamDataSource(DataSource):
     """``spark.readStream.format("logfile-stream")`` — see module doc.
 
     Same options as the batch ``logfile`` source (``pattern``,
-    ``pattern.<path>``) plus ``tailStableBatches``.
+    ``pattern.<path>``, ``maxPartitionBytes``, ``scanner``) plus
+    ``tailStableBatches``, ``tailScanBytes``, and ``reader``
+    (``partitioned`` default | ``simple``).
     """
 
     @classmethod
@@ -146,6 +326,14 @@ class LogfileStreamDataSource(DataSource):
 
     def schema(self) -> str:
         return "path string, offset bigint, record string"
+
+    def streamReader(self, schema) -> LogfileStreamReader:
+        if self.options.get("reader", "partitioned") == "simple":
+            # triggers Spark's documented fallback to simpleStreamReader
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED", messageParameters={"feature": "streamReader"}
+            )
+        return LogfileStreamReader(self.options)
 
     def simpleStreamReader(self, schema) -> LogfileSimpleStreamReader:
         return LogfileSimpleStreamReader(self.options)

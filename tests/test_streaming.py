@@ -255,3 +255,131 @@ def test_logfile_stream_to_windowed_counts(spark, tmp_path):
         assert got == want
     finally:
         q.stop()
+
+
+def test_partitioned_reader_multi_file_parallel_plan(tmp_path):
+    """The DataSourceStreamReader plans one partition per file backlog
+    (and byte-splits a big backlog), reads them independently, and
+    commits only terminated records."""
+    from hadoop_logfile_inputformat_spark.streaming.logfile_stream import (
+        LogfileStreamReader,
+    )
+
+    pat = r"\d{4}-\d{2}-\d{2} .*"
+    f1 = tmp_path / "a.log"
+    f2 = tmp_path / "b.log"
+    f1.write_text("2024-01-01 a1\n\tcont\n2024-01-02 a2\n2024-01-03 dangling")
+    f2.write_text("2024-01-01 b1\n2024-01-02 b2\n")
+    r = LogfileStreamReader({"path": str(tmp_path), "pattern": pat,
+                             "tailstablebatches": 99})
+    start = r.initialOffset()
+    end = r.latestOffset()
+    parts = r.partitions(start, end)
+    assert sorted(p.path for p in parts) == [str(f1), str(f2)]
+    rows = []
+    for p in parts:
+        for batch in r.read(p):
+            rows.extend(zip(batch.column(0).to_pylist(),
+                            batch.column(1).to_pylist(),
+                            batch.column(2).to_pylist()))
+    texts = sorted(rec for _, _, rec in rows)
+    # only records whose terminating first-line exists as a COMPLETE
+    # line are committed: a2's would-be terminator ('2024-01-03
+    # dangling') has no newline yet, so a2 and the dangling tail are
+    # both held back; likewise b2 (last record of b.log)
+    assert texts == ["2024-01-01 a1\n\tcont", "2024-01-01 b1"]
+    # stability flush: same sizes for tailStableBatches polls → tail emits
+    r2 = LogfileStreamReader({"path": str(tmp_path), "pattern": pat,
+                              "tailstablebatches": 1})
+    r2.latestOffset()
+    end2 = r2.latestOffset()  # second poll: stable → ends == sizes
+    parts2 = r2.partitions(end, end2)
+    rows2 = []
+    for p in parts2:
+        for batch in r2.read(p):
+            rows2.extend(batch.column(2).to_pylist())
+    assert sorted(rows2) == [
+        "2024-01-02 a2", "2024-01-02 b2", "2024-01-03 dangling",
+    ]
+
+
+def test_partitioned_reader_byte_splits_large_backlog(tmp_path):
+    from hadoop_logfile_inputformat_spark.streaming.logfile_stream import (
+        LogfileStreamReader,
+    )
+
+    pat = r"\d{4}-\d{2}-\d{2} .*"
+    f1 = tmp_path / "big.log"
+    with open(f1, "w") as f:
+        for i in range(2000):
+            f.write(f"2024-01-01 record number {i:06d} with some padding text\n")
+    r = LogfileStreamReader({"path": str(tmp_path), "pattern": pat,
+                             "maxpartitionbytes": 4096, "tailstablebatches": 99})
+    end = r.latestOffset()
+    parts = r.partitions(r.initialOffset(), end)
+    assert len(parts) > 4, "large backlog must fan out into byte-range splits"
+    rows = []
+    for p in parts:
+        for batch in r.read(p):
+            rows.extend(zip(batch.column(1).to_pylist(), batch.column(2).to_pylist()))
+    # multiset equality with a single-split read (split invariance)
+    r_one = LogfileStreamReader({"path": str(tmp_path), "pattern": pat,
+                                 "tailstablebatches": 99})
+    end1 = r_one.latestOffset()
+    [p_one] = [p for p in r_one.partitions(r_one.initialOffset(), end1)]
+    rows_one = []
+    for batch in r_one.read(p_one):
+        rows_one.extend(zip(batch.column(1).to_pylist(), batch.column(2).to_pylist()))
+    assert sorted(rows) == sorted(rows_one)
+    assert len(rows) == 1999  # last record held back (not terminated)
+
+
+def test_partitioned_reader_replay_deterministic_under_append(tmp_path):
+    """Re-reading a committed batch after the file grew must reproduce
+    the original rows exactly (reads are capped at the batch-end
+    offset)."""
+    from hadoop_logfile_inputformat_spark.streaming.logfile_stream import (
+        LogfileStreamReader,
+    )
+
+    pat = r"\d{4}-\d{2}-\d{2} .*"
+    log = tmp_path / "x.log"
+    log.write_text("2024-01-01 a\n\tc1\n2024-01-02 b\n")
+    r = LogfileStreamReader({"path": str(tmp_path), "pattern": pat,
+                             "tailstablebatches": 1})
+    r.latestOffset()
+    end = r.latestOffset()  # stable → tail flushes: commit includes 'b'
+    parts = r.partitions(r.initialOffset(), end)
+    def read_all(reader, ps):
+        out = []
+        for p in ps:
+            for batch in reader.read(p):
+                out.extend(zip(batch.column(1).to_pylist(),
+                               batch.column(2).to_pylist()))
+        return sorted(out)
+    rows1 = read_all(r, parts)
+    assert [rec for _, rec in rows1] == ["2024-01-01 a\n\tc1", "2024-01-02 b"]
+    # the file grows: continuation of 'b' plus a new record arrive AFTER
+    # the batch was committed
+    with open(log, "a") as f:
+        f.write("\tlate-continuation\n2024-01-03 c\n")
+    rows_replay = read_all(r, r.partitions(r.initialOffset(), end))
+    assert rows_replay == rows1, "replay saw bytes appended after commit"
+
+
+def test_simple_reader_replay_deterministic_under_append(tmp_path):
+    from hadoop_logfile_inputformat_spark.streaming.logfile_stream import (
+        LogfileSimpleStreamReader,
+    )
+
+    pat = r"\d{4}-\d{2}-\d{2} .*"
+    log = tmp_path / "y.log"
+    log.write_text("2024-01-01 a\n2024-01-02 b\n")
+    r = LogfileSimpleStreamReader({"path": str(tmp_path), "pattern": pat,
+                                   "tailstablebatches": 1})
+    start = r.initialOffset()
+    rows1, off1 = r.read(start)
+    rows1 = list(rows1)
+    with open(log, "a") as f:
+        f.write("\tappended-after-commit\n2024-01-03 c\n")
+    assert list(r.readBetweenOffsets(start, off1)) == rows1
