@@ -55,6 +55,23 @@ def encode_fake_image(width: int, height: int, seed: int) -> bytes:
     return header + body
 
 
+def _decode_real(pil_image_module, payload: bytes):
+    """Decode a real image via Pillow: (width, height, channels,
+    mean luma of the L-converted image).  Pure-PIL (histogram mean),
+    no numpy round trip per row."""
+    import io as _io
+
+    with pil_image_module.open(_io.BytesIO(payload)) as img:
+        w, h = img.size
+        channels = len(img.getbands())
+        hist = img.convert("L").histogram()
+        total = sum(hist)
+        luma = (
+            sum(i * c for i, c in enumerate(hist)) / total if total else 0.0
+        )
+    return w, h, channels, luma
+
+
 def _decode_fake(payload: bytes):
     if payload[:8] != _MAGIC:
         raise ValueError("not a FAKEIMG payload")
@@ -78,24 +95,30 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
     the testdata has no media table, so the payload is synthesized
     (content-addressed by doc_id) to exercise the binary plumbing.
 
-    Byte-identical to :func:`encode_fake_image` but built from pure
-    column expressions (hex assembly + unhex): no Python UDF, so
-    payload generation is JVM-side and costs no Python workers.
+    Byte-identical to ``encode_fake_image(w, h, pmod(doc_id, 2^31-1))``
+    but built from pure column expressions (hex assembly + unhex): no
+    Python UDF, so payload generation is JVM-side and costs no Python
+    workers.  All modular arithmetic uses ``pmod`` (SQL ``%`` returns
+    negative values for negative operands where Python's does not) and
+    the seed is bounded into int32 range so the little-endian header
+    packing never truncates.
     """
+    seed = F.pmod(F.col("doc_id"), F.lit(2147483647))
     base = docs.select(
         F.col("doc_id"),
-        (F.col("doc_id") % 16 + 4).cast("int").alias("w"),
-        (F.col("doc_id") % 8 + 4).cast("int").alias("h"),
+        seed.alias("seed"),
+        (F.pmod(F.col("doc_id"), F.lit(16)) + 4).cast("int").alias("w"),
+        (F.pmod(F.col("doc_id"), F.lit(8)) + 4).cast("int").alias("h"),
     )
     header_hex = F.concat(
         F.lit(_MAGIC.hex().upper()),
         _le32_hex(F.col("w")),
         _le32_hex(F.col("h")),
-        _le32_hex(F.col("doc_id").cast("int")),
+        _le32_hex(F.col("seed").cast("int")),
     )
     body_hex = F.expr(
         "array_join(transform(sequence(0, w * h - 1),"
-        " i -> lpad(hex((i * 31 + CAST(doc_id AS INT)) % 251), 2, '0')), '')"
+        " i -> lpad(hex(pmod(i * 31 + seed, 251)), 2, '0')), '')"
     )
     return base.select(
         "doc_id",
@@ -124,11 +147,15 @@ def decode_image_batch(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             try:
                 if payload is None:
                     raise ValueError("null payload")
-                if real is not None and payload[:8] != _MAGIC:
-                    raise NotImplementedError(
-                        "real image decode not wired in this environment"
-                    )
-                w, h, c, luma = _decode_fake(bytes(payload))
+                if payload[:8] != _MAGIC:
+                    if real is None:
+                        raise NotImplementedError(
+                            "real image decode requires Pillow, which this"
+                            " environment does not provide"
+                        )
+                    w, h, c, luma = _decode_real(real, bytes(payload))
+                else:
+                    w, h, c, luma = _decode_fake(bytes(payload))
                 out["width"].append(w); out["height"].append(h)
                 out["n_channels"].append(c); out["mean_luma"].append(luma)
                 out["ok"].append(True); out["error"].append(None)

@@ -15,6 +15,7 @@ rows-only checks exercise the actual ``logfile`` data source.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -104,19 +105,38 @@ def verify_counts(spark: SparkSession, work_dir: str) -> DataFrame:
 
 
 def _fixture_dir() -> str:
-    """Deterministic shared fixture corpus for registry queries."""
+    """Deterministic shared fixture corpus for registry queries.
+
+    Concurrency-safe: the corpus is generated into a process-private
+    temp dir and atomically ``os.rename``d into place, so a parallel
+    test worker or registry query can never observe half-written
+    files.  If another process won the rename race, its (identical,
+    deterministic) corpus is used and ours is discarded.
+    """
     d = os.path.join(
         tempfile.gettempdir(),
         f"hlis_logfixture_s{_FIXTURE_SEED}_f{_FIXTURE_FILES}_{_FIXTURE_SECONDS}",
     )
     marker = os.path.join(d, "_COMPLETE")
-    if not os.path.exists(marker):
-        write_log_corpus(
-            d, n_files=_FIXTURE_FILES, seconds_per_file=_FIXTURE_SECONDS,
-            seed=_FIXTURE_SEED,
-        )
-        with open(marker, "w") as f:
-            f.write("ok")
+    if os.path.exists(marker):
+        return d
+    staging = tempfile.mkdtemp(prefix="hlis_logfixture_staging_")
+    write_log_corpus(
+        staging, n_files=_FIXTURE_FILES, seconds_per_file=_FIXTURE_SECONDS,
+        seed=_FIXTURE_SEED,
+    )
+    with open(os.path.join(staging, "_COMPLETE"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(staging, d)
+    except OSError:
+        if os.path.exists(marker):
+            # lost the race: a complete corpus already sits at d
+            shutil.rmtree(staging, ignore_errors=True)
+        else:
+            # d exists but is incomplete (e.g. a crashed older run):
+            # serve this process from its own private complete copy
+            return staging
     return d
 
 

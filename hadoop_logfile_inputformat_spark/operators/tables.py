@@ -62,27 +62,70 @@ def msum(expr, scale: int = 2):
     return F.round(F.sum(expr), scale).cast("double")
 
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+#: (sf_dir, name, target) → whether the scan needs a fan-out
+#: repartition; computed once from on-disk file sizes (no Spark job,
+#: no per-load RDD conversion).
+_FANOUT_CACHE: dict = {}
+
+
+def _needs_fanout(spark: SparkSession, path: str, target: int) -> bool:
+    key = (path, target)
+    if key not in _FANOUT_CACHE:
+        if os.path.isfile(path):
+            files = [path]
+        else:
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+        total = sum(os.path.getsize(f) for f in files)
+        mpb_raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        mpb = int(str(mpb_raw).rstrip("b"))
+        # the scan parallelism Spark will plan: at least one split per
+        # file, more for multi-split files
+        est_parts = max(len(files), -(-total // mpb))
+        _FANOUT_CACHE[key] = est_parts < max(2, target // 2)
+    return _FANOUT_CACHE[key]
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
         # outright; read it as raw nanos and downcast to a micros
-        # timestamp (Spark's native precision). Session-level conf, set
-        # lazily so it works under any caller-provided SparkSession.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer `div`, not `/`: float division of 1e18-scale nanos
-        # loses precision and lands ±1 µs off the truncation DuckDB
-        # (and any nanos→micros reader) applies.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # timestamp (Spark's native precision).  The legacy conf has no
+        # per-read option, so set it only around the (eager) footer
+        # read and restore the caller's value after — execution plans
+        # capture the conf at read time, so the returned DataFrame
+        # stays valid while the shared session's setting is untouched.
+        prior = spark.conf.get(_NANOS_CONF, None)
+        spark.conf.set(_NANOS_CONF, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prior is None:
+                spark.conf.unset(_NANOS_CONF)
+            else:
+                spark.conf.set(_NANOS_CONF, prior)
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer `div`, not `/`: float division of 1e18-scale nanos
+            # loses precision and lands ±1 µs off the truncation DuckDB
+            # (and any nanos→micros reader) applies.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(path)
     if name in COMPUTE_HEAVY:
         # documents/embeddings feed compute-dense per-row operators
         # (shingling, 32-way hashing, vector math).  A small corpus in
         # one parquet file would otherwise pin that work to ONE task;
-        # fan it out to the cluster.  Guarded so it never adds a
-        # shuffle when the scan is already parallel (the 100 TB case).
+        # fan it out to the cluster.  Guarded (from file sizes, cached)
+        # so it never adds a shuffle when the scan is already parallel
+        # (the 100 TB case).
         target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < max(2, target // 2):
+        if _needs_fanout(spark, path, target):
             df = df.repartition(target)
     if name in ALWAYS_BROADCAST:
         return F.broadcast(df)
