@@ -1,0 +1,383 @@
+"""Remaining TPC-H query shapes (Q2, Q8, Q10, Q11, Q12, Q15, Q16, Q20,
+Q21), completing 22/22 coverage of the canonical join/subquery patterns.
+
+The driver's testdata has no ``partsupp`` table and no
+``l_commitdate/l_receiptdate/l_shipmode`` columns, so each query is
+adapted to the available schema while preserving the *shape* that makes
+it interesting — the min-per-group correlated subquery (Q2), the
+conditional market-share ratio (Q8), the scalar-subquery HAVING (Q11),
+the nested semi-join chain (Q20), the EXISTS/NOT-EXISTS double
+correlation (Q21).  Adaptations follow the same conventions as
+``relational_ext`` (q4/q9/q22 there are adapted the same way).
+
+Cross-engine determinism: sums of money-like doubles go through
+DECIMAL(12,2) (see tables.MONEY), comparisons and tie-breaks never
+depend on float summation order, and every LIMIT is preceded by a total
+order.  Column names match the DuckDB oracles in ``plans.registry``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_logfile_inputformat_spark.operators.tables import load, money, msum
+
+
+def _revenue():
+    """Exact-decimal ``extendedprice * (1 - discount)`` addend."""
+    return money("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - money("l_discount")
+    )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-cost supplier per part (correlated MIN).
+
+    No partsupp: a supplier's cost for a part is proxied as the minimum
+    unit price (``l_extendedprice / l_quantity``) it ever charged —
+    MIN is order-insensitive, so the double is bit-identical in any
+    engine.  The per-part winner is picked with ``min_by`` over a
+    (cost, suppkey) struct: one shuffle on (part, supplier) for the
+    cost aggregate, one on part for the argmin — no window, no global
+    sort.  Dims (filtered part, supplier⋈nation⋈region) broadcast.
+    """
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey", "p_name")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur_supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
+    )
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(eur_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+    )
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    cand = cost.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    ).join(F.broadcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    best = cand.groupBy("p_partkey", "p_name").agg(
+        F.min_by(
+            F.struct("s_name", "supp_nation", "unit_cost"),
+            F.struct("unit_cost", "s_suppkey"),
+        ).alias("b")
+    )
+    return best.select(
+        "p_partkey",
+        "p_name",
+        F.col("b.s_name").alias("s_name"),
+        F.col("b.supp_nation").alias("supp_nation"),
+        F.round("b.unit_cost", 4).alias("unit_cost"),
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share by order year.
+
+    Share of NATION_3 suppliers in STANDARD-part volume sold to ASIA
+    customers.  Numerator and denominator are exact decimal sums of the
+    same addend, divided as doubles at the end — deterministic
+    cross-engine.  nation/region/filtered-part broadcast; the two fact
+    shuffles (l⋈o, o⋈c) are unavoidable.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select(
+        "p_partkey"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = _revenue()
+    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast("decimal(3,2)")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(target).cast("double") / F.sum(vol).cast("double"), 4
+            ).alias("mkt_share"),
+            msum(vol).alias("total_volume"),
+        )
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top 20 customers by returned-item revenue.
+
+    Fact filters (returnflag, one quarter of orders) cut both sides
+    before the key joins; nation broadcasts.  The LIMIT has a total
+    order (revenue DESC, custkey ASC) so top-20 is deterministic.
+    """
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .agg(msum(_revenue()).alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a scalar subquery over the
+    same aggregate.
+
+    No partsupp: a part's "stock value" for NATION_7 is the exact
+    decimal sum of extendedprice over lineitems shipped by that
+    nation's suppliers.  The global total is a 1-row broadcast
+    crossJoin (no driver collect); parts above 0.1% of total survive.
+    The per-part aggregate is computed ONCE and persisted for both the
+    total and the filter — not recomputed per branch.
+    """
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    l = load(spark, sf_dir, "lineitem")
+    nat_lines = l.join(
+        F.broadcast(
+            s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        ),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
+    vals = nat_lines.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(money("l_extendedprice")).alias("value_dec")
+    )
+    vals = vals.persist()
+    total = vals.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.col("total_dec").cast("double") * 0.001
+        )
+        .select(
+            "p_partkey",
+            F.round(F.col("value_dec"), 2).cast("double").alias("value"),
+        )
+    )
+
+
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: CASE-based conditional counts per ship bucket.
+
+    No shipmode/commitdate: lines are bucketed by order→ship delay
+    (fast ≤30d, medium ≤90d, slow otherwise) and counted by order
+    priority class — the same pivot-by-CASE aggregation Q12 does per
+    shipmode.  One fact join (l⋈o), then a 3-row aggregate.
+    """
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay <= 30, "fast").when(delay <= 90, "medium").otherwise("slow")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the max quarterly revenue.
+
+    The revenue view is one aggregate; its max is a 1-row broadcast
+    compared by exact-decimal equality (ties all returned, as in the
+    spec).  No window, no global sort.
+    """
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = l.groupBy(F.col("l_suppkey").alias("sk")).agg(
+        F.sum(_revenue()).alias("rev_dec")
+    )
+    rev = rev.persist()
+    mx = rev.agg(F.max("rev_dec").alias("max_dec"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_dec") == F.col("max_dec"))
+        .join(F.broadcast(s), F.col("sk") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_dec"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part group, with
+    an excluded-supplier anti join.
+
+    "Complaint" suppliers are proxied by negative account balance; the
+    excluded brand mirrors the spec's ``p_brand <> ...``.  The distinct
+    happens on the pruned (brand, type, size, suppkey) projection —
+    map-side partial dedup before one shuffle.
+    """
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#5").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count("*").alias("supplier_cnt"))
+    )
+
+
+def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain into a supplier list.
+
+    Suppliers in NATION_5 who shipped more than a quarter of the total
+    1997 volume of some 'small%' part (the spec's availqty > 0.5·shipped
+    threshold, re-anchored to shipped volume).  Quantities sum as
+    exact decimals so the strict > is deterministic.  Chain: part
+    filter (broadcast semi) → per-(part,supplier) agg → per-part total
+    (broadcast) → threshold filter → DISTINCT suppliers (semi into the
+    nation-filtered supplier dim).
+    """
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    pair_qty = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(money("l_quantity")).alias("qty_dec")
+    )
+    pair_qty = pair_qty.persist()
+    part_total = pair_qty.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty_dec").alias("total_dec")
+    )
+    dominant = (
+        pair_qty.join(F.broadcast(part_total), F.col("l_partkey") == F.col("pk"))
+        .filter(
+            F.col("qty_dec").cast("double")
+            > F.col("total_dec").cast("double") * 0.25
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return s.join(
+        dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT-EXISTS double correlation.
+
+    Suppliers who were the *unique last* shipper on a finished
+    multi-supplier order: EXISTS another supplier on the order
+    (n_supp ≥ 2), NOT EXISTS another supplier shipping at-or-after
+    them (their shipdate is the strict unique max).  Formulated as one
+    per-order aggregate (max shipdate, distinct-supplier count) joined
+    back to the achieving lines — two shuffles on orderkey, no
+    correlated per-row probes.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lf = l.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    per_order = (
+        lf.groupBy("l_orderkey")
+        .agg(
+            F.max("l_shipdate").alias("max_ship"),
+            F.countDistinct("l_suppkey").alias("n_supp"),
+        )
+        .filter(F.col("n_supp") >= 2)
+        .select(F.col("l_orderkey").alias("ok"), "max_ship")
+    )
+    achievers = (
+        lf.join(
+            per_order,
+            (F.col("l_orderkey") == F.col("ok"))
+            & (F.col("l_shipdate") == F.col("max_ship")),
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    unique_last = (
+        achievers.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_ach"), F.min("l_suppkey").alias("sk"))
+        .filter(F.col("n_ach") == 1)
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        unique_last.join(F.broadcast(s), F.col("sk") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )

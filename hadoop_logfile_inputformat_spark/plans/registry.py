@@ -28,6 +28,7 @@ from hadoop_logfile_inputformat_spark.operators import (
     relational_ext,
     similarity,
     text,
+    tpch_rest,
 )
 
 
@@ -113,6 +114,17 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_rfm": relational_ext.q_customer_rfm,
     "event_funnel": relational_ext.q_event_funnel,
     "order_value_distribution": relational_ext.q_order_value_distribution,
+    # --- remaining TPC-H shapes (22/22 coverage; see tpch_rest docstring
+    # for the schema adaptations) ---
+    "q2_min_cost_supplier": tpch_rest.q2_min_cost_supplier,
+    "q8_market_share": tpch_rest.q8_market_share,
+    "q10_returned_items": tpch_rest.q10_returned_items,
+    "q11_important_parts": tpch_rest.q11_important_parts,
+    "q12_shipping_delay": tpch_rest.q12_shipping_delay,
+    "q15_top_supplier": tpch_rest.q15_top_supplier,
+    "q16_supplier_part_counts": tpch_rest.q16_supplier_part_counts,
+    "q20_part_promotion_suppliers": tpch_rest.q20_part_promotion_suppliers,
+    "q21_waiting_suppliers": tpch_rest.q21_waiting_suppliers,
     # --- dedup surface ---
     "dedup_exact": dedup.exact_dedup,
     "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -586,6 +598,175 @@ ORACLES: Dict[str, str] = {
             FROM orders
         )
         SELECT * FROM ranked WHERE pct_rank >= 0.99
+    """,
+    "q2_min_cost_supplier": """
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem GROUP BY 1, 2
+        ),
+        eur AS (
+            SELECT s_suppkey, s_name, n_name AS supp_nation
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        cand AS (
+            SELECT p_partkey, p_name, s_name, supp_nation, unit_cost, s_suppkey
+            FROM cost
+            JOIN part ON l_partkey = p_partkey
+            JOIN eur ON l_suppkey = s_suppkey
+            WHERE p_size <= 15 AND p_type = 'LARGE'
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY p_partkey
+                                         ORDER BY unit_cost ASC, s_suppkey ASC) AS rn
+            FROM cand
+        )
+        SELECT p_partkey, p_name, s_name, supp_nation,
+               round(unit_cost, 4) AS unit_cost
+        FROM ranked WHERE rn = 1
+    """,
+    "q8_market_share": """
+        SELECT year(o_orderdate) AS o_year,
+               round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN dec_rev
+                                   ELSE CAST(0 AS DECIMAL(3,2)) END) AS DOUBLE)
+                     / CAST(sum(dec_rev) AS DOUBLE), 4) AS mkt_share,
+               CAST(round(sum(dec_rev), 2) AS DOUBLE) AS total_volume
+        FROM (
+            SELECT o_orderdate, n2.n_name AS supp_nation,
+                   CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(12,2))) AS dec_rev
+            FROM lineitem
+            JOIN part      ON l_partkey = p_partkey AND p_type = 'STANDARD'
+            JOIN orders    ON l_orderkey = o_orderkey
+            JOIN customer  ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region    ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+            JOIN supplier  ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        )
+        GROUP BY o_year
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, n_name AS nation,
+               round(c_acctbal, 2) AS acctbal,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2)
+                    AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-10-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "q11_important_parts": """
+        WITH vals AS (
+            SELECT l_partkey AS p_partkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS value_dec
+            FROM lineitem
+            WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                                JOIN nation ON s_nationkey = n_nationkey
+                                WHERE n_name = 'NATION_7')
+            GROUP BY 1
+        )
+        SELECT p_partkey, CAST(round(value_dec, 2) AS DOUBLE) AS value
+        FROM vals
+        WHERE CAST(value_dec AS DOUBLE)
+              > (SELECT CAST(sum(value_dec) AS DOUBLE) FROM vals) * 0.001
+    """,
+    "q12_shipping_delay": """
+        SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                   CAST(l_shipdate AS DATE)) <= 30 THEN 'fast'
+                    WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                   CAST(l_shipdate AS DATE)) <= 90 THEN 'medium'
+                    ELSE 'slow' END AS ship_bucket,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    """,
+    "q15_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS rev_dec
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-04-01'
+            GROUP BY 1
+        )
+        SELECT s_suppkey, s_name,
+               CAST(round(rev_dec, 2) AS DOUBLE) AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+    """,
+    "q16_supplier_part_counts": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#5'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+    """,
+    "q20_part_promotion_suppliers": """
+        WITH pq AS (
+            SELECT l_partkey, l_suppkey,
+                   sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_dec
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE 'small%')
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT l_partkey AS pk, sum(qty_dec) AS total_dec
+                FROM pq GROUP BY 1)
+        SELECT s_suppkey, s_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_5'
+          AND s_suppkey IN (
+              SELECT DISTINCT l_suppkey
+              FROM pq JOIN tot ON l_partkey = pk
+              WHERE CAST(qty_dec AS DOUBLE) > CAST(total_dec AS DOUBLE) * 0.25)
+    """,
+    "q21_waiting_suppliers": """
+        WITH lf AS (
+            SELECT l_orderkey, l_suppkey, l_shipdate
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderstatus = 'F')
+        ),
+        per_order AS (
+            SELECT l_orderkey AS ok, max(l_shipdate) AS max_ship,
+                   count(DISTINCT l_suppkey) AS n_supp
+            FROM lf GROUP BY 1
+        ),
+        ach AS (
+            SELECT DISTINCT lf.l_orderkey, lf.l_suppkey
+            FROM lf JOIN per_order
+              ON lf.l_orderkey = ok AND lf.l_shipdate = max_ship
+            WHERE n_supp >= 2
+        ),
+        uniq AS (
+            SELECT l_orderkey, min(l_suppkey) AS sk
+            FROM ach GROUP BY 1 HAVING count(*) = 1
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM uniq JOIN supplier ON sk = s_suppkey
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 100
     """,
     "dedup_exact": """
         SELECT doc_id,
