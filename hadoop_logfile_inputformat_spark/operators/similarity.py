@@ -19,6 +19,12 @@ TOP_K = 5
 IVF_CENTROID_MODULUS = 25  # 1/25 of vectors act as IVF centroids
 IVF_NPROBE = 3
 
+#: Hard cap on the driver-collected query side of the Arrow top-k.
+#: 100k × 64 float64 ≈ 50 MB — comfortably in driver memory; anything
+#: larger means the caller passed a modulus that makes "queries" the
+#: corpus, which this kernel is not shaped for (use ann_ivf_topk).
+MAX_ARROW_QUERIES = 100_000
+
 
 def _norm(col: str) -> Column:
     return F.sqrt(
@@ -298,8 +304,16 @@ def cosine_topk_arrow(
     qrows = (
         e.filter(F.col("vec_id") % query_modulus == 0)
         .select("vec_id", "embedding")
+        .limit(MAX_ARROW_QUERIES + 1)
         .collect()
     )
+    if len(qrows) > MAX_ARROW_QUERIES:
+        raise ValueError(
+            f"cosine_topk_arrow: query side exceeds {MAX_ARROW_QUERIES} rows "
+            f"(query_modulus={query_modulus}); the collected-and-broadcast "
+            "query matrix would not fit on the driver — raise the modulus "
+            "or use ann_ivf_topk for corpus-vs-corpus search"
+        )
     if not qrows:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, sim double, rank long"

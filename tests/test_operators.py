@@ -216,6 +216,14 @@ def test_cosine_arrow_twin_equals_catalyst(spark):
     assert a == b and a
 
 
+def test_cosine_arrow_query_side_capped(spark, monkeypatch):
+    """A modulus that turns the 'query' side into the corpus must fail
+    fast instead of collecting it onto the driver."""
+    monkeypatch.setattr(similarity, "MAX_ARROW_QUERIES", 2)
+    with pytest.raises(ValueError, match="query side exceeds"):
+        similarity.cosine_topk_arrow(spark, SF, query_modulus=1)
+
+
 def test_salted_join_equals_plain_join(spark):
     """Salting must not change join semantics — only shuffle layout."""
     from hadoop_logfile_inputformat_spark.operators.skew import salted_join
