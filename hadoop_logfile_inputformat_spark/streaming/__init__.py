@@ -3,7 +3,10 @@ from hadoop_logfile_inputformat_spark.streaming.logfile_stream import (  # noqa:
     register_logfile_stream_source,
 )
 from hadoop_logfile_inputformat_spark.streaming.pipelines import (  # noqa: F401
+    dedup_stream,
+    enrich_stream_with_dim,
     events_hourly_stream,
+    purchases_joined_to_clicks_stream,
     sessionize_stream,
 )
 from hadoop_logfile_inputformat_spark.streaming.stateful import (  # noqa: F401

@@ -8,7 +8,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from hadoop_logfile_inputformat_spark.streaming import (
+    dedup_stream,
+    enrich_stream_with_dim,
     events_hourly_stream,
+    purchases_joined_to_clicks_stream,
     register_logfile_stream_source,
     sessionize_stream,
     sessionize_with_state,
@@ -161,6 +164,97 @@ def test_sessionize_stream_gap_semantics(spark, tmp_path):
         sess = [r for r in spark.table("sess_t").collect() if r.user_id == 1]
         assert len(sess) == 2
         assert sorted(r.n_events for r in sess) == [1, 2]
+    finally:
+        q.stop()
+
+
+def test_dedup_stream_drops_within_watermark_duplicates(spark, tmp_path):
+    """Duplicate rows arriving inside the watermark horizon collapse to
+    one; distinct rows all survive."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (base, 1, "click", 1.0),
+        (base + dt.timedelta(minutes=1), 1, "click", 1.0),  # dup (same key)
+        (base + dt.timedelta(minutes=2), 1, "click", 2.0),  # distinct value
+        (base + dt.timedelta(minutes=3), 2, "view", 5.0),
+    ]
+    out = dedup_stream(_event_stream(spark, tmp_path, rows))
+    q = (
+        out.writeStream.format("memory").queryName("dedup_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dd"))
+        .start()
+    )
+    try:
+        _await_rows(spark, q, "dedup_t", 3)
+        got = {(r.user_id, r.event_type, r.value)
+               for r in spark.table("dedup_t").collect()}
+        assert got == {(1, "click", 1.0), (1, "click", 2.0), (2, "view", 5.0)}
+        assert spark.table("dedup_t").count() == 3
+    finally:
+        q.stop()
+
+
+def test_stream_stream_interval_join_matches_within_horizon(spark, tmp_path):
+    """Purchases join clicks of the same user within the 1 h horizon;
+    older clicks and other users don't match."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (base, 1, "click", 1.0),                             # in horizon
+        (base - dt.timedelta(hours=3), 1, "click", 9.0),     # too old
+        (base + dt.timedelta(minutes=30), 1, "purchase", 0.0),
+        (base, 2, "click", 7.0),                             # other user
+        (base + dt.timedelta(minutes=10), 3, "purchase", 0.0),  # no click
+    ]
+    out = purchases_joined_to_clicks_stream(_event_stream(spark, tmp_path, rows))
+    q = (
+        out.writeStream.format("memory").queryName("ssj_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ssj"))
+        .start()
+    )
+    try:
+        _await_rows(spark, q, "ssj_t", 1)
+        got = [(r.user_id, r.click_value) for r in spark.table("ssj_t").collect()]
+        assert got == [(1, 1.0)]
+    finally:
+        q.stop()
+
+
+def test_stream_static_enrichment_broadcasts(spark, tmp_path):
+    """Stream-static join attaches dim attributes without shuffling the
+    stream side (broadcast asserted on the physical plan)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [(base, 1, "click", 1.0), (base, 2, "view", 2.0)]
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    out = enrich_stream_with_dim(_event_stream(spark, tmp_path, rows), dim)
+    q = (
+        out.writeStream.format("memory").queryName("enrich_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_en"))
+        .start()
+    )
+    try:
+        _await_rows(spark, q, "enrich_t", 2)
+        got = {(r.user_id, r.tier) for r in spark.table("enrich_t").collect()}
+        assert got == {(1, "gold"), (2, "silver")}
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            q.explain()
+        assert "BroadcastHashJoin" in buf.getvalue(), (
+            "stream-static enrichment must broadcast the dim side"
+        )
     finally:
         q.stop()
 
