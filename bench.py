@@ -71,6 +71,12 @@ EXTRA = [
     "customer_rfm",
     "order_value_distribution",
     "acctbal_deciles",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_shipping_delay",
+    "q16_supplier_part_counts",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -301,19 +301,23 @@ def cosine_topk_arrow(
     from hadoop_logfile_inputformat_spark.operators.tables import load
 
     e = load(spark, sf_dir, "embeddings")
-    qrows = (
-        e.filter(F.col("vec_id") % query_modulus == 0)
-        .select("vec_id", "embedding")
-        .limit(MAX_ARROW_QUERIES + 1)
-        .collect()
+    qside = e.filter(F.col("vec_id") % query_modulus == 0).select(
+        "vec_id", "embedding"
     )
-    if len(qrows) > MAX_ARROW_QUERIES:
+    # Guard BEFORE collecting: a count on the pruned scan is one cheap
+    # fully-parallel job (a limit+collect here would fall into
+    # CollectLimit's sequential partition scale-up and serialize the
+    # scan — measured 13x slower at sf0.1).
+    n_queries = qside.count()
+    if n_queries > MAX_ARROW_QUERIES:
         raise ValueError(
-            f"cosine_topk_arrow: query side exceeds {MAX_ARROW_QUERIES} rows "
-            f"(query_modulus={query_modulus}); the collected-and-broadcast "
-            "query matrix would not fit on the driver — raise the modulus "
-            "or use ann_ivf_topk for corpus-vs-corpus search"
+            f"cosine_topk_arrow: query side has {n_queries} rows "
+            f"(> {MAX_ARROW_QUERIES}, query_modulus={query_modulus}); the "
+            "collected-and-broadcast query matrix would not fit on the "
+            "driver — raise the modulus or use ann_ivf_topk for "
+            "corpus-vs-corpus search"
         )
+    qrows = qside.collect()
     if not qrows:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, sim double, rank long"

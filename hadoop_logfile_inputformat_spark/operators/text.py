@@ -143,6 +143,132 @@ def document_fingerprints(
     )
 
 
+#: Chunking defaults: 16-token windows advancing by 12 (4-token overlap)
+#: — the context-window-packing shape, scaled to this corpus's ~30-token
+#: documents so every doc yields 2-3 chunks.
+CHUNK_TOKENS = 16
+CHUNK_OVERLAP = 4
+
+#: PII patterns shared by the Spark operator and the DuckDB oracle.
+#: Kept to syntax that means the same thing in Java regex and RE2
+#: (no lookaround, no backrefs): ASCII classes + \b word boundaries.
+PII_PATTERNS = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IP", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("PHONE", r"\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b"),
+)
+
+
+def chunk_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token chunks — the
+    context-window packing step of a training pipeline.
+
+    Chunk starts advance by ``chunk_tokens - overlap``; each chunk is
+    ``slice(tokens, start, chunk_tokens)`` rejoined with spaces.  All
+    higher-order array expressions, per-document (no shuffle): the
+    100 TB shape is scan → explode → write, embarrassingly parallel.
+    A start is emitted iff it introduces ≥1 new token (start ≤ n), so
+    short documents produce exactly one chunk.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    d = load(spark, sf_dir, "documents")
+    toks = _ws_tokens(F.col("text"))
+    starts = F.expr(f"sequence(1, size(toks), {step})")
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / step).cast("long").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("s"), chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens), F.size("toks") - F.col("s") + 1
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def redact_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``clean_text`` / ``n_redactions`` to any DataFrame with a
+    text column (see :func:`redact_pii`)."""
+    clean = F.col(text_col)
+    n_red = F.lit(0).cast("long")
+    for token, pat in PII_PATTERNS:
+        # counts are defined on the ORIGINAL text (replacement order
+        # cannot create or hide matches in the reported count)
+        n_red = n_red + F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        ).cast("long")
+        clean = F.regexp_replace(clean, pat, f"<{token}>")
+    return df.withColumns(
+        {"clean_text": clean, "n_redactions": n_red}
+    )
+
+
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails / IPv4s / phone-shaped numbers with typed
+    placeholders, reporting the per-document redaction count.
+
+    Pure ``regexp_replace`` / ``regexp_extract_all`` column
+    expressions — JVM-side, shuffle-free, linear in corpus bytes.  The
+    synthetic corpus contains no PII (asserted by its oracle matching
+    the identity), so the semantics are proven on constructed rows in
+    ``tests/test_operators.py``.
+    """
+    d = load(spark, sf_dir, "documents")
+    return redact_text(d).select("doc_id", "clean_text", "n_redactions")
+
+
+def vocab_document_frequency(
+    spark: SparkSession, sf_dir: str, k: int = 100
+) -> DataFrame:
+    """Corpus vocabulary: per-token term frequency, document frequency,
+    and smoothed IDF, top-k by document frequency.
+
+    Per-doc distinct tokens explode once (df) alongside raw counts
+    (tf) in the same pass — ONE shuffle on the token key with map-side
+    partial aggregation, then a global top-k.  This is the table that
+    feeds stop-shingle caps (dedup.max_shingle_df) and quality
+    lexicons at scale.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = _ws_tokens(F.lower(F.trim(F.col("text"))))
+    totals = d.agg(F.count("*").alias("n_docs"))  # 1-row broadcast, no collect
+    per_tok = (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("tf"))
+    )
+    per_doc = (
+        d.select("doc_id", F.explode(F.array_distinct(toks)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    return (
+        per_tok.join(per_doc, "token")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("idf"),
+        )
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(k)
+    )
+
+
 def top_bigrams(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     """Corpus-level n-gram frequency: top-k word bigrams.
 

@@ -60,6 +60,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": text.token_counts,
     "doc_fingerprints": text.document_fingerprints,
     "top_bigrams": text.top_bigrams,
+    "chunk_documents": text.chunk_documents,
+    "redact_pii": text.redact_pii,
+    "vocab_document_frequency": text.vocab_document_frequency,
     # --- logfile-source surface (reference parity; custom data source,
     # not SQL-expressible → rows-only checks, full tests in tests/) ---
     "logfile_count_by_level": logparity.logfile_count_by_level,
@@ -925,6 +928,58 @@ ORACLES: Dict[str, str] = {
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_regex_tokens,
                CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_llm_tokens
         FROM documents
+    """,
+    "chunk_documents": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        starts AS (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, len(t),
+                          {text.CHUNK_TOKENS - text.CHUNK_OVERLAP})) AS s
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST((s - 1) / {text.CHUNK_TOKENS - text.CHUNK_OVERLAP} AS BIGINT)
+                   AS chunk_id,
+               array_to_string(t[s : s + {text.CHUNK_TOKENS} - 1], ' ')
+                   AS chunk_text,
+               least({text.CHUNK_TOKENS}, len(t) - s + 1) AS n_tokens
+        FROM starts
+    """,
+    "redact_pii": f"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{text.PII_PATTERNS[0][1]}', '<EMAIL>', 'g'),
+                   '{text.PII_PATTERNS[1][1]}', '<IP>', 'g'),
+                   '{text.PII_PATTERNS[2][1]}', '<PHONE>', 'g') AS clean_text,
+               len(regexp_extract_all(text, '{text.PII_PATTERNS[0][1]}'))
+               + len(regexp_extract_all(text, '{text.PII_PATTERNS[1][1]}'))
+               + len(regexp_extract_all(text, '{text.PII_PATTERNS[2][1]}'))
+                   AS n_redactions
+        FROM documents
+    """,
+    "vocab_document_frequency": """
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        tf AS (
+            SELECT unnest(t) AS token FROM toks
+        ),
+        tfc AS (SELECT token, count(*) AS tf FROM tf GROUP BY token),
+        dfc AS (
+            SELECT token, count(*) AS df FROM (
+                SELECT doc_id, unnest(list_distinct(t)) AS token FROM toks
+            ) GROUP BY token
+        )
+        SELECT tfc.token AS token, tf, df,
+               round(ln(((SELECT count(*) FROM documents) + 1.0)
+                        / (df + 1.0)), 6) AS idf
+        FROM tfc JOIN dfc ON tfc.token = dfc.token
+        ORDER BY df DESC, token ASC
+        LIMIT 100
     """,
     "top_bigrams": """
         WITH toks AS (

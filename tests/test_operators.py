@@ -220,8 +220,59 @@ def test_cosine_arrow_query_side_capped(spark, monkeypatch):
     """A modulus that turns the 'query' side into the corpus must fail
     fast instead of collecting it onto the driver."""
     monkeypatch.setattr(similarity, "MAX_ARROW_QUERIES", 2)
-    with pytest.raises(ValueError, match="query side exceeds"):
+    with pytest.raises(ValueError, match="query side has"):
         similarity.cosine_topk_arrow(spark, SF, query_modulus=1)
+
+
+def test_redact_text_semantics_on_constructed_pii(spark):
+    """The synthetic corpus has no PII, so the oracle only proves the
+    no-op path; real semantics are asserted here on constructed rows."""
+    from hadoop_logfile_inputformat_spark.operators.text import redact_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com and 10.0.0.1 plus 555-123-4567 end"),
+            (2, "no pii here"),
+            (3, "two mails a@b.io c@d.org"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.clean_text, r.n_redactions)
+           for r in redact_text(df).collect()}
+    assert got[1] == ("mail <EMAIL> and <IP> plus <PHONE> end", 3)
+    assert got[2] == ("no pii here", 0)
+    assert got[3] == ("two mails <EMAIL> <EMAIL>", 2)
+
+
+def test_chunk_documents_matches_definition_and_covers(spark):
+    """Every chunk equals tokens[start : start+CHUNK_TOKENS] for
+    start = chunk_id*step; chunk ids are dense; the chunks cover the
+    whole token stream (no token lost, overlap exactly as configured)."""
+    from hadoop_logfile_inputformat_spark.operators.text import (
+        CHUNK_OVERLAP,
+        CHUNK_TOKENS,
+        chunk_documents,
+    )
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    step = CHUNK_TOKENS - CHUNK_OVERLAP
+    by_doc: dict = {}
+    for r in chunk_documents(spark, SF).collect():
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r
+    docs = {r.doc_id: r.text for r in load(spark, SF, "documents").collect()}
+    assert set(by_doc) == set(docs)
+    for doc_id, parts in by_doc.items():
+        toks = docs[doc_id].split()
+        assert sorted(parts) == list(range(len(parts))), "chunk ids not dense"
+        last_covered = 0
+        for i in range(len(parts)):
+            c = parts[i]
+            start = i * step
+            expected = toks[start : start + CHUNK_TOKENS]
+            assert c.chunk_text.split() == expected, f"doc {doc_id} chunk {i}"
+            assert c.n_tokens == len(expected) <= CHUNK_TOKENS
+            last_covered = start + len(expected)
+        assert last_covered == len(toks), f"doc {doc_id} tail not covered"
 
 
 def test_salted_join_equals_plain_join(spark):
