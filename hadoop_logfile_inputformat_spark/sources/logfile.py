@@ -660,5 +660,15 @@ class LogfileDataSource(DataSource):
 
 
 def register_logfile_source(spark) -> None:
-    """Register the ``logfile`` format on a SparkSession (idempotent)."""
+    """Register the ``logfile`` format on a SparkSession (idempotent).
+
+    Also enables ``spark.sql.python.filterPushdown.enabled``: Spark 4.1
+    refuses to even initialize a Python DataSource reader that implements
+    ``pushFilters`` unless this conf is set, failing every read with
+    ``[DATA_SOURCE_PUSHDOWN_DISABLED]``. The conf is runtime-settable, so
+    flipping it here makes the source work on any vanilla session —
+    mirroring the reference's "works with just a Configuration" contract
+    (README.md:59-64).
+    """
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(LogfileDataSource)

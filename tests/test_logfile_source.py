@@ -220,3 +220,52 @@ def test_invalid_utf8_bytes_replaced_not_fatal(spark, tmp_path):
         assert rows[1][0] == raw.index(b"2024-01-02")
         assert "�" in rows[1][1]  # replacement char, not a crash
         assert rows[2][1] == "2024-01-03 tail"
+
+
+def test_vanilla_session_can_read(tmp_path):
+    """Regression for round 2's only driver defect: a SparkSession built
+    WITHOUT any of session.py's confs must still read through the source.
+
+    Spark 4.1 fails reader init with [DATA_SOURCE_PUSHDOWN_DISABLED] when
+    ``pushFilters`` is implemented but ``spark.sql.python.filterPushdown.
+    enabled`` is unset; register_logfile_source() must flip it at runtime.
+    Mirrors the reference's "works with just a Configuration" contract
+    (README.md:59-64). Runs in a subprocess so the parent test JVM's
+    configuration cannot leak in.
+    """
+    import subprocess
+    import sys
+    import os
+
+    p = tmp_path / "vanilla.log"
+    p.write_text(
+        "2024-01-01 00:00:00,000 | INFO | c | hi\n"
+        "\tcontinuation\n"
+        "2024-01-01 00:00:01,000 | WARN | c | bye\n"
+    )
+    script = f"""
+from pyspark.sql import SparkSession
+from hadoop_logfile_inputformat_spark.sources.logfile import register_logfile_source
+
+spark = SparkSession.builder.master("local[2]").appName("vanilla").getOrCreate()
+register_logfile_source(spark)
+df = (spark.read.format("logfile")
+      .option("pattern", {FORMAT_A!r})
+      .load({str(p)!r}))
+n = df.count()
+assert n == 2, n
+print("VANILLA_OK")
+spark.stop()
+"""
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+    res = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    assert res.returncode == 0, res.stderr[-4000:]
+    assert "VANILLA_OK" in res.stdout
