@@ -1,10 +1,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-    {"metric": "...", "value": <steady total sec>, "unit": "sec",
-     "queries": {"q1": sec, ...}, "queries_cold": {...},
-     "cold_total": sec, "extra_queries": {...},
-     "extra_queries_cold": {...}, "sf": <float>}
+Prints per-query ``{"detail": ...}`` JSON lines first (cold + steady
+maps for headline and extra sets), then the headline metric as the
+LAST line — kept short enough to survive the driver's stdout-tail
+truncation:
+    {"metric": "headline_queries_total_wall", "value": <steady total>,
+     "unit": "sec", "queries": {name: sec, ...}, "cold_total": sec,
+     "extra_total": sec, "n_queries": N, "n_extra": N, "sf": <float>}
 
 Each query is timed over a full materialization (collect) so the
 measurement includes scan → shuffle → result, not just plan time.
@@ -27,7 +29,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from hadoop_logfile_inputformat_spark.plans.registry import QUERIES
+from hadoop_logfile_inputformat_spark.plans.registry import MEMBER_QUERIES, QUERIES
 from hadoop_logfile_inputformat_spark.session import get_spark
 
 #: Headline set: every operator family, weighted toward the shapes that
@@ -83,7 +85,10 @@ EXTRA = [
 def _time_query(spark, sf_dir, name):
     """(cold_sec, steady_sec, rows): first materialization, then min of
     two warm runs — single-shot numbers on a shared box swing ±30%."""
-    fn = QUERIES[name]
+    # Pack members stay individually timed for round-over-round
+    # comparability even though the correctness registry folds them
+    # under pack keys.
+    fn = QUERIES.get(name) or MEMBER_QUERIES[name]
     t0 = time.monotonic()
     n = len(fn(spark, sf_dir).collect())
     cold = time.monotonic() - t0
@@ -125,6 +130,11 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    # Per-query detail first, compact headline LAST: the driver keeps
+    # only the tail of stdout, so the parseable summary line must come
+    # at the very end and stay short (totals only).
+    print(json.dumps({"detail": "queries", "steady": timings, "cold": cold_timings}))
+    print(json.dumps({"detail": "extra_queries", "steady": extra, "cold": extra_cold}))
     print(
         json.dumps(
             {
@@ -132,14 +142,17 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_cold": cold_timings,
                 "cold_total": round(sum(cold_timings.values()), 3),
-                "extra_queries": extra,
-                "extra_queries_cold": extra_cold,
+                "extra_total": round(sum(extra.values()), 3),
+                "n_queries": len(timings),
+                "n_extra": len(extra),
                 "sf": sf,
             }
         )
     )
+    from hadoop_logfile_inputformat_spark.operators.tables import clear_query_caches
+
+    clear_query_caches()
     spark.stop()
 
 

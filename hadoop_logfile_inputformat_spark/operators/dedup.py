@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hadoop_logfile_inputformat_spark.operators.tables import load
+from hadoop_logfile_inputformat_spark.operators.tables import load, scoped_persist
 
 SHINGLE_WORDS = 3
 N_PERMUTATIONS = 32
@@ -162,11 +162,13 @@ def minhash_lsh_pairs(
     # re-scanning and re-shingling the corpus three times (measured
     # 3x end-to-end at sf0.1).  MEMORY_AND_DISK: at full scale the sets
     # spill rather than evict, which still beats recompute.  Lifetime:
-    # the cache lives until LRU eviction or session end (the result is
-    # lazy, so it cannot be unpersisted here); batch pipelines that
-    # call this repeatedly should stage shingle sets to parquet instead
+    # the cache lives until the NEXT invocation replaces it (scoped
+    # persist) or session end; batch pipelines that call this
+    # repeatedly should stage shingle sets to parquet instead
     # (SCALING.md).
-    sets = _shingle_sets(load(spark, sf_dir, "documents")).persist()
+    sets = scoped_persist(
+        _shingle_sets(load(spark, sf_dir, "documents")), ("minhash_sets", sf_dir)
+    )
     sigs = _signatures_from_sets(sets)
     band_cols = F.array(
         *[
@@ -337,6 +339,10 @@ def near_dup_groups(
             f"near_dup_groups did not converge in {max_iter} rounds "
             "(cluster diameter exceeds max_iter); raise max_iter"
         )
+    # the converged labels stay cached for the (lazy) result; register
+    # them scoped so the NEXT invocation frees this one (re-persist on
+    # an already-persisted frame is a no-op)
+    labels = scoped_persist(labels, ("cc_labels", sf_dir))
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("group_id")
     )

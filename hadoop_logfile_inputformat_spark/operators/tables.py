@@ -62,12 +62,73 @@ def msum(expr, scale: int = 2):
     return F.round(F.sum(expr), scale).cast("double")
 
 
+#: (query_key) → the last DataFrame persisted for that query.  Queries
+#: that legitimately need a mid-plan ``persist`` (a small aggregate
+#: consumed by both a scalar-threshold branch and the result branch,
+#: where exchange reuse does not fire) register here so a long-lived
+#: session holds at most ONE cached frame per query instead of
+#: accumulating entries until memory pressure evicts them.
+_QUERY_CACHE: dict = {}
+
+
+def scoped_persist(df: DataFrame, key) -> DataFrame:
+    """Persist ``df``, releasing whatever was previously cached under
+    ``key`` (same query, earlier invocation or different sf_dir)."""
+    prev = _QUERY_CACHE.get(key)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # session of the old frame may already be stopped
+    _QUERY_CACHE[key] = df
+    return df.persist()
+
+
+def clear_query_caches() -> None:
+    """Release every scoped-persist entry (bench/service shutdown)."""
+    for df in _QUERY_CACHE.values():
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
+    _QUERY_CACHE.clear()
+
+
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 #: (sf_dir, name, target) → whether the scan needs a fan-out
 #: repartition; computed once from on-disk file sizes (no Spark job,
 #: no per-load RDD conversion).
 _FANOUT_CACHE: dict = {}
+
+
+#: Spark byte-size suffixes (SparkConf's JavaUtils.byteStringAs): bare
+#: numbers are bytes, and k/m/g/t/p accept an optional trailing 'b'.
+_BYTE_SUFFIXES = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
+def _parse_bytes(raw, default: int = 128 * 1024 * 1024) -> int:
+    """Parse a Spark byte-size conf value ('128m', '1g', '134217728b').
+
+    Unit-suffixed settings are valid session confs; falling back to the
+    128 MiB Spark default on anything unparseable beats crashing the
+    load path over a conf string.
+    """
+    s = str(raw).strip().lower()
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    num, suffix = s[:i], s[i:].strip()
+    if not num or suffix not in _BYTE_SUFFIXES:
+        return default
+    return int(num) * _BYTE_SUFFIXES[suffix]
 
 
 def _needs_fanout(spark: SparkSession, path: str, target: int) -> bool:
@@ -83,7 +144,7 @@ def _needs_fanout(spark: SparkSession, path: str, target: int) -> bool:
             ]
         total = sum(os.path.getsize(f) for f in files)
         mpb_raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-        mpb = int(str(mpb_raw).rstrip("b"))
+        mpb = _parse_bytes(mpb_raw)
         # the scan parallelism Spark will plan: at least one split per
         # file, more for multi-split files
         est_parts = max(len(files), -(-total // mpb))

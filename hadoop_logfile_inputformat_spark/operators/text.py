@@ -178,9 +178,15 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     step = chunk_tokens - overlap
-    d = load(spark, sf_dir, "documents")
+    # null text yields no chunks (matches the SQL oracle, where
+    # generate_series over NULL emits nothing); with non-null text the
+    # whitespace split always has ≥1 element, and greatest(size, 1)
+    # guards the remaining degenerate case — size()=-1 under
+    # spark.sql.legacy.sizeOfNull — from throwing Spark's 'Illegal
+    # sequence boundaries' instead of chunking.
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = _ws_tokens(F.col("text"))
-    starts = F.expr(f"sequence(1, size(toks), {step})")
+    starts = F.expr(f"sequence(1, greatest(size(toks), 1), {step})")
     return (
         d.select("doc_id", toks.alias("toks"))
         .select("doc_id", "toks", F.explode(starts).alias("s"))

@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_logfile_inputformat_spark.operators.tables import load, money, msum
+from hadoop_logfile_inputformat_spark.operators.tables import (
+    load,
+    money,
+    msum,
+    scoped_persist,
+)
 
 
 def _revenue():
@@ -186,7 +191,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = nat_lines.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
         F.sum(money("l_extendedprice")).alias("value_dec")
     )
-    vals = vals.persist()
+    vals = scoped_persist(vals, ("q11_vals", sf_dir))
     total = vals.agg(F.sum("value_dec").alias("total_dec"))
     return (
         vals.crossJoin(F.broadcast(total))
@@ -243,7 +248,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = l.groupBy(F.col("l_suppkey").alias("sk")).agg(
         F.sum(_revenue()).alias("rev_dec")
     )
-    rev = rev.persist()
+    rev = scoped_persist(rev, ("q15_rev", sf_dir))
     mx = rev.agg(F.max("rev_dec").alias("max_dec"))
     return (
         rev.crossJoin(F.broadcast(mx))
@@ -314,7 +319,7 @@ def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_qty = l.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(money("l_quantity")).alias("qty_dec")
     )
-    pair_qty = pair_qty.persist()
+    pair_qty = scoped_persist(pair_qty, ("q20_pair_qty", sf_dir))
     part_total = pair_qty.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum("qty_dec").alias("total_dec")
     )

@@ -41,107 +41,14 @@ def _media_features_query(spark, sf_dir):
 
     return extract_media_features(attach_fake_media(load(spark, sf_dir, "documents")))
 
-QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # Ordering note: the driver's correctness gate consumes the registry
-    # in insertion order under a budget; surfaces whose checks are
-    # cheapest and were not yet covered in round 1 (similarity, text,
-    # logfile-source, multimodal) come FIRST, the expensive recursive-CTE
-    # dedup oracles come LAST so a budget cut can only ever truncate
-    # already-green territory.
-    # --- similarity surface ---
-    "ann_cosine_topk": similarity.cosine_topk,
-    "ann_cosine_topk_arrow": similarity.cosine_topk_arrow,
-    "ann_ivf_topk": similarity.ann_ivf_topk,
-    "embedding_near_dup": similarity.embedding_near_dup_pairs,
-    "embedding_near_dup_scale": similarity.embedding_near_dup_scale,
-    # --- text-analysis surface ---
-    "text_quality": text.text_quality,
-    "language_id": text.language_id,
-    "token_counts": text.token_counts,
-    "doc_fingerprints": text.document_fingerprints,
-    "top_bigrams": text.top_bigrams,
-    "chunk_documents": text.chunk_documents,
-    "redact_pii": text.redact_pii,
-    "vocab_document_frequency": text.vocab_document_frequency,
-    # --- logfile-source surface (reference parity; custom data source,
-    # not SQL-expressible → rows-only checks, full tests in tests/) ---
-    "logfile_count_by_level": logparity.logfile_count_by_level,
-    "logfile_gzip_equivalence": logparity.logfile_gzip_equivalence,
-    "logfile_stack_hotspots": logparity.logfile_stack_hotspots,
-    "logfile_sample": logparity.logfile_sample,
-    # --- multimodal surface (mapInPandas binary plumbing) ---
-    "media_features": _media_features_query,
-    # --- relational surface (SURVEY.md §2.3-2.6 coverage) ---
-    "q1_pricing_summary": relational.q1_pricing_summary,
-    "q3_shipping_priority": relational.q3_shipping_priority,
-    "q5_local_supplier_volume": relational.q5_local_supplier_volume,
-    "top_orders_per_customer": relational.q_top_orders_per_customer,
-    "rollup_order_counts": relational.q_rollup_order_counts,
-    "distinct_custs_per_status": relational.q_distinct_custs_per_status,
-    "events_hourly": relational.q_events_hourly,
-    "events_sessionize": relational.q_events_sessionize,
-    "customers_without_orders": relational.q_customers_without_orders,
-    "suppliers_with_shipments": relational.q_suppliers_with_shipments,
-    "priority_customer_union": relational.q_priority_customer_union,
-    "running_monthly_revenue": relational.q_running_monthly_revenue,
-    "part_brand_revenue": relational.q_part_brand_revenue,
-    "events_json_extract": relational.q_events_json_extract,
-    "order_value_median": relational.q_order_value_median,
-    # --- extended relational surface (TPC-H adaptations + operator
-    # classes absent from the reference: see relational_ext docstring) ---
-    "q6_forecast_revenue": relational_ext.q6_forecast_revenue,
-    "q4_order_priority": relational_ext.q4_order_priority,
-    "q7_nation_trade": relational_ext.q7_nation_trade,
-    "q9_profit_by_nation_year": relational_ext.q9_profit_by_nation_year,
-    "q13_customer_order_distribution": relational_ext.q13_customer_order_distribution,
-    "q14_promo_revenue": relational_ext.q14_promo_revenue,
-    "q17_small_quantity_revenue": relational_ext.q17_small_quantity_revenue,
-    "q18_large_volume_customers": relational_ext.q18_large_volume_customers,
-    "q19_disjunctive_revenue": relational_ext.q19_disjunctive_revenue,
-    "q22_idle_rich_customers": relational_ext.q22_idle_rich_customers,
-    "asof_purchase_last_click": relational_ext.asof_purchase_last_click,
-    "price_band_counts": relational_ext.q_price_band_counts,
-    "pivot_status_priority": relational_ext.q_pivot_status_priority,
-    "cube_returnflag_status": relational_ext.q_cube_returnflag_status,
-    "acctbal_deciles": relational_ext.q_acctbal_deciles,
-    "weekly_moving_revenue": relational_ext.q_weekly_moving_revenue,
-    "global_topk_orders": relational_ext.q_global_topk_orders,
-    "building_bigspender_not_rich": relational_ext.q_building_bigspender_not_rich,
-    "stats_by_returnflag": relational_ext.q_stats_by_returnflag,
-    "approx_sketches": relational_ext.q_approx_sketches,
-    "nation_wealth_full_outer": relational_ext.q_nation_wealth_full_outer,
-    "grouping_sets_revenue": relational_ext.q_grouping_sets_revenue,
-    "monthly_revenue_mom": relational_ext.q_monthly_revenue_mom,
-    "daily_revenue_gapfill": relational_ext.q_daily_revenue_gapfill,
-    "event_value_outliers": relational_ext.q_event_value_outliers,
-    "customer_rfm": relational_ext.q_customer_rfm,
-    "event_funnel": relational_ext.q_event_funnel,
-    "order_value_distribution": relational_ext.q_order_value_distribution,
-    # --- remaining TPC-H shapes (22/22 coverage; see tpch_rest docstring
-    # for the schema adaptations) ---
-    "q2_min_cost_supplier": tpch_rest.q2_min_cost_supplier,
-    "q8_market_share": tpch_rest.q8_market_share,
-    "q10_returned_items": tpch_rest.q10_returned_items,
-    "q11_important_parts": tpch_rest.q11_important_parts,
-    "q12_shipping_delay": tpch_rest.q12_shipping_delay,
-    "q15_top_supplier": tpch_rest.q15_top_supplier,
-    "q16_supplier_part_counts": tpch_rest.q16_supplier_part_counts,
-    "q20_part_promotion_suppliers": tpch_rest.q20_part_promotion_suppliers,
-    "q21_waiting_suppliers": tpch_rest.q21_waiting_suppliers,
-    # --- dedup surface ---
-    "dedup_exact": dedup.exact_dedup,
-    "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
-    "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
-    "dedup_simhash": dedup.simhash_pairs,
-    "dedup_groups": dedup.near_dup_groups,
-    "curate_documents": dedup.curate_documents,
-    "curate_documents_scale": dedup.curate_documents_scale,
-}
-
-
-def query_names() -> list:
-    return list(QUERIES)
-
+# ``QUERIES`` / ``ORACLES`` (the 50-key registry the driver consumes)
+# are assembled at the END of this module from:
+#   - the per-surface builders imported above,
+#   - ``_SQL`` (member-level oracle SQL, one entry per query shape),
+#   - ``_PACKS`` (correctness packs folding schema-aligned relational
+#     members under one key — see operators/packs.py).
+# The driver's gate records at most 50 rows per round; 50 keys means
+# EVERY key gets a row EVERY round, so insertion order stops mattering.
 
 _STOPWORDS_SQL = ", ".join(f"'{w}'" for w in text.STOPWORDS_EN)
 
@@ -159,7 +66,7 @@ sh AS (
 )
 """
 
-ORACLES: Dict[str, str] = {
+_SQL: Dict[str, str] = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)                                        AS sum_qty,
@@ -1008,15 +915,15 @@ _best = "greatest(" + ", ".join(f"s_{lg}" for lg in _langs) + ")"
 _pred = "CASE WHEN " + _best + " <= 0 THEN 'und' " + " ".join(
     f"WHEN s_{lg} = {_best} THEN '{lg}'" for lg in _langs
 ) + " END"
-ORACLES["ann_cosine_topk_arrow"] = ORACLES["ann_cosine_topk"]
+_SQL["ann_cosine_topk_arrow"] = _SQL["ann_cosine_topk"]
 # The LSH scale path verifies candidates with the SAME exact cosine the
 # all-pairs twin computes, so at the 0.9 default threshold its output is
 # the exact result wherever LSH recall is 1 (~0.996/pair analytically;
 # exactly 1 on the synthetic testdata, where no pair comes near 0.9 —
 # asserted at lower thresholds in test_embedding_near_dup_scale_vs_exact).
-ORACLES["embedding_near_dup_scale"] = ORACLES["embedding_near_dup"]
+_SQL["embedding_near_dup_scale"] = _SQL["embedding_near_dup"]
 
-ORACLES["language_id"] = f"""
+_SQL["language_id"] = f"""
     WITH scored AS (
         SELECT doc_id, {_lang_scores},
                len(regexp_extract_all(text, '{text.CJK_PATTERN}')) AS s_zh
@@ -1025,3 +932,221 @@ ORACLES["language_id"] = f"""
     SELECT doc_id, {_pred} AS lang_pred, {_best} AS best_score
     FROM scored
 """
+
+# ---------------------------------------------------------------------------
+# Correctness packs: schema-aligned relational members folded under one
+# registry key each (operators/packs.py).  Every member's FULL result is
+# still value-hashed against its own oracle SQL — the pack only changes
+# the reporting key, never the member's physical plan (unionByName of
+# independently-built DataFrames is metadata-only).
+# ---------------------------------------------------------------------------
+
+from hadoop_logfile_inputformat_spark.operators.packs import (  # noqa: E402
+    Member,
+    _ts,
+    pack_oracle,
+    pack_query,
+)
+
+
+#: Original key → builder for every query that rides inside a pack —
+#: bench.py and the plan-quality tests keep per-member granularity.
+MEMBER_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+
+def _m(tag, builder, sql_key, **colmap):
+    MEMBER_QUERIES[sql_key] = builder
+    return Member(tag=tag, builder=builder, sql=_SQL[sql_key], colmap=colmap)
+
+
+_PACKS: Dict[str, list] = {
+    # Single-row scalar aggregates over lineitem(+part): TPC-H q6/q14/q17/q19.
+    "tpch_scalar_pack": [
+        _m("q6", relational_ext.q6_forecast_revenue, "q6_forecast_revenue",
+           v1="revenue", v2="n_items"),
+        _m("q14", relational_ext.q14_promo_revenue, "q14_promo_revenue",
+           v1="promo_pct", v2="n_items"),
+        _m("q17", relational_ext.q17_small_quantity_revenue, "q17_small_quantity_revenue",
+           v1="avg_yearly", v2="n_items"),
+        _m("q19", relational_ext.q19_disjunctive_revenue, "q19_disjunctive_revenue",
+           v1="revenue", v2="n_items"),
+    ],
+    # Grouped multi-way joins: q4 (EXISTS), q7 (two nation dims), q8
+    # (market share), q12 (case buckets), q22 (anti-exists + scalar
+    # subquery), part-brand rollup.
+    "tpch_join_pack": [
+        _m("q4", relational_ext.q4_order_priority, "q4_order_priority",
+           k1="o_orderpriority", v1="n_orders"),
+        _m("q7", relational_ext.q7_nation_trade, "q7_nation_trade",
+           k1="supp_nation", k2="cust_nation", k3="l_year",
+           v1="volume", v2="n_items"),
+        _m("q8", tpch_rest.q8_market_share, "q8_market_share",
+           k1="o_year", v1="mkt_share", v2="total_volume"),
+        _m("q12", tpch_rest.q12_shipping_delay, "q12_shipping_delay",
+           k1="ship_bucket", v1="high_line_count", v2="low_line_count"),
+        _m("q22", relational_ext.q22_idle_rich_customers, "q22_idle_rich_customers",
+           k1="c_mktsegment", v1="n_custs", v2="total_bal"),
+        _m("part_brand", relational.q_part_brand_revenue, "part_brand_revenue",
+           k1="p_brand", v1="revenue", v2="sum_qty"),
+    ],
+    # Subquery-threshold shapes: q10 (top returned), q11 (value share),
+    # q15 (max revenue), q16 (NOT IN), q20 (nested IN chains).
+    "tpch_threshold_pack": [
+        _m("q10", tpch_rest.q10_returned_items, "q10_returned_items",
+           k1="c_custkey", k2="c_name", k3="nation",
+           v1="revenue", v2="n_items", v3="acctbal"),
+        _m("q11", tpch_rest.q11_important_parts, "q11_important_parts",
+           k1="p_partkey", v1="value"),
+        _m("q15", tpch_rest.q15_top_supplier, "q15_top_supplier",
+           k1="s_suppkey", k2="s_name", v1="total_revenue"),
+        _m("q16", tpch_rest.q16_supplier_part_counts, "q16_supplier_part_counts",
+           k1="p_brand", k2="p_type", k3="p_size", v1="supplier_cnt"),
+        _m("q20", tpch_rest.q20_part_promotion_suppliers, "q20_part_promotion_suppliers",
+           k1="s_suppkey", k2="s_name"),
+    ],
+    # Top-k: per-group row_number vs global total-order limit + join.
+    "topk_pack": [
+        _m("per_customer", relational.q_top_orders_per_customer, "top_orders_per_customer",
+           k1="o_custkey", k2="o_orderkey", v1="totalprice", v2="rn"),
+        _m("global", relational_ext.q_global_topk_orders, "global_topk_orders",
+           k1="o_orderkey", k2="c_name", v1="totalprice"),
+    ],
+    # ROLLUP / CUBE / GROUPING SETS — three flavors of one operator.
+    "grouping_sets_pack": [
+        _m("rollup", relational.q_rollup_order_counts, "rollup_order_counts",
+           k1="o_orderstatus", k2="o_orderpriority", v1="n_orders", v2="sum_price"),
+        _m("cube", relational_ext.q_cube_returnflag_status, "cube_returnflag_status",
+           k1="l_returnflag", k2="l_linestatus", v1="n_items", v2="sum_qty"),
+        _m("gsets", relational_ext.q_grouping_sets_revenue, "grouping_sets_revenue",
+           k1="l_returnflag", k2="l_linestatus", v1="n_items", v2="sum_qty"),
+    ],
+    # count(DISTINCT) vs pivot on the same grouping key.
+    "status_matrix_pack": [
+        _m("distinct", relational.q_distinct_custs_per_status, "distinct_custs_per_status",
+           k1="o_orderstatus", v1="n_customers", v2="n_orders"),
+        _m("pivot", relational_ext.q_pivot_status_priority, "pivot_status_priority",
+           k1="o_orderstatus", v1="n_urgent", v2="n_high", v3="n_medium",
+           v4="n_notspec", v5="n_low"),
+    ],
+    # UNION-dedup vs INTERSECT/EXCEPT chains.
+    "set_ops_pack": [
+        _m("union", relational.q_priority_customer_union, "priority_customer_union",
+           k1="c_custkey"),
+        _m("intersect_except", relational_ext.q_building_bigspender_not_rich,
+           "building_bigspender_not_rich", k1="c_custkey"),
+    ],
+    # Join variants beyond inner: anti, semi, full outer.
+    "join_variants_pack": [
+        _m("anti", relational.q_customers_without_orders, "customers_without_orders",
+           k1="c_custkey", k2="c_name"),
+        _m("semi", relational.q_suppliers_with_shipments, "suppliers_with_shipments",
+           k1="s_suppkey", k2="s_name"),
+        _m("full_outer", relational_ext.q_nation_wealth_full_outer,
+           "nation_wealth_full_outer",
+           k1="nationkey", v1="n_rich_custs", v2="n_rich_supps"),
+    ],
+    # Time-series windows: cumulative sum, lag deltas, RANGE moving
+    # average, spine gap-fill.
+    "timeseries_pack": [
+        _m("monthly_cum", relational.q_running_monthly_revenue, "running_monthly_revenue",
+           k1=_ts("month"), v1="revenue", v2="cum_revenue"),
+        _m("monthly_mom", relational_ext.q_monthly_revenue_mom, "monthly_revenue_mom",
+           k1=_ts("month"), v1="revenue", v2="mom_delta", v3="mom_pct"),
+        _m("weekly_ma7", relational_ext.q_weekly_moving_revenue, "weekly_moving_revenue",
+           k1=_ts("day"), v1="revenue", v2="ma7"),
+        _m("daily_gapfill", relational_ext.q_daily_revenue_gapfill, "daily_revenue_gapfill",
+           k1=_ts("day"), v1="revenue", v2="n_orders"),
+    ],
+    # Event profiling: hourly rollup, JSON extraction, z-score outliers.
+    "events_profile_pack": [
+        _m("hourly", relational.q_events_hourly, "events_hourly",
+           k1=_ts("hour"), k2="event_type", v1="n_events", v2="sum_value"),
+        _m("json", relational.q_events_json_extract, "events_json_extract",
+           k1="event_type", v1="avg_k", v2="max_k"),
+        _m("outliers", relational_ext.q_event_value_outliers, "event_value_outliers",
+           k1="event_id", k2="event_type", v1="value", v2="zscore"),
+    ],
+    # Rank/distribution windows: ntile deciles, RFM ntile trio,
+    # percent_rank/cume_dist tail.
+    "rank_suite_pack": [
+        _m("deciles", relational_ext.q_acctbal_deciles, "acctbal_deciles",
+           k1="decile", v1="n_custs", v2="min_bal", v3="max_bal", v4="avg_bal"),
+        _m("rfm", relational_ext.q_customer_rfm, "customer_rfm",
+           k1="o_custkey", v1="recency_days", v2="frequency", v3="monetary",
+           v4="r_score", v5="f_score", v6="m_score"),
+        _m("ovd", relational_ext.q_order_value_distribution, "order_value_distribution",
+           k1="o_orderkey", v1="totalprice", v2="pct_rank", v3="cume"),
+    ],
+    # Exact median vs moment statistics (corr/stddev/covar).
+    "distribution_stats_pack": [
+        _m("median", relational.q_order_value_median, "order_value_median",
+           k1="o_orderpriority", v1="median_price", v2="n_orders"),
+        _m("stats", relational_ext.q_stats_by_returnflag, "stats_by_returnflag",
+           k1="l_returnflag", v1="qty_price_corr", v2="qty_stddev",
+           v3="qty_price_covar", v4="n_items"),
+    ],
+}
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- similarity surface ---
+    "ann_cosine_topk": similarity.cosine_topk,
+    "ann_cosine_topk_arrow": similarity.cosine_topk_arrow,
+    "ann_ivf_topk": similarity.ann_ivf_topk,
+    "embedding_near_dup": similarity.embedding_near_dup_pairs,
+    "embedding_near_dup_scale": similarity.embedding_near_dup_scale,
+    # --- text-analysis surface ---
+    "text_quality": text.text_quality,
+    "language_id": text.language_id,
+    "token_counts": text.token_counts,
+    "doc_fingerprints": text.document_fingerprints,
+    "top_bigrams": text.top_bigrams,
+    "chunk_documents": text.chunk_documents,
+    "redact_pii": text.redact_pii,
+    "vocab_document_frequency": text.vocab_document_frequency,
+    # --- logfile-source surface (reference parity) ---
+    "logfile_count_by_level": logparity.logfile_count_by_level,
+    "logfile_gzip_equivalence": logparity.logfile_gzip_equivalence,
+    "logfile_stack_hotspots": logparity.logfile_stack_hotspots,
+    "logfile_sample": logparity.logfile_sample,
+    # --- multimodal surface ---
+    "media_features": _media_features_query,
+    # --- relational surface: structurally distinctive shapes stay
+    # individual; schema-aligned families ride in packs below ---
+    "q1_pricing_summary": relational.q1_pricing_summary,
+    "q3_shipping_priority": relational.q3_shipping_priority,
+    "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+    "q9_profit_by_nation_year": relational_ext.q9_profit_by_nation_year,
+    "q13_customer_order_distribution": relational_ext.q13_customer_order_distribution,
+    "q18_large_volume_customers": relational_ext.q18_large_volume_customers,
+    "q2_min_cost_supplier": tpch_rest.q2_min_cost_supplier,
+    "q21_waiting_suppliers": tpch_rest.q21_waiting_suppliers,
+    "events_sessionize": relational.q_events_sessionize,
+    "event_funnel": relational_ext.q_event_funnel,
+    "asof_purchase_last_click": relational_ext.asof_purchase_last_click,
+    "price_band_counts": relational_ext.q_price_band_counts,
+    "approx_sketches": relational_ext.q_approx_sketches,
+    # --- correctness packs (each member fully hash-checked) ---
+    **{name: pack_query(members) for name, members in _PACKS.items()},
+    # --- dedup surface ---
+    "dedup_exact": dedup.exact_dedup,
+    "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+    "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+    "dedup_simhash": dedup.simhash_pairs,
+    "dedup_groups": dedup.near_dup_groups,
+    "curate_documents": dedup.curate_documents,
+    "curate_documents_scale": dedup.curate_documents_scale,
+}
+
+#: Final oracle map: individual keys take their member SQL verbatim;
+#: pack keys get the generated UNION ALL projection.  Keys absent here
+#: (logfile_*, media, ivf, fingerprints, sketches, minhash/simhash)
+#: are rows-only by design.
+ORACLES: Dict[str, str] = {
+    **{k: _SQL[k] for k in QUERIES if k in _SQL},
+    **{name: pack_oracle(members) for name, members in _PACKS.items()},
+}
+
+
+def query_names() -> list:
+    return list(QUERIES)

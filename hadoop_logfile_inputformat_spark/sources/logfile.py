@@ -486,13 +486,17 @@ class PatternResolver:
 
     def __init__(self, default: str | None, per_path: dict):
         self.default = default
-        # Spark stores data-source option keys case-insensitively
-        # (lowercased), so a per-path key for '/logs/App.log' arrives as
-        # 'pattern./logs/app.log'.  Normalize our side to lowercase and
-        # match paths case-insensitively so mixed-case paths still
-        # resolve (case collisions between distinct files are a
-        # limitation of Spark's option model, not of this resolver).
-        self.per_path = {k.lower(): v for k, v in per_path.items()}
+        # Exact-case resolution first: keys kept as given, so two files
+        # differing only in case CAN receive distinct patterns and glob
+        # character classes with uppercase letters keep matching — when
+        # the resolver is built directly (streaming readers, library
+        # use).  Spark itself stores data-source option keys
+        # case-insensitively (lowercased), so a per-path key for
+        # '/logs/App.log' arrives as 'pattern./logs/app.log'; the
+        # lowercased index below is the fallback that makes those
+        # resolve against mixed-case paths.
+        self.per_path = dict(per_path)
+        self.per_path_ci = {k.lower(): v for k, v in per_path.items()}
 
     @classmethod
     def from_options(cls, options) -> "PatternResolver":
@@ -504,14 +508,21 @@ class PatternResolver:
         return cls(default, per_path)
 
     def resolve(self, path: str) -> str:
-        lpath = path.lower()
-        if lpath in self.per_path:
-            return self.per_path[lpath]
-        base = os.path.basename(lpath)
-        if base in self.per_path:
-            return self.per_path[base]
+        # pass 1: exact case (full path, basename, then glob)
+        base = os.path.basename(path)
+        for cand in (path, base):
+            if cand in self.per_path:
+                return self.per_path[cand]
         for key, pat in self.per_path.items():
-            if fnmatch.fnmatchcase(lpath, key) or fnmatch.fnmatchcase(base, key):
+            if fnmatch.fnmatchcase(path, key) or fnmatch.fnmatchcase(base, key):
+                return pat
+        # pass 2: case-insensitive (Spark's lowercased option keys)
+        lpath, lbase = path.lower(), base.lower()
+        for cand in (lpath, lbase):
+            if cand in self.per_path_ci:
+                return self.per_path_ci[cand]
+        for key, pat in self.per_path_ci.items():
+            if fnmatch.fnmatchcase(lpath, key) or fnmatch.fnmatchcase(lbase, key):
                 return pat
         if self.default is not None:
             return self.default

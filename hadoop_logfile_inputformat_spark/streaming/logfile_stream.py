@@ -56,9 +56,24 @@ from hadoop_logfile_inputformat_spark.sources.logfile import (
     DEFAULT_MAX_PARTITION_BYTES,
     PatternResolver,
     _CappedReader,
+    _COMPRESSION_OPENERS,
+    _UNSUPPORTED_COMPRESSION,
     iter_records,
     scan_partition_arrow,
 )
+
+#: Suffixes excluded from the watched file set.  The streaming offset
+#: model indexes RAW file bytes (os.path.getsize, raw opens); a
+#: compressed rotation artifact (``app.log.1.gz``) appearing in a
+#: ``dir/*`` glob would be mis-scanned — its content was already
+#: consumed while it was the live plain file, and decompressed-vs-raw
+#: byte frames cannot agree.  Compressed files are batch-source
+#: territory (``spark.read.format("logfile")`` handles them whole-file).
+_NON_TAILABLE = tuple(_COMPRESSION_OPENERS) + _UNSUPPORTED_COMPRESSION
+
+
+def _tailable(path: str) -> bool:
+    return not path.lower().endswith(_NON_TAILABLE)
 
 
 class LogfileSimpleStreamReader(SimpleDataSourceStreamReader):
@@ -81,7 +96,9 @@ class LogfileSimpleStreamReader(SimpleDataSourceStreamReader):
         spec = self.path_spec
         if os.path.isdir(spec):
             spec = os.path.join(spec, "*")
-        return sorted(p for p in _glob.glob(spec) if os.path.isfile(p))
+        return sorted(
+            p for p in _glob.glob(spec) if os.path.isfile(p) and _tailable(p)
+        )
 
     def initialOffset(self) -> dict:
         # start of every currently-visible file; new files join at 0
@@ -211,7 +228,9 @@ class LogfileStreamReader(DataSourceStreamReader):
         spec = self.path_spec
         if os.path.isdir(spec):
             spec = os.path.join(spec, "*")
-        return sorted(p for p in _glob.glob(spec) if os.path.isfile(p))
+        return sorted(
+            p for p in _glob.glob(spec) if os.path.isfile(p) and _tailable(p)
+        )
 
     def initialOffset(self) -> dict:
         return {"files": {}}

@@ -208,3 +208,19 @@ def test_property_chunked_equals_line(records, n_splits, chunk_bytes):
     data = _mk_log(records)
     splits = _splits_of(len(data), n_splits)
     assert _read_all_chunked(data, splits, chunk_bytes) == _read_all(data, splits)
+
+
+def test_pattern_resolver_exact_case_first():
+    """Direct construction keeps original-case keys: case-distinct
+    files get distinct patterns, uppercase glob classes match; Spark's
+    lowercased option keys still resolve via the fallback pass."""
+    from hadoop_logfile_inputformat_spark.sources.logfile import PatternResolver
+
+    r = PatternResolver(None, {"/logs/App.log": "A", "/logs/app.log": "B"})
+    assert r.resolve("/logs/App.log") == "A"
+    assert r.resolve("/logs/app.log") == "B"
+    r2 = PatternResolver(None, {"[A-Z]*.log": "UP", "*.log": "LOW"})
+    assert r2.resolve("Svc.log") == "UP"
+    assert r2.resolve("svc.log") == "LOW"
+    r3 = PatternResolver(None, {"/logs/myapp.log": "P"})
+    assert r3.resolve("/logs/MyApp.log") == "P"

@@ -293,3 +293,22 @@ def test_salted_join_equals_plain_join(spark):
         tuple(r) for r in salted_join(o, c, "o_custkey", n_salts=8, how="left").collect()
     }
     assert left_salted == left_plain
+
+
+def test_chunk_documents_degenerate_text_does_not_fail(spark, tmp_path):
+    """Null text must yield zero chunks (oracle parity: generate_series
+    over NULL emits nothing), never Spark's 'Illegal sequence
+    boundaries' error; empty text chunks as a single empty token."""
+    from hadoop_logfile_inputformat_spark.operators.text import chunk_documents
+
+    rows = [(1, "alpha beta gamma"), (2, None), (3, "")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = chunk_documents(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 2 not in by_doc, "null text must produce no chunks"
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_text == "alpha beta gamma"
+    assert len(by_doc[3]) == 1  # '' splits to one empty token

@@ -14,13 +14,13 @@ from contextlib import redirect_stdout
 import pytest
 from pyspark.sql import functions as F
 
-from hadoop_logfile_inputformat_spark.plans.registry import QUERIES
+from hadoop_logfile_inputformat_spark.plans.registry import MEMBER_QUERIES, QUERIES
 
 SF = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF)
+    df = (QUERIES.get(name) or MEMBER_QUERIES[name])(spark, SF)
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
@@ -178,7 +178,7 @@ def test_ranking_queries_have_no_global_sort_partition(spark, name):
     Distributed-rank formulation (operators/ranks.py): any remaining
     Exchange SinglePartition may only merge a PARTIAL aggregate — a
     bounded, ≤#partitions-row stream — never raw rows."""
-    df = QUERIES[name](spark, SF)
+    df = (QUERIES.get(name) or MEMBER_QUERIES[name])(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     lines = plan.splitlines()
     for i, line in enumerate(lines):

@@ -477,3 +477,26 @@ def test_simple_reader_replay_deterministic_under_append(tmp_path):
     with open(log, "a") as f:
         f.write("\tappended-after-commit\n2024-01-03 c\n")
     assert list(r.readBetweenOffsets(start, off1)) == rows1
+
+
+def test_stream_readers_exclude_compressed_rotation_artifacts(tmp_path):
+    """The streaming offset model indexes raw bytes; a rotated .gz
+    artifact appearing in the watched glob (dir/* matches app.log.1.gz)
+    must be excluded from the file set, not mis-scanned — its content
+    was already consumed while it was the live plain file."""
+    import gzip
+
+    from hadoop_logfile_inputformat_spark.streaming.logfile_stream import (
+        LogfileSimpleStreamReader,
+        LogfileStreamReader,
+    )
+
+    live = tmp_path / "app.log"
+    live.write_text("2024-01-01 00:00:00,000 | INFO | a | one\n")
+    with gzip.open(tmp_path / "app.log.1.gz", "wt") as f:
+        f.write("2023-12-31 23:59:59,000 | INFO | a | old\n")
+    (tmp_path / "app.log.2.zst").write_bytes(b"\x28\xb5\x2f\xfd fake")
+    opts = {"path": str(tmp_path), "pattern": FORMAT_A}
+    for reader_cls in (LogfileSimpleStreamReader, LogfileStreamReader):
+        files = reader_cls(opts)._files()
+        assert files == [str(live)], reader_cls.__name__
