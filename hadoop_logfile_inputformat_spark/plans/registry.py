@@ -923,6 +923,36 @@ _SQL["ann_cosine_topk_arrow"] = _SQL["ann_cosine_topk"]
 # asserted at lower thresholds in test_embedding_near_dup_scale_vs_exact).
 _SQL["embedding_near_dup_scale"] = _SQL["embedding_near_dup"]
 
+
+# media_features' FAKEIMG payload is pure arithmetic on doc_id
+# (multimodal/media.py:93-127): width/height/seed are modular exprs and
+# mean_luma is the mean of ((i*31+seed) % 251) over the w*h body bytes —
+# all DuckDB-expressible, so the multimodal row is hash-checked rather
+# than rows-only.  (With a real codec the decode is not SQL-expressible;
+# this oracle is valid exactly because the driver environment exercises
+# the deterministic fake.)
+_SQL["media_features"] = """
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 16 + 4 AS INT) AS w,
+               CAST(doc_id % 8 + 4 AS INT) AS h,
+               doc_id % 2147483647 AS seed
+        FROM documents
+    )
+    SELECT doc_id,
+           'image' AS media_type,
+           CAST(20 + w * h AS BIGINT) AS n_bytes,
+           w AS width,
+           h AS height,
+           CAST(1 AS INT) AS n_channels,
+           CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+                                        i -> (i * 31 + seed) % 251)) AS DOUBLE)
+               / (w * h) AS mean_luma,
+           true AS ok,
+           CAST(NULL AS VARCHAR) AS error
+    FROM dims
+"""
+
 _SQL["language_id"] = f"""
     WITH scored AS (
         SELECT doc_id, {_lang_scores},

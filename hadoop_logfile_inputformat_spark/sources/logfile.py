@@ -99,7 +99,28 @@ _COMPRESSION_OPENERS = {
 #: these as plain text would yield silent garbage records; the reference
 #: instead fails hard on codecs it cannot handle
 #: (LogfileRecordReader.java:163-165) and we mirror that contract.
+#: ``.zst``/``.zstd`` move to the supported set at import time when the
+#: optional ``zstandard`` package is present.
 _UNSUPPORTED_COMPRESSION = (".zst", ".zstd", ".lz4", ".snappy", ".deflate", ".br", ".sz")
+
+try:  # optional dependency: zstd support when the env provides it
+    import zstandard as _zstd
+
+    def _zstd_open(path, mode="rb"):
+        # stream_reader handles multi-frame archives; BufferedReader
+        # supplies readline/iteration on top of the raw decompressor
+        # (compressed partitions start at 0, so no seek is needed)
+        return io.BufferedReader(
+            _zstd.ZstdDecompressor().stream_reader(open(path, "rb"), closefd=True)
+        )
+
+    _COMPRESSION_OPENERS[".zst"] = _zstd_open
+    _COMPRESSION_OPENERS[".zstd"] = _zstd_open
+    _UNSUPPORTED_COMPRESSION = tuple(
+        s for s in _UNSUPPORTED_COMPRESSION if s not in (".zst", ".zstd")
+    )
+except ImportError:
+    pass
 
 
 def _compression_opener(path: str):

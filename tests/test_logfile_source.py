@@ -269,3 +269,25 @@ spark.stop()
     )
     assert res.returncode == 0, res.stderr[-4000:]
     assert "VANILLA_OK" in res.stdout
+
+
+def test_zstd_reads_whole_file_when_lib_available(spark, tmp_path):
+    """With the optional ``zstandard`` package installed, .zst inputs
+    read whole-file like .gz; without it, the hard error stands
+    (covered by test_unsupported_compression_is_hard_error)."""
+    zstd = pytest.importorskip("zstandard")
+    content = (
+        "2024-01-01 00:00:00,000 | INFO | c | one\n"
+        "\tcont\n"
+        "2024-01-01 00:00:01,000 | WARN | c | two\n"
+    )
+    p = tmp_path / "app.log.zst"
+    p.write_bytes(zstd.ZstdCompressor().compress(content.encode()))
+    df = (
+        spark.read.format("logfile")
+        .option("pattern", FORMAT_A)
+        .load(str(p))
+    )
+    rows = sorted((r.offset, r.record) for r in df.collect())
+    assert len(rows) == 2
+    assert "cont" in rows[0][1]
