@@ -73,9 +73,21 @@ _QUERY_CACHE: dict = {}
 
 def scoped_persist(df: DataFrame, key) -> DataFrame:
     """Persist ``df``, releasing whatever was previously cached under
-    ``key`` (same query, earlier invocation or different sf_dir)."""
+    ``key`` — unless the previous frame computes the SAME result, in
+    which case it is returned as-is so repeated invocations of one
+    query hit the existing cache (Spark's CacheManager would dedupe
+    the storage anyway; unpersisting it would throw the warm data away
+    and force a recompute per invocation)."""
     prev = _QUERY_CACHE.get(key)
     if prev is not None:
+        try:
+            same = prev._jdf.queryExecution().analyzed().sameResult(
+                df._jdf.queryExecution().analyzed()
+            )
+        except Exception:
+            same = False  # old session stopped / plan not analyzable
+        if same:
+            return prev
         try:
             prev.unpersist(blocking=False)
         except Exception:

@@ -27,6 +27,7 @@ from hadoop_logfile_inputformat_spark.operators import (
     relational,
     relational_ext,
     similarity,
+    splits,
     text,
     tpch_rest,
 )
@@ -953,6 +954,20 @@ _SQL["media_features"] = """
     FROM dims
 """
 
+_SQL["corpus_split"] = """
+    SELECT doc_id,
+           CASE WHEN b < 800 THEN 'train'
+                WHEN b < 900 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(b AS BIGINT) AS bucket
+    FROM (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                   % 1000 AS b
+        FROM documents
+    )
+"""
+
 _SQL["language_id"] = f"""
     WITH scored AS (
         SELECT doc_id, {_lang_scores},
@@ -1114,6 +1129,10 @@ _PACKS: Dict[str, list] = {
         _m("stats", relational_ext.q_stats_by_returnflag, "stats_by_returnflag",
            k1="l_returnflag", v1="qty_price_corr", v2="qty_stddev",
            v3="qty_price_covar", v4="n_items"),
+        # deterministic engine-portable train/val/test assignment
+        # (operators/splits.py): per-doc rows fully value-hashed
+        _m("corpus_split", splits.corpus_split, "corpus_split",
+           k1="doc_id", k2="split", v1="bucket"),
     ],
 }
 

@@ -312,3 +312,23 @@ def test_chunk_documents_degenerate_text_does_not_fail(spark, tmp_path):
     assert 2 not in by_doc, "null text must produce no chunks"
     assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_text == "alpha beta gamma"
     assert len(by_doc[3]) == 1  # '' splits to one empty token
+
+
+def test_corpus_split_deterministic_and_weighted(spark):
+    """Split assignment must be a pure function of the key (stable
+    across runs/engines — no seed, no sampling) and approximate the
+    80/10/10 weights; md5 bucketing bounds the error."""
+    from hadoop_logfile_inputformat_spark.operators.splits import corpus_split
+
+    a = {r.doc_id: (r.split, r.bucket)
+         for r in corpus_split(spark, SF).collect()}
+    b = {r.doc_id: (r.split, r.bucket)
+         for r in corpus_split(spark, SF).collect()}
+    assert a == b and a
+    from collections import Counter
+
+    frac = Counter(s for s, _ in a.values())
+    n = len(a)
+    assert 0.7 <= frac["train"] / n <= 0.9
+    assert 0.03 <= frac["val"] / n <= 0.2
+    assert 0.03 <= frac["test"] / n <= 0.2
