@@ -112,20 +112,35 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def document_fingerprints(
-    spark: SparkSession, sf_dir: str, k: int = 8, window: int = 4
+    spark: SparkSession, sf_dir: str, k: int = 8, window: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (MOSS-style).
 
     Character k-gram rolling hashes; within every ``window`` of
     consecutive k-gram hashes the minimum is selected; the distinct
     minima are the fingerprint set.  Entirely higher-order array
-    expressions; xxhash64 is engine-specific, so this operator is
-    rows-only-checked (no SQL oracle).
+    expressions.
+
+    ``hash_fn``: ``xxhash64`` (default — fastest, JVM-native, but
+    engine-specific so checks are rows-only) or ``md5`` (first 8 hex
+    chars as a 32-bit int — ~2× slower per gram but bit-identical in
+    DuckDB, which is what lets the registry hash-check the full
+    winnowing pipeline; see ``document_fingerprints_portable``).
     """
+    if hash_fn == "xxhash64":
+        gram_hash = f"xxhash64(substring(text, i, {k}))"
+    elif hash_fn == "md5":
+        gram_hash = (
+            f"cast(conv(substring(md5(substring(text, i, {k})), 1, 8), 16, 10)"
+            " as bigint)"
+        )
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     d = load(spark, sf_dir, "documents")
     grams = F.expr(
         f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)),"
-        f" i -> xxhash64(substring(text, i, {k})))"
+        f" i -> {gram_hash})"
     )
     fps = F.expr(
         f"array_distinct(transform(sequence(1, greatest(size(grams) - {window - 1}, 1)),"
@@ -141,6 +156,14 @@ def document_fingerprints(
             F.array_max("fps").alias("fp_max"),
         )
     )
+
+
+def document_fingerprints_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry variant of :func:`document_fingerprints` with the
+    engine-portable md5 gram hash, so the winnowing pipeline (k-gram
+    rolling hashes → window minima → distinct fingerprint set) is
+    value-hashed against a DuckDB recomputation instead of rows-only."""
+    return document_fingerprints(spark, sf_dir, hash_fn="md5")
 
 
 #: Chunking defaults: 16-token windows advancing by 12 (4-token overlap)

@@ -968,6 +968,82 @@ _SQL["corpus_split"] = """
     )
 """
 
+# winnowing with the portable md5 gram hash (text.py:document_fingerprints)
+_SQL["doc_fingerprints"] = """
+    WITH grams AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(length(text) - 7, 1)),
+                   i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 8))
+                             AS BIGINT)) AS g
+        FROM documents
+    ),
+    fps AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(g) - 3, 1)),
+                   i -> list_min(g[i:i + 3]))) AS f
+        FROM grams
+    )
+    SELECT doc_id,
+           CAST(len(f) AS INT) AS n_fingerprints,
+           list_min(f) AS fp_min,
+           list_max(f) AS fp_max
+    FROM fps
+"""
+
+# Golden-count oracles for the logfile-source queries: the fixture
+# corpus is deterministic (seeded generator), so expected values are an
+# independent no-IO replay of the generator's RNG sequence
+# (testing/loggen.py:summarize_log_corpus) — Test.java:117-152's
+# golden-count contract expressed as literal VALUES.  logfile_sample
+# stays rows-only: its Bernoulli sampler is engine-specific by nature.
+from hadoop_logfile_inputformat_spark.operators.logparity import (  # noqa: E402
+    _FIXTURE_FILES,
+    _FIXTURE_SECONDS,
+    _FIXTURE_SEED,
+)
+from hadoop_logfile_inputformat_spark.testing.loggen import (  # noqa: E402
+    _STACK_TRACE,
+    summarize_log_corpus,
+)
+
+_LOG_GOLDEN = summarize_log_corpus(
+    n_files=_FIXTURE_FILES, seconds_per_file=_FIXTURE_SECONDS, seed=_FIXTURE_SEED
+)
+_lvl_rows = ", ".join(
+    f"('{lvl}', CAST({n} AS BIGINT))"
+    for lvl, n in sorted(_LOG_GOLDEN.by_level.items())
+    if n
+)
+_SQL["logfile_count_by_level"] = (
+    f"SELECT * FROM (VALUES {_lvl_rows}) AS t(level, n)"
+)
+_eq_rows = ", ".join(
+    f"('{lvl}', CAST({n} AS BIGINT), CAST({n} AS BIGINT), true)"
+    for lvl, n in sorted(_LOG_GOLDEN.by_level.items())
+    if n
+)
+_SQL["logfile_gzip_equivalence"] = (
+    f"SELECT * FROM (VALUES {_eq_rows}) AS t(level, n_log, n_gz, equal)"
+)
+# every ERROR record embeds the SAME stack (_STACK_TRACE), so each
+# (cls, method) frame appears once per ERROR record at one fixed depth:
+# n_frames == n_errors, depths_seen == 1.  Frames parsed with the SAME
+# regex the UDTF applies (functions/udtfs.py:_FRAME_RE).
+from hadoop_logfile_inputformat_spark.functions.udtfs import _FRAME_RE  # noqa: E402
+
+_frame_rows = ", ".join(
+    f"('{m.group(1)}', '{m.group(2)}',"
+    f" CAST({_LOG_GOLDEN.by_level['ERROR']} AS BIGINT), CAST(1 AS BIGINT))"
+    for m in (_FRAME_RE.match(ln) for ln in _STACK_TRACE.split("\n"))
+    if m
+)
+_SQL["logfile_stack_hotspots"] = (
+    f"SELECT * FROM (VALUES {_frame_rows})"
+    " AS t(cls, method, n_frames, depths_seen)"
+)
+
 _SQL["language_id"] = f"""
     WITH scored AS (
         SELECT doc_id, {_lang_scores},
@@ -1148,7 +1224,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": text.text_quality,
     "language_id": text.language_id,
     "token_counts": text.token_counts,
-    "doc_fingerprints": text.document_fingerprints,
+    "doc_fingerprints": text.document_fingerprints_portable,
     "top_bigrams": text.top_bigrams,
     "chunk_documents": text.chunk_documents,
     "redact_pii": text.redact_pii,

@@ -118,6 +118,34 @@ def generate_log_records(
     return summary
 
 
+def summarize_log_corpus(
+    *,
+    n_files: int = 4,
+    seconds_per_file: float = 2.0,
+    seed: int = 42,
+    start: datetime | None = None,
+) -> LogfileSummary:
+    """Golden counts of the corpus :func:`write_log_corpus` would write
+    for the same parameters, computed WITHOUT any IO.
+
+    Replays the exact RNG draw sequence (per-file format draw, then the
+    per-record draws inside :func:`generate_log_records`) with a no-op
+    consumer — the independent recomputation that lets registry oracles
+    assert the source's counts as literal values (Test.java's
+    golden-count contract, Test.java:117-152)."""
+    rng = random.Random(seed)
+    base = start or datetime(2024, 1, 1)
+    total = LogfileSummary()
+    for day in range(n_files):
+        fmt = "AB"[rng.randrange(2)]
+        day_start = base + timedelta(days=day)
+        day_end = day_start + timedelta(seconds=seconds_per_file)
+        total = total.merge(
+            generate_log_records(fmt, day_start, day_end, lambda _: None, rng)
+        )
+    return total
+
+
 def write_log_corpus(
     out_dir: str,
     *,
