@@ -691,6 +691,47 @@ class LogfileDataSource(DataSource):
         return LogfileReader(schema, self.options)
 
 
+def observe_scan(df, name: str = "logfile_scan"):
+    """Attach scan-progress metrics to a logfile read — the Spark
+    analogue of ``RecordReader.getProgress`` (S7f).
+
+    The reference reports a per-split consumed-byte fraction
+    (LogfileRecordReader.java:332-336) that Hadoop polls while the task
+    runs.  Spark's idiom for the same observability is an *observed
+    metric* on the scan: the aggregates below are computed inside the
+    same whole-stage pipeline as the read (zero extra pass over the
+    data) and surface through ``Observation.get`` after any action, the
+    live UI, and every registered ``QueryExecutionListener``/streaming
+    progress event as tasks complete.
+
+    Returns ``(observed_df, observation)``; after an action on
+    ``observed_df``, ``observation.get`` holds::
+
+        n_records    rows emitted by the source
+        record_bytes UTF-8 payload bytes of the assembled records
+                     (record bodies only — newlines between splits and
+                     any replaced invalid bytes are not counted)
+        n_files      approx distinct input paths seen (HLL, exact at
+                     fixture scale; approximate by design at 100 TB —
+                     observed metrics disallow DISTINCT aggregates)
+        max_offset   highest record start offset scanned
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_records"),
+        F.coalesce(F.sum(F.octet_length("record")), F.lit(0)).alias(
+            "record_bytes"
+        ),
+        F.approx_count_distinct("path").alias("n_files"),
+        F.max("offset").alias("max_offset"),
+    )
+    return observed, obs
+
+
 def register_logfile_source(spark) -> None:
     """Register the ``logfile`` format on a SparkSession (idempotent).
 

@@ -291,3 +291,21 @@ def test_zstd_reads_whole_file_when_lib_available(spark, tmp_path):
     rows = sorted((r.offset, r.record) for r in df.collect())
     assert len(rows) == 2
     assert "cont" in rows[0][1]
+
+
+def test_observe_scan_metrics(spark, corpus):
+    """S7f getProgress analogue: observed metrics ride the scan and match
+    the golden corpus summary exactly, with no extra pass over the data."""
+    from hadoop_logfile_inputformat_spark.sources.logfile import observe_scan
+
+    out, summary, path_formats, paths = corpus
+    df = _reader(spark, path_formats).load(f"{out}/*.log")
+    observed, obs = observe_scan(df)
+    n = observed.count()
+    m = obs.get
+    assert m["n_records"] == n == summary.total
+    assert m["n_files"] == sum(1 for p in paths if p.endswith(".log"))
+    assert m["max_offset"] > 0
+    # payload bytes == sum of record lengths (ASCII corpus: octet==char)
+    total_chars = df.select(F.sum(F.length("record"))).collect()[0][0]
+    assert m["record_bytes"] == total_chars
