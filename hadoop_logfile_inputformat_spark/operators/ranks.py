@@ -86,6 +86,48 @@ def with_global_row_number(
     return out.drop(_PID, _LRN, _OFF, _CNT, _TOT)
 
 
+def with_global_running_sum(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    value_col: str,
+    cum_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add an INCLUSIVE global running sum of ``value_col`` under
+    ``order_by`` without a single-partition sort.
+
+    Same two-phase shape as :func:`with_global_row_number`, with the
+    per-partition COUNT replaced by the per-partition SUM of
+    ``value_col``: range-shuffle on the order keys, partition-local
+    cumulative sum, then add the broadcast sum of all earlier
+    partitions.  ``order_by`` must be a total order for determinism.
+    """
+    cols = list(order_by)
+    if num_partitions:
+        part = df.repartitionByRange(num_partitions, *cols)
+    else:
+        part = df.repartitionByRange(*cols)
+    local = part.withColumn(_PID, F.spark_partition_id()).withColumn(
+        _LRN,
+        F.sum(value_col).over(
+            Window.partitionBy(_PID)
+            .orderBy(*cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sums = local.groupBy(_PID).agg(F.sum(value_col).alias(_CNT))
+    a, b = sums.alias("a"), sums.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col(f"b.{_PID}") < F.col(f"a.{_PID}"), "left")
+        .groupBy(F.col(f"a.{_PID}").alias(_PID), F.col(f"a.{_CNT}").alias(_CNT))
+        .agg(F.coalesce(F.sum(f"b.{_CNT}"), F.lit(0)).alias(_OFF))
+    )
+    out = local.join(F.broadcast(offsets), _PID).withColumn(
+        cum_col, F.col(_LRN) + F.col(_OFF)
+    )
+    return out.drop(_PID, _LRN, _OFF, _CNT)
+
+
 def ntile_from_rank(rn: Column, total: Column, buckets: int) -> Column:
     """Exact SQL ``NTILE(buckets)`` from a global row number.
 

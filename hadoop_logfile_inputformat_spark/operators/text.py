@@ -12,6 +12,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hadoop_logfile_inputformat_spark.operators.ranks import (
+    with_global_running_sum,
+)
 from hadoop_logfile_inputformat_spark.operators.tables import load
 
 #: Tiny per-language stopword profiles for the n-gram/stopword LangID
@@ -223,6 +226,102 @@ def chunk_documents(
                 F.lit(chunk_tokens), F.size("toks") - F.col("s") + 1
             ).cast("long").alias("n_tokens"),
         )
+    )
+
+
+#: Sequence-packing default: 64-token bins over the 16-token chunks —
+#: the concat-and-cut packing shape at corpus scale (4-ish chunks/bin).
+PACK_BUDGET = 64
+
+#: Decontamination defaults: docs with ``doc_id % 97 == 0`` act as the
+#: held-out benchmark set; 5-word shingle overlap flags training docs.
+DECONTAM_MOD = 97
+DECONTAM_SHINGLE = 5
+
+
+def pack_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = PACK_BUDGET,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Concat-and-cut sequence packing: assign every chunk a global
+    token offset and a fixed-size training bin.
+
+    The standard packing used for LLM pretraining batches: concatenate
+    the corpus in a deterministic order (doc_id, chunk_id), then cut
+    every ``budget`` tokens.  Each chunk reports its global
+    ``token_start``, its ``bin_id`` (the context window it lands in),
+    and whether it ``straddles`` a bin boundary (would be split across
+    two training sequences).
+
+    Scale shape: the global running token sum comes from
+    :func:`~hadoop_logfile_inputformat_spark.operators.ranks.with_global_running_sum`
+    — a range shuffle + partition-local cumsum + broadcast offsets, so
+    no single-partition window touches data-sized input (the same
+    two-phase plan the rank suite uses).
+    """
+    chunks = chunk_documents(spark, sf_dir, chunk_tokens, overlap)
+    cum = with_global_running_sum(
+        chunks.select("doc_id", "chunk_id", "n_tokens"),
+        [F.col("doc_id"), F.col("chunk_id")],
+        "n_tokens",
+        cum_col="token_end",
+    )
+    start = F.col("token_end") - F.col("n_tokens")
+    bin_id = F.floor(start / budget).cast("long")
+    return cum.select(
+        "doc_id",
+        "chunk_id",
+        start.alias("token_start"),
+        "n_tokens",
+        bin_id.alias("bin_id"),
+        (F.floor((F.col("token_end") - 1) / budget) != bin_id)
+        .cast("int")
+        .alias("straddles"),
+    )
+
+
+def decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    shingle_words: int = DECONTAM_SHINGLE,
+    eval_mod: int = DECONTAM_MOD,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share a
+    ``shingle_words``-word shingle with any held-out benchmark document.
+
+    Docs with ``doc_id % eval_mod == 0`` stand in for the benchmark
+    set.  Returns ``(doc_id, n_shared_shingles)`` for every NON-eval
+    document with ≥1 distinct shingle also present in the eval set —
+    the contamination report a pretraining pipeline acts on.
+
+    Scale shape: real benchmark suites are MBs against a 100 TB corpus,
+    so the distinct eval-shingle set is broadcast — the corpus-sized
+    side is never shuffled; per-doc shingling is embarrassingly
+    parallel and the final groupBy aggregates only matched (tiny) rows.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = _ws_tokens(F.col("text"))
+    shingles = F.expr(
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(toks) - {shingle_words - 1}, 1)),"
+        f" i -> array_join(slice(toks, i, {shingle_words}), ' ')))"
+    )
+    base = d.select("doc_id", toks.alias("toks")).select(
+        "doc_id", F.explode(shingles).alias("shingle")
+    )
+    eval_shingles = (
+        base.filter(F.col("doc_id") % eval_mod == 0).select("shingle").distinct()
+    )
+    return (
+        base.filter(F.col("doc_id") % eval_mod != 0)
+        .join(F.broadcast(eval_shingles), "shingle")
+        .groupBy("doc_id")
+        # shingles are array_distinct per doc, so count(*) == the number
+        # of distinct shingles this doc shares with the eval set
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
 
 

@@ -968,6 +968,63 @@ _SQL["corpus_split"] = """
     )
 """
 
+# concat-and-cut sequence packing (text.py:pack_sequences): the oracle
+# recomputes the global token cumsum with a plain window — the Spark
+# side's two-phase distributed cumsum must be value-identical to it.
+_SQL["pack_sequences"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST((s - 1) / {text.CHUNK_TOKENS - text.CHUNK_OVERLAP} AS BIGINT)
+                   AS chunk_id,
+               least({text.CHUNK_TOKENS}, len(t) - s + 1) AS n_tokens
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t),
+                            {text.CHUNK_TOKENS - text.CHUNK_OVERLAP})) AS s
+              FROM toks)
+    ),
+    cum AS (
+        SELECT doc_id, chunk_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id, chunk_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS token_end
+        FROM chunks
+    )
+    SELECT doc_id, chunk_id,
+           token_end - n_tokens AS token_start,
+           n_tokens,
+           (token_end - n_tokens) // {text.PACK_BUDGET} AS bin_id,
+           CAST((token_end - 1) // {text.PACK_BUDGET}
+                != (token_end - n_tokens) // {text.PACK_BUDGET} AS INT)
+               AS straddles
+    FROM cum
+"""
+
+# benchmark decontamination (text.py:decontaminate): docs sharing a
+# 5-word shingle with the doc_id%97==0 pseudo-benchmark set.
+_SQL["decontaminate"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - {text.DECONTAM_SHINGLE - 1}, 1)),
+                   i -> array_to_string(t[i:i + {text.DECONTAM_SHINGLE} - 1], ' '))))
+                   AS shingle
+        FROM toks
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {text.DECONTAM_MOD} = 0)
+    SELECT s.doc_id, count(*) AS n_shared_shingles
+    FROM sh s JOIN ev USING (shingle)
+    WHERE s.doc_id % {text.DECONTAM_MOD} != 0
+    GROUP BY s.doc_id
+"""
+
 # winnowing with the portable md5 gram hash (text.py:document_fingerprints)
 _SQL["doc_fingerprints"] = """
     WITH grams AS (
@@ -1186,6 +1243,8 @@ _PACKS: Dict[str, list] = {
            k1="event_type", v1="avg_k", v2="max_k"),
         _m("outliers", relational_ext.q_event_value_outliers, "event_value_outliers",
            k1="event_id", k2="event_type", v1="value", v2="zscore"),
+        _m("funnel", relational_ext.q_event_funnel, "event_funnel",
+           v1="n_users", v2="n_viewed", v3="n_clicked", v4="n_purchased"),
     ],
     # Rank/distribution windows: ntile deciles, RFM ntile trio,
     # percent_rank/cume_dist tail.
@@ -1205,10 +1264,20 @@ _PACKS: Dict[str, list] = {
         _m("stats", relational_ext.q_stats_by_returnflag, "stats_by_returnflag",
            k1="l_returnflag", v1="qty_price_corr", v2="qty_stddev",
            v3="qty_price_covar", v4="n_items"),
-        # deterministic engine-portable train/val/test assignment
-        # (operators/splits.py): per-doc rows fully value-hashed
+    ],
+    # Training-corpus preparation over `documents`: deterministic
+    # train/val/test assignment, concat-and-cut sequence packing (the
+    # global token cumsum runs distributed — range shuffle + broadcast
+    # offsets, no single-partition window), and shingle-overlap
+    # benchmark decontamination (eval shingle set broadcast).
+    "corpus_prep_pack": [
         _m("corpus_split", splits.corpus_split, "corpus_split",
            k1="doc_id", k2="split", v1="bucket"),
+        _m("pack_sequences", text.pack_sequences, "pack_sequences",
+           k1="doc_id", k2="chunk_id", v1="token_start", v2="n_tokens",
+           v3="bin_id", v4="straddles"),
+        _m("decontaminate", text.decontaminate, "decontaminate",
+           k1="doc_id", v1="n_shared_shingles"),
     ],
 }
 
@@ -1247,7 +1316,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q2_min_cost_supplier": tpch_rest.q2_min_cost_supplier,
     "q21_waiting_suppliers": tpch_rest.q21_waiting_suppliers,
     "events_sessionize": relational.q_events_sessionize,
-    "event_funnel": relational_ext.q_event_funnel,
     "asof_purchase_last_click": relational_ext.asof_purchase_last_click,
     "price_band_counts": relational_ext.q_price_band_counts,
     "approx_sketches": relational_ext.q_approx_sketches,

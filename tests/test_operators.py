@@ -332,3 +332,72 @@ def test_corpus_split_deterministic_and_weighted(spark):
     assert 0.7 <= frac["train"] / n <= 0.9
     assert 0.03 <= frac["val"] / n <= 0.2
     assert 0.03 <= frac["test"] / n <= 0.2
+
+
+def test_global_running_sum_matches_window(spark):
+    """The two-phase distributed cumsum must be value-identical to the
+    single-partition window it replaces, under a total order."""
+    from pyspark.sql import Window
+    from hadoop_logfile_inputformat_spark.operators.ranks import (
+        with_global_running_sum,
+    )
+
+    rows = [(i % 7, i, (i * 37) % 11 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "g int, k int, v int")
+    got = {
+        (r.g, r.k): r.cum
+        for r in with_global_running_sum(
+            df, [F.col("g"), F.col("k")], "v", num_partitions=8
+        ).collect()
+    }
+    w = Window.orderBy("g", "k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r.g, r.k): r.cum
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want and len(got) == 200
+
+
+def test_pack_sequences_bins_are_exact_prefix_sums(spark):
+    """token_start must be the exclusive prefix sum of n_tokens under
+    (doc_id, chunk_id) order; bin/straddle arithmetic must follow."""
+    from hadoop_logfile_inputformat_spark.operators.text import (
+        PACK_BUDGET,
+        pack_sequences,
+    )
+
+    rows = sorted(
+        pack_sequences(spark, SF).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    assert rows and rows[0].token_start == 0
+    run = 0
+    for r in rows:
+        assert r.token_start == run, (r.doc_id, r.chunk_id)
+        assert r.bin_id == r.token_start // PACK_BUDGET
+        end = r.token_start + r.n_tokens
+        assert r.straddles == int((end - 1) // PACK_BUDGET != r.bin_id)
+        run = end
+
+
+def test_decontaminate_flags_only_shingle_overlap(spark, tmp_path):
+    """Docs sharing a 5-word shingle with an eval doc (doc_id%97==0)
+    are reported with the exact distinct-shingle overlap count; disjoint
+    docs and the eval docs themselves are absent."""
+    from hadoop_logfile_inputformat_spark.operators.text import decontaminate
+
+    eval_text = "the quick brown fox jumps over the lazy dog today"
+    rows = [
+        (0, eval_text),  # eval doc (0 % 97 == 0)
+        (1, "prefix the quick brown fox jumps over suffix words"),  # 2 shared
+        (2, "completely different content with no overlap at all"),
+        (3, None),
+        (97, "another eval doc entirely disjoint from the rest ok"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {r.doc_id: r.n_shared_shingles
+           for r in decontaminate(spark, str(tmp_path)).collect()}
+    # doc 1 shares "the quick brown fox jumps" and "quick brown fox jumps over"
+    assert got == {1: 2}

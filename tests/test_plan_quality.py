@@ -170,7 +170,9 @@ def test_q15_and_q11_scalar_subquery_broadcasts(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["acctbal_deciles", "customer_rfm", "order_value_distribution"]
+    "name",
+    ["acctbal_deciles", "customer_rfm", "order_value_distribution",
+     "pack_sequences"],
 )
 def test_ranking_queries_have_no_global_sort_partition(spark, name):
     """The ranking/NTILE queries must not funnel data-sized input into a
