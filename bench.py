@@ -84,7 +84,10 @@ EXTRA = [
 
 def _time_query(spark, sf_dir, name):
     """(cold_sec, steady_sec, rows): first materialization, then min of
-    two warm runs — single-shot numbers on a shared box swing ±30%."""
+    three warm runs.  Single-shot numbers on a shared box swing ±30%,
+    and one multi-second stall (GC / box noise) has been observed to
+    span two consecutive runs — three warm samples keep one stall
+    window from defining a query's steady-state number."""
     # Pack members stay individually timed for round-over-round
     # comparability even though the correctness registry folds them
     # under pack keys.
@@ -93,7 +96,7 @@ def _time_query(spark, sf_dir, name):
     n = len(fn(spark, sf_dir).collect())
     cold = time.monotonic() - t0
     best = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.monotonic()
         n = len(fn(spark, sf_dir).collect())
         dt = time.monotonic() - t0

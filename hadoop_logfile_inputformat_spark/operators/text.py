@@ -325,6 +325,130 @@ def decontaminate(
     )
 
 
+#: Gopher-style repetition thresholds, in percent: a document is
+#: `repetitive` when its most frequent 2-gram covers >20% of tokens or
+#: its most frequent 3-gram covers >18% (Rae et al. 2021, table A1).
+REP_TOP2_PCT = 20
+REP_TOP3_PCT = 18
+
+#: Mixture sampling rates per predicted language, in per-mille of the
+#: 0..999 hash-bucket space (deterministic down-sampling toward a
+#: target language mix; unlisted languages fall back to "und").
+MIXTURE_RATES = {
+    "en": 1000,
+    "de": 500,
+    "fr": 500,
+    "es": 500,
+    "zh": 250,
+    "und": 100,
+}
+
+
+def _gram_counts(base: DataFrame, n: int) -> DataFrame:
+    """Per-doc top/duplicate n-gram instance counts (all instances —
+    no array_distinct; repetition is exactly what dedup'd shingles
+    would erase)."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(toks) - {n - 1}, 1)),"
+        f" i -> array_join(slice(toks, i, {n}), ' '))"
+    )
+    return (
+        base.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("cnt").alias(f"top{n}_cnt"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+                f"dup{n}_cnt"
+            ),
+        )
+    )
+
+
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition metrics.
+
+    Per document: most-frequent and duplicated 2-/3-gram instance
+    counts plus the composite ``repetitive`` drop signal.  All outputs
+    are integers and the threshold test is integer cross-multiplied
+    (``top2*2*100 > 20*n_tokens``), so the operator is bit-identical
+    across engines — no float rounding surface at all.
+
+    Scale shape: explode → groupBy(doc_id, gram) with map-side partial
+    aggregation, keyed by doc — no global state, no skew beyond the
+    largest single document; the three per-doc frames join on doc_id.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = d.select("doc_id", _ws_tokens(F.col("text")).alias("toks"))
+    n_tok = base.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    out = (
+        n_tok.join(_gram_counts(base, 2), "doc_id")
+        .join(_gram_counts(base, 3), "doc_id")
+    )
+    repetitive = (
+        (F.col("top2_cnt") * 2 * 100 > REP_TOP2_PCT * F.col("n_tokens"))
+        | (F.col("top3_cnt") * 3 * 100 > REP_TOP3_PCT * F.col("n_tokens"))
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "top2_cnt",
+        "dup2_cnt",
+        "top3_cnt",
+        "dup3_cnt",
+        repetitive.cast("int").alias("repetitive"),
+    )
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic language-mixture down-sampling.
+
+    Pipelines rebalance a crawl toward a target language mix by
+    sampling each language at its own rate.  The keep decision is a
+    pure function of the document key — ``md5('mix:' || doc_id)``
+    bucketed 0..999, kept when ``bucket < rate[lang]`` — so it is
+    reproducible across runs and engines and uncorrelated with the
+    train/val/test assignment (different hash salt than splits.py).
+
+    Scale shape: language scoring and the hash are per-row projections;
+    the only shuffle-free filter keeps the corpus side embarrassingly
+    parallel.  Returns the kept documents' ``(doc_id, lang_pred,
+    mix_bucket)``.
+    """
+    langs = language_id(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 1000
+    )
+    # The rate lookup is a broadcast join against a 6-row dim, NOT a
+    # when()-chain on lang_pred: a scalar CASE would be substituted
+    # into the pushed-down filter, inlining the whole language-scoring
+    # expression once per branch — the generated code overflows
+    # janino's method limit and kicks the stage out of whole-stage
+    # codegen.  The join keeps lang_pred computed exactly once.
+    rates = spark.createDataFrame(
+        list(MIXTURE_RATES.items()), "lang_pred string, rate int"
+    )
+    return (
+        langs.select(
+            "doc_id", "lang_pred", bucket.cast("long").alias("mix_bucket")
+        )
+        .join(F.broadcast(rates), "lang_pred", "left")
+        .filter(
+            F.col("mix_bucket")
+            < F.coalesce(F.col("rate"), F.lit(MIXTURE_RATES["und"]))
+        )
+        .select("doc_id", "lang_pred", "mix_bucket")
+    )
+
+
 def redact_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append ``clean_text`` / ``n_redactions`` to any DataFrame with a
     text column (see :func:`redact_pii`)."""

@@ -1025,6 +1025,71 @@ _SQL["decontaminate"] = f"""
     GROUP BY s.doc_id
 """
 
+# Gopher-style repetition metrics (text.py:repetition_profile): all
+# integers, threshold test integer cross-multiplied — zero float
+# rounding surface between the engines.
+_SQL["repetition_profile"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    g2 AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(t) - 1, 1)),
+                      i -> array_to_string(t[i:i + 1], ' '))) AS gram
+        FROM toks
+    ),
+    c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+    p2 AS (
+        SELECT doc_id, max(cnt) AS top2_cnt,
+               CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS dup2_cnt
+        FROM c2 GROUP BY doc_id
+    ),
+    g3 AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                      i -> array_to_string(t[i:i + 2], ' '))) AS gram
+        FROM toks
+    ),
+    c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY doc_id, gram),
+    p3 AS (
+        SELECT doc_id, max(cnt) AS top3_cnt,
+               CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS dup3_cnt
+        FROM c3 GROUP BY doc_id
+    ),
+    n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+    SELECT n.doc_id, n_tokens, top2_cnt, dup2_cnt, top3_cnt, dup3_cnt,
+           CAST(top2_cnt * 200 > {text.REP_TOP2_PCT} * n_tokens
+                OR top3_cnt * 300 > {text.REP_TOP3_PCT} * n_tokens AS INT)
+               AS repetitive
+    FROM n JOIN p2 USING (doc_id) JOIN p3 USING (doc_id)
+"""
+
+# Deterministic language-mixture sampling (text.py:mixture_sample):
+# keep decision = salted md5 bucket vs per-language per-mille rate.
+_mix_case = "CASE lang_pred " + " ".join(
+    f"WHEN '{lang}' THEN {r}" for lang, r in text.MIXTURE_RATES.items()
+) + f" ELSE {text.MIXTURE_RATES['und']} END"
+
+_SQL["mixture_sample"] = f"""
+    WITH scored AS (
+        SELECT doc_id, {_lang_scores},
+               len(regexp_extract_all(text, '{text.CJK_PATTERN}')) AS s_zh
+        FROM documents
+    ),
+    li AS (SELECT doc_id, {_pred} AS lang_pred FROM scored),
+    b AS (
+        SELECT doc_id, lang_pred,
+               CAST(CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS INT) % 1000 AS BIGINT) AS mix_bucket
+        FROM li
+    )
+    SELECT doc_id, lang_pred, mix_bucket
+    FROM b WHERE mix_bucket < {_mix_case}
+"""
+
 # winnowing with the portable md5 gram hash (text.py:document_fingerprints)
 _SQL["doc_fingerprints"] = """
     WITH grams AS (
@@ -1278,6 +1343,11 @@ _PACKS: Dict[str, list] = {
            v3="bin_id", v4="straddles"),
         _m("decontaminate", text.decontaminate, "decontaminate",
            k1="doc_id", v1="n_shared_shingles"),
+        _m("repetition", text.repetition_profile, "repetition_profile",
+           k1="doc_id", v1="n_tokens", v2="top2_cnt", v3="dup2_cnt",
+           v4="top3_cnt", v5="dup3_cnt", v6="repetitive"),
+        _m("mixture", text.mixture_sample, "mixture_sample",
+           k1="doc_id", k2="lang_pred", v1="mix_bucket"),
     ],
 }
 

@@ -44,7 +44,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode runs the whole engine in the driver JVM (32 task
+        # threads + broadcast vars + any persisted intermediates): 8g
+        # showed GC-pressure swings on warm queries mid-bench, 16g is
+        # comfortable on the 128 GiB test box.  On a real cluster this
+        # maps to executor memory, sized per-node instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     spark = builder.getOrCreate()
     from hadoop_logfile_inputformat_spark.sources.logfile import register_logfile_source

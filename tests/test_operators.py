@@ -401,3 +401,61 @@ def test_decontaminate_flags_only_shingle_overlap(spark, tmp_path):
            for r in decontaminate(spark, str(tmp_path)).collect()}
     # doc 1 shares "the quick brown fox jumps" and "quick brown fox jumps over"
     assert got == {1: 2}
+
+
+def test_repetition_profile_counts_and_flag(spark, tmp_path):
+    """Integer gram counts and the cross-multiplied Gopher flag on a
+    constructed corpus; 1-token docs degenerate to top-gram == whole
+    doc (trivially 100% coverage, flagged)."""
+    from hadoop_logfile_inputformat_spark.operators.text import (
+        repetition_profile,
+    )
+
+    rows = [
+        (1, "a a a a a a a a a a"),           # 9x bigram "a a"
+        # all distinct, long enough that one trigram is under 18%
+        (2, " ".join(f"w{i}" for i in range(30))),
+        (3, "x"),
+        (4, None),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {r.doc_id: r.asDict() for r in repetition_profile(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_tokens"] == 10 and got[1]["top2_cnt"] == 9
+    assert got[1]["dup2_cnt"] == 9 and got[1]["repetitive"] == 1
+    assert got[2]["n_tokens"] == 30
+    assert got[2]["top2_cnt"] == 1 and got[2]["dup2_cnt"] == 0
+    assert got[2]["repetitive"] == 0
+    assert got[3]["n_tokens"] == 1 and got[3]["repetitive"] == 1
+
+
+def test_mixture_sample_deterministic_and_rate_bounded(spark):
+    """Keep decision must be a pure function of doc_id (stable across
+    runs), buckets in 0..999, and every kept row under its language's
+    rate; the kept fraction of the dominant language approximates its
+    per-mille rate."""
+    from hadoop_logfile_inputformat_spark.operators.text import (
+        MIXTURE_RATES,
+        language_id,
+        mixture_sample,
+    )
+
+    a = {r.doc_id: (r.lang_pred, r.mix_bucket)
+         for r in mixture_sample(spark, SF).collect()}
+    b = {r.doc_id: (r.lang_pred, r.mix_bucket)
+         for r in mixture_sample(spark, SF).collect()}
+    assert a == b and a
+    langs = {r.doc_id: r.lang_pred for r in language_id(spark, SF).collect()}
+    for doc_id, (lang, bucket) in a.items():
+        rate = MIXTURE_RATES.get(lang, MIXTURE_RATES["und"])
+        assert 0 <= bucket < 1000 and bucket < rate
+        assert langs[doc_id] == lang
+    from collections import Counter
+
+    pred = Counter(langs.values())
+    dominant, n_dom = pred.most_common(1)[0]
+    kept_dom = sum(1 for lang, _ in a.values() if lang == dominant)
+    rate = MIXTURE_RATES.get(dominant, MIXTURE_RATES["und"]) / 1000
+    assert abs(kept_dom / n_dom - rate) < 0.15
