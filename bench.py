@@ -79,6 +79,10 @@ EXTRA = [
     "q12_shipping_delay",
     "q16_supplier_part_counts",
     "q21_waiting_suppliers",
+    "pack_sequences",
+    "decontaminate",
+    "repetition_profile",
+    "mixture_sample",
 ]
 
 
