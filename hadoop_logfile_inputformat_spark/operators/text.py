@@ -263,6 +263,14 @@ def pack_sequences(
     two-phase plan the rank suite uses).
     """
     chunks = chunk_documents(spark, sf_dir, chunk_tokens, overlap)
+    return pack_chunks(chunks, budget)
+
+
+def pack_chunks(chunks: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Packing core over any ``(doc_id, chunk_id, n_tokens)`` frame —
+    shared by :func:`pack_sequences` (whole corpus) and
+    :func:`~hadoop_logfile_inputformat_spark.operators.pipeline.training_corpus`
+    (curated subset)."""
     cum = with_global_running_sum(
         chunks.select("doc_id", "chunk_id", "n_tokens"),
         [F.col("doc_id"), F.col("chunk_id")],

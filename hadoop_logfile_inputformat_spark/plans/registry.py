@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from hadoop_logfile_inputformat_spark.operators import (
     dedup,
     logparity,
+    pipeline,
     relational,
     relational_ext,
     similarity,
@@ -968,13 +969,18 @@ _SQL["corpus_split"] = """
     )
 """
 
-# concat-and-cut sequence packing (text.py:pack_sequences): the oracle
-# recomputes the global token cumsum with a plain window — the Spark
-# side's two-phase distributed cumsum must be value-identical to it.
-_SQL["pack_sequences"] = f"""
+# concat-and-cut sequence packing (text.py:pack_sequences /
+# pack_chunks): the oracle recomputes the global token cumsum with a
+# plain window — the Spark side's two-phase distributed cumsum must be
+# value-identical to it.  Parameterized on a doc filter so the
+# training_corpus composition below reuses the exact same packing SQL.
+
+
+def _pack_sql(doc_where: str = "") -> str:
+    return f"""
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-        FROM documents
+        FROM documents {doc_where}
     ),
     chunks AS (
         SELECT doc_id,
@@ -1002,6 +1008,9 @@ _SQL["pack_sequences"] = f"""
                AS straddles
     FROM cum
 """
+
+
+_SQL["pack_sequences"] = _pack_sql()
 
 # benchmark decontamination (text.py:decontaminate): docs sharing a
 # 5-word shingle with the doc_id%97==0 pseudo-benchmark set.
@@ -1088,6 +1097,26 @@ _SQL["mixture_sample"] = f"""
     )
     SELECT doc_id, lang_pred, mix_bucket
     FROM b WHERE mix_bucket < {_mix_case}
+"""
+
+# End-to-end training-corpus materialization (operators/pipeline.py):
+# curation − contamination − benchmark docs ∩ train split → packing.
+# Composed verbatim from the member oracles above so the composition
+# itself (the join/filter chain) is what this row actually checks.
+_SQL["training_corpus"] = f"""
+    WITH kept AS ({_SQL["curate_documents"]}),
+    cont AS (SELECT doc_id FROM ({_SQL["decontaminate"]}) AS c),
+    tr AS (SELECT doc_id FROM ({_SQL["corpus_split"]}) AS s
+           WHERE split = 'train'),
+    elig AS (
+        SELECT kept.doc_id FROM kept
+        JOIN tr USING (doc_id)
+        WHERE kept.doc_id % {text.DECONTAM_MOD} != 0
+          AND kept.doc_id NOT IN (SELECT doc_id FROM cont)
+    )
+    SELECT * FROM (
+        {_pack_sql("WHERE doc_id IN (SELECT doc_id FROM elig)")}
+    ) AS p
 """
 
 # winnowing with the portable md5 gram hash (text.py:document_fingerprints)
@@ -1348,6 +1377,9 @@ _PACKS: Dict[str, list] = {
            v4="top3_cnt", v5="dup3_cnt", v6="repetitive"),
         _m("mixture", text.mixture_sample, "mixture_sample",
            k1="doc_id", k2="lang_pred", v1="mix_bucket"),
+        _m("training_corpus", pipeline.training_corpus, "training_corpus",
+           k1="doc_id", k2="chunk_id", v1="token_start", v2="n_tokens",
+           v3="bin_id", v4="straddles"),
     ],
 }
 

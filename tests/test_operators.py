@@ -459,3 +459,36 @@ def test_mixture_sample_deterministic_and_rate_bounded(spark):
     kept_dom = sum(1 for lang, _ in a.values() if lang == dominant)
     rate = MIXTURE_RATES.get(dominant, MIXTURE_RATES["und"]) / 1000
     assert abs(kept_dom / n_dom - rate) < 0.15
+
+
+def test_training_corpus_composition_invariants(spark):
+    """Output docs must be exactly: curated ∩ train-split, minus
+    contaminated and benchmark docs; packing invariants must hold on
+    the filtered chunk stream (prefix sums restart-free, bins exact)."""
+    from hadoop_logfile_inputformat_spark.operators.dedup import curate_documents
+    from hadoop_logfile_inputformat_spark.operators.pipeline import training_corpus
+    from hadoop_logfile_inputformat_spark.operators.splits import corpus_split
+    from hadoop_logfile_inputformat_spark.operators.text import (
+        DECONTAM_MOD,
+        PACK_BUDGET,
+        decontaminate,
+    )
+
+    rows = sorted(
+        training_corpus(spark, SF).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    assert rows
+    kept = {r.doc_id for r in curate_documents(spark, SF).collect()}
+    cont = {r.doc_id for r in decontaminate(spark, SF).collect()}
+    train = {r.doc_id for r in corpus_split(spark, SF).collect()
+             if r.split == "train"}
+    expected = {
+        d for d in (kept & train) - cont if d % DECONTAM_MOD != 0
+    }
+    assert {r.doc_id for r in rows} == expected
+    run = 0
+    for r in rows:
+        assert r.token_start == run
+        assert r.bin_id == r.token_start // PACK_BUDGET
+        run = r.token_start + r.n_tokens

@@ -171,6 +171,9 @@ def test_q15_and_q11_scalar_subquery_broadcasts(spark):
 
 @pytest.mark.parametrize(
     "name",
+    # training_corpus shares pack_chunks' cumsum plan with
+    # pack_sequences and is omitted: building its DataFrame runs the
+    # connected-components fixpoint loop, which dominates suite time.
     ["acctbal_deciles", "customer_rfm", "order_value_distribution",
      "pack_sequences"],
 )
@@ -191,7 +194,14 @@ def test_ranking_queries_have_no_global_sort_partition(spark, name):
             f"{name}: SinglePartition exchange over non-aggregated input:\n"
             f"{line}\n{child}"
         )
-    # and no global-order window anywhere (WindowExec would warn)
+    # and no global-order window anywhere (WindowExec would warn).  A
+    # windowspecdefinition whose FIRST argument is a sort order (ASC/
+    # DESC) has no partition columns — that's the global funnel; a
+    # bare column first (e.g. __rank_pid, text_hash) is partitioned.
+    import re
+
     for i, line in enumerate(lines):
         if "Window " in line and "windowspecdefinition" in line:
-            assert "__rank_pid" in line, f"{name}: un-partitioned window:\n{line}"
+            assert not re.search(
+                r"windowspecdefinition\([^,()]* (ASC|DESC)", line
+            ), f"{name}: un-partitioned window:\n{line}"
