@@ -83,7 +83,57 @@ EXTRA = [
     "decontaminate",
     "repetition_profile",
     "mixture_sample",
+    # reference-parity surface (fixture corpus; mostly measures the
+    # Python-DataSource fixed overhead at this size — the MB/s scan
+    # numbers come from the source_throughput measurement below)
+    "logfile_count_by_level",
+    "logfile_gzip_equivalence",
+    "logfile_stack_hotspots",
+    "logfile_sample",
 ]
+
+
+def _bench_source_throughput(spark) -> dict:
+    """End-to-end logfile-source scan rate on a ~128 MB corpus.
+
+    The reference's own workload is the multi-line log scan; the
+    registry fixture is too small to measure it, so this generates a
+    deterministic narrow-record corpus (cached across runs) and times
+    ``spark.read.format("logfile")`` end to end.
+    """
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_source",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tools", "bench_source.py"),
+    )
+    bs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bs)
+    d = "/tmp/logrecords_srcbench"
+    os.makedirs(d, exist_ok=True)
+    f = os.path.join(d, "narrow.log")
+    bs._gen(f, 128.0, False)
+    size = os.path.getsize(f)
+    df = (
+        spark.read.format("logfile")
+        .option("pattern", bs.PAT)
+        .option("maxPartitionBytes", str(8 * 1024 * 1024))
+        .load(f)
+    )
+    t0 = time.monotonic()
+    n = df.count()
+    cold = time.monotonic() - t0
+    t0 = time.monotonic()
+    df.count()
+    steady = time.monotonic() - t0
+    return {
+        "detail": "source_throughput",
+        "mb": round(size / 1e6, 1),
+        "records": n,
+        "cold_mb_s": round(size / 1e6 / cold, 1),
+        "steady_mb_s": round(size / 1e6 / steady, 1),
+    }
 
 
 def _time_query(spark, sf_dir, name):
@@ -136,12 +186,16 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    src = _bench_source_throughput(spark)
+    print(f"# source: {src['steady_mb_s']} MB/s steady", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     # Per-query detail first, compact headline LAST: the driver keeps
     # only the tail of stdout, so the parseable summary line must come
     # at the very end and stay short (totals only).
     print(json.dumps({"detail": "queries", "steady": timings, "cold": cold_timings}))
     print(json.dumps({"detail": "extra_queries", "steady": extra, "cold": extra_cold}))
+    print(json.dumps(src))
     print(
         json.dumps(
             {
@@ -153,6 +207,7 @@ def main() -> None:
                 "extra_total": round(sum(extra.values()), 3),
                 "n_queries": len(timings),
                 "n_extra": len(extra),
+                "source_mb_s": src["steady_mb_s"],
                 "sf": sf,
             }
         )
