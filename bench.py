@@ -158,6 +158,19 @@ def _time_query(spark, sf_dir, name):
     return round(cold, 3), round(best, 3), n
 
 
+def _time_query_safe(spark, sf_dir, name, errors):
+    """One broken query must not zero out the whole bench artifact
+    (round 3 lost ALL timings to a single AnalysisException).  Failures
+    are recorded in ``errors`` and excluded from totals."""
+    try:
+        return _time_query(spark, sf_dir, name)
+    except Exception as exc:  # noqa: BLE001 - survive any query failure
+        msg = str(exc).split("\n", 1)[0][:200]
+        errors[name] = msg
+        print(f"# ERROR {name}: {msg}", file=sys.stderr)
+        return None, None, 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -169,25 +182,34 @@ def main() -> None:
     # measures the query, not executor startup
     spark.range(1000).count()
 
+    errors: dict[str, str] = {}
     timings, cold_timings = {}, {}
     for name in HEADLINE:
-        cold_timings[name], timings[name], n = _time_query(spark, sf_dir, name)
+        cold, steady, n = _time_query_safe(spark, sf_dir, name, errors)
+        if steady is None:
+            continue
+        cold_timings[name], timings[name] = cold, steady
         print(
-            f"# {name}: cold {cold_timings[name]:.3f}s"
-            f" steady {timings[name]:.3f}s ({n} rows)",
+            f"# {name}: cold {cold:.3f}s steady {steady:.3f}s ({n} rows)",
             file=sys.stderr,
         )
     extra, extra_cold = {}, {}
     for name in EXTRA:
-        extra_cold[name], extra[name], n = _time_query(spark, sf_dir, name)
+        cold, steady, n = _time_query_safe(spark, sf_dir, name, errors)
+        if steady is None:
+            continue
+        extra_cold[name], extra[name] = cold, steady
         print(
-            f"# [extra] {name}: cold {extra_cold[name]:.3f}s"
-            f" steady {extra[name]:.3f}s ({n} rows)",
+            f"# [extra] {name}: cold {cold:.3f}s steady {steady:.3f}s ({n} rows)",
             file=sys.stderr,
         )
 
-    src = _bench_source_throughput(spark)
-    print(f"# source: {src['steady_mb_s']} MB/s steady", file=sys.stderr)
+    try:
+        src = _bench_source_throughput(spark)
+        print(f"# source: {src['steady_mb_s']} MB/s steady", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        errors["source_throughput"] = str(exc).split("\n", 1)[0][:200]
+        src = {"detail": "source_throughput", "steady_mb_s": None}
 
     total = round(sum(timings.values()), 3)
     # Per-query detail first, compact headline LAST: the driver keeps
@@ -196,6 +218,8 @@ def main() -> None:
     print(json.dumps({"detail": "queries", "steady": timings, "cold": cold_timings}))
     print(json.dumps({"detail": "extra_queries", "steady": extra, "cold": extra_cold}))
     print(json.dumps(src))
+    if errors:
+        print(json.dumps({"detail": "errors", "errors": errors}))
     print(
         json.dumps(
             {
@@ -207,6 +231,7 @@ def main() -> None:
                 "extra_total": round(sum(extra.values()), 3),
                 "n_queries": len(timings),
                 "n_extra": len(extra),
+                "n_errors": len(errors),
                 "source_mb_s": src["steady_mb_s"],
                 "sf": sf,
             }

@@ -172,8 +172,13 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "events")
     by_user = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user)
-    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # timestamp_diff is NTZ-safe and timezone-independent (pure wall-clock
+    # field arithmetic); casting ts to BIGINT breaks on TIMESTAMP_NTZ in
+    # Spark 4 and epoch-based variants drag the session timezone in.
+    # Microsecond units keep exact parity with the DuckDB oracle's
+    # epoch_us() difference — no per-operand truncation on either side.
+    gap = F.timestamp_diff("MICROSECOND", F.lag("ts").over(by_user), F.col("ts"))
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     sessions = e.select(
         "user_id", "ts", "value", is_new.alias("new_session")
     ).withColumn("session_id", F.sum("new_session").over(by_user))

@@ -300,7 +300,10 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.lit(1).alias("kind"),
         "event_id",
-        F.lit(None).cast("timestamp").alias("c_ts"),
+        # match the source ts type exactly (TIMESTAMP_NTZ vs _LTZ depends
+        # on how the parquet was written); a hardcoded "timestamp" would
+        # force a union-coercion that flips with the writer's convention
+        F.lit(None).cast(e.schema["ts"].dataType).alias("c_ts"),
         F.lit(None).cast("double").alias("c_value"),
     )
     w = (

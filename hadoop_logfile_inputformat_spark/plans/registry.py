@@ -146,7 +146,7 @@ _SQL: Dict[str, str] = {
         WITH g AS (
             SELECT user_id, ts,
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR date_part('epoch', ts) - date_part('epoch', lag(ts) OVER w) > 1800
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
