@@ -29,6 +29,24 @@ N_PERMUTATIONS = 32
 LSH_BANDS = 8  # rows per band = 32 / 8 = 4
 JACCARD_THRESHOLD = 0.10
 
+# --- engine-portable hash family (same pattern as text.document_
+# fingerprints_portable): base = first 15 hex chars of md5 → 60-bit
+# int, identical in Spark (conv(...,16,10)) and DuckDB
+# (('0x'||...)::BIGINT); permutation i is a universal affine hash
+# (a_i·lo + b_i·hi + i) mod 2^61-1 over the 30-bit halves, so every
+# product stays < 2^60 and the arithmetic is exact BIGINT on both
+# engines.  ONE md5 per shingle (vs 32 seeded xxhash64 calls in the
+# default family) + 32 multiply-add-mods.
+PORTABLE_MOD = (1 << 61) - 1
+_LO_MASK = (1 << 30) - 1
+PORTABLE_A = [((i * 2654435761 + 0x9E3779B1) % (1 << 30)) | 1 for i in range(64)]
+PORTABLE_B = [((i * 2246822519 + 0x85EBCA77) % (1 << 30)) | 1 for i in range(64)]
+
+
+def _portable_base60(col):
+    """First 60 bits of md5 as BIGINT — reproducible in ANSI-ish SQL."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
 
 def _shingle_sets(docs: DataFrame, min_words: int = SHINGLE_WORDS) -> DataFrame:
     """(doc_id, shingles array<string>): distinct lowercase 3-word shingles."""
@@ -126,14 +144,43 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _signatures_from_sets(sets: DataFrame) -> DataFrame:
+def _signatures_from_sets(
+    sets: DataFrame, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """MinHash signatures from a (doc_id, shingles) DataFrame — the
-    single definition both the public API and the LSH path use."""
+    single definition both the public API and the LSH path use.
+
+    ``hash_fn``: ``xxhash64`` (default — permutation i is seeded
+    ``xxhash64(shingle, i)``, JVM-native but engine-specific) or
+    ``md5`` (portable affine family, lets DuckDB recompute the exact
+    signature for the registry's value-hash check).
+    """
     sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(N_PERMUTATIONS)
-    ]
+    if hash_fn == "xxhash64":
+        mins = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(N_PERMUTATIONS)
+        ]
+    elif hash_fn == "md5":
+        base = _portable_base60(F.col("shingle"))
+        sh = sh.select(
+            "doc_id",
+            base.bitwiseAND(F.lit(_LO_MASK)).alias("lo"),
+            F.shiftrightunsigned(base, 30).alias("hi"),
+        )
+        mins = [
+            F.min(
+                (
+                    F.lit(PORTABLE_A[i]) * F.col("lo")
+                    + F.lit(PORTABLE_B[i]) * F.col("hi")
+                    + F.lit(i)
+                )
+                % F.lit(PORTABLE_MOD)
+            ).alias(f"h{i}")
+            for i in range(N_PERMUTATIONS)
+        ]
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     sig = F.array(*[F.col(f"h{i}") for i in range(N_PERMUTATIONS)])
     return sh.groupBy("doc_id").agg(*mins).select("doc_id", sig.alias("sig"))
 
@@ -142,6 +189,7 @@ def minhash_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = JACCARD_THRESHOLD,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + LSH banding near-duplicate pairs, verified exactly.
 
@@ -167,17 +215,23 @@ def minhash_lsh_pairs(
     # repeatedly should stage shingle sets to parquet instead
     # (SCALING.md).
     sets = scoped_persist(
-        _shingle_sets(load(spark, sf_dir, "documents")), ("minhash_sets", sf_dir)
+        _shingle_sets(load(spark, sf_dir, "documents")),
+        ("minhash_sets", sf_dir, hash_fn),
     )
-    sigs = _signatures_from_sets(sets)
+    sigs = _signatures_from_sets(sets, hash_fn)
+
+    def _bucket(bi):
+        vals = [F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]
+        if hash_fn == "md5":
+            # injective string key: the SQL oracle reproduces band
+            # equality exactly (a hashed bucket would admit an
+            # astronomically-unlikely-but-possible collision delta)
+            return F.concat_ws("_", *vals)
+        return F.xxhash64(*vals)
+
     band_cols = F.array(
         *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(
-                    *[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]
-                ).alias("bucket"),
-            )
+            F.struct(F.lit(bi).alias("band"), _bucket(bi).alias("bucket"))
             for bi in range(LSH_BANDS)
         ]
     )
@@ -208,34 +262,46 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash bigint): 64-bit SimHash over word shingles.
+def simhash_64(
+    spark: SparkSession, sf_dir: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(doc_id, simhash bigint): SimHash over word shingles — 64 bits
+    with the default ``xxhash64`` shingle hash, 60 bits with the
+    engine-portable ``md5`` family (DuckDB recomputes it bit-for-bit
+    for the registry's value-hash check).
 
     Per doc: for each bit k, sum ±1 over shingle hashes' bit k; the
     sign vector packs into one 64-bit integer.  Entirely Catalyst
     higher-order functions — one groupBy(doc_id) shuffle.
     """
+    if hash_fn == "xxhash64":
+        h, n_bits = F.xxhash64("shingle"), 64
+    elif hash_fn == "md5":
+        h, n_bits = _portable_base60(F.col("shingle")), 60
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     sh = _shingled(load(spark, sf_dir, "documents"))
-    hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
-    # 64 conditional SUMs in ONE groupBy: partial aggregation runs
-    # map-side, so the shuffle carries 64 longs per doc regardless of
-    # shingle count.  (The previous collect_list formulation
+    hashed = sh.select("doc_id", h.alias("h"))
+    # n_bits conditional SUMs in ONE groupBy: partial aggregation runs
+    # map-side, so the shuffle carries n_bits longs per doc regardless
+    # of shingle count.  (The previous collect_list formulation
     # materialized every shingle hash of a doc into one array row —
     # unbounded row width for boilerplate-heavy docs, and no map-side
     # combine.)
     bit_sums = [
         F.sum(F.when(F.getbit("h", F.lit(k)) == 1, 1).otherwise(-1)).alias(f"b{k}")
-        for k in range(64)
+        for k in range(n_bits)
     ]
     per_doc = hashed.groupBy("doc_id").agg(*bit_sums)
     simhash = F.expr(
-        " + ".join(f"IF(b{k} > 0, shiftleft(1L, {k}), 0L)" for k in range(64))
+        " + ".join(f"IF(b{k} > 0, shiftleft(1L, {k}), 0L)" for k in range(n_bits))
     )
     return per_doc.select("doc_id", simhash.alias("simhash"))
 
 
 def simhash_pairs(
-    spark: SparkSession, sf_dir: str, max_hamming: int = 12
+    spark: SparkSession, sf_dir: str, max_hamming: int = 12,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance.
 
@@ -244,8 +310,11 @@ def simhash_pairs(
     chunk (12 < 8 chunks ⇒ some chunk untouched... strictly, distance
     < 8 guarantees it; larger thresholds trade recall).  The join key
     is (chunk_index, chunk_value) — never a cross join.
+
+    The 8×8-bit chunking works unchanged for the 60-bit portable hash:
+    chunk 7 simply carries 4 meaningful bits.
     """
-    sh = simhash_64(spark, sf_dir)
+    sh = simhash_64(spark, sf_dir, hash_fn)
     chunk = F.explode(
         F.array(
             *[
@@ -383,11 +452,29 @@ def _curate(spark: SparkSession, sf_dir: str, pairs: DataFrame | None) -> DataFr
     )
 
 
+def minhash_lsh_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry variant of :func:`minhash_lsh_pairs` with the
+    engine-portable md5-affine hash family, so the full
+    signature → banding → candidate → exact-verify pipeline is
+    value-hashed against a DuckDB recomputation instead of rows-only."""
+    return minhash_lsh_pairs(spark, sf_dir, hash_fn="md5")
+
+
+def simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry variant of :func:`simhash_pairs` (60-bit portable
+    hash) — hash-checked against a DuckDB bit-for-bit recomputation."""
+    return simhash_pairs(spark, sf_dir, hash_fn="md5")
+
+
 def curate_documents_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path twin of :func:`curate_documents`: identical
     composition, but near-dup edges come from MinHash+LSH instead of
     the quadratic exact-Jaccard join — this is the variant a 100 TB
-    pipeline runs (see SCALING.md).  No SQL oracle (xxhash64 LSH);
-    tests assert it equals the exact pipeline wherever LSH recall is 1.
+    pipeline runs (see SCALING.md).  Uses the portable hash family so
+    the whole composition is SQL-oracle-checkable end to end; tests
+    additionally assert it equals the exact pipeline wherever LSH
+    recall is 1.
     """
-    return _curate(spark, sf_dir, pairs=minhash_lsh_pairs(spark, sf_dir))
+    return _curate(
+        spark, sf_dir, pairs=minhash_lsh_pairs(spark, sf_dir, hash_fn="md5")
+    )

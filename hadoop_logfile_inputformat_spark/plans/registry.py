@@ -68,6 +68,86 @@ sh AS (
 )
 """
 
+# --- portable MinHash / SimHash fragments: DuckDB recomputation of the
+# md5-affine hash family in operators/dedup.py (PORTABLE_A/B/MOD), so
+# the approximate dedup surface is value-hash-checked, not rows-only.
+# ``sets`` keeps per-doc shingle LISTS (candidate verification);
+# ``sh`` re-derives the exploded form the signature pass needs.
+_SHINGLE_SETS_CTE = """
+toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+    FROM documents
+),
+sets AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))) AS shingles
+    FROM toks WHERE len(t) >= 3
+),
+sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM sets)
+"""
+
+_RPB = dedup.N_PERMUTATIONS // dedup.LSH_BANDS
+
+_MINHASH_SIG_COLS = ",\n           ".join(
+    f"min(({dedup.PORTABLE_A[i]} * lo + {dedup.PORTABLE_B[i]} * hi + {i})"
+    f" % {dedup.PORTABLE_MOD}) AS h{i}"
+    for i in range(dedup.N_PERMUTATIONS)
+)
+
+_MINHASH_BANDS_SQL = "\n    UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS bucket FROM sig".format(
+        b=b, cols=", ".join(f"h{b * _RPB + r}" for r in range(_RPB))
+    )
+    for b in range(dedup.LSH_BANDS)
+)
+
+#: shingle-hash → banding → bucket-colliding candidates → exact-Jaccard
+#: verification: the full LSH pipeline as CTEs ending in ``lsh_pairs``.
+_MINHASH_LSH_CTE = f"""{_SHINGLE_SETS_CTE},
+hx0 AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS base
+    FROM sh
+),
+hx AS (SELECT doc_id, base & 1073741823 AS lo, base >> 30 AS hi FROM hx0),
+sig AS (
+    SELECT doc_id,
+           {_MINHASH_SIG_COLS}
+    FROM hx GROUP BY doc_id
+),
+bands AS (
+    {_MINHASH_BANDS_SQL}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id
+),
+lsh_pairs AS (
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(sa.shingles, sb.shingles))
+                 / (len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles))), 4)
+               AS jaccard
+    FROM cand
+    JOIN sets sa ON sa.doc_id = doc_a
+    JOIN sets sb ON sb.doc_id = doc_b
+)"""
+
+_SIMHASH_BITS = 60  # portable base is 60 bits (15 hex chars of md5)
+
+_SIMHASH_BSUM_COLS = ",\n           ".join(
+    f"sum(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS b{k}"
+    for k in range(_SIMHASH_BITS)
+)
+
+_SIMHASH_PACK = " + ".join(
+    f"(CASE WHEN b{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(_SIMHASH_BITS)
+)
+
 _SQL: Dict[str, str] = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -774,6 +854,73 @@ _SQL: Dict[str, str] = {
         JOIN exact_keep e ON e.doc_id = q.doc_id
         JOIN groups g ON g.doc_id = q.doc_id AND g.group_id = g.doc_id
     """,
+    "dedup_minhash_lsh": f"""
+        WITH {_MINHASH_LSH_CTE}
+        SELECT doc_a, doc_b, jaccard
+        FROM lsh_pairs
+        WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
+    """,
+    "dedup_simhash": f"""
+        WITH {_SHINGLE_SETS_CTE},
+        hx AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+            FROM sh
+        ),
+        bsum AS (
+            SELECT doc_id,
+                   {_SIMHASH_BSUM_COLS}
+            FROM hx GROUP BY doc_id
+        ),
+        sim AS (
+            SELECT doc_id, {_SIMHASH_PACK} AS simhash FROM bsum
+        ),
+        chunks AS (
+            SELECT doc_id, simhash, r.range AS ci,
+                   (simhash >> (r.range * 8)) & 255 AS cv
+            FROM sim CROSS JOIN range(0, 8) r
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM chunks a
+        JOIN chunks b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+    """,
+    "curate_documents_scale": f"""
+        WITH RECURSIVE {_MINHASH_LSH_CTE},
+        pairs AS (
+            SELECT doc_a, doc_b FROM lsh_pairs
+            WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
+        ),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(n, m) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+        ),
+        groups AS (SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n),
+        quality AS (
+            SELECT doc_id FROM documents
+            WHERE len(string_split_regex(trim(text), '\\s+')) >= 5
+              AND length(text) >= 20
+              AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  / length(text) > 0.5
+        ),
+        exact_keep AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id
+                FROM documents
+            ) WHERE doc_id = keep_id
+        )
+        SELECT q.doc_id
+        FROM quality q
+        JOIN exact_keep e ON e.doc_id = q.doc_id
+        JOIN groups g ON g.doc_id = q.doc_id AND g.group_id = g.doc_id
+    """,
     "ann_cosine_topk": f"""
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -1426,8 +1573,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- dedup surface ---
     "dedup_exact": dedup.exact_dedup,
     "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
-    "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
-    "dedup_simhash": dedup.simhash_pairs,
+    "dedup_minhash_lsh": dedup.minhash_lsh_pairs_portable,
+    "dedup_simhash": dedup.simhash_pairs_portable,
     "dedup_groups": dedup.near_dup_groups,
     "curate_documents": dedup.curate_documents,
     "curate_documents_scale": dedup.curate_documents_scale,
@@ -1435,8 +1582,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 #: Final oracle map: individual keys take their member SQL verbatim;
 #: pack keys get the generated UNION ALL projection.  Keys absent here
-#: (logfile_*, media, ivf, fingerprints, sketches, minhash/simhash)
-#: are rows-only by design.
+#: (logfile_sample: seeded Bernoulli sample; ann_ivf_topk: k-means-ish
+#: centroids; approx_sketches: HLL/quantile sketches) are rows-only by
+#: design — genuinely not SQL-reproducible.
 ORACLES: Dict[str, str] = {
     **{k: _SQL[k] for k in QUERIES if k in _SQL},
     **{name: pack_oracle(members) for name, members in _PACKS.items()},
