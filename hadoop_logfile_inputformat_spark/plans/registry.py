@@ -4,10 +4,13 @@ oracle) pair.
 ``QUERIES[name]`` is a callable ``(spark, sf_dir) -> DataFrame``;
 ``ORACLES[name]`` is the equivalent ANSI SQL that DuckDB runs over the
 same parquet tables (views ``region nation customer supplier part
-orders lineitem events documents embeddings``).  Queries without an
-oracle entry are genuinely non-SQL-expressible or rely on
-engine-specific hashing (xxhash64); the driver records a rows-only
-check for those.
+orders lineitem events documents embeddings``).  Only two queries have
+no oracle entry — ``logfile_sample`` (seeded Bernoulli sampling) and
+``approx_sketches`` (HLL / quantile sketches) — because their results
+are genuinely engine-specific; the driver records a rows-only check
+for those.  Everything hash-dependent (MinHash, SimHash, winnowing
+fingerprints, LSH curation) uses the portable md5-based family so the
+oracle reproduces values exactly.
 
 Cross-engine determinism rules applied throughout (see operator
 docstrings): double aggregates rounded identically on both sides,
@@ -943,6 +946,59 @@ _SQL: Dict[str, str] = {
         )
         SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {similarity.TOP_K}
     """,
+    "ann_ivf_topk": f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, e,
+                   sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+            FROM v
+        ),
+        cent AS (
+            SELECT vec_id AS centroid_id, e AS c_e, nrm AS c_nrm
+            FROM n WHERE vec_id % {similarity.IVF_CENTROID_MODULUS} = 0
+        ),
+        assigned AS (
+            SELECT vec_id, e, nrm, centroid_id FROM (
+                SELECT n.vec_id, n.e, n.nrm, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY n.vec_id
+                           ORDER BY list_dot_product(n.e, c.c_e)
+                                    / (n.nrm * c.c_nrm) DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM n CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        queries AS (
+            SELECT vec_id AS query_id, e AS q_e, nrm AS q_nrm
+            FROM assigned WHERE vec_id % {similarity.QUERY_MODULUS} = 0
+        ),
+        probes AS (
+            SELECT query_id, q_e, q_nrm, centroid_id FROM (
+                SELECT q.query_id, q.q_e, q.q_nrm, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_dot_product(q.q_e, c.c_e)
+                                    / (q.q_nrm * c.c_nrm) DESC,
+                                    c.centroid_id ASC) AS p
+                FROM queries q CROSS JOIN cent c
+            ) WHERE p <= {similarity.IVF_NPROBE}
+        ),
+        hits AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   round(list_dot_product(p.q_e, a.e) / (p.q_nrm * a.nrm), 4)
+                       AS sim
+            FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id
+            WHERE a.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, sim, rank FROM (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM hits
+        ) WHERE rank <= {similarity.TOP_K}
+    """,
     "embedding_near_dup": """
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -1582,9 +1638,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 #: Final oracle map: individual keys take their member SQL verbatim;
 #: pack keys get the generated UNION ALL projection.  Keys absent here
-#: (logfile_sample: seeded Bernoulli sample; ann_ivf_topk: k-means-ish
-#: centroids; approx_sketches: HLL/quantile sketches) are rows-only by
-#: design — genuinely not SQL-reproducible.
+#: (logfile_sample: seeded Bernoulli sample; approx_sketches:
+#: HLL/quantile sketches) are rows-only by design — genuinely not
+#: SQL-reproducible.
 ORACLES: Dict[str, str] = {
     **{k: _SQL[k] for k in QUERIES if k in _SQL},
     **{name: pack_oracle(members) for name, members in _PACKS.items()},
