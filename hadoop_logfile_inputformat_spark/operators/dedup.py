@@ -162,11 +162,15 @@ def _signatures_from_sets(
             for i in range(N_PERMUTATIONS)
         ]
     elif hash_fn == "md5":
-        base = _portable_base60(F.col("shingle"))
+        # stage the base through its own projection so md5+conv runs
+        # ONCE per shingle; inlining it into lo AND hi relies on
+        # codegen subexpression elimination, which does not fire here
         sh = sh.select(
+            "doc_id", _portable_base60(F.col("shingle")).alias("base")
+        ).select(
             "doc_id",
-            base.bitwiseAND(F.lit(_LO_MASK)).alias("lo"),
-            F.shiftrightunsigned(base, 30).alias("hi"),
+            F.col("base").bitwiseAND(F.lit(_LO_MASK)).alias("lo"),
+            F.shiftrightunsigned("base", 30).alias("hi"),
         )
         mins = [
             F.min(

@@ -25,11 +25,45 @@ def test_minhash_lsh_matches_exact_jaccard(spark):
     assert exact  # corpus must actually produce near-dup pairs
 
 
+def test_minhash_lsh_portable_family_matches_exact_jaccard(spark):
+    """The md5-affine family the registry binds (hash-checkable by
+    DuckDB) must preserve the same recall==1 property as the xxhash64
+    default — a portability swap must not degrade candidate recall."""
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(spark, SF).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs_portable(spark, SF).collect()
+    }
+    assert lsh == exact
+    assert exact
+
+
 def test_simhash_pairs_have_low_hamming(spark):
     rows = dedup.simhash_pairs(spark, SF, max_hamming=12).collect()
     assert rows
     assert all(0 <= r.hamming <= 12 for r in rows)
     assert all(r.doc_a < r.doc_b for r in rows)
+
+
+def test_simhash_portable_family_finds_near_dups(spark):
+    """60-bit portable SimHash: same structural invariants as the
+    64-bit default, and full recall of the strong (jaccard >= 0.5)
+    near-dup pairs on the fixture corpus — a portability swap must not
+    lose the dups the operator exists to find.  (Exact hamming values
+    are family-dependent and deliberately not compared.)"""
+    portable = dedup.simhash_pairs_portable(spark, SF).collect()
+    assert portable
+    assert all(0 <= r.hamming <= 12 and r.doc_a < r.doc_b for r in portable)
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(spark, SF, threshold=0.5).collect()
+    }
+    assert truth, "fixture corpus must contain strong near-dups"
+    found = {(r.doc_a, r.doc_b) for r in portable}
+    assert truth <= found, f"portable SimHash missed {truth - found}"
 
 
 def test_exact_dedup_is_total_and_consistent(spark):
