@@ -127,12 +127,29 @@ def _bench_source_throughput(spark) -> dict:
     t0 = time.monotonic()
     df.count()
     steady = time.monotonic() - t0
+    # Python-data-source jobs carry a fixed per-job planning cost
+    # (driver-side Python worker round for partitions()); measure it on
+    # a ~1-record file so the artifact separates per-job overhead from
+    # per-byte scan rate — the number that actually extrapolates to a
+    # 100 TB scan.
+    tiny = os.path.join(d, "tiny.log")
+    if not os.path.exists(tiny):
+        with open(tiny, "w") as fh:
+            fh.write("2024-01-01 00:00:00,000 | INFO | x | y\n")
+    tdf = spark.read.format("logfile").option("pattern", bs.PAT).load(tiny)
+    tdf.count()
+    t0 = time.monotonic()
+    tdf.count()
+    overhead = time.monotonic() - t0
+    net = size / 1e6 / max(steady - overhead, 1e-3)
     return {
         "detail": "source_throughput",
         "mb": round(size / 1e6, 1),
         "records": n,
         "cold_mb_s": round(size / 1e6 / cold, 1),
         "steady_mb_s": round(size / 1e6 / steady, 1),
+        "job_overhead_s": round(overhead, 3),
+        "net_mb_s": round(net, 1),
     }
 
 

@@ -210,6 +210,94 @@ def test_property_chunked_equals_line(records, n_splits, chunk_bytes):
     assert _read_all_chunked(data, splits, chunk_bytes) == _read_all(data, splits)
 
 
+# ---- vectorized list scanner: the default read path must also be
+# indistinguishable from the line scanner ----
+
+from hadoop_logfile_inputformat_spark.sources.logfile import (
+    iter_record_lists_chunked,
+)
+
+
+def _read_all_vectorized(data: bytes, splits, chunk_bytes=1 << 22):
+    out = []
+    for start, end in splits:
+        for offsets, records in iter_record_lists_chunked(
+            io.BytesIO(data), start=start, end=end, pattern=PAT.pattern,
+            chunk_bytes=chunk_bytes,
+        ):
+            out.extend(
+                (o, r.decode("utf-8", errors="replace"))
+                for o, r in zip(offsets, records)
+            )
+    return out
+
+
+@pytest.mark.parametrize("chunk_bytes", [3, 17, 64, 1 << 22])
+def test_vectorized_matches_line_scanner_all_cuts(chunk_bytes):
+    data = _mk_log([("alpha", 0), ("beta", 3), ("gamma", 1), ("delta", 0)])
+    for cut in range(1, len(data)):
+        splits = [(0, cut), (cut, len(data))]
+        assert _read_all_vectorized(data, splits, chunk_bytes) == _read_all(
+            data, splits
+        ), f"cut={cut} chunk={chunk_bytes}"
+
+
+def test_vectorized_crlf_and_garbage_parity():
+    for data in (
+        b"2024-01-01 a\r\n\tcont\r\n2024-01-02 b\r\n",
+        b"junk\nmore junk\n2024-01-01 x\n\tc\n",
+        b"2024-01-01 only",  # no trailing newline
+        b"2024-01-01 a\r\n\tc1\r\n\tc2\r\n",  # CRLF multi-continuation
+        b"",
+    ):
+        assert _read_all_vectorized(data, [(0, len(data))], 8) == _read_all(
+            data, [(0, len(data))]
+        )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    records=st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(blacklist_characters="\n\r", codec="utf-8"),
+                max_size=20,
+            ).filter(lambda s: not s.startswith("\t")),
+            st.integers(min_value=0, max_value=4),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    n_splits=st.integers(min_value=1, max_value=12),
+    chunk_bytes=st.sampled_from([5, 23, 128, 4096]),
+)
+def test_property_vectorized_equals_line(records, n_splits, chunk_bytes):
+    data = _mk_log(records)
+    splits = _splits_of(len(data), n_splits)
+    assert _read_all_vectorized(data, splits, chunk_bytes) == _read_all(data, splits)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    records=st.lists(
+        st.tuples(st.text(alphabet="ab ", max_size=8), st.integers(0, 3)),
+        min_size=1,
+        max_size=15,
+    ),
+    eol=st.sampled_from(["\n", "\r\n"]),
+    n_splits=st.integers(min_value=1, max_value=8),
+    chunk_bytes=st.sampled_from([7, 64, 4096]),
+)
+def test_property_vectorized_crlf_parity(records, eol, n_splits, chunk_bytes):
+    lines = []
+    for i, (body, ncont) in enumerate(records):
+        lines.append(f"2024-01-{(i % 27) + 1:02d} {body}")
+        lines.extend(f"\tcont {i}.{j}" for j in range(ncont))
+    data = (eol.join(lines) + eol).encode()
+    splits = _splits_of(len(data), n_splits)
+    assert _read_all_vectorized(data, splits, chunk_bytes) == _read_all(data, splits)
+
+
 def test_pattern_resolver_exact_case_first():
     """Direct construction keeps original-case keys: case-distinct
     files get distinct patterns, uppercase glob classes match; Spark's

@@ -23,6 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from hadoop_logfile_inputformat_spark.sources.logfile import (  # noqa: E402
+    iter_record_lists_chunked,
     iter_records,
     iter_records_chunked,
 )
@@ -65,6 +66,11 @@ def main() -> None:
         _gen(f, args.mb, wide)
         size = os.path.getsize(f)
         for scanner, run in (
+            # the vectorized scanner yields per-chunk LISTS (its whole
+            # point is no per-record Python step), so count via len()
+            ("vectorized", lambda fh: (
+                offs for offs, _recs in iter_record_lists_chunked(
+                    fh, start=0, end=size, pattern=PAT))),
             ("chunked", lambda fh: iter_records_chunked(
                 fh, start=0, end=size, pattern=PAT)),
             ("line", lambda fh: iter_records(
@@ -73,8 +79,8 @@ def main() -> None:
             t0 = time.monotonic()
             n = 0
             with open(f, "rb", buffering=1 << 20) as fh:
-                for _ in run(fh):
-                    n += 1
+                for item in run(fh):
+                    n += len(item) if scanner == "vectorized" else 1
             dt = time.monotonic() - t0
             print(json.dumps({
                 "metric": f"source_scan_{label}_{scanner}",
