@@ -218,9 +218,11 @@ def minhash_lsh_pairs(
     # persist) or session end; batch pipelines that call this
     # repeatedly should stage shingle sets to parquet instead
     # (SCALING.md).
+    # key is hash-family-independent: shingle sets are computed BEFORE
+    # any hashing, so minhash and simhash (and repeated invocations
+    # under either family) all share one cached frame
     sets = scoped_persist(
-        _shingle_sets(load(spark, sf_dir, "documents")),
-        ("minhash_sets", sf_dir, hash_fn),
+        _shingle_sets(load(spark, sf_dir, "documents")), ("shingle_sets", sf_dir)
     )
     sigs = _signatures_from_sets(sets, hash_fn)
 
@@ -284,7 +286,12 @@ def simhash_64(
         h, n_bits = _portable_base60(F.col("shingle")), 60
     else:
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
-    sh = _shingled(load(spark, sf_dir, "documents"))
+    # share the MinHash path's cached shingle sets (pre-hash, so the
+    # frame is identical across operators and hash families)
+    sets = scoped_persist(
+        _shingle_sets(load(spark, sf_dir, "documents")), ("shingle_sets", sf_dir)
+    )
+    sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
     hashed = sh.select("doc_id", h.alias("h"))
     # n_bits conditional SUMs in ONE groupBy: partial aggregation runs
     # map-side, so the shuffle carries n_bits longs per doc regardless

@@ -8,8 +8,9 @@ functions, plus registry-facing logfile queries.
   total + per-level counts → SUCCESS/FAILURE matrix.
 
 The registry queries build a deterministic fixture corpus on first use
-(seeded generator, content-addressed directory), so the driver's
-rows-only checks exercise the actual ``logfile`` data source.
+(seeded generator, content-addressed directory), so the driver's checks
+exercise the actual ``logfile`` data source; all but the Bernoulli
+``logfile_sample`` are hash-checked against generator-replay oracles.
 """
 
 from __future__ import annotations
@@ -158,15 +159,16 @@ def _read_fixture(spark: SparkSession, ext: str) -> DataFrame:
 
 
 def logfile_count_by_level(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry query (rows-only): golden-count pipeline over the
-    deterministic fixture, plain files.  ``sf_dir`` is unused — the
+    """Registry query (hash-checked vs a golden-count VALUES oracle):
+    golden-count pipeline over the deterministic fixture, plain files.  ``sf_dir`` is unused — the
     corpus is the generator's, as in the reference's Test driver."""
     parsed = parse_log_records(_read_fixture(spark, "log"))
     return parsed.groupBy("level").agg(F.count("*").alias("n")).orderBy("level")
 
 
 def logfile_stack_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry query (rows-only): UDTF lateral join — explode the
+    """Registry query (hash-checked vs a generator-replay oracle):
+    UDTF lateral join — explode the
     stack frames of ERROR records and rank the hottest (cls, method).
     ``sf_dir`` unused; corpus is the deterministic fixture."""
     from hadoop_logfile_inputformat_spark.functions.udtfs import stack_frame_hotspots
@@ -177,7 +179,8 @@ def logfile_stack_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def logfile_gzip_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry query (rows-only): per-level counts must be identical
+    """Registry query (hash-checked vs a golden-count oracle):
+    per-level counts must be identical
     for the plain and gzip duals; returns the FULL OUTER comparison
     (empty mismatch column set when equivalent)."""
     plain = (
