@@ -105,7 +105,10 @@ def ngram_jaccard_pairs(
     boilerplate shingles would otherwise quadratically dominate the
     join (standard stop-shingle mitigation; None = exact).
     """
-    sh = _shingled(load(spark, sf_dir, "documents"))
+    sets = scoped_persist(
+        _shingle_sets(load(spark, sf_dir, "documents")), ("shingle_sets", sf_dir)
+    )
+    sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
     if max_shingle_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         sh = (
