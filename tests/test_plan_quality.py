@@ -84,6 +84,33 @@ def test_no_row_at_a_time_python_in_hot_paths(spark, name):
     assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        n
+        for n in QUERIES
+        if n
+        not in (
+            "logfile_count_by_level",  # Python-data-source reads: plan
+            "logfile_gzip_equivalence",  # text is source-internal, no joins
+            "logfile_stack_hotspots",
+            "logfile_sample",
+            "media_features",
+        )
+    ],
+)
+def test_no_unbroadcast_cartesian_product(spark, name):
+    """CartesianProduct = an UNBROADCAST cross join — |A|x|B| rows
+    through a shuffle-less nested loop, the plan shape that dies first
+    at scale.  Deliberate cross joins (ANN scoring, interval joins)
+    must appear as BroadcastNestedLoopJoin with the small side
+    broadcast; this sweep pins that none of them degrade."""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, (
+        f"{name} plans an unbroadcast cartesian product"
+    )
+
+
 def test_scan_level_aggregate_has_partial_phase(spark):
     """Partial (map-side) aggregation must precede the exchange, so the
     shuffle moves |groups| rows, not |input| rows."""
