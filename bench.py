@@ -83,6 +83,7 @@ EXTRA = [
     "decontaminate",
     "repetition_profile",
     "mixture_sample",
+    "stratified_sample",
     # reference-parity surface (fixture corpus; mostly measures the
     # Python-DataSource fixed overhead at this size — the MB/s scan
     # numbers come from the source_throughput measurement below)

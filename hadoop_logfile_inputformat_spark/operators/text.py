@@ -9,7 +9,7 @@ right shape for a 100 TB corpus pass.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_logfile_inputformat_spark.operators.ranks import (
@@ -454,6 +454,46 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.coalesce(F.col("rate"), F.lit(MIXTURE_RATES["und"]))
         )
         .select("doc_id", "lang_pred", "mix_bucket")
+    )
+
+
+STRATIFIED_K = 25
+
+
+def stratified_sample(
+    spark: SparkSession, sf_dir: str, k: int = STRATIFIED_K
+) -> DataFrame:
+    """Deterministic FIXED-SIZE per-language sample: the ``k`` documents
+    with the smallest salted md5 key per predicted language.
+
+    The complement of :func:`mixture_sample` (rate-based): eval-set
+    construction and per-language audits want "exactly k docs per
+    stratum", reproducible across runs and engines — a hash-ordered
+    top-k is reservoir sampling without reservoir state.
+
+    Scale shape: per-group top-k with FEW groups is the worst case for
+    a plain ``Window.partitionBy(lang)`` — six languages would mean six
+    reducers sorting the whole corpus at 100 TB.  Two phases instead:
+    a partition-local top-k (every task keeps ≤ k rows per language it
+    sees, no shuffle), then the real ranking over the ≤ tasks×k
+    survivors per language.  Same result by transitivity: the global
+    top-k of a group is contained in the union of its partition-local
+    top-ks.
+    """
+    langs = language_id(spark, sf_dir).select("doc_id", "lang_pred")
+    key = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    local_w = Window.partitionBy("_pid", "lang_pred").orderBy("_sk", "doc_id")
+    survivors = (
+        langs.withColumn("_sk", key)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrn", F.row_number().over(local_w))
+        .filter(F.col("_lrn") <= k)
+    )
+    final_w = Window.partitionBy("lang_pred").orderBy("_sk", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(final_w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "lang_pred", "rk")
     )
 
 

@@ -1302,6 +1302,31 @@ _SQL["mixture_sample"] = f"""
     FROM b WHERE mix_bucket < {_mix_case}
 """
 
+# Fixed-size stratified sampling (text.py:stratified_sample): the k
+# smallest salted-md5 keys per predicted language.  The Spark side's
+# two-phase partition-local top-k is result-identical to this direct
+# per-group ranking (transitivity of the total (sk, doc_id) order).
+_SQL["stratified_sample"] = f"""
+    WITH scored AS (
+        SELECT doc_id, {_lang_scores},
+               len(regexp_extract_all(text, '{text.CJK_PATTERN}')) AS s_zh
+        FROM documents
+    ),
+    li AS (SELECT doc_id, {_pred} AS lang_pred FROM scored),
+    keyed AS (
+        SELECT doc_id, lang_pred,
+               md5('strat:' || CAST(doc_id AS VARCHAR)) AS sk
+        FROM li
+    ),
+    ranked AS (
+        SELECT doc_id, lang_pred,
+               row_number() OVER (PARTITION BY lang_pred
+                                  ORDER BY sk, doc_id) AS rk
+        FROM keyed
+    )
+    SELECT doc_id, lang_pred, rk FROM ranked WHERE rk <= {text.STRATIFIED_K}
+"""
+
 # End-to-end training-corpus materialization (operators/pipeline.py):
 # curation − contamination − benchmark docs ∩ train split → packing.
 # Composed verbatim from the member oracles above so the composition
@@ -1580,6 +1605,8 @@ _PACKS: Dict[str, list] = {
            v4="top3_cnt", v5="dup3_cnt", v6="repetitive"),
         _m("mixture", text.mixture_sample, "mixture_sample",
            k1="doc_id", k2="lang_pred", v1="mix_bucket"),
+        _m("stratified", text.stratified_sample, "stratified_sample",
+           k1="doc_id", k2="lang_pred", v1="rk"),
         _m("training_corpus", pipeline.training_corpus, "training_corpus",
            k1="doc_id", k2="chunk_id", v1="token_start", v2="n_tokens",
            v3="bin_id", v4="straddles"),

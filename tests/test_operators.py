@@ -495,6 +495,32 @@ def test_mixture_sample_deterministic_and_rate_bounded(spark):
     assert abs(kept_dom / n_dom - rate) < 0.15
 
 
+def test_stratified_sample_two_phase_equals_direct_window(spark):
+    """The scale path (partition-local top-k then final ranking) must
+    return exactly what a direct per-language window returns, and never
+    more than k rows per language."""
+    from pyspark.sql import Window
+    from hadoop_logfile_inputformat_spark.operators import text as t
+
+    got = {(r.doc_id, r.lang_pred, r.rk) for r in t.stratified_sample(spark, SF).collect()}
+    langs = t.language_id(spark, SF).select("doc_id", "lang_pred")
+    key = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang_pred").orderBy("_sk", "doc_id")
+    direct = {
+        (r.doc_id, r.lang_pred, r.rk)
+        for r in langs.withColumn("_sk", key)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= t.STRATIFIED_K)
+        .select("doc_id", "lang_pred", "rk")
+        .collect()
+    }
+    assert got == direct
+    assert got
+    from collections import Counter
+    per_lang = Counter(lang for _, lang, _ in got)
+    assert all(c <= t.STRATIFIED_K for c in per_lang.values())
+
+
 def test_training_corpus_composition_invariants(spark):
     """Output docs must be exactly: curated ∩ train-split, minus
     contaminated and benchmark docs; packing invariants must hold on
