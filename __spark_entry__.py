@@ -4,11 +4,11 @@
 ``queries()`` / ``oracle_sql()`` expose the full operator registry from
 ``hadoop_logfile_inputformat_spark.plans.registry`` (one entry per
 implemented operator from SURVEY.md §2 plus the training-data-pipeline
-extensions).  Queries whose algorithm depends on engine-specific
-hashing (xxhash64) or on the custom ``logfile`` data source have no
-oracle entry — the driver records a rows-only check for those; their
-correctness is asserted in ``tests/`` instead (e.g. LSH recall vs the
-exact-Jaccard oracle twin).
+extensions).  47 of 49 keys carry a DuckDB oracle (hash-dependent
+operators use an engine-portable md5-affine family; the logfile-source
+queries use golden-count generator-replay oracles); only the seeded
+Bernoulli ``logfile_sample`` and the HLL/quantile ``approx_sketches``
+are rows-only, with their correctness asserted in ``tests/`` instead.
 """
 
 from __future__ import annotations

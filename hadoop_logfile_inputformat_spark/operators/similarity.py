@@ -1,7 +1,10 @@
 """Similarity search over the ``embeddings`` table (array<float> × 64).
 
-Brute-force cosine top-k is the correctness baseline (DuckDB-oracled);
-IVF probing is the scale path.  All vector math is Catalyst
+Brute-force cosine top-k is the correctness baseline; IVF probing is
+the scale path.  Both are DuckDB-oracled — centroids are a
+deterministic modulus subset and Spark's sequential-fold ``aggregate``
+dot product is bit-identical to ``list_dot_product``, so even the
+approximate pipeline is value-hash-checked.  All vector math is Catalyst
 higher-order functions over the array column — JVM-side, no Python in
 the row loop.  At 100 TB the brute-force variant is what you run *per
 probe-cluster*, not globally; ``ann_ivf_topk`` shows that composition.
