@@ -201,6 +201,18 @@ def main() -> None:
     spark.range(1000).count()
 
     errors: dict[str, str] = {}
+    # Source throughput FIRST: after the 47-query loop the JVM holds
+    # every scoped-persist cache and dozens of Python workers, and the
+    # resulting GC pressure has been observed to halve (or worse) the
+    # measured scan rate run-to-run.  A clean heap gives a stable,
+    # comparable number.
+    try:
+        src = _bench_source_throughput(spark)
+        print(f"# source: {src['steady_mb_s']} MB/s steady", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        errors["source_throughput"] = str(exc).split("\n", 1)[0][:200]
+        src = {"detail": "source_throughput", "steady_mb_s": None}
+
     timings, cold_timings = {}, {}
     for name in HEADLINE:
         cold, steady, n = _time_query_safe(spark, sf_dir, name, errors)
@@ -221,13 +233,6 @@ def main() -> None:
             f"# [extra] {name}: cold {cold:.3f}s steady {steady:.3f}s ({n} rows)",
             file=sys.stderr,
         )
-
-    try:
-        src = _bench_source_throughput(spark)
-        print(f"# source: {src['steady_mb_s']} MB/s steady", file=sys.stderr)
-    except Exception as exc:  # noqa: BLE001
-        errors["source_throughput"] = str(exc).split("\n", 1)[0][:200]
-        src = {"detail": "source_throughput", "steady_mb_s": None}
 
     total = round(sum(timings.values()), 3)
     # Per-query detail first, compact headline LAST: the driver keeps
