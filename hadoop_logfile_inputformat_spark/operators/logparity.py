@@ -141,7 +141,18 @@ def _fixture_dir() -> str:
     return d
 
 
+#: (applicationId, ext) -> fixture DataFrame.  Creating a Python-data-
+#: source DataFrame costs a driver-side Python worker round (~0.5 s)
+#: for schema/plan resolution; the fixture corpus is immutable, so the
+#: frame is reused for the session instead of being rebuilt per query.
+_FIXTURE_FRAMES: dict = {}
+
+
 def _read_fixture(spark: SparkSession, ext: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, ext)
+    cached = _FIXTURE_FRAMES.get(key)
+    if cached is not None:
+        return cached
     register_logfile_source(spark)
     d = _fixture_dir()
     # both layouts tried per record downstream, so a single default
@@ -151,11 +162,13 @@ def _read_fixture(spark: SparkSession, ext: str) -> DataFrame:
         return p.replace("(?P<timestamp>", "(?:").replace("(?P<loglevel>", "(?:")
 
     combined = f"(?:{_anon(FORMAT_A)})|(?:{_anon(FORMAT_B)})"
-    return (
+    df = (
         spark.read.format("logfile")
         .option("pattern", combined)
         .load(os.path.join(d, f"*.{ext}"))
     )
+    _FIXTURE_FRAMES[key] = df
+    return df
 
 
 def logfile_count_by_level(spark: SparkSession, sf_dir: str) -> DataFrame:
