@@ -624,7 +624,13 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     score is an exact distributed NTILE (range repartition + local
     row_number + bucket arithmetic, operators/ranks.py) — three range
     shuffles over the per-customer aggregate (already |customers|-sized,
-    not |orders|-sized), zero global-order windows."""
+    not |orders|-sized), zero global-order windows.
+
+    Deliberately NOT persisted: the four consumers of ``per_cust``
+    share one physical aggregate via ReusedExchange, and an A/B at
+    sf0.1 measured the persisted variant 60% SLOWER (3.2s vs 1.9s) —
+    the InMemoryRelation scan blocks the codegen the range
+    repartitions otherwise fuse into."""
     from hadoop_logfile_inputformat_spark.operators.ranks import (
         ntile_from_rank,
         with_global_row_number,
