@@ -84,6 +84,7 @@ EXTRA = [
     "repetition_profile",
     "mixture_sample",
     "stratified_sample",
+    "training_corpus",
     # reference-parity surface (fixture corpus; mostly measures the
     # Python-DataSource fixed overhead at this size — the MB/s scan
     # numbers come from the source_throughput measurement below)

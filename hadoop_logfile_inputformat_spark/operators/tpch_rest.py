@@ -83,12 +83,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct("unit_cost", "s_suppkey"),
         ).alias("b")
     )
+    # unit_cost is emitted UNROUNDED: MIN of identical doubles is
+    # bit-identical cross-engine, while round(double, 4) is NOT —
+    # Spark rounds the shortest decimal representation
+    # (BigDecimal.valueOf) and DuckDB rounds the exact binary value,
+    # which disagree by 1 ulp-of-the-4th-decimal on .xxxx5 boundaries
+    # (first observed at sf0.1: 1257.85775 -> .8578 vs .8577).
     return best.select(
         "p_partkey",
         "p_name",
         F.col("b.s_name").alias("s_name"),
         F.col("b.supp_nation").alias("supp_nation"),
-        F.round("b.unit_cost", 4).alias("unit_cost"),
+        F.col("b.unit_cost").alias("unit_cost"),
     )
 
 

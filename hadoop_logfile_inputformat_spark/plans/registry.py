@@ -619,8 +619,7 @@ _SQL: Dict[str, str] = {
                                          ORDER BY unit_cost ASC, s_suppkey ASC) AS rn
             FROM cand
         )
-        SELECT p_partkey, p_name, s_name, supp_nation,
-               round(unit_cost, 4) AS unit_cost
+        SELECT p_partkey, p_name, s_name, supp_nation, unit_cost
         FROM ranked WHERE rn = 1
     """,
     "q8_market_share": """
