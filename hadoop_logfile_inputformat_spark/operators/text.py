@@ -36,9 +36,28 @@ def _ws_tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
+def _ratio4(a: Column, b: Column) -> Column:
+    """``round(a/b, 4)`` for non-negative INTEGER a, b via integer
+    half-up rounding: ``floor((a*20000 + b) / (2b)) / 10000``.
+
+    ``round(double, 4)`` is a cross-engine hazard: Spark rounds the
+    shortest decimal representation, DuckDB the exact binary value,
+    and they disagree on .xxxx5 boundaries (bit q2_min_cost_supplier
+    at sf0.1).  This formulation runs the SAME IEEE operations on the
+    SAME integers in both engines — bit-identical output by
+    construction (the oracle mirrors it verbatim).
+    """
+    num = a.cast("long") * F.lit(20000) + b.cast("long")
+    return F.floor(num / (b.cast("long") * F.lit(2))) / F.lit(10000.0)
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics: lengths, word stats, character
-    class ratios, stopword ratio, and a composite keep/drop signal."""
+    class ratios, stopword ratio, and a composite keep/drop signal.
+
+    The four-decimal ratios use :func:`_ratio4` (integer half-up
+    rounding), not ``round(double, 4)`` — see its docstring.
+    """
     d = load(spark, sf_dir, "documents")
     text = F.col("text")
     toks = _ws_tokens(text)
@@ -51,18 +70,16 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.expr(
         f"size(filter(split(trim(lower(text)), '\\\\s+'), t -> t IN ({sw_list})))"
     )
-    avg_word_len = F.round(
-        F.length(F.regexp_replace(text, r"\s+", "")) / n_words, 4
-    )
+    n_nospace = F.length(F.regexp_replace(text, r"\s+", ""))
     return d.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars"),
         n_words.cast("long").alias("n_words"),
-        avg_word_len.alias("avg_word_len"),
-        F.round(n_alpha / n_chars, 4).alias("alpha_ratio"),
-        F.round(n_digit / n_chars, 4).alias("digit_ratio"),
-        F.round(n_punct / n_chars, 4).alias("punct_ratio"),
-        F.round(n_stop / n_words, 4).alias("stopword_ratio"),
+        _ratio4(n_nospace, n_words).alias("avg_word_len"),
+        _ratio4(n_alpha, n_chars).alias("alpha_ratio"),
+        _ratio4(n_digit, n_chars).alias("digit_ratio"),
+        _ratio4(n_punct, n_chars).alias("punct_ratio"),
+        _ratio4(n_stop, n_words).alias("stopword_ratio"),
         (
             (n_words >= 5) & (n_chars >= 20) & (n_alpha / n_chars > 0.5)
         ).cast("int").alias("quality_keep"),

@@ -1013,25 +1013,33 @@ _SQL: Dict[str, str] = {
         WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.9
     """,
     "text_quality": f"""
+        -- ratios use the same integer half-up rounding as the Spark
+        -- side (_ratio4): floor((a*20000 + b) / (2b)) / 10000 —
+        -- round(double, 4) semantics differ between engines on
+        -- .xxxx5 boundaries
+        WITH m AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_words,
+                   length(regexp_replace(text, '\\s+', '', 'g')) AS n_nospace,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                   len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                   t -> t IN ({_STOPWORDS_SQL}))) AS n_stop
+            FROM documents
+        )
         SELECT doc_id,
-               length(text) AS n_chars,
-               len(string_split_regex(trim(text), '\\s+')) AS n_words,
-               round(length(regexp_replace(text, '\\s+', '', 'g'))
-                     / len(string_split_regex(trim(text), '\\s+')), 4) AS avg_word_len,
-               round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                     / length(text), 4) AS alpha_ratio,
-               round(length(regexp_replace(text, '[^0-9]', '', 'g'))
-                     / length(text), 4) AS digit_ratio,
-               round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-                     / length(text), 4) AS punct_ratio,
-               round(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                                     t -> t IN ({_STOPWORDS_SQL})))
-                     / len(string_split_regex(trim(text), '\\s+')), 4) AS stopword_ratio,
-               CAST(len(string_split_regex(trim(text), '\\s+')) >= 5
-                    AND length(text) >= 20
-                    AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                        / length(text) > 0.5 AS INT) AS quality_keep
-        FROM documents
+               n_chars,
+               n_words,
+               floor((n_nospace*20000 + n_words) / (n_words*2)) / 10000 AS avg_word_len,
+               floor((n_alpha*20000 + n_chars) / (n_chars*2)) / 10000 AS alpha_ratio,
+               floor((n_digit*20000 + n_chars) / (n_chars*2)) / 10000 AS digit_ratio,
+               floor((n_punct*20000 + n_chars) / (n_chars*2)) / 10000 AS punct_ratio,
+               floor((n_stop*20000 + n_words) / (n_words*2)) / 10000 AS stopword_ratio,
+               CAST(n_words >= 5 AND n_chars >= 20
+                    AND n_alpha / n_chars > 0.5 AS INT) AS quality_keep
+        FROM m
     """,
     "token_counts": """
         SELECT doc_id,
