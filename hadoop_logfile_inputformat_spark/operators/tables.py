@@ -143,23 +143,57 @@ def _parse_bytes(raw, default: int = 128 * 1024 * 1024) -> int:
     return int(num) * _BYTE_SUFFIXES[suffix]
 
 
+def _table_sizes(spark: SparkSession, path: str):
+    """(n_files, total_bytes) of a parquet table path — local or remote.
+
+    Local paths use ``os`` directly (no JVM round-trip).  Anything else
+    (``hdfs://``, ``s3a://``, …) goes through Spark's Hadoop FileSystem
+    so the heuristic keeps working on a real cluster instead of
+    crashing ``load()`` with FileNotFoundError.  Raises OSError-family
+    errors for the caller to interpret.
+    """
+    if os.path.isfile(path):
+        return 1, os.path.getsize(path)
+    if os.path.isdir(path):
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        return len(files), sum(os.path.getsize(f) for f in files)
+    # Remote path: Hadoop FS via the JVM gateway (absent under Spark
+    # Connect — the except in _needs_fanout covers that too).
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.listStatus(jpath)
+    n, total = 0, 0
+    for st in statuses:
+        fname = st.getPath().getName()
+        if st.isFile() and fname.endswith(".parquet"):
+            n += 1
+            total += st.getLen()
+    return n, total
+
+
 def _needs_fanout(spark: SparkSession, path: str, target: int) -> bool:
     key = (path, target)
     if key not in _FANOUT_CACHE:
-        if os.path.isfile(path):
-            files = [path]
-        else:
-            files = [
-                os.path.join(path, f)
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
-            ]
-        total = sum(os.path.getsize(f) for f in files)
+        try:
+            n_files, total = _table_sizes(spark, path)
+        except Exception:
+            # Unlistable path (remote FS without a gateway, permissions,
+            # Spark Connect).  The heuristic only matters for a SMALL
+            # single-file corpus pinned to one task; a 100 TB dataset is
+            # already multi-file/multi-split, so the safe default is no
+            # extra shuffle.
+            _FANOUT_CACHE[key] = False
+            return False
         mpb_raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
         mpb = _parse_bytes(mpb_raw)
         # the scan parallelism Spark will plan: at least one split per
         # file, more for multi-split files
-        est_parts = max(len(files), -(-total // mpb))
+        est_parts = max(n_files, -(-total // mpb))
         _FANOUT_CACHE[key] = est_parts < max(2, target // 2)
     return _FANOUT_CACHE[key]
 

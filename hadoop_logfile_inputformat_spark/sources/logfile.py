@@ -87,7 +87,11 @@ if TYPE_CHECKING:
 DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
 ARROW_BATCH_RECORDS = 4096
 
-#: File suffixes that force whole-file (non-split) reads.
+#: File suffixes that force whole-file (non-split) reads.  Each opener
+#: wraps an already-open RAW binary stream (local file or remote fsspec
+#: file) in its decompressor — the stdlib openers all accept file
+#: objects, which is what lets one code path serve ``/logs`` and
+#: ``s3://logs`` alike.
 _COMPRESSION_OPENERS = {
     ".gz": gzip.open,
     ".gzip": gzip.open,
@@ -107,12 +111,12 @@ _UNSUPPORTED_COMPRESSION = (".zst", ".zstd", ".lz4", ".snappy", ".deflate", ".br
 try:  # optional dependency: zstd support when the env provides it
     import zstandard as _zstd
 
-    def _zstd_open(path, mode="rb"):
+    def _zstd_open(fobj):
         # stream_reader handles multi-frame archives; BufferedReader
         # supplies readline/iteration on top of the raw decompressor
         # (compressed partitions start at 0, so no seek is needed)
         return io.BufferedReader(
-            _zstd.ZstdDecompressor().stream_reader(open(path, "rb"), closefd=True)
+            _zstd.ZstdDecompressor().stream_reader(fobj, closefd=True)
         )
 
     _COMPRESSION_OPENERS[".zst"] = _zstd_open
@@ -136,6 +140,65 @@ def _compression_opener(path: str):
             "LogfileRecordReader.java:163-165)."
         )
     return _COMPRESSION_OPENERS.get(ext)
+
+
+#: ``scheme://`` prefix of a remote path.  Deliberately conservative: a
+#: Windows drive letter ("C:\\") or a bare colon never matches, and
+#: ``file://`` is handed to fsspec too (its LocalFileSystem strips the
+#: scheme), so behavior is uniform for every URL-shaped path.
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+
+
+def _is_remote(path: str) -> bool:
+    return _SCHEME_RE.match(path) is not None
+
+
+def _fsspec_fs(path: str):
+    """(filesystem, stripped_path) for a URL-shaped path via fsspec.
+
+    The reference reads through Hadoop's FileSystem abstraction
+    (LogfileRecordReader.java:160-176), so ``hdfs://``/``s3://`` inputs
+    are first-class there; fsspec is the Python ecosystem's equivalent.
+    Optional dependency: a clear ImportError (not a confusing
+    FileNotFoundError from ``open()``) when it is missing.
+    """
+    try:
+        import fsspec
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            f"logfile source: path '{path}' uses a filesystem scheme; "
+            "reading remote filesystems requires the optional 'fsspec' "
+            "package (plus the scheme's driver, e.g. s3fs, gcsfs, or "
+            "pyarrow for hdfs://). Local paths need no extra dependency."
+        ) from exc
+    return fsspec.core.url_to_fs(path)
+
+
+def _open_raw(path: str):
+    """Open ``path`` (local or ``scheme://``) as a raw binary stream."""
+    if _is_remote(path):
+        fs, p = _fsspec_fs(path)
+        return fs.open(p, "rb")
+    return open(path, "rb", buffering=io.DEFAULT_BUFFER_SIZE * 16)
+
+
+def _file_size(path: str) -> int:
+    if _is_remote(path):
+        fs, p = _fsspec_fs(path)
+        return fs.size(p)
+    return os.path.getsize(path)
+
+
+def _open_stream(path: str):
+    """Open ``path`` with transparent whole-file decompression.
+
+    The decode layer (stdlib codecs) is independent of the byte layer
+    (local ``open`` / fsspec), so ``s3://logs/app.log.gz`` works with
+    the same split semantics as a local gzip file.
+    """
+    opener = _compression_opener(path)  # raises on unsupported codecs
+    raw = _open_raw(path)
+    return opener(raw) if opener is not None else raw
 
 
 @dataclass(frozen=True)
@@ -432,12 +495,13 @@ def iter_record_lists_chunked(
 
         offsets: List[int] = []
         records: List[bytes] = []
+        head = None  # carry-closed record, already _finalize'd
+        tail_rec = None  # disowned-closed record, already _finalize'd
         if n_owned:
             s0 = starts[0]
             if carry_start >= 0:
                 carry.append(scan[:s0])
-                offsets.append(carry_start)
-                records.append(_finalize(b"".join(carry)))
+                head = (carry_start, _finalize(b"".join(carry)))
                 carry, carry_start = [], -1
             # middle records: the byte before a match start is always
             # '\n', so [a:b-1] both slices the record and drops its
@@ -452,16 +516,14 @@ def iter_record_lists_chunked(
             if disowned:
                 # a first line at/after ``end`` closes the last owned
                 # record; the new record belongs to the next split
-                offsets.append(base + last)
-                records.append(_finalize(scan[last:starts[n_owned]]))
+                tail_rec = (base + last, _finalize(scan[last:starts[n_owned]]))
             else:
                 carry_start = base + last
                 carry = [scan[last:]]
         elif carry_start >= 0:
             if disowned:
                 carry.append(scan[: starts[0]])
-                offsets.append(carry_start)
-                records.append(_finalize(b"".join(carry)))
+                head = (carry_start, _finalize(b"".join(carry)))
                 carry, carry_start = [], -1
             else:
                 carry.append(scan)
@@ -469,10 +531,20 @@ def iter_record_lists_chunked(
         # split's property (findFirstFirstLine parity)
 
         if b"\r" in scan and records:
+            # CR-normalize the RAW middle slices only.  head/tail_rec
+            # went through _finalize already; running the replace twice
+            # would turn a body containing '\r\r\n' (normalized once to
+            # '\r\n') into '\n', diverging from the line scanner.
             records = [
                 r[:-1] if (r := rec.replace(b"\r\n", b"\n")).endswith(b"\r") else r
                 for rec in records
             ]
+        if head is not None:
+            offsets.insert(0, head[0])
+            records.insert(0, head[1])
+        if tail_rec is not None:
+            offsets.append(tail_rec[0])
+            records.append(tail_rec[1])
         if offsets:
             yield offsets, records
         if disowned:
@@ -559,11 +631,7 @@ def scan_partition_arrow(
     """
     import pyarrow as pa
 
-    opener = _compression_opener(path)
-    if opener is not None:
-        fobj = opener(path, "rb")
-    else:
-        fobj = open(path, "rb", buffering=io.DEFAULT_BUFFER_SIZE * 16)
+    fobj = _open_stream(path)
     if cap is not None:
         fobj = _CappedReader(fobj, cap)
 
@@ -574,7 +642,12 @@ def scan_partition_arrow(
     if (
         scanner == "chunked"
         and max_record_bytes <= 0
-        and encoding.lower().replace("-", "") in ("utf8", "ascii")
+        and encoding.lower().replace("-", "") == "utf8"
+        # utf-8 ONLY: Arrow's batch validation checks UTF-8, so an
+        # encoding='ascii' batch containing valid multi-byte UTF-8
+        # would pass through verbatim where the scanners' decode
+        # contract emits U+FFFD per non-ASCII byte — ascii goes through
+        # the per-record decode path below instead
     ):
         # vectorized fast path (the default configuration): one
         # (offsets, byte-records) pair per chunk; Arrow validates UTF-8
@@ -711,11 +784,25 @@ def _expand_paths(path_spec: str) -> List[str]:
     """Expand a load() path (file, directory, or glob) to files.
 
     Comma-separated specs are supported (Hadoop-style multi-path).
+    ``scheme://`` specs are listed through fsspec (optional dep); the
+    returned names keep their scheme so executors re-resolve the same
+    filesystem when opening.
     """
     files: List[str] = []
     for spec in path_spec.split(","):
         spec = spec.strip()
         if not spec:
+            continue
+        if _is_remote(spec):
+            fs, p = _fsspec_fs(spec)
+            if fs.isdir(p):
+                p = p.rstrip("/") + "/*"
+            matches = sorted(fs.glob(p))
+            if not matches and fs.isfile(p):
+                matches = [p]
+            files.extend(
+                fs.unstrip_protocol(m) for m in matches if fs.isfile(m)
+            )
             continue
         if os.path.isdir(spec):
             spec = os.path.join(spec, "*")
@@ -745,7 +832,7 @@ def plan_partitions(
         if _compression_opener(path) is not None:
             parts.append(LogfilePartition(path, 0, -1, pattern))
             continue
-        size = os.path.getsize(path)
+        size = _file_size(path)
         if size == 0:
             continue
         start = 0

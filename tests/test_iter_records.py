@@ -298,6 +298,55 @@ def test_property_vectorized_crlf_parity(records, eol, n_splits, chunk_bytes):
     assert _read_all_vectorized(data, splits, chunk_bytes) == _read_all(data, splits)
 
 
+def test_vectorized_cr_cr_lf_parity_all_cuts():
+    """A line body ending in a lone \\r under CRLF ('\\r\\r\\n') must
+    survive exactly one normalization: the vectorized scanner's batch
+    CR pass used to re-normalize carry-closed/disowned records that
+    were already _finalize'd, turning 'a\\r\\ncont' into 'a\\ncont'
+    depending on where the chunk/split edge fell (ADVICE r4)."""
+    data = b"2024-01-01 a\r\r\ncont\r\n2024-01-02 b\r\r\n\tc\r\n"
+    want = _read_all(data, [(0, len(data))])
+    # the line scanner strips exactly one trailing \r per line
+    assert want[0][1] == "2024-01-01 a\r\ncont"
+    for chunk_bytes in (3, 7, 17, 64, 1 << 22):
+        for cut in range(1, len(data)):
+            splits = [(0, cut), (cut, len(data))]
+            assert _read_all_vectorized(data, splits, chunk_bytes) == _read_all(
+                data, splits
+            ), f"cut={cut} chunk={chunk_bytes}"
+            assert _read_all_chunked(data, splits, chunk_bytes) == _read_all(
+                data, splits
+            ), f"cut={cut} chunk={chunk_bytes} (chunked)"
+
+
+@settings(max_examples=250, deadline=None)
+@given(
+    records=st.lists(
+        st.tuples(
+            # \r allowed ANYWHERE in bodies (incl. trailing, which under
+            # a \n terminator forms the '\r\r\n' ambiguity) — only \n is
+            # structural
+            st.text(
+                alphabet=st.characters(blacklist_characters="\n", codec="utf-8"),
+                max_size=12,
+            ).filter(lambda s: not s.startswith("\t")),
+            st.integers(min_value=0, max_value=4),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    eols=st.lists(st.sampled_from([b"\n", b"\r\n"]), min_size=1, max_size=5),
+    n_splits=st.integers(min_value=1, max_value=8),
+    chunk_bytes=st.sampled_from([5, 23, 128, 4096]),
+)
+def test_property_cr_in_bodies_parity(records, eols, n_splits, chunk_bytes):
+    data = _mk_log_mixed_eol(records, eols)
+    splits = _splits_of(len(data), n_splits)
+    want = _read_all(data, splits)
+    assert _read_all_vectorized(data, splits, chunk_bytes) == want
+    assert _read_all_chunked(data, splits, chunk_bytes) == want
+
+
 def test_pattern_resolver_exact_case_first():
     """Direct construction keeps original-case keys: case-distinct
     files get distinct patterns, uppercase glob classes match; Spark's
