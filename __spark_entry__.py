@@ -4,11 +4,12 @@
 ``queries()`` / ``oracle_sql()`` expose the full operator registry from
 ``hadoop_logfile_inputformat_spark.plans.registry`` (one entry per
 implemented operator from SURVEY.md §2 plus the training-data-pipeline
-extensions).  47 of 49 keys carry a DuckDB oracle (hash-dependent
-operators use an engine-portable md5-affine family; the logfile-source
-queries use golden-count generator-replay oracles); only the seeded
-Bernoulli ``logfile_sample`` and the HLL/quantile ``approx_sketches``
-are rows-only, with their correctness asserted in ``tests/`` instead.
+extensions).  All 50 keys carry a DuckDB oracle: hash-dependent
+operators use an engine-portable md5-affine family, the logfile-source
+queries use generator-replay oracles (``logfile_sample`` samples by a
+replayable hash gate), and ``approx_sketches`` hashes exact aggregates
+plus sketch-error-bound flags (the raw sketch values being the one
+genuinely engine-specific surface, additionally bounded in ``tests/``).
 """
 
 from __future__ import annotations

@@ -29,8 +29,27 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from hadoop_logfile_inputformat_spark.operators import dedup, text
 from hadoop_logfile_inputformat_spark.plans.registry import MEMBER_QUERIES, QUERIES
 from hadoop_logfile_inputformat_spark.session import get_spark
+
+#: Three headline keys whose REGISTRY binding is the engine-portable
+#: md5-affine twin (bound that way so DuckDB can value-hash the full
+#: pipeline).  The bench times the xxhash64 library DEFAULT — the path
+#: a real pipeline runs, and the binding rounds 1/2 measured, keeping
+#: the round-over-round trend apples-to-apples.  The portable twins
+#: stay visible under ``extra_queries`` via the ``*_portable`` keys.
+FAST_PATH = {
+    "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+    "dedup_simhash": dedup.simhash_pairs,
+    "doc_fingerprints": text.document_fingerprints,
+}
+
+PORTABLE_TWINS = {
+    "dedup_minhash_lsh_portable": dedup.minhash_lsh_pairs_portable,
+    "dedup_simhash_portable": dedup.simhash_pairs_portable,
+    "doc_fingerprints_portable": text.document_fingerprints_portable,
+}
 
 #: Headline set: every operator family, weighted toward the shapes that
 #: dominate at 100 TB (scan-agg, fact-fact join, window, dedup, ANN).
@@ -69,6 +88,9 @@ HEADLINE = [
 #: Operators added after round 1 — timed and reported, but excluded
 #: from ``value`` so the headline total stays comparable across rounds.
 EXTRA = [
+    "dedup_minhash_lsh_portable",
+    "dedup_simhash_portable",
+    "doc_fingerprints_portable",
     "embedding_near_dup_scale",
     "customer_rfm",
     "order_value_distribution",
@@ -163,8 +185,14 @@ def _time_query(spark, sf_dir, name):
     window from defining a query's steady-state number."""
     # Pack members stay individually timed for round-over-round
     # comparability even though the correctness registry folds them
-    # under pack keys.
-    fn = QUERIES.get(name) or MEMBER_QUERIES[name]
+    # under pack keys; FAST_PATH keys time the library default rather
+    # than the registry's portable-oracle twin (timed as *_portable).
+    fn = (
+        FAST_PATH.get(name)
+        or PORTABLE_TWINS.get(name)
+        or QUERIES.get(name)
+        or MEMBER_QUERIES[name]
+    )
     t0 = time.monotonic()
     n = len(fn(spark, sf_dir).collect())
     cold = time.monotonic() - t0

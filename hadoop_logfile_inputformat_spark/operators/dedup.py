@@ -48,6 +48,23 @@ def _portable_base60(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+def _jaccard4(inter_sql: str, union_sql: str):
+    """``round(inter/union, 4)`` via exact integer HALF_UP arithmetic.
+
+    Spark rounds the double's shortest decimal repr while DuckDB rounds
+    the binary value, so ``round(double, 4)`` can disagree on .xxxx5
+    boundaries — and a 1-ulp flip here changes row MEMBERSHIP (the
+    jaccard >= threshold filter), not just a hashed value.  inter and
+    union are integers on both engines, so
+    ``floor((inter*20000 + union) / (2*union)) / 10000`` is exact and
+    engine-identical (same fix as text._ratio4; ADVICE r4).
+    """
+    return F.expr(
+        f"CAST((CAST(({inter_sql}) AS BIGINT) * 20000 + ({union_sql}))"
+        f" DIV (2 * ({union_sql})) AS DOUBLE) / 10000"
+    )
+
+
 def _shingle_sets(docs: DataFrame, min_words: int = SHINGLE_WORDS) -> DataFrame:
     """(doc_id, shingles array<string>): distinct lowercase 3-word shingles."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
@@ -126,11 +143,11 @@ def ngram_jaccard_pairs(
     )
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    jac = _jaccard4("n_common", "n_a + n_b - n_common")
     return (
         common.join(ca, "doc_a")
         .join(cb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -261,12 +278,19 @@ def minhash_lsh_pairs(
     )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
         candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            (F.size("sh_a") + F.size("sh_b")).alias("n_ab"),
+        )
+        .select(
+            "doc_a", "doc_b",
+            _jaccard4("inter", "n_ab - inter").alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -105,6 +105,16 @@ def verify_counts(spark: SparkSession, work_dir: str) -> DataFrame:
     )
 
 
+def _fixture_dir_name() -> str:
+    """Deterministic fixture-corpus directory PATH (no IO) — shared by
+    :func:`_fixture_dir` and the registry's generator-replay oracles,
+    which need the path string without forcing generation at import."""
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"hlis_logfixture_s{_FIXTURE_SEED}_f{_FIXTURE_FILES}_{_FIXTURE_SECONDS}",
+    )
+
+
 def _fixture_dir() -> str:
     """Deterministic shared fixture corpus for registry queries.
 
@@ -114,10 +124,7 @@ def _fixture_dir() -> str:
     files.  If another process won the rename race, its (identical,
     deterministic) corpus is used and ours is discarded.
     """
-    d = os.path.join(
-        tempfile.gettempdir(),
-        f"hlis_logfixture_s{_FIXTURE_SEED}_f{_FIXTURE_FILES}_{_FIXTURE_SECONDS}",
-    )
+    d = _fixture_dir_name()
     marker = os.path.join(d, "_COMPLETE")
     if os.path.exists(marker):
         return d
@@ -214,16 +221,33 @@ def logfile_gzip_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Deterministic sample rate of the registry's ``logfile_sample``, in
+#: basis points of 10000 (1000 = 10%).
+SAMPLE_BP = 1000
+
+
 def logfile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry query (rows-only): Sample.java pipeline as a query —
-    Bernoulli sample of the fixture corpus, formatted like the
-    reference's text-sink lines (Sample.java:99-102).  ``sf_dir``
-    unused; corpus is the deterministic fixture."""
+    """Registry query (hash-checked vs a generator-replay oracle):
+    Sample.java pipeline as a query — deterministic 10% sample of the
+    fixture corpus, formatted like the reference's text-sink lines
+    (Sample.java:99-102).  ``sf_dir`` unused; corpus is the
+    deterministic fixture.
+
+    The keep decision is a pure function of ``(file basename, offset)``
+    — md5 bucketed 0..9999, kept below :data:`SAMPLE_BP` — which is
+    Bernoulli-in-distribution like Sample.java:99 but engine-replayable
+    (same pattern as text.mixture_sample), so the driver value-hashes
+    the full formatted result instead of a rows-only check.  The
+    library pipeline :func:`sample_logs` keeps Spark's seeded Bernoulli
+    sampler for strict Sample.java parity.
+    """
     from hadoop_logfile_inputformat_spark.functions.logparse import (
         format_record_lines,
     )
 
     df = _read_fixture(spark, "log")
-    return format_record_lines(
-        df.sample(withReplacement=False, fraction=0.1, seed=7)
+    key = F.format_string(
+        "sample:%s@%d", F.regexp_extract("path", "[^/]+$", 0), F.col("offset")
     )
+    bucket = F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("bigint") % 10000
+    return format_record_lines(df.filter(bucket < SAMPLE_BP))

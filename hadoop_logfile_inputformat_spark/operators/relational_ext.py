@@ -493,9 +493,11 @@ def q_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketches next to their exact twins (HLL++ distinct,
-    interpolation-free approx percentile).  No SQL oracle — DuckDB's
-    sketch implementations differ; correctness is asserted in tests as
-    bounded relative error vs the exact columns.
+    interpolation-free approx percentile).  The raw sketch VALUES are
+    engine-specific (DuckDB's HLL differs), so this full frame has no
+    SQL oracle; the registry runs :func:`q_approx_sketches_checked`,
+    which hashes the exact columns plus error-bound flags instead.
+    Tests additionally assert bounded relative error.
     """
     e = load(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
@@ -503,6 +505,44 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_users"),
         F.round(F.expr("approx_percentile(value, 0.95)"), 2).alias("p95_value"),
         F.round(F.expr("percentile(value, 0.95)"), 2).alias("p95_exact"),
+    )
+
+
+#: Error budgets for the checked sketch frame: HLL++ runs at its
+#: default rsd=0.05, so 0.15 is a 3-sigma envelope; approx_percentile
+#: at default accuracy 10000 is near-exact — 2% relative (plus an
+#: absolute epsilon for near-zero percentiles) is generous.
+HLL_REL_TOL = 0.15
+PCTL_REL_TOL = 0.02
+
+
+def q_approx_sketches_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-frame twin of :func:`q_approx_sketches`: exact aggregates
+    plus boolean sketch-within-bound flags.
+
+    The driver value-hashes EVERY column of a registry result, so the
+    engine-specific sketch values cannot appear directly; their
+    *distance to the exact twin staying inside the documented error
+    envelope* is deterministic, which makes ``(exact values, bound
+    flags)`` a fully hash-checkable frame (oracle emits literal TRUE).
+    A sketch regression (wrong rsd, broken merge) flips a flag and
+    fails the hash — this is a real check, not a tautology.
+    """
+    df = q_approx_sketches(spark, sf_dir)
+    users_ok = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= HLL_REL_TOL * F.col("exact_users")
+    )
+    p95_ok = (
+        F.abs(F.col("p95_value") - F.col("p95_exact"))
+        <= PCTL_REL_TOL * F.abs(F.col("p95_exact")) + F.lit(0.01)
+    )
+    return df.select(
+        "event_type",
+        "exact_users",
+        "p95_exact",
+        users_ok.alias("approx_users_ok"),
+        p95_ok.alias("approx_p95_ok"),
     )
 
 

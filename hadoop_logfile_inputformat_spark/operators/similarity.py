@@ -12,10 +12,12 @@ probe-cluster*, not globally; ``ann_ivf_topk`` shows that composition.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hadoop_logfile_inputformat_spark.operators.tables import load
+from hadoop_logfile_inputformat_spark.operators.tables import _table_sizes, load
 
 QUERY_MODULUS = 50  # vec_id % 50 == 0 → deterministic query subset
 TOP_K = 5
@@ -281,6 +283,40 @@ def embedding_near_dup_scale(
     )
 
 
+#: Embedding bytes per mapInArrow task (~30k x 64-float rows): enough
+#: work to amortize one Python-worker round-trip, small enough that the
+#: per-task matmul stays in cache-friendly territory.
+ARROW_BYTES_PER_TASK = 8 << 20
+
+
+def _arrow_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings frame with parallelism sized for an Arrow kernel.
+
+    load()'s compute fan-out targets Catalyst expressions, whose
+    per-partition overhead is nil — it happily fans a 2000-row corpus
+    to 32 partitions.  A mapInArrow stage pays a Python-worker
+    round-trip PER PARTITION, so the right parallelism follows data
+    volume: ceil(bytes / ARROW_BYTES_PER_TASK), capped at the cluster's
+    parallelism.  A tiny corpus stays in one batch; a 100 TB corpus is
+    multi-file and already scans with >= target splits (no repartition
+    added — the condition only widens a too-narrow scan).
+    """
+    e = load(spark, sf_dir, "embeddings", fanout=False)
+    try:
+        _, nbytes = _table_sizes(
+            spark, os.path.join(sf_dir, "embeddings.parquet")
+        )
+    except Exception:
+        return e  # unlistable (remote, permissions): trust scan splits
+    target = min(
+        spark.sparkContext.defaultParallelism,
+        max(1, -(-nbytes // ARROW_BYTES_PER_TASK)),
+    )
+    if e.rdd.getNumPartitions() < target:
+        e = e.repartition(target)
+    return e
+
+
 def cosine_topk_arrow(
     spark: SparkSession,
     sf_dir: str,
@@ -288,7 +324,7 @@ def cosine_topk_arrow(
     query_modulus: int = QUERY_MODULUS,
 ) -> DataFrame:
     """Arrow/numpy twin of :func:`cosine_topk` — identical results,
-    measured ~1.4x faster at sf0.1 and widening with corpus size.
+    faster at sf0.1 (see BENCH) and widening with corpus size.
 
     When the per-row math is dense linear algebra (64-dim dot products
     against every query), one numpy matmul per Arrow batch beats
@@ -299,18 +335,21 @@ def cosine_topk_arrow(
     |queries|*k*|partitions| rows, never the corpus.
     """
     import numpy as np
-    import pandas as pd
 
     from hadoop_logfile_inputformat_spark.operators.tables import load
 
-    e = load(spark, sf_dir, "embeddings")
-    qside = e.filter(F.col("vec_id") % query_modulus == 0).select(
-        "vec_id", "embedding"
-    )
-    # Guard BEFORE collecting: a count on the pruned scan is one cheap
-    # fully-parallel job (a limit+collect here would fall into
-    # CollectLimit's sequential partition scale-up and serialize the
-    # scan — measured 13x slower at sf0.1).
+    e = _arrow_corpus(spark, sf_dir)
+    # The query side bypasses load()'s compute fan-out: it is a
+    # filtered skim destined for the driver, and the repartition
+    # exchange the corpus side wants would tax BOTH of these small
+    # jobs with a shuffle (measured: the fan-out, not the scan, was
+    # this guard's cost).  Count first — one cheap filter-pushed scan —
+    # so an oversized query side is rejected while still distributed
+    # (a limit+collect guard falls into CollectLimit's sequential
+    # partition scale-up, measured 13x slower).
+    qside = load(spark, sf_dir, "embeddings", fanout=False).filter(
+        F.col("vec_id") % query_modulus == 0
+    ).select("vec_id", "embedding")
     n_queries = qside.count()
     if n_queries > MAX_ARROW_QUERIES:
         raise ValueError(
@@ -331,10 +370,19 @@ def cosine_topk_arrow(
     bq = spark.sparkContext.broadcast((q_ids, Qn))
 
     def score(batches):
+        # mapInArrow, not mapInPandas: the embedding column arrives as
+        # an Arrow ListArray whose values buffer flattens/reshapes into
+        # the (n, dim) matrix with NO per-row Python list
+        # materialization — the conversion dominated the pandas
+        # version's batch cost.
+        import pyarrow as pa
+
         q_ids, Qn = bq.value
-        for pdf in batches:
-            ids = pdf["vec_id"].to_numpy()
-            M = np.array(list(pdf["embedding"]), dtype=np.float64)
+        for batch in batches:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            emb = batch.column("embedding")
+            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            M = flat.reshape(len(ids), -1).astype(np.float64, copy=False)
             Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
             # round BEFORE local selection: the global window ranks the
             # rounded sim with neighbor_id tie-break, so the partition-
@@ -342,7 +390,7 @@ def cosine_topk_arrow(
             # tie could keep a different neighbor than the Catalyst
             # twin / oracle would
             S = np.round(Mn @ Qn.T, 4)
-            out = {"query_id": [], "neighbor_id": [], "sim": []}
+            out_q, out_n, out_s = [], [], []
             for qi in range(len(q_ids)):
                 col = S[:, qi]
                 mask = ids != q_ids[qi]
@@ -351,12 +399,21 @@ def cosine_topk_arrow(
                     continue
                 cand_sim, cand_ids = col[mask], ids[mask]
                 order = np.lexsort((cand_ids, -cand_sim))[:take]
-                out["query_id"].extend([q_ids[qi]] * take)
-                out["neighbor_id"].extend(cand_ids[order])
-                out["sim"].extend(cand_sim[order])
-            yield pd.DataFrame(out)
+                out_q.append(np.full(take, q_ids[qi], dtype=np.int64))
+                out_n.append(cand_ids[order])
+                out_s.append(cand_sim[order])
+            if not out_q:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), pa.int64()),
+                    pa.array(np.concatenate(out_n).astype(np.int64), pa.int64()),
+                    pa.array(np.concatenate(out_s), pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "sim"],
+            )
 
-    partial = e.select("vec_id", "embedding").mapInPandas(
+    partial = e.select("vec_id", "embedding").mapInArrow(
         score, "query_id long, neighbor_id long, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))

@@ -198,7 +198,9 @@ def _needs_fanout(spark: SparkSession, path: str, target: int) -> bool:
     return _FANOUT_CACHE[key]
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, name: str, fanout: bool = True
+) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
@@ -224,13 +226,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(path)
-    if name in COMPUTE_HEAVY:
+    if fanout and name in COMPUTE_HEAVY:
         # documents/embeddings feed compute-dense per-row operators
         # (shingling, 32-way hashing, vector math).  A small corpus in
         # one parquet file would otherwise pin that work to ONE task;
         # fan it out to the cluster.  Guarded (from file sizes, cached)
         # so it never adds a shuffle when the scan is already parallel
-        # (the 100 TB case).
+        # (the 100 TB case).  Callers that only skim the table (a
+        # filtered collect of a tiny query side) pass fanout=False to
+        # skip the repartition exchange entirely.
         target = spark.sparkContext.defaultParallelism
         if _needs_fanout(spark, path, target):
             df = df.repartition(target)

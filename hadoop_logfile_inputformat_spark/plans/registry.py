@@ -4,13 +4,14 @@ oracle) pair.
 ``QUERIES[name]`` is a callable ``(spark, sf_dir) -> DataFrame``;
 ``ORACLES[name]`` is the equivalent ANSI SQL that DuckDB runs over the
 same parquet tables (views ``region nation customer supplier part
-orders lineitem events documents embeddings``).  Only two queries have
-no oracle entry — ``logfile_sample`` (seeded Bernoulli sampling) and
-``approx_sketches`` (HLL / quantile sketches) — because their results
-are genuinely engine-specific; the driver records a rows-only check
-for those.  Everything hash-dependent (MinHash, SimHash, winnowing
-fingerprints, LSH curation) uses the portable md5-based family so the
-oracle reproduces values exactly.
+orders lineitem events documents embeddings``).  Every registry key
+carries an oracle: everything hash-dependent (MinHash, SimHash,
+winnowing fingerprints, LSH curation, the deterministic log sample)
+uses the portable md5-based family so the oracle reproduces values
+exactly, and the two genuinely engine-specific surfaces are recast as
+checkable frames — ``logfile_sample`` samples by a replayable hash
+gate (generator-replay VALUES oracle) and ``approx_sketches`` hashes
+exact aggregates plus sketch-error-bound flags.
 
 Cross-engine determinism rules applied throughout (see operator
 docstrings): double aggregates rounded identically on both sides,
@@ -129,15 +130,23 @@ cand AS (
     JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
                 AND a.doc_id < b.doc_id
 ),
-lsh_pairs AS (
+lsh_sc AS (
     SELECT doc_a, doc_b,
-           round(len(list_intersect(sa.shingles, sb.shingles))
-                 / (len(sa.shingles) + len(sb.shingles)
-                    - len(list_intersect(sa.shingles, sb.shingles))), 4)
-               AS jaccard
+           len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+           len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles)) AS uni
     FROM cand
     JOIN sets sa ON sa.doc_id = doc_a
     JOIN sets sb ON sb.doc_id = doc_b
+),
+-- round(inter/uni, 4) as exact integer HALF_UP: round(double, 4)
+-- disagrees between engines on .xxxx5 boundaries and here a flip
+-- changes row membership (jaccard >= threshold), not just a value
+lsh_pairs AS (
+    SELECT doc_a, doc_b,
+           CAST((inter * 20000 + uni) // (2 * uni) AS DOUBLE) / 10000
+               AS jaccard
+    FROM lsh_sc
 )"""
 
 _SIMHASH_BITS = 60  # portable base is 60 bits (15 hex chars of md5)
@@ -778,11 +787,15 @@ _SQL: Dict[str, str] = {
             GROUP BY 1, 2
         )
         SELECT doc_a, doc_b,
-               round(n_common / (ca.n + cb.n - n_common), 4) AS jaccard
+               CAST((n_common * 20000 + (ca.n + cb.n - n_common))
+                    // (2 * (ca.n + cb.n - n_common)) AS DOUBLE) / 10000
+                   AS jaccard
         FROM common
         JOIN counts ca ON ca.doc_id = doc_a
         JOIN counts cb ON cb.doc_id = doc_b
-        WHERE round(n_common / (ca.n + cb.n - n_common), 4) >= {dedup.JACCARD_THRESHOLD}
+        WHERE CAST((n_common * 20000 + (ca.n + cb.n - n_common))
+                   // (2 * (ca.n + cb.n - n_common)) AS DOUBLE) / 10000
+              >= {dedup.JACCARD_THRESHOLD}
     """,
     "dedup_groups": f"""
         WITH RECURSIVE {_SHINGLES_CTE},
@@ -797,7 +810,8 @@ _SQL: Dict[str, str] = {
             FROM common
             JOIN counts ca ON ca.doc_id = doc_a
             JOIN counts cb ON cb.doc_id = doc_b
-            WHERE round(n_common / (ca.n + cb.n - n_common), 4)
+            WHERE CAST((n_common * 20000 + (ca.n + cb.n - n_common))
+                       // (2 * (ca.n + cb.n - n_common)) AS DOUBLE) / 10000
                   >= {dedup.JACCARD_THRESHOLD}
         ),
         edges AS (
@@ -824,7 +838,8 @@ _SQL: Dict[str, str] = {
             FROM common
             JOIN counts ca ON ca.doc_id = doc_a
             JOIN counts cb ON cb.doc_id = doc_b
-            WHERE round(n_common / (ca.n + cb.n - n_common), 4)
+            WHERE CAST((n_common * 20000 + (ca.n + cb.n - n_common))
+                       // (2 * (ca.n + cb.n - n_common)) AS DOUBLE) / 10000
                   >= {dedup.JACCARD_THRESHOLD}
         ),
         edges AS (
@@ -1378,19 +1393,36 @@ _SQL["doc_fingerprints"] = """
     FROM fps
 """
 
+# approx_sketches (checked frame): exact aggregates are recomputed by
+# DuckDB; the sketch-within-bound flags are literal TRUE — the Spark
+# side computes them from the live HLL/percentile sketches, so a sketch
+# regression breaks the hash (relational_ext.q_approx_sketches_checked).
+_SQL["approx_sketches"] = """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           round(quantile_cont(value, 0.95), 2) AS p95_exact,
+           true AS approx_users_ok,
+           true AS approx_p95_ok
+    FROM events
+    GROUP BY event_type
+"""
+
 # Golden-count oracles for the logfile-source queries: the fixture
 # corpus is deterministic (seeded generator), so expected values are an
 # independent no-IO replay of the generator's RNG sequence
-# (testing/loggen.py:summarize_log_corpus) — Test.java:117-152's
-# golden-count contract expressed as literal VALUES.  logfile_sample
-# stays rows-only: its Bernoulli sampler is engine-specific by nature.
+# (testing/loggen.py:summarize_log_corpus / replay_log_corpus_records)
+# — Test.java:117-152's golden-count contract expressed as literal
+# VALUES.
 from hadoop_logfile_inputformat_spark.operators.logparity import (  # noqa: E402
     _FIXTURE_FILES,
     _FIXTURE_SECONDS,
     _FIXTURE_SEED,
+    SAMPLE_BP,
+    _fixture_dir_name,
 )
 from hadoop_logfile_inputformat_spark.testing.loggen import (  # noqa: E402
     _STACK_TRACE,
+    replay_log_corpus_records,
     summarize_log_corpus,
 )
 
@@ -1428,6 +1460,30 @@ _frame_rows = ", ".join(
 _SQL["logfile_stack_hotspots"] = (
     f"SELECT * FROM (VALUES {_frame_rows})"
     " AS t(cls, method, n_frames, depths_seen)"
+)
+
+# logfile_sample: the registry query's keep decision is a pure function
+# of (file basename, offset) — md5-bucketed, mirrored here with
+# hashlib — so the expected FORMATTED LINES are a literal-VALUES replay
+# of the generator (no IO, no scanner involvement).  The fixture dir
+# path is deterministic per machine (_fixture_dir_name, no generation
+# forced at import).
+import hashlib  # noqa: E402
+import os  # noqa: E402
+
+_sample_dir = _fixture_dir_name()
+_sample_rows = []
+for _name, _off, _rec in replay_log_corpus_records(
+    n_files=_FIXTURE_FILES, seconds_per_file=_FIXTURE_SECONDS, seed=_FIXTURE_SEED
+):
+    _b = int(hashlib.md5(f"sample:{_name}@{_off}".encode()).hexdigest()[:4], 16)
+    if _b % 10000 < SAMPLE_BP:
+        _line = f"{os.path.join(_sample_dir, _name)}@{_off:016d}:\n\n{_rec}\n\n"
+        _sample_rows.append("('" + _line.replace("'", "''") + "')")
+_SQL["logfile_sample"] = (
+    "SELECT * FROM (VALUES " + ",\n".join(_sample_rows) + ") AS t(value)"
+    if _sample_rows
+    else "SELECT CAST(NULL AS VARCHAR) AS value WHERE FALSE"
 )
 
 _SQL["language_id"] = f"""
@@ -1657,7 +1713,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": relational.q_events_sessionize,
     "asof_purchase_last_click": relational_ext.asof_purchase_last_click,
     "price_band_counts": relational_ext.q_price_band_counts,
-    "approx_sketches": relational_ext.q_approx_sketches,
+    "approx_sketches": relational_ext.q_approx_sketches_checked,
     # --- correctness packs (each member fully hash-checked) ---
     **{name: pack_query(members) for name, members in _PACKS.items()},
     # --- dedup surface ---
@@ -1671,10 +1727,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 #: Final oracle map: individual keys take their member SQL verbatim;
-#: pack keys get the generated UNION ALL projection.  Keys absent here
-#: (logfile_sample: seeded Bernoulli sample; approx_sketches:
-#: HLL/quantile sketches) are rows-only by design — genuinely not
-#: SQL-reproducible.
+#: pack keys get the generated UNION ALL projection.  Every QUERIES
+#: key has an entry (50/50 value-hash-checked).
 ORACLES: Dict[str, str] = {
     **{k: _SQL[k] for k in QUERIES if k in _SQL},
     **{name: pack_oracle(members) for name, members in _PACKS.items()},

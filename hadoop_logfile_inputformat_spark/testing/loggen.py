@@ -146,6 +146,42 @@ def summarize_log_corpus(
     return total
 
 
+def replay_log_corpus_records(
+    *,
+    n_files: int = 4,
+    seconds_per_file: float = 2.0,
+    seed: int = 42,
+    start: datetime | None = None,
+) -> List[Tuple[str, int, str]]:
+    """``(filename, byte_offset, record_text)`` triples of the corpus
+    :func:`write_log_corpus` would write — replayed from the RNG with
+    no IO and no scanner involvement.
+
+    Each generator entry IS one logical record (ERROR entries embed
+    their stack-trace continuation lines inside the entry string);
+    ``byte_offset`` is the position of the entry's first byte within
+    its file and ``record_text`` drops the trailing newline — exactly
+    the ``(offset, record)`` contract of the logfile source.  This is
+    the record-level generator-replay oracle (the golden-count
+    summaries only cover aggregates).
+    """
+    rng = random.Random(seed)
+    base = start or datetime(2024, 1, 1)
+    out: List[Tuple[str, int, str]] = []
+    for day in range(n_files):
+        fmt = "AB"[rng.randrange(2)]
+        day_start = base + timedelta(days=day)
+        day_end = day_start + timedelta(seconds=seconds_per_file)
+        entries: List[str] = []
+        generate_log_records(fmt, day_start, day_end, entries.append, rng)
+        fname = f"app_{day_start:%Y-%m-%d}.log"  # write_log_corpus naming
+        off = 0
+        for e in entries:
+            out.append((fname, off, e[:-1]))
+            off += len(e.encode("utf-8"))
+    return out
+
+
 def write_log_corpus(
     out_dir: str,
     *,
