@@ -780,13 +780,11 @@ class PatternResolver:
         )
 
 
-def _expand_paths(path_spec: str) -> List[str]:
-    """Expand a load() path (file, directory, or glob) to files.
-
-    Comma-separated specs are supported (Hadoop-style multi-path).
-    ``scheme://`` specs are listed through fsspec (optional dep); the
-    returned names keep their scheme so executors re-resolve the same
-    filesystem when opening.
+def _list_files(path_spec: str) -> List[str]:
+    """Files matching a comma-separated file/dir/glob spec — local or
+    ``scheme://`` (via fsspec; names keep their scheme so executors
+    re-resolve the same filesystem when opening).  Empty list when
+    nothing matches (streaming sources poll before files exist).
     """
     files: List[str] = []
     for spec in path_spec.split(","):
@@ -810,6 +808,23 @@ def _expand_paths(path_spec: str) -> List[str]:
         if not matches and os.path.isfile(spec):
             matches = [spec]
         files.extend(m for m in matches if os.path.isfile(m))
+    return files
+
+
+def _file_exists(path: str) -> bool:
+    if _is_remote(path):
+        fs, p = _fsspec_fs(path)
+        return fs.isfile(p)
+    return os.path.exists(path)
+
+
+def _expand_paths(path_spec: str) -> List[str]:
+    """Expand a load() path (file, directory, or glob) to files.
+
+    Comma-separated specs are supported (Hadoop-style multi-path);
+    no matches is a hard error (batch-source contract).
+    """
+    files = _list_files(path_spec)
     if not files:
         raise FileNotFoundError(f"logfile source: no input files match '{path_spec}'")
     return files

@@ -37,9 +37,6 @@ Two readers, one offset model:
 
 from __future__ import annotations
 
-import glob as _glob
-import io
-import os
 import re
 from dataclasses import dataclass
 from typing import Iterator, List, Tuple
@@ -58,12 +55,16 @@ from hadoop_logfile_inputformat_spark.sources.logfile import (
     _CappedReader,
     _COMPRESSION_OPENERS,
     _UNSUPPORTED_COMPRESSION,
+    _file_exists,
+    _file_size,
+    _list_files,
+    _open_raw,
     iter_records,
     scan_partition_arrow,
 )
 
 #: Suffixes excluded from the watched file set.  The streaming offset
-#: model indexes RAW file bytes (os.path.getsize, raw opens); a
+#: model indexes RAW file bytes (raw sizes, raw opens); a
 #: compressed rotation artifact (``app.log.1.gz``) appearing in a
 #: ``dir/*`` glob would be mis-scanned — its content was already
 #: consumed while it was the live plain file, and decompressed-vs-raw
@@ -93,12 +94,9 @@ class LogfileSimpleStreamReader(SimpleDataSourceStreamReader):
         self._last_size: dict = {}
 
     def _files(self):
-        spec = self.path_spec
-        if os.path.isdir(spec):
-            spec = os.path.join(spec, "*")
-        return sorted(
-            p for p in _glob.glob(spec) if os.path.isfile(p) and _tailable(p)
-        )
+        # shared local/remote lister (sources.logfile._list_files):
+        # empty result is fine — files may appear after the stream starts
+        return [p for p in _list_files(self.path_spec) if _tailable(p)]
 
     def initialOffset(self) -> dict:
         # start of every currently-visible file; new files join at 0
@@ -116,7 +114,7 @@ class LogfileSimpleStreamReader(SimpleDataSourceStreamReader):
         pattern = self.resolver.resolve(path)
         regex = re.compile(pattern)
         rows = []
-        with open(path, "rb", buffering=io.DEFAULT_BUFFER_SIZE * 16) as f:
+        with _open_raw(path) as f:
             # cap reads at end_pos: a replay must see exactly the bytes
             # that existed when the range was committed, even if
             # continuation lines were appended since (deterministic
@@ -142,7 +140,7 @@ class LogfileSimpleStreamReader(SimpleDataSourceStreamReader):
         new_offsets: dict = {}
         for path in self._files():
             pos = int(tracked.get(path, 0))
-            size = os.path.getsize(path)
+            size = _file_size(path)
             if size == self._last_size.get(path):
                 self._stable_polls[path] = self._stable_polls.get(path, 0) + 1
             else:
@@ -168,7 +166,7 @@ class LogfileSimpleStreamReader(SimpleDataSourceStreamReader):
         for path, end_pos in e.items():
             start_pos = int(s.get(path, 0))
             end_pos = int(end_pos)
-            if end_pos > start_pos and os.path.exists(path):
+            if end_pos > start_pos and _file_exists(path):
                 batch_rows, _ = self._scan_new_records(
                     path, start_pos, end_pos, final=True
                 )
@@ -225,12 +223,7 @@ class LogfileStreamReader(DataSourceStreamReader):
         self._last_end: dict = {}
 
     def _files(self):
-        spec = self.path_spec
-        if os.path.isdir(spec):
-            spec = os.path.join(spec, "*")
-        return sorted(
-            p for p in _glob.glob(spec) if os.path.isfile(p) and _tailable(p)
-        )
+        return [p for p in _list_files(self.path_spec) if _tailable(p)]
 
     def initialOffset(self) -> dict:
         return {"files": {}}
@@ -244,7 +237,7 @@ class LogfileStreamReader(DataSourceStreamReader):
         """
         pattern = self.resolver.resolve(path)
         bpat = re.compile(b"(?m)^(?:" + pattern.encode(self.encoding) + b")\r?$")
-        with open(path, "rb", buffering=io.DEFAULT_BUFFER_SIZE * 16) as f:
+        with _open_raw(path) as f:
             if hi - lo <= self.tail_scan_bytes:
                 base = lo
                 f.seek(base)
@@ -267,7 +260,7 @@ class LogfileStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         ends: dict = {}
         for path in self._files():
-            size = os.path.getsize(path)
+            size = _file_size(path)
             if size == self._last_size.get(path):
                 self._stable_polls[path] = self._stable_polls.get(path, 0) + 1
             else:
@@ -297,7 +290,7 @@ class LogfileStreamReader(DataSourceStreamReader):
         for path, end_pos in e.items():
             lo = int(s.get(path, 0))
             hi = int(end_pos)
-            if hi <= lo or not os.path.exists(path):
+            if hi <= lo or not _file_exists(path):
                 continue
             pattern = self.resolver.resolve(path)
             pos = lo

@@ -161,6 +161,28 @@ def test_local_paths_never_touch_fsspec(tmp_path, monkeypatch):
     assert _scan_all(parts) == _expected()
 
 
+def test_remote_simple_stream_reader(fake_fsspec):
+    """The simple streaming reader (driver-side reads) tails a remote
+    file: first poll emits all complete records and holds back the
+    dangling tail; growth emits the newly-completed records."""
+    from hadoop_logfile_inputformat_spark.streaming.logfile_stream import (
+        LogfileSimpleStreamReader,
+    )
+
+    r = LogfileSimpleStreamReader({"path": "mem://logs/*.log", "pattern": PAT})
+    rows, off = r.read(r.initialOffset())
+    rows = list(rows)
+    expected = _expected()
+    # tail record (last first-line start) held back until stable
+    assert [(o, rec) for _, o, rec in rows] == expected[:-1]
+    assert off["files"]["mem://logs/a.log"] == expected[-1][0]
+    # append one record: the previously-dangling record completes
+    fake_fsspec.files["logs/a.log"] = LOG + b"2024-01-04 delta\n"
+    rows2, off2 = r.read(off)
+    assert [rec for _, _, rec in rows2] == [expected[-1][1]]
+    assert off2["files"]["mem://logs/a.log"] == len(LOG)
+
+
 def test_needs_fanout_remote_path_safe(spark):
     """An unreachable hdfs:// table dir must yield fanout=False, not
     crash load() (VERDICT r4 'What's wrong' #1)."""
