@@ -341,25 +341,30 @@ def cosine_topk_arrow(
     e = _arrow_corpus(spark, sf_dir)
     # The query side bypasses load()'s compute fan-out: it is a
     # filtered skim destined for the driver, and the repartition
-    # exchange the corpus side wants would tax BOTH of these small
-    # jobs with a shuffle (measured: the fan-out, not the scan, was
-    # this guard's cost).  Count first — one cheap filter-pushed scan —
-    # so an oversized query side is rejected while still distributed
-    # (a limit+collect guard falls into CollectLimit's sequential
-    # partition scale-up, measured 13x slower).
+    # exchange the corpus side wants would tax this small job with a
+    # shuffle (measured: the fan-out, not the scan, was this guard's
+    # dominant cost).  The size guard rides the SAME job as the fetch:
+    # toLocalIterator streams partitions to the driver and stops at
+    # MAX+1 rows, so driver memory stays bounded without a separate
+    # count scan (a count+collect pays two jobs; a limit+collect falls
+    # into CollectLimit's sequential partition scale-up, measured 13x
+    # slower).  The query side is small by contract, so the iterator's
+    # partition-sequential fetch is one or two tiny cached batches.
     qside = load(spark, sf_dir, "embeddings", fanout=False).filter(
         F.col("vec_id") % query_modulus == 0
     ).select("vec_id", "embedding")
-    n_queries = qside.count()
-    if n_queries > MAX_ARROW_QUERIES:
-        raise ValueError(
-            f"cosine_topk_arrow: query side has {n_queries} rows "
-            f"(> {MAX_ARROW_QUERIES}, query_modulus={query_modulus}); the "
-            "collected-and-broadcast query matrix would not fit on the "
-            "driver — raise the modulus or use ann_ivf_topk for "
-            "corpus-vs-corpus search"
-        )
-    qrows = qside.collect()
+    qrows = []
+    for row in qside.toLocalIterator(prefetchPartitions=True):
+        qrows.append(row)
+        if len(qrows) > MAX_ARROW_QUERIES:
+            raise ValueError(
+                f"cosine_topk_arrow: query side exceeds "
+                f"{MAX_ARROW_QUERIES} rows (query_modulus="
+                f"{query_modulus}); the collected-and-broadcast query "
+                "matrix would not fit on the driver — raise the "
+                "modulus or use ann_ivf_topk for corpus-vs-corpus "
+                "search"
+            )
     if not qrows:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, sim double, rank long"

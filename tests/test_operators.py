@@ -254,7 +254,7 @@ def test_cosine_arrow_query_side_capped(spark, monkeypatch):
     """A modulus that turns the 'query' side into the corpus must fail
     fast instead of collecting it onto the driver."""
     monkeypatch.setattr(similarity, "MAX_ARROW_QUERIES", 2)
-    with pytest.raises(ValueError, match="query side has"):
+    with pytest.raises(ValueError, match="query side exceeds"):
         similarity.cosine_topk_arrow(spark, SF, query_modulus=1)
 
 
