@@ -88,6 +88,7 @@ HEADLINE = [
 #: Operators added after round 1 — timed and reported, but excluded
 #: from ``value`` so the headline total stays comparable across rounds.
 EXTRA = [
+    "ann_cosine_topk_quantized",
     "dedup_minhash_lsh_portable",
     "dedup_simhash_portable",
     "doc_fingerprints_portable",

@@ -160,6 +160,79 @@ def ann_ivf_topk(
     )
 
 
+def quantized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, q array<double>, nrm): int8 scalar quantization of the
+    embedding column (values integer-valued, carried as doubles).
+
+    Per-vector scale ``max|x| / 127`` maps each component to an
+    integer in [-127, 127] via half-up rounding — the standard scalar
+    quantization an ANN index uses to cut resident vector memory 4x
+    (float32 -> int8).  At 100 TB that is the difference between an
+    in-memory index tier and constant spill; the stored form would be
+    ``array<tinyint>`` plus one float scale per vector.
+
+    Cross-engine exactness: every quantized component is an integer,
+    so dot products and squared norms (<= 64 * 127^2 ~= 1e6) are
+    EXACT in double arithmetic regardless of summation order — DuckDB
+    recomputes them bit-for-bit, which is what makes the approximate
+    search value-hash-checkable (unlike float sums, which would depend
+    on fold order).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    staged = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            "greatest(aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            " (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))),"
+            " CAST(1e-30 AS DOUBLE)) / 127.0"
+        ).alias("s"),
+    )
+    qv = staged.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> floor(CAST(x AS DOUBLE) / s + 0.5))"
+        ).alias("q"),
+    )
+    return qv.select("vec_id", "q", _norm("q").alias("nrm"))
+
+
+def ann_cosine_topk_quantized(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    query_modulus: int = QUERY_MODULUS,
+) -> DataFrame:
+    """Cosine top-k over the int8-quantized index (symmetric search:
+    queries quantized too) — the memory-bound scale path of
+    :func:`cosine_topk`.
+
+    Same broadcast-query / no-corpus-shuffle plan shape as the exact
+    operator; only the vector representation changes.  Recall vs the
+    exact ranking is asserted in tests (quantization perturbs cosine
+    by ~1e-2 at 64 dims); results are value-hash-checked against a
+    DuckDB replay of the exact same integer arithmetic.
+    """
+    v = quantized_vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    sim = F.round(_dot("q_emb", "q") / (F.col("q_nrm") * F.col("nrm")), 4)
+    pairs = (
+        F.broadcast(q)
+        .join(v, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.9
 ) -> DataFrame:

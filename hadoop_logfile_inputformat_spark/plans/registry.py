@@ -960,6 +960,40 @@ _SQL: Dict[str, str] = {
         )
         SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {similarity.TOP_K}
     """,
+    "ann_cosine_topk_quantized": f"""
+        -- int8 scalar quantization: all quantized components are
+        -- integers, so dots/norms are exact in double arithmetic on
+        -- both engines (no fold-order sensitivity)
+        WITH sv AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   greatest(list_max(list_transform(embedding,
+                                                    x -> abs(CAST(x AS DOUBLE)))),
+                            1e-30) / 127.0 AS s
+            FROM embeddings
+        ),
+        qv AS (
+            SELECT vec_id,
+                   list_transform(e, x -> floor(x / s + 0.5)) AS q
+            FROM sv
+        ),
+        n AS (
+            SELECT vec_id, q,
+                   sqrt(list_sum(list_transform(q, x -> x * x))) AS nrm
+            FROM qv
+        ),
+        qq AS (SELECT * FROM n WHERE vec_id % {similarity.QUERY_MODULUS} = 0),
+        sims AS (
+            SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_dot_product(qq.q, c.q) / (qq.nrm * c.nrm), 4) AS sim
+            FROM qq JOIN n c ON c.vec_id <> qq.vec_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM sims
+        )
+        SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {similarity.TOP_K}
+    """,
     "ann_ivf_topk": f"""
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -1524,6 +1558,18 @@ def _m(tag, builder, sql_key, **colmap):
 
 _PACKS: Dict[str, list] = {
     # Single-row scalar aggregates over lineitem(+part): TPC-H q6/q14/q17/q19.
+    # ANN variants — identical (query_id, neighbor_id, sim, rank)
+    # shape: the Arrow-kernel twin of the brute-force search and the
+    # int8-scalar-quantized index path.  Folded so the registry stays
+    # at the driver's 50-row budget; both remain individually timed in
+    # bench and individually tested.
+    "ann_variants_pack": [
+        _m("arrow", similarity.cosine_topk_arrow, "ann_cosine_topk_arrow",
+           k1="query_id", k2="neighbor_id", v1="sim", v2="rank"),
+        _m("quant", similarity.ann_cosine_topk_quantized,
+           "ann_cosine_topk_quantized",
+           k1="query_id", k2="neighbor_id", v1="sim", v2="rank"),
+    ],
     "tpch_scalar_pack": [
         _m("q6", relational_ext.q6_forecast_revenue, "q6_forecast_revenue",
            v1="revenue", v2="n_items"),
@@ -1680,7 +1726,6 @@ _PACKS: Dict[str, list] = {
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- similarity surface ---
     "ann_cosine_topk": similarity.cosine_topk,
-    "ann_cosine_topk_arrow": similarity.cosine_topk_arrow,
     "ann_ivf_topk": similarity.ann_ivf_topk,
     "embedding_near_dup": similarity.embedding_near_dup_pairs,
     "embedding_near_dup_scale": similarity.embedding_near_dup_scale,

@@ -250,6 +250,33 @@ def test_cosine_arrow_twin_equals_catalyst(spark):
     assert a == b and a
 
 
+def test_quantized_vectors_are_int8_valued(spark):
+    """Every quantized component is an integer in [-127, 127] — the
+    invariant that makes the quantized dot products exact in double
+    arithmetic (and the index storable as array<tinyint> at scale)."""
+    v = similarity.quantized_vectors(spark, SF)
+    bad = v.filter(
+        F.expr("exists(q, x -> abs(x) > 127 OR x != floor(x))")
+    ).count()
+    assert bad == 0
+    assert v.count() > 0
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8 quantization perturbs 64-dim cosine by ~1e-2; the top-k
+    neighbor sets must stay close to the exact ranking."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(spark, SF).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_cosine_topk_quantized(spark, SF).collect()
+    }
+    assert exact and quant
+    assert len(quant & exact) / len(exact) >= 0.8
+
+
 def test_cosine_arrow_query_side_capped(spark, monkeypatch):
     """A modulus that turns the 'query' side into the corpus must fail
     fast instead of collecting it onto the driver."""
