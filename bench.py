@@ -149,9 +149,15 @@ def _bench_source_throughput(spark) -> dict:
     t0 = time.monotonic()
     n = df.count()
     cold = time.monotonic() - t0
-    t0 = time.monotonic()
-    df.count()
-    steady = time.monotonic() - t0
+    # min of three warm scans: a single sample swings ±30% with box
+    # noise (observed 118 vs 179 MB/s run-to-run), same rationale as
+    # _time_query
+    steady = None
+    for _ in range(3):
+        t0 = time.monotonic()
+        df.count()
+        dt = time.monotonic() - t0
+        steady = dt if steady is None else min(steady, dt)
     # Python-data-source jobs carry a fixed per-job planning cost
     # (driver-side Python worker round for partitions()); measure it on
     # a ~1-record file so the artifact separates per-job overhead from
