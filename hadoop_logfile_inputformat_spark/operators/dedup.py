@@ -209,11 +209,38 @@ def _signatures_from_sets(
     return sh.groupBy("doc_id").agg(*mins).select("doc_id", sig.alias("sig"))
 
 
+def _cap_buckets(
+    buckets: DataFrame, keys: list, max_bucket_size: int | None
+) -> DataFrame:
+    """Drop candidate-generation buckets larger than ``max_bucket_size``.
+
+    A single hot bucket with B members yields B² candidate pairs — at
+    100 TB one boilerplate-heavy (band, bucket) can dominate the whole
+    join (the quadratic hazard the LSH design otherwise avoids).  The
+    standard mitigation is to skip oversized buckets outright: members
+    of a hot bucket are near-duplicates of SO many documents that they
+    almost always share another, smaller bucket with their true pairs;
+    documented recall trade, default off (None = exact parity with the
+    oracle).  One extra aggregate + join on the SAME key the candidate
+    join shuffles on — no new shuffle shape.
+    """
+    if max_bucket_size is None:
+        return buckets
+    sizes = (
+        buckets.groupBy(*keys)
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") <= max_bucket_size)
+        .drop("bsz")
+    )
+    return buckets.join(sizes, keys)
+
+
 def minhash_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = JACCARD_THRESHOLD,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-duplicate pairs, verified exactly.
 
@@ -264,6 +291,7 @@ def minhash_lsh_pairs(
     buckets = sigs.select("doc_id", F.explode(band_cols).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    buckets = _cap_buckets(buckets, ["band", "bucket"], max_bucket_size)
     a = buckets.alias("a")
     b = buckets.alias("b")
     candidates = (
@@ -340,6 +368,7 @@ def simhash_64(
 def simhash_pairs(
     spark: SparkSession, sf_dir: str, max_hamming: int = 12,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance.
 
@@ -369,6 +398,9 @@ def simhash_pairs(
     chunks = sh.select("doc_id", "simhash", chunk.alias("c")).select(
         "doc_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
     )
+    # same hot-bucket hazard as LSH banding: a common 8-bit chunk value
+    # shared by B docs yields B² join rows
+    chunks = _cap_buckets(chunks, ["ci", "cv"], max_bucket_size)
     a = chunks.alias("a")
     b = chunks.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

@@ -250,6 +250,38 @@ def test_cosine_arrow_twin_equals_catalyst(spark):
     assert a == b and a
 
 
+def test_lsh_hot_bucket_cap_monotone(spark):
+    """max_bucket_size (100 TB hot-bucket mitigation) only ever DROPS
+    pairs; a generous cap is a no-op; cap=1 kills every candidate."""
+    base = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(spark, SF).collect()
+    }
+    loose = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(spark, SF, max_bucket_size=10**6).collect()
+    }
+    assert loose == base and base
+    assert dedup.minhash_lsh_pairs(spark, SF, max_bucket_size=1).count() == 0
+    mid = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(spark, SF, max_bucket_size=3).collect()
+    }
+    assert mid <= base
+
+
+def test_simhash_hot_bucket_cap_monotone(spark):
+    base = {
+        (r.doc_a, r.doc_b) for r in dedup.simhash_pairs(spark, SF).collect()
+    }
+    loose = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_pairs(spark, SF, max_bucket_size=10**6).collect()
+    }
+    assert loose == base and base
+    assert dedup.simhash_pairs(spark, SF, max_bucket_size=1).count() == 0
+
+
 def test_quantized_vectors_are_int8_valued(spark):
     """Every quantized component is an integer in [-127, 127] — the
     invariant that makes the quantized dot products exact in double
