@@ -298,6 +298,23 @@ def iter_records(
         yield rec_offset, "\n".join(rec_parts)
 
 
+def _strip_line_crs(data: bytes) -> bytes:
+    """Per-line CR strip with exact line-scanner parity.
+
+    The line scanner normalizes each LINE independently: drop the
+    ``\\n`` terminator, then EXACTLY ONE trailing ``\\r`` (iter_records
+    lines 270-273).  A record-wide ``replace(b"\\r\\n", b"\\n")`` is only
+    equivalent when no line BODY ends in ``\\r`` — for ``b"a\\r\\r\\n"``
+    it collapses to ``a`` where the line scanner keeps ``a\\r``.  This
+    helper is the shared normalization for every chunked/vectorized
+    path; callers gate on ``b"\\r" in data`` to keep LF-only input free.
+    """
+    return b"\n".join(
+        line[:-1] if line.endswith(b"\r") else line
+        for line in data.split(b"\n")
+    )
+
+
 def _truncate_record_bytes(data: bytes, cap: int) -> bytes:
     """Line-precise truncation parity with the line scanner's
     ``max_record_bytes`` rule: keep appending whole lines while the
@@ -358,11 +375,10 @@ def iter_records_chunked(
             # cap on RAW bytes (split keeps each line's \r, so the
             # +1-per-line accounting equals the line scanner's len(raw))
             data = _truncate_record_bytes(data, max_record_bytes)
-        data = data.replace(b"\r\n", b"\n")
         if data.endswith(b"\n"):
             data = data[:-1]
-        if data.endswith(b"\r"):  # final line of a CRLF file without \n
-            data = data[:-1]
+        if b"\r" in data:
+            data = _strip_line_crs(data)
         return rec_start, data.decode(encoding, errors="replace")
 
     while True:
@@ -390,9 +406,7 @@ def iter_records_chunked(
                     # extracts the record and strips its terminator.
                     data = scan[cut:s - 1]
                     if has_cr and b"\r" in data:
-                        data = data.replace(b"\r\n", b"\n")
-                        if data.endswith(b"\r"):
-                            data = data[:-1]
+                        data = _strip_line_crs(data)
                     yield rec_start, data.decode(encoding, errors="replace")
                 else:
                     seg = scan[cut:s]
@@ -473,11 +487,10 @@ def iter_record_lists_chunked(
     carry_start = -1
 
     def _finalize(data: bytes) -> bytes:
-        data = data.replace(b"\r\n", b"\n")
         if data.endswith(b"\n"):
             data = data[:-1]
-        if data.endswith(b"\r"):
-            data = data[:-1]
+        if b"\r" in data:
+            data = _strip_line_crs(data)
         return data
 
     while True:
@@ -538,12 +551,11 @@ def iter_record_lists_chunked(
         # split's property (findFirstFirstLine parity)
 
         if b"\r" in scan and records:
-            # CR-normalize the RAW middle slices only.  head/tail_rec
-            # went through _finalize already; running the replace twice
-            # would turn a body containing '\r\r\n' (normalized once to
-            # '\r\n') into '\n', diverging from the line scanner.
+            # CR-normalize the RAW middle slices only (head/tail_rec
+            # went through _finalize already; normalizing twice would
+            # strip a second \r from '\r\r\n' bodies).
             records = [
-                r[:-1] if (r := rec.replace(b"\r\n", b"\n")).endswith(b"\r") else r
+                _strip_line_crs(rec) if b"\r" in rec else rec
                 for rec in records
             ]
         if head is not None:
