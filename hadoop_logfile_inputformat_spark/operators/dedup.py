@@ -235,6 +235,64 @@ def _cap_buckets(
     return buckets.join(sizes, keys)
 
 
+def _band_buckets(sigs: DataFrame, hash_fn: str) -> DataFrame:
+    """(doc_id, band, bucket) LSH banding rows from signatures.
+
+    Bucket key per band: ``xxhash64`` over the band's signature rows for
+    the default family; an injective ``concat_ws`` string for the
+    portable family (lets the SQL oracle reproduce band equality exactly
+    instead of admitting a hash-collision delta).
+    """
+    rows_per_band = N_PERMUTATIONS // LSH_BANDS
+
+    def _bucket(bi):
+        vals = [F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]
+        if hash_fn == "md5":
+            return F.concat_ws("_", *vals)
+        return F.xxhash64(*vals)
+
+    band_cols = F.array(
+        *[
+            F.struct(F.lit(bi).alias("band"), _bucket(bi).alias("bucket"))
+            for bi in range(LSH_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_cols).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def _verify_pairs(
+    candidates: DataFrame,
+    sets_a: DataFrame,
+    sets_b: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs.
+
+    Two doc_id joins against per-doc shingle ARRAYS; similarity from
+    ``array_intersect`` sizes — only candidate pairs are ever touched,
+    never an all-pairs join.
+    """
+    sa = sets_a.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets_b.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            (F.size("sh_a") + F.size("sh_b")).alias("n_ab"),
+        )
+        .select(
+            "doc_a", "doc_b",
+            _jaccard4("inter", "n_ab - inter").alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -255,7 +313,6 @@ def minhash_lsh_pairs(
     join the exact operator uses.  Same formula as the exact twin, so
     recall is asserted against it in tests.
     """
-    rows_per_band = N_PERMUTATIONS // LSH_BANDS
     # The shingle-set DataFrame feeds THREE consumers (signatures + both
     # sides of candidate verification); persist it once instead of
     # re-scanning and re-shingling the corpus three times (measured
@@ -272,25 +329,7 @@ def minhash_lsh_pairs(
         _shingle_sets(load(spark, sf_dir, "documents")), ("shingle_sets", sf_dir)
     )
     sigs = _signatures_from_sets(sets, hash_fn)
-
-    def _bucket(bi):
-        vals = [F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]
-        if hash_fn == "md5":
-            # injective string key: the SQL oracle reproduces band
-            # equality exactly (a hashed bucket would admit an
-            # astronomically-unlikely-but-possible collision delta)
-            return F.concat_ws("_", *vals)
-        return F.xxhash64(*vals)
-
-    band_cols = F.array(
-        *[
-            F.struct(F.lit(bi).alias("band"), _bucket(bi).alias("bucket"))
-            for bi in range(LSH_BANDS)
-        ]
-    )
-    buckets = sigs.select("doc_id", F.explode(band_cols).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    buckets = _band_buckets(sigs, hash_fn)
     buckets = _cap_buckets(buckets, ["band", "bucket"], max_bucket_size)
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -304,23 +343,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    return (
-        candidates.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
-            (F.size("sh_a") + F.size("sh_b")).alias("n_ab"),
-        )
-        .select(
-            "doc_a", "doc_b",
-            _jaccard4("inter", "n_ab - inter").alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _verify_pairs(candidates, sets, sets, threshold)
 
 
 def simhash_64(
@@ -534,6 +557,166 @@ def simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry variant of :func:`simhash_pairs` (60-bit portable
     hash) — hash-checked against a DuckDB bit-for-bit recomputation."""
     return simhash_pairs(spark, sf_dir, hash_fn="md5")
+
+
+# --- incremental deduplication against a persisted corpus index ------
+#
+# The refresh shape of a 100 TB pipeline: the standing corpus is
+# shingled/signed ONCE and materialized as bucketed tables; each new
+# crawl batch (the *delta*) computes signatures only for itself and
+# probes the index.  Per refresh, work is O(delta) + one join against
+# the index — never a recompute of the corpus.  With the index stored
+# as Spark bucketed tables on the join keys, the corpus side of both
+# probe joins needs NO shuffle at all (asserted in tests): only the
+# delta is exchanged.
+
+#: Registry split for the oracle-checked twin: delta = doc_id % 4 == 3
+#: (25% "new crawl"), corpus = the rest.
+INCR_SPLIT_MOD = 4
+INCR_DELTA_REM = 3
+
+
+def _incremental_pairs_from_sets(
+    corpus_sets: DataFrame,
+    delta_sets: DataFrame,
+    corpus_buckets: DataFrame,
+    threshold: float,
+    hash_fn: str,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(doc_a in corpus, doc_b in delta, jaccard): shared probe path.
+
+    Signatures/banding run over the DELTA only; candidates come from
+    bucket collisions against the (possibly persisted) corpus banding;
+    verification touches candidates only.
+    """
+    delta_buckets = _band_buckets(
+        _signatures_from_sets(delta_sets, hash_fn), hash_fn
+    )
+    corpus_buckets = _cap_buckets(
+        corpus_buckets, ["band", "bucket"], max_bucket_size
+    )
+    a = corpus_buckets.alias("a")
+    b = delta_buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_pairs(candidates, corpus_sets, delta_sets, threshold)
+
+
+def build_minhash_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    name: str,
+    hash_fn: str = "xxhash64",
+    n_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Materialize the LSH dedup index of ``docs`` as bucketed tables.
+
+    Writes two Spark bucketed tables (requires a session warehouse/
+    catalog, i.e. ``saveAsTable`` — bucketing metadata does not survive
+    a bare ``parquet(path)`` write):
+
+    - ``<name>_buckets`` (doc_id, band, bucket), bucketed+sorted by
+      (band, bucket) — the candidate-probe join key, so the probe's
+      corpus side is read pre-partitioned with no Exchange;
+    - ``<name>_sets`` (doc_id, shingles), bucketed+sorted by doc_id —
+      the verification join key, same no-shuffle property.
+
+    ``n_buckets`` sizes the file-level bucketing (pick ≈ cluster
+    parallelism at the target scale; each refresh's probe join inherits
+    this parallelism on the corpus side).  ``path`` makes the index
+    EXTERNAL tables rooted there (e.g. an ``s3://`` prefix) instead of
+    the session warehouse; bucketing metadata lives in the catalog
+    either way.
+    """
+    sets = _shingle_sets(docs).persist()
+    try:
+        for suffix, frame, keys in (
+            (
+                "buckets",
+                _band_buckets(_signatures_from_sets(sets, hash_fn), hash_fn),
+                ["band", "bucket"],
+            ),
+            ("sets", sets, ["doc_id"]),
+        ):
+            writer = (
+                frame.write.bucketBy(n_buckets, *keys)
+                .sortBy(*keys)
+                .mode("overwrite")
+                .format("parquet")
+            )
+            if path is not None:
+                writer = writer.option("path", f"{path}/{name}_{suffix}")
+            writer.saveAsTable(f"{name}_{suffix}")
+    finally:
+        sets.unpersist()
+
+
+def incremental_near_dups(
+    spark: SparkSession,
+    delta_docs: DataFrame,
+    index_name: str,
+    threshold: float = JACCARD_THRESHOLD,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs of ``delta_docs`` against a persisted corpus index
+    (built by :func:`build_minhash_index` under ``index_name``).
+
+    Output: (doc_a = indexed corpus doc, doc_b = delta doc, jaccard).
+    Only delta-sized data is signed and shuffled; the corpus tables are
+    read through their bucketing, shuffle-free.  Pairs WITHIN the delta
+    are deliberately out of scope — run :func:`minhash_lsh_pairs` (or a
+    second index build) over the delta for those, then union.
+    """
+    # delta sets feed two consumers (signatures + verification); scoped
+    # per index so repeated refreshes hold at most one cached frame
+    delta_sets = scoped_persist(
+        _shingle_sets(delta_docs), ("incr_delta_sets", index_name)
+    )
+    return _incremental_pairs_from_sets(
+        corpus_sets=spark.table(f"{index_name}_sets"),
+        delta_sets=delta_sets,
+        corpus_buckets=spark.table(f"{index_name}_buckets"),
+        threshold=threshold,
+        hash_fn=hash_fn,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry twin of :func:`incremental_near_dups`: the corpus/delta
+    split is deterministic (delta = ``doc_id % 4 == 3``) and the hash
+    family is the portable md5-affine one, so DuckDB recomputes the
+    whole delta-probe pipeline bit-for-bit (bands over all docs,
+    candidates restricted to corpus×delta).  Execution shape is
+    identical to the index probe — delta-only signatures, cross-side
+    candidate join, candidate-only verification — minus the table
+    round-trip, which tests/test_dedup_incremental.py covers.
+    """
+    sets = scoped_persist(
+        _shingle_sets(load(spark, sf_dir, "documents")), ("shingle_sets", sf_dir)
+    )
+    is_delta = F.col("doc_id") % INCR_SPLIT_MOD == INCR_DELTA_REM
+    corpus_sets = sets.filter(~is_delta)
+    delta_sets = sets.filter(is_delta)
+    return _incremental_pairs_from_sets(
+        corpus_sets=corpus_sets,
+        delta_sets=delta_sets,
+        corpus_buckets=_band_buckets(
+            _signatures_from_sets(corpus_sets, "md5"), "md5"
+        ),
+        threshold=JACCARD_THRESHOLD,
+        hash_fn="md5",
+    )
 
 
 def curate_documents_scale(spark: SparkSession, sf_dir: str) -> DataFrame:

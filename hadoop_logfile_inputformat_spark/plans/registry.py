@@ -107,9 +107,10 @@ _MINHASH_BANDS_SQL = "\n    UNION ALL ".join(
     for b in range(dedup.LSH_BANDS)
 )
 
-#: shingle-hash → banding → bucket-colliding candidates → exact-Jaccard
-#: verification: the full LSH pipeline as CTEs ending in ``lsh_pairs``.
-_MINHASH_LSH_CTE = f"""{_SHINGLE_SETS_CTE},
+#: shingle-hash → MinHash signatures → LSH banding, as CTEs ending in
+#: ``bands`` — the shared prefix of the full-corpus pipeline and the
+#: incremental (corpus×delta) probe.
+_MINHASH_BANDS_CTE = f"""{_SHINGLE_SETS_CTE},
 hx0 AS (
     SELECT doc_id,
            CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS base
@@ -123,7 +124,11 @@ sig AS (
 ),
 bands AS (
     {_MINHASH_BANDS_SQL}
-),
+)"""
+
+#: bucket-colliding candidates → exact-Jaccard verification: the full
+#: LSH pipeline as CTEs ending in ``lsh_pairs``.
+_MINHASH_LSH_CTE = f"""{_MINHASH_BANDS_CTE},
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a
@@ -876,6 +881,35 @@ _SQL: Dict[str, str] = {
         SELECT doc_a, doc_b, jaccard
         FROM lsh_pairs
         WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
+    """,
+    # incremental refresh probe: bands over ALL docs (signatures are
+    # per-doc, so banding the corpus and the delta separately — what
+    # the Spark operator does — yields identical rows), candidates
+    # restricted to corpus×delta by the deterministic doc_id%4 split.
+    "dedup_incremental": f"""
+        WITH {_MINHASH_BANDS_CTE},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+            WHERE a.doc_id % {dedup.INCR_SPLIT_MOD} != {dedup.INCR_DELTA_REM}
+              AND b.doc_id % {dedup.INCR_SPLIT_MOD} = {dedup.INCR_DELTA_REM}
+        ),
+        incr_sc AS (
+            SELECT doc_a, doc_b,
+                   len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+                   len(sa.shingles) + len(sb.shingles)
+                       - len(list_intersect(sa.shingles, sb.shingles)) AS uni
+            FROM cand
+            JOIN sets sa ON sa.doc_id = doc_a
+            JOIN sets sb ON sb.doc_id = doc_b
+        )
+        SELECT doc_a, doc_b,
+               CAST((inter * 20000 + uni) // (2 * uni) AS DOUBLE) / 10000
+                   AS jaccard
+        FROM incr_sc
+        WHERE CAST((inter * 20000 + uni) // (2 * uni) AS DOUBLE) / 10000
+              >= {dedup.JACCARD_THRESHOLD}
     """,
     "dedup_simhash": f"""
         WITH {_SHINGLE_SETS_CTE},
@@ -1719,6 +1753,10 @@ _PACKS: Dict[str, list] = {
         _m("training_corpus", pipeline.training_corpus, "training_corpus",
            k1="doc_id", k2="chunk_id", v1="token_start", v2="n_tokens",
            v3="bin_id", v4="straddles"),
+        # corpus-refresh probe: delta docs (doc_id%4==3) deduped against
+        # the standing corpus with delta-only signature computation
+        _m("incremental", dedup.dedup_incremental_pairs, "dedup_incremental",
+           k1="doc_a", k2="doc_b", v1="jaccard"),
     ],
 }
 
