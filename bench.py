@@ -102,6 +102,8 @@ EXTRA = [
     "q12_shipping_delay",
     "q16_supplier_part_counts",
     "q21_waiting_suppliers",
+    "events_distinct_rollup",
+    "dedup_incremental",
     "pack_sequences",
     "decontaminate",
     "repetition_profile",

@@ -546,6 +546,58 @@ def q_approx_sketches_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-count rollup via mergeable HLL sketch
+    partials — materialized-view maintenance, the pattern that makes
+    COUNT(DISTINCT) affordable at 100 TB: daily (event_type, day)
+    sketch partials are built once (at scale: appended to a rollup
+    table as each day of events lands), and any coarser distinct —
+    weekly here — is answered by ``hll_union_agg`` over the partials,
+    never rescanning raw events.  Distinct counts don't sum, but
+    DataSketches HLL registers max-merge losslessly, so the merged
+    estimate EQUALS the direct whole-week sketch (asserted per row as
+    ``merge_lossless``; also a test invariant).
+
+    Output is the checked frame (cf. :func:`q_approx_sketches_checked`):
+    exact weekly distincts, partial-day counts, and two deterministic
+    flags — merged-estimate-within-bound and merge-equals-direct — all
+    hash-checkable cross-engine; raw sketch bytes are engine-specific
+    and stay internal.
+    """
+    e = load(spark, sf_dir, "events")
+    # the materialized rollup: one sketch per (event_type, day)
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy(
+        "event_type", F.date_trunc("week", F.col("day")).alias("week")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
+        F.count("*").alias("n_days"),
+    )
+    # direct twin (scan of raw events) — only for the check columns;
+    # production trusts the merged path and never runs this side
+    direct = e.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("week")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_est"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    j = merged.join(direct, ["event_type", "week"])
+    est_ok = (
+        F.abs(F.col("merged_est") - F.col("exact_users"))
+        <= HLL_REL_TOL * F.col("exact_users")
+    )
+    return j.select(
+        "event_type",
+        "week",
+        "exact_users",
+        "n_days",
+        est_ok.alias("merged_est_ok"),
+        (F.col("merged_est") == F.col("direct_est")).alias("merge_lossless"),
+    )
+
+
 def q_nation_wealth_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join: rich-customer vs rich-supplier counts per
     nation.  Both sides are filtered aggregates, so some nations appear

@@ -239,6 +239,20 @@ _SQL: Dict[str, str] = {
         FROM events
         GROUP BY 1, 2
     """,
+    # incremental distinct rollup: the oracle recomputes the exact
+    # weekly frame directly; the flag columns are TRUE by the sketch
+    # error envelope / lossless register max-merge (a sketch or merge
+    # regression flips a flag and fails the hash — cf. approx_sketches)
+    "events_distinct_rollup": """
+        SELECT event_type,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+               count(DISTINCT user_id) AS exact_users,
+               count(DISTINCT date_trunc('day', ts)) AS n_days,
+               TRUE AS merged_est_ok,
+               TRUE AS merge_lossless
+        FROM events
+        GROUP BY 1, 2
+    """,
     "events_sessionize": """
         WITH g AS (
             SELECT user_id, ts,
@@ -1710,6 +1724,12 @@ _PACKS: Dict[str, list] = {
            k1="event_id", k2="event_type", v1="value", v2="zscore"),
         _m("funnel", relational_ext.q_event_funnel, "event_funnel",
            v1="n_users", v2="n_viewed", v3="n_clicked", v4="n_purchased"),
+        # mergeable-sketch rollup: weekly distinct users from daily HLL
+        # partials (hll_union_agg), checked against the exact frame
+        _m("distinct_rollup", relational_ext.q_distinct_rollup,
+           "events_distinct_rollup",
+           k1=_ts("week"), k2="event_type", v1="exact_users", v2="n_days",
+           v3="merged_est_ok", v4="merge_lossless"),
     ],
     # Rank/distribution windows: ntile deciles, RFM ntile trio,
     # percent_rank/cume_dist tail.

@@ -4,7 +4,11 @@ invariants the DuckDB oracle can't express."""
 import pytest
 from pyspark.sql import functions as F
 
-from hadoop_logfile_inputformat_spark.operators import dedup, similarity
+from hadoop_logfile_inputformat_spark.operators import (
+    dedup,
+    relational_ext,
+    similarity,
+)
 from hadoop_logfile_inputformat_spark.plans.registry import ORACLES, QUERIES
 
 SF = "/root/testdata/sf0.001"
@@ -155,6 +159,21 @@ def test_approx_sketches_bounded_error(spark):
     for r in rows:
         assert abs(r.approx_users - r.exact_users) <= max(2, 0.1 * r.exact_users)
         assert abs(r.p95_value - r.p95_exact) <= max(1.0, 0.2 * abs(r.p95_exact))
+
+
+def test_distinct_rollup_sketch_merge_is_lossless(spark):
+    """Union of daily HLL partials must estimate IDENTICALLY to the
+    direct whole-week sketch (register max-merge is lossless), and the
+    estimate must stay inside the error envelope of the exact count —
+    the invariant that lets a 100 TB pipeline answer coarser distincts
+    from the rollup table without rescanning raw events."""
+    rows = relational_ext.q_distinct_rollup(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.merge_lossless, (r.event_type, r.week)
+        assert r.merged_est_ok, (r.event_type, r.week)
+        assert r.n_days >= 1
+        assert r.exact_users >= 1
 
 
 def test_asof_join_invariants(spark):
