@@ -602,7 +602,11 @@ def _incremental_pairs_from_sets(
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket")),
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            # a delta doc may already BE in the index (re-crawl of the
+            # same doc_id, or a foreachBatch replay after the index
+            # append landed) — its self-pair is never a finding
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -656,6 +660,16 @@ def build_minhash_index(
             if path is not None:
                 writer = writer.option("path", f"{path}/{name}_{suffix}")
             writer.saveAsTable(f"{name}_{suffix}")
+        # third table of the triple: the applied-batch log that makes
+        # streaming index appends replay-safe (near_dup_stream_batch).
+        # Written as an (empty) overwrite so REBUILDING an index also
+        # resets the log — stale ids would silently skip appends.
+        logw = spark.createDataFrame([], "batch_id BIGINT").write.mode(
+            "overwrite"
+        ).format("parquet")
+        if path is not None:
+            logw = logw.option("path", f"{path}/{name}_batches")
+        logw.saveAsTable(f"{name}_batches")
     finally:
         sets.unpersist()
 

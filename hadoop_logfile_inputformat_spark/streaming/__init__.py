@@ -6,6 +6,8 @@ from hadoop_logfile_inputformat_spark.streaming.pipelines import (  # noqa: F401
     dedup_stream,
     enrich_stream_with_dim,
     events_hourly_stream,
+    near_dup_stream,
+    near_dup_stream_batch,
     purchases_joined_to_clicks_stream,
     sessionize_stream,
 )

@@ -116,6 +116,110 @@ def enrich_stream_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
     return events.join(broadcast(dim), "user_id", "left")
 
 
+def near_dup_stream_batch(
+    batch_docs: DataFrame,
+    index_name: str,
+    pairs_sink: str,
+    batch_id: int,
+    threshold: float | None = None,
+    hash_fn: str = "xxhash64",
+    update_index: bool = True,
+) -> None:
+    """Process ONE micro-batch of documents against the persisted LSH
+    index: write near-dup pairs under ``pairs_sink``, then append the
+    batch's own banding/shingle rows to the index tables so the NEXT
+    batch dedups against this one too (a self-maintaining index).
+
+    This is the ``foreachBatch`` body of :func:`near_dup_stream`,
+    exposed separately so batch replays/backfills and tests can drive
+    it with static frames.  Per batch the work is O(batch) signatures
+    plus index probes — the corpus is never recomputed (same contract
+    as ``dedup.incremental_near_dups``; pairs WITHIN one micro-batch
+    are out of scope, run the batch operator over the sink for those).
+
+    Idempotence under foreachBatch's at-least-once replay:
+
+    - pairs land in ``pairs_sink/batch_id=<id>`` with OVERWRITE, so a
+      replayed batch rewrites its own partition instead of appending
+      duplicates;
+    - the index append is guarded by a ``<index>_batches`` bookkeeping
+      table of applied batch ids — a replay skips the append (the one
+      residual window is a crash BETWEEN the index append and the
+      bookkeeping write; duplicate banding rows are harmless — the
+      candidate join is DISTINCT — and duplicate shingle-set rows only
+      arise in that window).
+    """
+    from hadoop_logfile_inputformat_spark.operators import dedup
+
+    spark = batch_docs.sparkSession
+    kwargs = {} if threshold is None else {"threshold": threshold}
+    pairs = dedup.incremental_near_dups(
+        spark, batch_docs, index_name, hash_fn=hash_fn, **kwargs
+    )
+    pairs.write.mode("overwrite").parquet(f"{pairs_sink}/batch_id={batch_id}")
+    if not update_index:
+        return
+    log = f"{index_name}_batches"  # part of the index triple (build_minhash_index)
+    if spark.table(log).filter(F.col("batch_id") == batch_id).count() > 0:
+        return  # replayed batch: index rows already applied
+    from hadoop_logfile_inputformat_spark.operators.tables import scoped_persist
+
+    # same key as incremental_near_dups uses internally, so the probe
+    # above and this append share ONE cached shingle-set frame
+    sets = scoped_persist(
+        dedup._shingle_sets(batch_docs), ("incr_delta_sets", index_name)
+    )
+    bands = dedup._band_buckets(
+        dedup._signatures_from_sets(sets, hash_fn), hash_fn
+    )
+    # insertInto applies the catalog table's bucket spec, so the
+    # appended files keep the index's no-shuffle probe property
+    bands.write.mode("append").insertInto(f"{index_name}_buckets")
+    sets.write.mode("append").insertInto(f"{index_name}_sets")
+    spark.createDataFrame([(batch_id,)], "batch_id BIGINT").write.mode(
+        "append"
+    ).insertInto(log)
+
+
+def near_dup_stream(
+    docs: DataFrame,
+    index_name: str,
+    pairs_sink: str,
+    checkpoint: str,
+    threshold: float | None = None,
+    hash_fn: str = "xxhash64",
+    update_index: bool = True,
+):
+    """Streaming incremental deduplication: each arriving micro-batch
+    of documents is probed against (and appended to) the persisted LSH
+    index built by ``dedup.build_minhash_index``.
+
+    The LSH probe needs multi-stage joins and a catalog-table append —
+    shapes Structured Streaming cannot express natively — so this is a
+    ``foreachBatch`` pipeline, made effectively-once by per-batch
+    overwrite partitions and the index bookkeeping table (see
+    :func:`near_dup_stream_batch`).  Returns the started
+    ``StreamingQuery``.
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        near_dup_stream_batch(
+            batch_df,
+            index_name,
+            pairs_sink,
+            batch_id,
+            threshold=threshold,
+            hash_fn=hash_fn,
+            update_index=update_index,
+        )
+
+    return (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -500,3 +500,64 @@ def test_stream_readers_exclude_compressed_rotation_artifacts(tmp_path):
     for reader_cls in (LogfileSimpleStreamReader, LogfileStreamReader):
         files = reader_cls(opts)._files()
         assert files == [str(live)], reader_cls.__name__
+
+
+def test_near_dup_stream_probes_and_grows_index(spark, tmp_path):
+    """Streaming incremental dedup: each micro-batch is probed against
+    the persisted LSH index AND appended to it, so batch 2 finds its
+    near-dup of a batch-1 document.  Also asserts foreachBatch-replay
+    idempotence (overwritten pairs partition, skipped index append)."""
+    from hadoop_logfile_inputformat_spark.operators import dedup
+    from hadoop_logfile_inputformat_spark.streaming import near_dup_stream
+
+    for t in ("t_stream_idx_buckets", "t_stream_idx_sets", "t_stream_idx_batches"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    base = "the quick brown fox jumps over the lazy dog beside the river today"
+    alt = "many colorful parrots squawk loudly above the ancient temple ruins at dawn"
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame([(1, base)], schema)
+    dedup.build_minhash_index(
+        spark, corpus, "t_stream_idx", n_buckets=2, path=str(tmp_path / "idx")
+    )
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    sink = str(tmp_path / "pairs")
+    # batch 1: 101 near-dups the seed corpus doc; 102 is novel
+    spark.createDataFrame(
+        [(101, base + " extra"), (102, alt)], schema
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = near_dup_stream(
+        stream, "t_stream_idx", sink, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {(r.doc_a, r.doc_b) for r in spark.read.parquet(sink).collect()}
+        assert (1, 101) in got1
+        assert not any(b == 102 for _, b in got1)
+
+        # batch 2: 201 near-dups 102 — only findable if batch 1 was
+        # appended to the index
+        spark.createDataFrame([(201, alt + " extra")], schema).coalesce(
+            1
+        ).write.parquet(str(src / "b1"))
+        q.processAllAvailable()
+        got2 = {(r.doc_a, r.doc_b) for r in spark.read.parquet(sink).collect()}
+        assert (102, 201) in got2
+    finally:
+        q.stop()
+        n_bucket_rows = spark.table("t_stream_idx_buckets").count()
+
+        # replaying an already-applied batch must neither duplicate
+        # pairs nor re-append index rows
+        from hadoop_logfile_inputformat_spark.streaming import (
+            near_dup_stream_batch,
+        )
+
+        replay = spark.createDataFrame([(201, alt + " extra")], schema)
+        near_dup_stream_batch(replay, "t_stream_idx", sink, batch_id=1)
+        assert spark.table("t_stream_idx_buckets").count() == n_bucket_rows
+        got3 = {(r.doc_a, r.doc_b) for r in spark.read.parquet(sink).collect()}
+        assert got3 == got2
+        for t in ("t_stream_idx_buckets", "t_stream_idx_sets", "t_stream_idx_batches"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
