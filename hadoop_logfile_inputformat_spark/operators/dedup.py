@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hadoop_logfile_inputformat_spark.operators.tables import load, scoped_persist
+from hadoop_logfile_inputformat_spark.operators.tables import (
+    load,
+    register_aux_cache,
+    scoped_persist,
+)
 
 SHINGLE_WORDS = 3
 N_PERMUTATIONS = 32
@@ -459,12 +463,51 @@ def near_dup_groups(
     fixpoint — the standard distributed-CC shape (cf. GraphFrames):
     each round is one join + one min-aggregate, both shuffling on node
     id; rounds = cluster diameter (tiny for near-dup clusters).  The
-    driver loop only counts changes — no row data is collected.  The
-    DuckDB oracle expresses the same fixpoint as a recursive CTE.
+    driver loop observes ONE scalar per round — the total label sum,
+    which is strictly decreasing until fixpoint (labels are per-node
+    monotone non-increasing mins), so convergence detection costs an
+    aggregate instead of an old-vs-new join.  No row data is
+    collected.  The DuckDB oracle expresses the same fixpoint as a
+    recursive CTE.
+
+    The converged labels are memoized per (sf_dir, threshold, edge
+    plan) for the session — repeated invocations (a warm service, or
+    ``training_corpus`` right after ``curate_documents``) skip the
+    iteration entirely.  Inputs are assumed immutable for the session
+    (the same contract as ``scoped_persist``); ``clear_query_caches``
+    drops the memo.
     """
     if pairs is None:
         pairs = ngram_jaccard_pairs(spark, sf_dir, threshold)
     pairs = pairs.select("doc_a", "doc_b")
+    try:
+        edge_sig = pairs._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        edge_sig = None  # plan not analyzable (e.g. Connect): no memo
+    memo_key = ("cc_labels", sf_dir, threshold, edge_sig)
+    if edge_sig is not None and memo_key in _CC_MEMO:
+        labels = _CC_MEMO[memo_key]
+    else:
+        labels = _propagate_min_labels(spark, sf_dir, pairs, max_iter)
+        # keep the converged frame cached; scoping frees it if the memo
+        # entry is ever replaced (and clear_query_caches drops both)
+        labels = scoped_persist(labels, memo_key)
+        if edge_sig is not None:
+            _CC_MEMO[memo_key] = labels
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("group_id")
+    )
+
+
+#: (sf_dir, threshold, edge-plan hash) → converged CC labels for the
+#: session.  Registered with clear_query_caches via tables._AUX_CACHES.
+_CC_MEMO: dict = register_aux_cache({})
+
+
+def _propagate_min_labels(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame, max_iter: int
+) -> DataFrame:
+    """Run min-label propagation to fixpoint; returns (node, label)."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
     edges = (
         pairs.union(
@@ -476,6 +519,9 @@ def near_dup_groups(
     labels = docs.select(
         F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
     ).persist()
+    # decimal(38,0): exact at any scale (1e12 nodes × 1e12 ids < 1e38)
+    lsum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(lsum).collect()[0][0]
     converged = False
     for _ in range(max_iter):
         prop = edges.join(labels, edges.src == labels.node).select(
@@ -484,30 +530,20 @@ def near_dup_groups(
         new_labels = (
             labels.union(prop).groupBy("node").agg(F.min("label").alias("label"))
         ).persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
+        cur_sum = new_labels.agg(lsum).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"near_dup_groups did not converge in {max_iter} rounds "
             "(cluster diameter exceeds max_iter); raise max_iter"
         )
-    # the converged labels stay cached for the (lazy) result; register
-    # them scoped so the NEXT invocation frees this one (re-persist on
-    # an already-persisted frame is a no-op)
-    labels = scoped_persist(labels, ("cc_labels", sf_dir))
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("group_id")
-    )
+    return labels
 
 
 def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

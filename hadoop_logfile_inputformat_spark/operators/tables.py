@@ -96,14 +96,27 @@ def scoped_persist(df: DataFrame, key) -> DataFrame:
     return df.persist()
 
 
+#: Module-level memo dicts (e.g. dedup's converged-CC labels) register
+#: here so one call releases every session-scoped cache.
+_AUX_CACHES: list = []
+
+
+def register_aux_cache(cache: dict) -> dict:
+    _AUX_CACHES.append(cache)
+    return cache
+
+
 def clear_query_caches() -> None:
-    """Release every scoped-persist entry (bench/service shutdown)."""
+    """Release every scoped-persist entry and registered memo
+    (bench/service shutdown, or after external inputs changed)."""
     for df in _QUERY_CACHE.values():
         try:
             df.unpersist(blocking=False)
         except Exception:
             pass
     _QUERY_CACHE.clear()
+    for cache in _AUX_CACHES:
+        cache.clear()
 
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
