@@ -1,0 +1,149 @@
+"""Storage maintenance: small-file compaction for sinks and indexes.
+
+Streaming sinks and bucketed-table appends both accrete files — the
+LSH index gains ``n_buckets`` files per micro-batch, a foreachBatch
+pairs sink one file per task per batch.  At 100 TB scan cost is
+dominated by file count long before byte count (driver listing +
+footer reads + task scheduling), so periodic compaction is part of the
+pipeline, not an afterthought.  Both entry points here rewrite data
+without changing its logical content, and are safe to re-run.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+
+from hadoop_logfile_inputformat_spark.operators.tables import _table_sizes
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 256,
+    partition_by: list | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_mb`` files; returns
+    the output file count.
+
+    Swap protocol: write to ``<path>__compact_tmp``, rename the
+    original to ``<path>__compact_old``, rename tmp into place, delete
+    old.  Rename is atomic on local/HDFS; on object stores it is a
+    copy — run compaction from a single maintenance job there (the
+    same caveat every rewrite-in-place tool carries).  A crash between
+    the renames leaves ``__compact_old`` next to an incomplete swap —
+    both suffixed dirs are recovery artifacts, never silently read.
+
+    ``partition_by`` preserves hive-partitioned layouts (the
+    foreachBatch pairs sink's ``batch_id=N`` dirs): files compact
+    WITHIN partitions, so per-batch overwrite idempotence of future
+    replays is unaffected.
+    """
+    _, total = _table_sizes(spark, path)
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp, old = f"{path}__compact_tmp", f"{path}__compact_old"
+    writer = df.repartition(n_out).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    fs, jvm = _hadoop_fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path
+    if not fs.rename(p(path), p(old)):
+        raise IOError(f"compaction swap failed: could not move {path} aside")
+    if not fs.rename(p(tmp), p(path)):
+        # roll back so the original stays readable
+        fs.rename(p(old), p(path))
+        raise IOError(f"compaction swap failed: could not move {tmp} into place")
+    fs.delete(p(old), True)
+    return n_out
+
+
+def compact_minhash_index(
+    spark: SparkSession,
+    name: str,
+    n_buckets: int | None = None,
+) -> None:
+    """Rewrite the LSH index tables (``dedup.build_minhash_index``
+    triple) after streaming appends: each micro-batch appended
+    ``n_buckets`` files per table, and a long-running ``near_dup_stream``
+    turns every probe into a many-file scan.  Compaction rewrites each
+    bucketed table to one file per bucket (per writing task) while
+    KEEPING the bucket spec — the no-shuffle probe property survives.
+
+    Protocol per table: materialize a bucketed twin of the current
+    contents under a temp name (and, for EXTERNAL tables, a sibling
+    ``__compact`` location), then swap catalog entries — the rewritten
+    files are fully on disk before the original is dropped.  The
+    applied-batch log is left untouched.
+
+    ``n_buckets`` defaults to the existing tables' bucket count.
+    """
+    for suffix, keys in (("buckets", ["band", "bucket"]), ("sets", ["doc_id"])):
+        table = f"{name}_{suffix}"
+        detail = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+
+        def _field(col, detail=detail):
+            row = next((r for r in detail if r.col_name == col), None)
+            return None if row is None else row.data_type
+
+        raw = _field("Num Buckets")
+        if raw is None:
+            raise ValueError(f"{table} is not a bucketed table")
+        nb = int(raw) if n_buckets is None else n_buckets
+        same_nb = nb == int(raw)
+        external = (_field("Type") or "").strip().upper() == "EXTERNAL"
+        location = _field("Location")
+        tmp = f"{table}__compact_tmp"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        if same_nb:
+            # same bucket count: keep the bucketed scan (one partition
+            # per storage bucket) and the rewrite needs NO shuffle —
+            # each task merges exactly its bucket's files.
+            frame = spark.table(table)
+        else:
+            # changing the bucket count: read by PATH (no bucket spec,
+            # so the explicit repartition onto the new bucket hash is
+            # not elided) and pay the one shuffle the change requires
+            frame = spark.read.parquet(location).repartition(nb, *keys)
+        writer = (
+            frame.write.bucketBy(nb, *keys)
+            .sortBy(*keys)
+            .format("parquet")
+        )
+        if external:
+            # alternate between <base> and <base>__compact so repeated
+            # compactions don't grow the path
+            base = location[: -len("__compact")] if location.endswith(
+                "__compact"
+            ) else location
+            new_loc = base if location.endswith("__compact") else f"{base}__compact"
+            writer = writer.option("path", new_loc)
+        if same_nb:
+            # a v1 write declares no distribution requirement, so
+            # DisableUnnecessaryBucketedScan would switch the scan to
+            # file-based splits and misalign the output buckets; pin
+            # the bucketed read for the duration of THIS write (the
+            # decision is made when the write job plans, not when the
+            # DataFrame is built)
+            auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+            prior = spark.conf.get(auto, "true")
+            spark.conf.set(auto, "false")
+            try:
+                writer.saveAsTable(tmp)
+            finally:
+                spark.conf.set(auto, prior)
+        else:
+            writer.saveAsTable(tmp)
+        spark.sql(f"DROP TABLE {table}")  # external: old files remain...
+        if external and location:
+            fs, jvm = _hadoop_fs(spark, location)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(location), True)  # ...gone
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")

@@ -1,0 +1,128 @@
+"""Small-file compaction: parquet sinks and the bucketed LSH index."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from hadoop_logfile_inputformat_spark.operators import dedup, maintenance
+
+
+def _parquet_files(path):
+    return [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+
+
+def test_compact_parquet_dir_reduces_files_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "sink")
+    spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).repartition(16).write.parquet(path)
+    assert len(_parquet_files(path)) >= 16
+    before = sorted((r.id, r.k) for r in spark.read.parquet(path).collect())
+
+    n_out = maintenance.compact_parquet_dir(spark, path, target_mb=256)
+    assert n_out == 1
+    assert len(_parquet_files(path)) == 1
+    after = sorted((r.id, r.k) for r in spark.read.parquet(path).collect())
+    assert after == before
+    # swap artifacts must not remain
+    assert not os.path.exists(path + "__compact_tmp")
+    assert not os.path.exists(path + "__compact_old")
+
+
+def test_compact_parquet_dir_keeps_hive_partitions(spark, tmp_path):
+    path = str(tmp_path / "psink")
+    df = spark.range(1_000).select(
+        F.col("id"), (F.col("id") % 3).alias("batch_id")
+    )
+    df.repartition(8).write.partitionBy("batch_id").parquet(path)
+    before = sorted((r.id, r.batch_id) for r in spark.read.parquet(path).collect())
+    maintenance.compact_parquet_dir(
+        spark, path, target_mb=256, partition_by=["batch_id"]
+    )
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("batch_id=")
+    ) == ["batch_id=0", "batch_id=1", "batch_id=2"]
+    after = sorted((r.id, r.batch_id) for r in spark.read.parquet(path).collect())
+    assert after == before
+
+
+def test_compact_minhash_index_shrinks_files_same_pairs(spark, tmp_path):
+    """After streaming appends inflate the index, compaction must cut
+    the file count, keep the bucket spec (probe still shuffle-free on
+    the corpus side), and leave probe results identical."""
+    from hadoop_logfile_inputformat_spark.streaming import near_dup_stream_batch
+
+    for t in ("t_cmp_idx_buckets", "t_cmp_idx_sets", "t_cmp_idx_batches"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    schema = "doc_id long, text string"
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten",
+        "red orange yellow green blue indigo violet pink brown black",
+    ]
+    idx_root = str(tmp_path / "idx")
+    dedup.build_minhash_index(
+        spark,
+        spark.createDataFrame([(1, texts[0])], schema),
+        "t_cmp_idx",
+        n_buckets=2,
+        path=idx_root,
+    )
+    sink = str(tmp_path / "pairs")
+    # several appends -> n_buckets files each
+    for b, (off, t) in enumerate([(100, texts[1]), (200, texts[2]),
+                                  (300, texts[0] + " mu"), (400, texts[1] + " more")]):
+        near_dup_stream_batch(
+            spark.createDataFrame([(off, t)], schema),
+            "t_cmp_idx",
+            sink,
+            batch_id=b,
+        )
+    probe = spark.createDataFrame([(999, texts[2] + " extra")], schema)
+    try:
+        before_files = len(_parquet_files(os.path.join(idx_root, "t_cmp_idx_buckets")))
+        assert before_files > 2  # appends really did accrete files
+        want = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.incremental_near_dups(spark, probe, "t_cmp_idx").collect()
+        }
+        assert any(a == 200 for a, _, _ in want)  # non-vacuous probe
+
+        maintenance.compact_minhash_index(spark, "t_cmp_idx")
+
+        # location alternated to the __compact sibling; one file per bucket
+        new_files = _parquet_files(os.path.join(idx_root, "t_cmp_idx_buckets__compact"))
+        assert len(new_files) == 2
+        got = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.incremental_near_dups(spark, probe, "t_cmp_idx").collect()
+        }
+        assert got == want
+        # bucket spec survived: probe scan still bucketed under SMJ
+        prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                dedup.incremental_near_dups(spark, probe, "t_cmp_idx")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        scans = [
+            line
+            for line in plan.splitlines()
+            if "FileScan" in line and "t_cmp_idx_" in line
+        ]
+        assert scans
+        for line in scans:
+            assert "Bucketed: true" in line, line
+    finally:
+        for t in ("t_cmp_idx_buckets", "t_cmp_idx_sets", "t_cmp_idx_batches"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
