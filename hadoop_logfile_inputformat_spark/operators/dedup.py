@@ -619,12 +619,16 @@ def _incremental_pairs_from_sets(
     threshold: float,
     hash_fn: str,
     max_bucket_size: int | None = None,
+    include_delta_pairs: bool = False,
 ) -> DataFrame:
     """(doc_a in corpus, doc_b in delta, jaccard): shared probe path.
 
     Signatures/banding run over the DELTA only; candidates come from
     bucket collisions against the (possibly persisted) corpus banding;
-    verification touches candidates only.
+    verification touches candidates only.  ``include_delta_pairs``
+    additionally self-joins the delta banding (doc_a < doc_b, both in
+    the delta) — delta-sized work, so it changes nothing about the
+    O(delta) refresh cost.
     """
     delta_buckets = _band_buckets(
         _signatures_from_sets(delta_sets, hash_fn), hash_fn
@@ -647,7 +651,24 @@ def _incremental_pairs_from_sets(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _verify_pairs(candidates, corpus_sets, delta_sets, threshold)
+    verified = _verify_pairs(candidates, corpus_sets, delta_sets, threshold)
+    if not include_delta_pairs:
+        return verified
+    da = delta_buckets.alias("a")
+    db = delta_buckets.alias("b")
+    intra = (
+        da.join(
+            db,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return verified.unionByName(
+        _verify_pairs(intra, delta_sets, delta_sets, threshold)
+    )
 
 
 def build_minhash_index(
@@ -717,6 +738,7 @@ def incremental_near_dups(
     threshold: float = JACCARD_THRESHOLD,
     hash_fn: str = "xxhash64",
     max_bucket_size: int | None = None,
+    include_delta_pairs: bool = False,
 ) -> DataFrame:
     """Near-dup pairs of ``delta_docs`` against a persisted corpus index
     (built by :func:`build_minhash_index` under ``index_name``).
@@ -724,8 +746,8 @@ def incremental_near_dups(
     Output: (doc_a = indexed corpus doc, doc_b = delta doc, jaccard).
     Only delta-sized data is signed and shuffled; the corpus tables are
     read through their bucketing, shuffle-free.  Pairs WITHIN the delta
-    are deliberately out of scope — run :func:`minhash_lsh_pairs` (or a
-    second index build) over the delta for those, then union.
+    default to out of scope; ``include_delta_pairs=True`` adds them
+    (doc_a < doc_b, both delta) from a delta-only band self-join.
     """
     # delta sets feed two consumers (signatures + verification); scoped
     # per index so repeated refreshes hold at most one cached frame
@@ -739,6 +761,7 @@ def incremental_near_dups(
         threshold=threshold,
         hash_fn=hash_fn,
         max_bucket_size=max_bucket_size,
+        include_delta_pairs=include_delta_pairs,
     )
 
 

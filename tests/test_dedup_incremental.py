@@ -55,6 +55,43 @@ def test_incremental_equals_full_lsh_restricted(spark):
     assert got == want
 
 
+def test_include_delta_pairs_adds_exactly_intra_delta(spark, tmp_path):
+    """With the flag, the probe ALSO reports delta-internal pairs —
+    and exactly the ones the full-corpus LSH finds with both ends in
+    the delta."""
+    corpus, delta = _split(spark)
+    dedup.build_minhash_index(
+        spark, corpus, "t_incr_flag", n_buckets=4, path=str(tmp_path)
+    )
+    try:
+        base = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.incremental_near_dups(
+                spark, delta, "t_incr_flag"
+            ).collect()
+        }
+        both = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.incremental_near_dups(
+                spark, delta, "t_incr_flag", include_delta_pairs=True
+            ).collect()
+        }
+        is_delta = lambda d: d % dedup.INCR_SPLIT_MOD == dedup.INCR_DELTA_REM
+        extra = both - base
+        assert all(is_delta(a) and is_delta(b) and a < b for a, b in extra)
+        full = dedup.minhash_lsh_pairs(spark, SF).collect()
+        want_intra = {
+            (r.doc_a, r.doc_b)
+            for r in full
+            if is_delta(r.doc_a) and is_delta(r.doc_b)
+        }
+        assert extra == want_intra
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_incr_flag_buckets")
+        spark.sql("DROP TABLE IF EXISTS t_incr_flag_sets")
+        spark.sql("DROP TABLE IF EXISTS t_incr_flag_batches")
+
+
 def test_index_probe_equals_inline(spark, tmp_path):
     """Round-trip through the bucketed on-disk index: identical pairs to
     the inline (no-materialization) computation, for the default
