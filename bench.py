@@ -89,6 +89,7 @@ HEADLINE = [
 #: from ``value`` so the headline total stays comparable across rounds.
 EXTRA = [
     "ann_cosine_topk_quantized",
+    "ann_pq_topk",
     "dedup_minhash_lsh_portable",
     "dedup_simhash_portable",
     "doc_fingerprints_portable",

@@ -500,3 +500,156 @@ def cosine_topk_arrow(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+#: Product quantization: 64-dim vectors split into PQ_M subspaces of
+#: PQ_SUBDIM dims; per subspace the codebook entries are the exemplar
+#: subvectors (vec_id % PQ_CODEBOOK_MODULUS == 0 — same deterministic
+#: stand-in for sampled k-means that IVF uses for centroids).
+PQ_M = 8
+PQ_SUBDIM = 8
+PQ_CODEBOOK_MODULUS = 25
+#: ADC shortlist size: the exact re-rank touches only this many
+#: candidates per query (the standard IVF-PQ + re-rank shape).
+PQ_RERANK = 50
+
+
+def _pq_parts(v, id_col: str = "vec_id"):
+    """(id, m, sub): the PQ_M subvectors of each quantized vector."""
+    sub = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.slice("q", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
+                )
+                for m in range(PQ_M)
+            ]
+        )
+    )
+    return v.select(F.col("vec_id").alias(id_col), sub.alias("s")).select(
+        id_col, F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
+    )
+
+
+def ann_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    query_modulus: int = QUERY_MODULUS,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """Product-quantization ADC shortlist + exact re-rank — the
+    memory-floor ANN tier.
+
+    Composes with scalar quantization: vectors are first int8-quantized
+    (:func:`quantized_vectors`), then each is stored as PQ_M codebook
+    ids (the argmin-L2 entry per subspace) — at production layout M
+    bytes per vector instead of 4·dim, a further 32x under int8 and the
+    representation that keeps a 100 TB corpus's index resident.  Search
+    is two-tier: asymmetric distance computation first — per query, dot
+    products against the (tiny, broadcast) codebook give a lookup
+    table, and a corpus vector's approximate similarity is the sum of
+    its codes' table entries, never a full-dimension dot against the
+    corpus — then an EXACT re-rank of only the ``rerank``-sized ADC
+    shortlist (the standard IVF-PQ + re-rank shape: full vectors are
+    fetched for a constant number of candidates per query, so recall is
+    set by shortlist membership, not by quantization error in the final
+    ordering).
+
+    Cross-engine exactness (the property that makes this
+    value-hash-checkable): quantized components are integer-valued, so
+    encoding scores (``|c|² − 2·x·c``), ADC partial dots, and
+    reconstructed norms are all EXACT in double arithmetic — argmin and
+    SUM are order-insensitive, unlike float PQ where the grouped sum's
+    fold order would differ between engines.  Ties in encoding break to
+    the lowest entry id.  Recall vs the exact ranking is asserted in
+    tests; like IVF's modulus centroids, the deterministic codebook
+    stands in for sampled k-means so the full build/encode/search
+    pipeline stays SQL-expressible.
+    """
+    v = quantized_vectors(spark, sf_dir)
+    parts = _pq_parts(v)
+    cb = (
+        _pq_parts(v.filter(F.col("vec_id") % PQ_CODEBOOK_MODULUS == 0), "entry_id")
+        .select("m", "entry_id", F.col("sub").alias("c_sub"))
+        .withColumn("c_nrm2", F.expr(
+            "aggregate(c_sub, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)"
+        ))
+    )
+    # encode: argmin ||x − c||² per (vector, subspace); x·x is constant
+    # per group, so score = |c|² − 2·x·c (exact integers)
+    score = F.col("c_nrm2") - 2 * _dot("sub", "c_sub")
+    codes = (
+        parts.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "entry_id", "c_nrm2", score.alias("score"))
+        .groupBy("vec_id", "m")
+        .agg(
+            F.expr("min_by(struct(entry_id, c_nrm2), struct(score, entry_id))")
+            .alias("ce")
+        )
+        .select(
+            "vec_id", "m",
+            F.col("ce.entry_id").alias("code"),
+            F.col("ce.c_nrm2").alias("code_nrm2"),
+        )
+    )
+    queries = v.filter(F.col("vec_id") % query_modulus == 0)
+    # per-query lookup table: dot of each query subvector with each
+    # codebook entry (|queries| × PQ_M × |codebook| rows — broadcast)
+    lut = (
+        _pq_parts(queries, "query_id")
+        .join(F.broadcast(cb), "m")
+        .select("query_id", "m", "entry_id", _dot("sub", "c_sub").alias("pdot"))
+    )
+    q_nrm = queries.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("q_nrm"))
+    # ADC: sum the M table entries selected by the vector's codes.
+    # Integer-valued pdot/code_nrm2 make the grouped sums exact in any
+    # order; map-side partials collapse the M rows before the shuffle.
+    hits = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.m == lut.m) & (codes.code == lut.entry_id),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdot").alias("adc"), F.sum("code_nrm2").alias("rnrm2"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    adc_sim = F.round(F.col("adc") / (F.col("q_nrm") * F.sqrt("rnrm2")), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_sim"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        hits.join(F.broadcast(q_nrm), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc_sim.alias("adc_sim"),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank of the shortlist only: two doc-id joins fetch the
+    # quantized vectors of |queries| × rerank rows — constant work per
+    # query regardless of corpus size
+    qs = v.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("q_q"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    ns = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("n_q"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    exact_sim = F.round(_dot("q_q", "n_q") / (F.col("q_nrm") * F.col("n_nrm")), 4)
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        shortlist.join(F.broadcast(qs), "query_id")
+        .join(ns, "neighbor_id")
+        .select("query_id", "neighbor_id", exact_sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -1042,6 +1042,85 @@ _SQL: Dict[str, str] = {
         )
         SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {similarity.TOP_K}
     """,
+    # PQ ADC shortlist + exact re-rank over the int8-quantized vectors:
+    # encoding scores, ADC dots, and reconstructed norms are all
+    # integer-valued, so argmin and the grouped sums are exact and
+    # order-insensitive on both engines (same trick as the quantized
+    # search above)
+    "ann_pq_topk": f"""
+        WITH sv AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   greatest(list_max(list_transform(embedding,
+                                                    x -> abs(CAST(x AS DOUBLE)))),
+                            1e-30) / 127.0 AS s
+            FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, q,
+                   sqrt(list_sum(list_transform(q, x -> x * x))) AS nrm
+            FROM (SELECT vec_id,
+                         list_transform(e, x -> floor(x / s + 0.5)) AS q
+                  FROM sv)
+        ),
+        parts AS (
+            SELECT vec_id, r.range AS m,
+                   q[(r.range * {similarity.PQ_SUBDIM} + 1):
+                     (r.range * {similarity.PQ_SUBDIM} + {similarity.PQ_SUBDIM})]
+                       AS sub
+            FROM n CROSS JOIN range(0, {similarity.PQ_M}) r
+        ),
+        cb AS (
+            SELECT m, vec_id AS entry_id, sub AS c_sub,
+                   list_sum(list_transform(sub, x -> x * x)) AS c_nrm2
+            FROM parts WHERE vec_id % {similarity.PQ_CODEBOOK_MODULUS} = 0
+        ),
+        codes AS (
+            SELECT vec_id, m, entry_id AS code, c_nrm2 AS code_nrm2 FROM (
+                SELECT p.vec_id, p.m, c.entry_id, c.c_nrm2,
+                       row_number() OVER (PARTITION BY p.vec_id, p.m
+                           ORDER BY c.c_nrm2
+                                    - 2 * list_dot_product(p.sub, c.c_sub) ASC,
+                                    c.entry_id ASC) AS rn
+                FROM parts p JOIN cb c ON c.m = p.m
+            ) WHERE rn = 1
+        ),
+        lut AS (
+            SELECT qp.vec_id AS query_id, qp.m, c.entry_id,
+                   list_dot_product(qp.sub, c.c_sub) AS pdot
+            FROM parts qp JOIN cb c ON c.m = qp.m
+            WHERE qp.vec_id % {similarity.QUERY_MODULUS} = 0
+        ),
+        adc AS (
+            SELECT l.query_id, co.vec_id,
+                   sum(l.pdot) AS adc, sum(co.code_nrm2) AS rnrm2
+            FROM codes co JOIN lut l ON l.m = co.m AND l.entry_id = co.code
+            GROUP BY 1, 2
+        ),
+        shortlist AS (
+            SELECT query_id, vec_id AS neighbor_id FROM (
+                SELECT a.query_id, a.vec_id,
+                       row_number() OVER (PARTITION BY a.query_id
+                           ORDER BY round(a.adc / (qn.nrm * sqrt(a.rnrm2)), 4)
+                                        DESC,
+                                    a.vec_id ASC) AS r
+                FROM adc a JOIN n qn ON qn.vec_id = a.query_id
+                WHERE a.vec_id <> a.query_id
+            ) WHERE r <= {similarity.PQ_RERANK}
+        ),
+        rer AS (
+            SELECT s.query_id, s.neighbor_id,
+                   round(list_dot_product(q.q, c.q) / (q.nrm * c.nrm), 4) AS sim
+            FROM shortlist s
+            JOIN n q ON q.vec_id = s.query_id
+            JOIN n c ON c.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, sim, rank FROM (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM rer
+        ) WHERE rank <= {similarity.TOP_K}
+    """,
     "ann_ivf_topk": f"""
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -1616,6 +1695,10 @@ _PACKS: Dict[str, list] = {
            k1="query_id", k2="neighbor_id", v1="sim", v2="rank"),
         _m("quant", similarity.ann_cosine_topk_quantized,
            "ann_cosine_topk_quantized",
+           k1="query_id", k2="neighbor_id", v1="sim", v2="rank"),
+        # PQ ADC shortlist + exact re-rank (codes are M small ints per
+        # vector — the memory-floor index tier)
+        _m("pq", similarity.ann_pq_topk, "ann_pq_topk",
            k1="query_id", k2="neighbor_id", v1="sim", v2="rank"),
     ],
     "tpch_scalar_pack": [

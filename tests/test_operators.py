@@ -328,6 +328,33 @@ def test_quantized_topk_recall_vs_exact(spark):
     assert len(quant & exact) / len(exact) >= 0.8
 
 
+def test_pq_topk_recall_and_rerank_exactness(spark):
+    """PQ ADC shortlist + exact re-rank: recall vs the quantized-exact
+    ranking stays above the documented floor (random vectors are PQ's
+    adversarial case — real embeddings cluster), and any (query,
+    neighbor) both searches return carries the IDENTICAL similarity,
+    because the final ordering comes from the exact re-rank, not the
+    lossy ADC estimate."""
+    pq = similarity.ann_pq_topk(spark, SF).collect()
+    exact = similarity.ann_cosine_topk_quantized(spark, SF).collect()
+    assert pq and len({r.query_id for r in pq}) == len({r.query_id for r in exact})
+    by_q_pq, by_q_ex = {}, {}
+    for r in pq:
+        assert 1 <= r.rank <= similarity.TOP_K
+        by_q_pq.setdefault(r.query_id, {})[r.neighbor_id] = r.sim
+    for r in exact:
+        by_q_ex.setdefault(r.query_id, {})[r.neighbor_id] = r.sim
+    hits = total = 0
+    for q, ex in by_q_ex.items():
+        got = by_q_pq.get(q, {})
+        for n, sim in ex.items():
+            total += 1
+            if n in got:
+                hits += 1
+                assert got[n] == sim  # re-rank is exact, not ADC
+    assert hits / total >= 0.6, f"PQ recall {hits}/{total}"
+
+
 def test_cosine_arrow_query_side_capped(spark, monkeypatch):
     """A modulus that turns the 'query' side into the corpus must fail
     fast instead of collecting it onto the driver."""
