@@ -90,6 +90,7 @@ HEADLINE = [
 EXTRA = [
     "ann_cosine_topk_quantized",
     "ann_pq_topk",
+    "semantic_dedup",
     "dedup_minhash_lsh_portable",
     "dedup_simhash_portable",
     "doc_fingerprints_portable",

@@ -1188,6 +1188,58 @@ _SQL: Dict[str, str] = {
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.9
     """,
+    # SemDeDup (cluster-then-prune): nearest-modulus-centroid assignment
+    # exactly as ann_ivf_topk, then pairwise cosine INSIDE each cluster
+    # only.  The registry member runs tau=0.5 because the synthetic
+    # embeddings are near-random (max pairwise cosine ~0.6 at sf0.1) —
+    # the paper-typical 0.95 default would make the drop path
+    # unreachable on this fixture.
+    "semantic_dedup": f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, e,
+                   sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+            FROM v
+        ),
+        cent AS (
+            SELECT vec_id AS centroid_id, e AS c_e, nrm AS c_nrm
+            FROM n WHERE vec_id % {{cent_mod}} = 0
+        ),
+        assigned AS (
+            SELECT vec_id, e, nrm, centroid_id FROM (
+                SELECT n.vec_id, n.e, n.nrm, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY n.vec_id
+                           ORDER BY list_dot_product(n.e, c.c_e)
+                                    / (n.nrm * c.c_nrm) DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM n CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        mates AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS sim
+            FROM assigned a JOIN assigned b
+                ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+        ),
+        prof AS (
+            SELECT vec_a,
+                   sum(CASE WHEN sim >= {{tau}} THEN 1 ELSE 0 END) AS n_close,
+                   max(sim) AS max_mate_sim,
+                   max(CASE WHEN sim >= {{tau}} AND vec_b < vec_a
+                       THEN 1 ELSE 0 END) AS dominated
+            FROM mates GROUP BY vec_a
+        )
+        SELECT a.vec_id, a.centroid_id,
+               CAST(COALESCE(p.n_close, 0) AS BIGINT) AS n_close,
+               p.max_mate_sim,
+               CAST(1 - COALESCE(p.dominated, 0) AS INT) AS kept
+        FROM assigned a LEFT JOIN prof p ON p.vec_a = a.vec_id
+    """.replace("{cent_mod}", str(similarity.IVF_CENTROID_MODULUS)).replace(
+        "{tau}", "0.5"
+    ),
     "text_quality": f"""
         -- ratios use the same integer half-up rounding as the Spark
         -- side (_ratio4): floor((a*20000 + b) / (2b)) / 10000 —
@@ -1700,6 +1752,13 @@ _PACKS: Dict[str, list] = {
         # vector — the memory-floor index tier)
         _m("pq", similarity.ann_pq_topk, "ann_pq_topk",
            k1="query_id", k2="neighbor_id", v1="sim", v2="rank"),
+        # SemDeDup cluster-then-prune (tau=0.5: the fixture embeddings
+        # are near-random, see _SQL["semantic_dedup"])
+        _m("semdedup", lambda spark, sf_dir: similarity.semantic_dedup(
+               spark, sf_dir, tau=0.5),
+           "semantic_dedup",
+           k1="vec_id", k2="centroid_id",
+           v1="n_close", v2="max_mate_sim", v3="kept"),
     ],
     "tpch_scalar_pack": [
         _m("q6", relational_ext.q6_forecast_revenue, "q6_forecast_revenue",

@@ -657,3 +657,56 @@ def test_training_corpus_composition_invariants(spark):
         assert r.token_start == run
         assert r.bin_id == r.token_start // PACK_BUDGET
         run = r.token_start + r.n_tokens
+
+
+def _write_embeddings(spark, tmp_path, vecs):
+    rows = [(i, [float(x) for x in v], "t") for i, v in enumerate(vecs)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_semantic_dedup_drops_injected_near_dup(spark, tmp_path):
+    """Two planted clusters; one vector is a scaled copy of a
+    cluster-mate — SemDeDup must drop exactly the higher-id copy."""
+    import math
+
+    def ray(plane, deg, scale=1.0):
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[plane] = scale * math.cos(math.radians(deg))
+        v[plane + 1] = scale * math.sin(math.radians(deg))
+        return v
+
+    # ids 0-4: plane (0,1) at 22-degree steps (pairwise cosine <= .93);
+    # ids 5-8: plane (2,3); id 9 = 2x id 8's direction (cosine 1.0)
+    vecs = [ray(0, d) for d in (0, 22, 44, 66, 88)]
+    vecs += [ray(2, d) for d in (0, 22, 44, 66)]
+    vecs.append(ray(2, 66, scale=2.0))
+    sf = _write_embeddings(spark, tmp_path, vecs)
+    out = {
+        r.vec_id: r
+        for r in similarity.semantic_dedup(
+            spark, sf, tau=0.95, centroid_modulus=5
+        ).collect()
+    }
+    assert set(out) == set(range(10))
+    # survivor rule: only the higher-id copy (9) is dropped
+    assert [i for i in out if out[i].kept == 0] == [9]
+    assert out[8].n_close == 1 and out[9].n_close == 1
+    assert out[8].max_mate_sim == 1.0 and out[9].max_mate_sim == 1.0
+    # cluster structure: centroids are ids 0 and 5, planes segregate
+    assert all(out[i].centroid_id == 0 for i in range(5))
+    assert all(out[i].centroid_id == 5 for i in range(5, 10))
+    # non-dup vectors keep sub-threshold mate sims
+    assert all(out[i].max_mate_sim < 0.95 for i in range(8))
+
+
+def test_semantic_dedup_no_pairs_at_paper_tau_on_fixture(spark):
+    """The synthetic corpus is near-random: at the paper-typical
+    tau=0.95 everything survives, and every vector appears once."""
+    rows = similarity.semantic_dedup(spark, SF).collect()
+    ids = [r.vec_id for r in rows]
+    assert len(ids) == len(set(ids)) and rows
+    assert all(r.kept == 1 for r in rows)
+    assert all(r.n_close == 0 for r in rows)
