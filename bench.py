@@ -91,6 +91,8 @@ EXTRA = [
     "ann_cosine_topk_quantized",
     "ann_pq_topk",
     "semantic_dedup",
+    "rare_token_profile",
+    "gopher_quality",
     "dedup_minhash_lsh_portable",
     "dedup_simhash_portable",
     "doc_fingerprints_portable",

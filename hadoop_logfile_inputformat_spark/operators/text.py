@@ -608,3 +608,128 @@ def top_bigrams(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(k)
     )
+
+
+RARE_DF_MAX = 2      # tokens seen in <= this many docs count as rare
+COMMON_DF_CAP = 100  # df ceiling for the commonness score
+
+
+def rare_token_profile(
+    spark: SparkSession,
+    sf_dir: str,
+    rare_df: int = RARE_DF_MAX,
+    df_cap: int = COMMON_DF_CAP,
+) -> DataFrame:
+    """Unigram-frequency quality profile — the log-free counterpart of
+    a CCNet-style LM/perplexity filter (Wenzek et al. 2020): documents
+    dominated by corpus-rare tokens (OCR noise, mojibake, boilerplate
+    IDs) score high ``rare_ratio`` and get dropped; documents of
+    corpus-common tokens score high ``avg_capped_df``.
+
+    All scores are integer-exact (counts + :func:`_ratio4`), never a
+    sum of per-token ``log`` doubles — a float sum's fold order varies
+    with partitioning, so a true logprob mean cannot be value-hashed
+    cross-engine.  Rank-by-frequency preserves the filter's ordering
+    semantics without the float hazard.
+
+    Scale shape: one explode → token-key shuffle for document
+    frequencies, one token-key join back (AQE broadcasts the vocab side
+    when it fits; at web scale both sides hash-partition on token), one
+    doc_id groupBy with map-side partials.  Nothing quadratic, no
+    driver-side vocabulary.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = _ws_tokens(F.lower(F.trim(F.col("text"))))
+    occ = d.select("doc_id", F.explode(toks).alias("token"))
+    dfs = (
+        occ.distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    per_doc = (
+        occ.join(dfs, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.countDistinct("token").cast("long").alias("n_distinct"),
+            F.sum((F.col("df") <= rare_df).cast("long")).alias("n_rare"),
+            F.sum(F.least(F.col("df"), F.lit(df_cap))).alias("capped_df_sum"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "n_rare",
+        _ratio4(F.col("n_rare"), F.col("n_tokens")).alias("rare_ratio"),
+        _ratio4(F.col("capped_df_sum"), F.col("n_tokens")).alias("avg_capped_df"),
+        # keep when rare tokens are a minority (integer comparison —
+        # no ratio boundary in the flag)
+        (F.col("n_rare") * 2 <= F.col("n_tokens")).cast("int").alias("freq_keep"),
+    )
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", arXiv:2112.11446, Table A1): the
+    public word-count / mean-word-length / symbol-ratio / bullet-line /
+    ellipsis-line / alpha-word / stopword heuristics, one column per
+    rule plus the conjunction.
+
+    Thresholds follow the paper except ``min_words`` (50 → 5: the
+    fixture documents are short; the rule column, not the constant, is
+    the operator).  Pure column expressions over one scan — no
+    shuffle at all except none (per-row projection), so at 100 TB this
+    runs at parquet-scan speed and composes with any downstream
+    curation join.  Ratios are :func:`_ratio4` integer half-up.
+    """
+    d = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    toks = _ws_tokens(text)
+    n_words = F.size(toks)
+    n_chars_nospace = F.length(F.regexp_replace(text, r"\s+", ""))
+    n_symbols = F.length(F.regexp_replace(text, r"[^#…]", ""))
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*([-*•]|\d+[.)])\s")))
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike(r"[A-Za-z]")))
+    sw_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    n_stop = F.expr(
+        f"size(filter(split(trim(lower(text)), '\\\\s+'), t -> t IN ({sw_list})))"
+    )
+    mean_wl = _ratio4(n_chars_nospace, n_words)
+    symbol_ratio = _ratio4(n_symbols, n_words)
+    bullet_ratio = _ratio4(n_bullet, n_lines)
+    ellipsis_ratio = _ratio4(n_ellipsis, n_lines)
+    alpha_ratio = _ratio4(n_alpha_words, n_words)
+    r_words = (n_words >= 5) & (n_words <= 100000)
+    # integer-exact rule comparisons: n_chars*10 vs n_words*{30,100}
+    # rather than mean_wl vs {3.0,10.0} (no ratio rounding in flags)
+    r_wordlen = (n_chars_nospace * 10 >= n_words * 30) & (
+        n_chars_nospace * 10 <= n_words * 100
+    )
+    r_symbols = n_symbols * 10 <= n_words
+    r_bullets = n_bullet * 10 <= n_lines * 9
+    r_ellipsis = n_ellipsis * 10 <= n_lines * 3
+    r_alpha = n_alpha_words * 10 >= n_words * 8
+    r_stop = n_stop >= 2
+    keep = r_words & r_wordlen & r_symbols & r_bullets & r_ellipsis & r_alpha & r_stop
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        n_stop.cast("long").alias("n_stopwords"),
+        r_words.cast("int").alias("r_words"),
+        r_wordlen.cast("int").alias("r_wordlen"),
+        r_symbols.cast("int").alias("r_symbols"),
+        r_bullets.cast("int").alias("r_bullets"),
+        r_ellipsis.cast("int").alias("r_ellipsis"),
+        r_alpha.cast("int").alias("r_alpha"),
+        r_stop.cast("int").alias("r_stop"),
+        keep.cast("int").alias("gopher_keep"),
+    )

@@ -1328,6 +1328,94 @@ _SQL: Dict[str, str] = {
         ORDER BY df DESC, token ASC
         LIMIT 100
     """,
+    # Unigram-frequency quality profile: integer counts + the _ratio4
+    # half-up formulation — deliberately NO per-token log sum (float
+    # fold order is partitioning-dependent, not hashable cross-engine).
+    "rare_token_profile": """
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        occ AS (SELECT doc_id, unnest(t) AS token FROM toks),
+        dfs AS (
+            SELECT token, count(*) AS df
+            FROM (SELECT DISTINCT doc_id, token FROM occ) GROUP BY token
+        ),
+        per_doc AS (
+            SELECT o.doc_id,
+                   count(*) AS n_tokens,
+                   count(DISTINCT o.token) AS n_distinct,
+                   sum(CASE WHEN d.df <= {rare_df} THEN 1 ELSE 0 END) AS n_rare,
+                   sum(least(d.df, {df_cap})) AS capped_df_sum
+            FROM occ o JOIN dfs d ON o.token = d.token
+            GROUP BY o.doc_id
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_distinct AS BIGINT) AS n_distinct,
+               CAST(n_rare AS BIGINT) AS n_rare,
+               floor((n_rare*20000 + n_tokens) / (n_tokens*2)) / 10000
+                   AS rare_ratio,
+               floor((capped_df_sum*20000 + n_tokens) / (n_tokens*2)) / 10000
+                   AS avg_capped_df,
+               CAST(n_rare * 2 <= n_tokens AS INT) AS freq_keep
+        FROM per_doc
+    """.replace("{rare_df}", str(text.RARE_DF_MAX)).replace(
+        "{df_cap}", str(text.COMMON_DF_CAP)
+    ),
+    # Gopher rule filter (Rae et al. 2021 Table A1): flags are pure
+    # integer comparisons (n*10 vs m*k), never a rounded-ratio
+    # threshold, so no float boundary can flip a rule cross-engine.
+    "gopher_quality": f"""
+        WITH m AS (
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_words,
+                   length(regexp_replace(text, '\\s+', '', 'g')) AS n_nospace,
+                   length(regexp_replace(text, '[^#…]', '', 'g')) AS n_symbols,
+                   len(string_split(text, chr(10))) AS n_lines,
+                   len(list_filter(string_split(text, chr(10)),
+                       l -> regexp_matches(l, '^\\s*([-*•]|\\d+[.)])\\s')))
+                       AS n_bullet,
+                   len(list_filter(string_split(text, chr(10)),
+                       l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+                       AS n_ellipsis,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha_words,
+                   len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                   t -> t IN ({{stopwords}}))) AS n_stop
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               floor((n_nospace*20000 + n_words) / (n_words*2)) / 10000
+                   AS mean_word_len,
+               floor((n_symbols*20000 + n_words) / (n_words*2)) / 10000
+                   AS symbol_ratio,
+               floor((n_bullet*20000 + n_lines) / (n_lines*2)) / 10000
+                   AS bullet_ratio,
+               floor((n_ellipsis*20000 + n_lines) / (n_lines*2)) / 10000
+                   AS ellipsis_ratio,
+               floor((n_alpha_words*20000 + n_words) / (n_words*2)) / 10000
+                   AS alpha_word_ratio,
+               CAST(n_stop AS BIGINT) AS n_stopwords,
+               CAST(n_words >= 5 AND n_words <= 100000 AS INT) AS r_words,
+               CAST(n_nospace*10 >= n_words*30
+                    AND n_nospace*10 <= n_words*100 AS INT) AS r_wordlen,
+               CAST(n_symbols*10 <= n_words AS INT) AS r_symbols,
+               CAST(n_bullet*10 <= n_lines*9 AS INT) AS r_bullets,
+               CAST(n_ellipsis*10 <= n_lines*3 AS INT) AS r_ellipsis,
+               CAST(n_alpha_words*10 >= n_words*8 AS INT) AS r_alpha,
+               CAST(n_stop >= 2 AS INT) AS r_stop,
+               CAST(n_words >= 5 AND n_words <= 100000
+                    AND n_nospace*10 >= n_words*30
+                    AND n_nospace*10 <= n_words*100
+                    AND n_symbols*10 <= n_words
+                    AND n_bullet*10 <= n_lines*9
+                    AND n_ellipsis*10 <= n_lines*3
+                    AND n_alpha_words*10 >= n_words*8
+                    AND n_stop >= 2 AS INT) AS gopher_keep
+        FROM m
+    """.replace("{stopwords}", _STOPWORDS_SQL),
     "top_bigrams": """
         WITH toks AS (
             SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
@@ -1919,6 +2007,28 @@ _PACKS: Dict[str, list] = {
         # the standing corpus with delta-only signature computation
         _m("incremental", dedup.dedup_incremental_pairs, "dedup_incremental",
            k1="doc_a", k2="doc_b", v1="jaccard"),
+        # unigram-frequency quality profile (log-free CCNet-style filter)
+        _m("rare_tokens", text.rare_token_profile, "rare_token_profile",
+           k1="doc_id", v1="n_tokens", v2="n_distinct", v3="n_rare",
+           v4="rare_ratio", v5="avg_capped_df", v6="freq_keep"),
+        # Gopher rule filter, split over two members (16 output columns
+        # vs 7 generic slots); flags ride as one bitmask expression,
+        # spelled identically on both engines
+        _m("gopher_m", text.gopher_quality, "gopher_quality",
+           k1="doc_id", v1="n_words", v2="mean_word_len", v3="symbol_ratio",
+           v4="bullet_ratio", v5="ellipsis_ratio", v6="alpha_word_ratio"),
+        Member(
+            tag="gopher_r",
+            builder=text.gopher_quality,
+            sql=_SQL["gopher_quality"],
+            colmap={
+                "k1": "doc_id",
+                "v1": "n_stopwords",
+                "v2": "r_words + 2*r_wordlen + 4*r_symbols + 8*r_bullets"
+                      " + 16*r_ellipsis + 32*r_alpha + 64*r_stop",
+                "v3": "gopher_keep",
+            },
+        ),
     ],
 }
 

@@ -710,3 +710,62 @@ def test_semantic_dedup_no_pairs_at_paper_tau_on_fixture(spark):
     assert len(ids) == len(set(ids)) and rows
     assert all(r.kept == 1 for r in rows)
     assert all(r.n_close == 0 for r in rows)
+
+
+def _write_docs(spark, tmp_path, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_rare_token_profile_flags_rare_token_docs(spark, tmp_path):
+    """A doc of corpus-unique gibberish must fail the frequency filter;
+    docs built from shared vocabulary must pass."""
+    from hadoop_logfile_inputformat_spark.operators import text as T
+
+    common = "the cat sat on the mat and the dog ran"
+    sf = _write_docs(spark, tmp_path, [
+        common,
+        common + " quickly",
+        "zxq1 bnm2 vcx3 poi4 qwe5 rty6 uio7 asd8",  # every token df=1
+    ])
+    out = {
+        r.doc_id: r
+        for r in T.rare_token_profile(spark, sf, rare_df=1).collect()
+    }
+    assert out[2].n_rare == out[2].n_tokens == 8
+    assert out[2].freq_keep == 0 and out[2].rare_ratio == 1.0
+    # doc 0's tokens all appear in doc 1 too (df >= 2) → nothing rare
+    assert out[0].n_rare == 0 and out[0].freq_keep == 1
+    # 'quickly' is doc 1's only rare token
+    assert out[1].n_rare == 1 and out[1].freq_keep == 1
+    assert out[0].n_tokens == 10 and out[0].n_distinct == 8
+
+
+def test_gopher_quality_rules(spark, tmp_path):
+    """Each rule must trip on a doc crafted to violate exactly it."""
+    from hadoop_logfile_inputformat_spark.operators import text as T
+
+    good = "the quick brown fox jumps over the lazy dog in a field of corn"
+    bullets = "\n".join(f"- item {i} for the list" for i in range(10))
+    ellipsis = "\n".join(f"the line number {i} trails off..." for i in range(10))
+    symbols = "the #tag # mess # of # hashes # and # more # tags # here"
+    nostop = "colorless green ideas sleep furiously under crimson skies"
+    short = "too short"
+    sf = _write_docs(
+        spark, tmp_path, [good, bullets, ellipsis, symbols, nostop, short]
+    )
+    out = {r.doc_id: r for r in T.gopher_quality(spark, sf).collect()}
+    assert out[0].gopher_keep == 1 and all(
+        getattr(out[0], f) == 1
+        for f in ("r_words", "r_wordlen", "r_symbols", "r_bullets",
+                  "r_ellipsis", "r_alpha", "r_stop")
+    )
+    assert out[1].r_bullets == 0 and out[1].gopher_keep == 0
+    assert out[1].bullet_ratio == 1.0
+    assert out[2].r_ellipsis == 0 and out[2].gopher_keep == 0
+    assert out[3].r_symbols == 0 and out[3].gopher_keep == 0
+    assert out[4].r_stop == 0 and out[4].n_stopwords == 0
+    assert out[5].r_words == 0 and out[5].gopher_keep == 0
