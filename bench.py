@@ -93,6 +93,8 @@ EXTRA = [
     "semantic_dedup",
     "rare_token_profile",
     "gopher_quality",
+    "paragraph_dedup",
+    "corpus_report",
     "dedup_minhash_lsh_portable",
     "dedup_simhash_portable",
     "doc_fingerprints_portable",

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from hadoop_logfile_inputformat_spark.operators.dedup import curate_documents
 from hadoop_logfile_inputformat_spark.operators.splits import corpus_split
+from hadoop_logfile_inputformat_spark.operators.tables import load
 from hadoop_logfile_inputformat_spark.operators.text import (
     DECONTAM_MOD,
     PACK_BUDGET,
@@ -57,3 +58,44 @@ def training_corpus(
     )
     chunks = chunk_documents(spark, sf_dir).join(eligible, "doc_id", "left_semi")
     return pack_chunks(chunks, budget)
+
+
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(language, source) corpus data card: document / character /
+    token volume and the keep counts of each quality gate — the summary
+    table a training-data run publishes alongside the corpus (mixture
+    weights, filter hit rates, dedup rates per slice).
+
+    Composition of the per-doc operators (language_id, text_quality,
+    gopher_quality, token_counts, exact_dedup) joined on doc_id, then
+    ONE groupBy on the (lang_pred, source) pair.  Every member join is
+    doc_id-equi (co-partitioned after the first shuffle); the final
+    aggregate is low-cardinality with map-side partials.  At 100 TB
+    this is the same plan — the per-doc frames are one projection each
+    over the same scan, and AQE coalesces the doc_id exchanges.
+    """
+    from hadoop_logfile_inputformat_spark.operators import dedup, text
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("n_chars")
+    )
+    lang = text.language_id(spark, sf_dir).select("doc_id", "lang_pred")
+    quality = text.text_quality(spark, sf_dir).select("doc_id", "quality_keep")
+    gopher = text.gopher_quality(spark, sf_dir).select("doc_id", "gopher_keep")
+    toks = text.token_counts(spark, sf_dir).select("doc_id", "n_ws_tokens")
+    ded = dedup.exact_dedup(spark, sf_dir).select("doc_id", "is_dup")
+    joined = (
+        d.join(lang, "doc_id")
+        .join(quality, "doc_id")
+        .join(gopher, "doc_id")
+        .join(toks, "doc_id")
+        .join(ded, "doc_id")
+    )
+    return joined.groupBy("lang_pred", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_ws_tokens").cast("long").alias("total_tokens"),
+        F.sum("quality_keep").cast("long").alias("n_quality_keep"),
+        F.sum("gopher_keep").cast("long").alias("n_gopher_keep"),
+        F.sum(1 - F.col("is_dup")).cast("long").alias("n_exact_unique"),
+    )

@@ -733,3 +733,81 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_stop.cast("int").alias("r_stop"),
         keep.cast("int").alias("gopher_keep"),
     )
+
+
+PARA_MIN_CHARS = 10  # paragraphs shorter than this are skipped outright
+
+
+def paragraph_dedup(
+    spark: SparkSession, sf_dir: str, min_chars: int = PARA_MIN_CHARS
+) -> DataFrame:
+    """Paragraph-level exact deduplication — the Dolma / RefinedWeb
+    granularity between document-exact and near-dup: boilerplate
+    (headers, navigation, license blocks) repeats across documents
+    whose full texts differ.
+
+    Split on blank lines, hash each trimmed paragraph (md5 — the
+    engine-portable exact-hash family of this codebase), count each
+    hash's corpus frequency, and keep only the FIRST occurrence
+    (lowest ``(doc_id, para_idx)``) of a repeated paragraph.  Returns
+    one row per document: paragraph counts, how many were cross-corpus
+    duplicates, the duplicated-character mass, and integer half-up
+    ratios.
+
+    Scale shape: one explode → hash-key shuffle for frequencies +
+    first-owner (single ``min_by`` groupBy, map-side partials), one
+    hash join back, one doc_id groupBy.  The hash key is
+    content-addressed, so hot boilerplate paragraphs are the skew
+    risk; the frequency table is tiny relative to the corpus (only
+    repeated hashes matter) and AQE's skew-join split handles the
+    pathological single-paragraph-everywhere case.
+    """
+    d = load(spark, sf_dir, "documents")
+    paras = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"\n\s*\n")).alias("para_idx", "para"),
+        )
+        .select("doc_id", "para_idx", F.trim("para").alias("para"))
+        .filter(F.length("para") >= min_chars)
+        .select(
+            "doc_id",
+            "para_idx",
+            F.length("para").alias("n_chars"),
+            F.md5(F.col("para")).alias("h"),
+        )
+    )
+    freq = paras.groupBy("h").agg(
+        F.count("*").alias("n_occ"),
+        F.expr("min_by(struct(doc_id, para_idx), struct(doc_id, para_idx))").alias(
+            "owner"
+        ),
+    )
+    tagged = paras.join(freq, "h").select(
+        "doc_id",
+        "n_chars",
+        (
+            (F.col("n_occ") > 1)
+            & ~(
+                (F.col("owner.doc_id") == F.col("doc_id"))
+                & (F.col("owner.para_idx") == F.col("para_idx"))
+            )
+        ).cast("long").alias("is_dup"),
+    )
+    per_doc = tagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum("is_dup").alias("n_dup_paras"),
+        F.sum("n_chars").cast("long").alias("para_chars"),
+        F.sum(F.col("n_chars") * F.col("is_dup")).cast("long").alias("dup_chars"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_paras",
+        F.col("n_dup_paras").cast("long").alias("n_dup_paras"),
+        "para_chars",
+        "dup_chars",
+        _ratio4(F.col("n_dup_paras"), F.col("n_paras")).alias("dup_para_ratio"),
+        _ratio4(F.col("dup_chars"), F.col("para_chars")).alias("dup_char_ratio"),
+        # keep when less than half the character mass is repeated
+        (F.col("dup_chars") * 2 < F.col("para_chars")).cast("int").alias("para_keep"),
+    )

@@ -1363,6 +1363,55 @@ _SQL: Dict[str, str] = {
     """.replace("{rare_df}", str(text.RARE_DF_MAX)).replace(
         "{df_cap}", str(text.COMMON_DF_CAP)
     ),
+    # Paragraph-level exact dedup: md5 paragraph hashes, first
+    # occurrence (lowest doc_id, para_idx) owns; the oracle spells the
+    # owner rule as a row_number window where Spark uses min_by.
+    "paragraph_dedup": """
+        WITH p0 AS (
+            SELECT doc_id, string_split_regex(text, '\\n\\s*\\n') AS ps
+            FROM documents
+        ),
+        p1 AS (
+            SELECT doc_id, ps,
+                   unnest(generate_series(1, len(ps))) AS i
+            FROM p0
+        ),
+        p2 AS (
+            SELECT doc_id, i - 1 AS para_idx, trim(ps[i]) AS para FROM p1
+        ),
+        p3 AS (
+            SELECT doc_id, para_idx, length(para) AS n_chars, md5(para) AS h
+            FROM p2 WHERE length(para) >= {min_chars}
+        ),
+        tagged AS (
+            SELECT doc_id, n_chars,
+                   CASE WHEN count(*) OVER (PARTITION BY h) > 1
+                             AND row_number() OVER (
+                                 PARTITION BY h
+                                 ORDER BY doc_id, para_idx) > 1
+                        THEN 1 ELSE 0 END AS is_dup
+            FROM p3
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   count(*) AS n_paras,
+                   sum(is_dup) AS n_dup_paras,
+                   sum(n_chars) AS para_chars,
+                   sum(n_chars * is_dup) AS dup_chars
+            FROM tagged GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(n_paras AS BIGINT) AS n_paras,
+               CAST(n_dup_paras AS BIGINT) AS n_dup_paras,
+               CAST(para_chars AS BIGINT) AS para_chars,
+               CAST(dup_chars AS BIGINT) AS dup_chars,
+               floor((n_dup_paras*20000 + n_paras) / (n_paras*2)) / 10000
+                   AS dup_para_ratio,
+               floor((dup_chars*20000 + para_chars) / (para_chars*2)) / 10000
+                   AS dup_char_ratio,
+               CAST(dup_chars * 2 < para_chars AS INT) AS para_keep
+        FROM per_doc
+    """.replace("{min_chars}", str(text.PARA_MIN_CHARS)),
     # Gopher rule filter (Rae et al. 2021 Table A1): flags are pure
     # integer comparisons (n*10 vs m*k), never a rounded-ratio
     # threshold, so no float boundary can flip a rule cross-engine.
@@ -1797,6 +1846,31 @@ _SQL["language_id"] = f"""
     FROM scored
 """
 
+# per-(language, source) corpus data card — composed verbatim from the
+# member oracles, same pattern as training_corpus
+_SQL["corpus_report"] = f"""
+    WITH lang AS ({_SQL["language_id"]}),
+    q AS ({_SQL["text_quality"]}),
+    g AS ({_SQL["gopher_quality"]}),
+    tok AS ({_SQL["token_counts"]}),
+    ded AS ({_SQL["dedup_exact"]})
+    SELECT l.lang_pred, d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(d.text)) AS BIGINT) AS total_chars,
+           CAST(sum(tok.n_ws_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(q.quality_keep) AS BIGINT) AS n_quality_keep,
+           CAST(sum(g.gopher_keep) AS BIGINT) AS n_gopher_keep,
+           CAST(sum(1 - ded.is_dup) AS BIGINT) AS n_exact_unique
+    FROM documents d
+    JOIN lang l USING (doc_id)
+    JOIN q USING (doc_id)
+    JOIN g USING (doc_id)
+    JOIN tok USING (doc_id)
+    JOIN ded USING (doc_id)
+    GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Correctness packs: schema-aligned relational members folded under one
 # registry key each (operators/packs.py).  Every member's FULL result is
@@ -2007,6 +2081,18 @@ _PACKS: Dict[str, list] = {
         # the standing corpus with delta-only signature computation
         _m("incremental", dedup.dedup_incremental_pairs, "dedup_incremental",
            k1="doc_a", k2="doc_b", v1="jaccard"),
+        # per-(language, source) data card: volumes + per-gate keep
+        # counts — the summary table a corpus run publishes
+        _m("report", pipeline.corpus_report, "corpus_report",
+           k1="lang_pred", k2="source", v1="n_docs", v2="total_chars",
+           v3="total_tokens", v4="n_quality_keep", v5="n_gopher_keep",
+           v6="n_exact_unique"),
+        # paragraph-level exact dedup (Dolma/RefinedWeb granularity;
+        # the fixture has no blank lines, so every doc is one unique
+        # paragraph here — drop behavior is unit-tested on crafted docs)
+        _m("para_dedup", text.paragraph_dedup, "paragraph_dedup",
+           k1="doc_id", v1="n_paras", v2="n_dup_paras", v3="para_chars",
+           v4="dup_chars", v5="dup_para_ratio", v6="para_keep"),
         # unigram-frequency quality profile (log-free CCNet-style filter)
         _m("rare_tokens", text.rare_token_profile, "rare_token_profile",
            k1="doc_id", v1="n_tokens", v2="n_distinct", v3="n_rare",

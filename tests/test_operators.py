@@ -769,3 +769,46 @@ def test_gopher_quality_rules(spark, tmp_path):
     assert out[3].r_symbols == 0 and out[3].gopher_keep == 0
     assert out[4].r_stop == 0 and out[4].n_stopwords == 0
     assert out[5].r_words == 0 and out[5].gopher_keep == 0
+
+
+def test_paragraph_dedup_flags_repeated_boilerplate(spark, tmp_path):
+    """A boilerplate paragraph shared by three docs: the first
+    occurrence survives, later copies count as duplicate mass."""
+    from hadoop_logfile_inputformat_spark.operators import text as T
+
+    boiler = "subscribe to our newsletter for updates"
+    uniq = ["the quick brown fox paragraph number %d here" % i for i in range(3)]
+    sf = _write_docs(spark, tmp_path, [
+        uniq[0] + "\n\n" + boiler,
+        boiler + "\n\n" + uniq[1],
+        uniq[2] + "\n\n" + boiler + "\n\n" + boiler,
+        "short\n\nx",  # every paragraph under min_chars -> no rows
+    ])
+    out = {r.doc_id: r for r in T.paragraph_dedup(spark, sf).collect()}
+    assert 3 not in out  # all-sub-min doc yields no row
+    # doc 0 owns the boilerplate (lowest doc_id, para_idx)
+    assert out[0].n_dup_paras == 0 and out[0].para_keep == 1
+    assert out[1].n_dup_paras == 1 and out[1].n_paras == 2
+    # doc 2 repeats it twice, both non-owner copies are dup mass
+    assert out[2].n_dup_paras == 2 and out[2].n_paras == 3
+    assert out[1].dup_char_ratio < 1.0 and out[1].dup_char_ratio > 0.0
+    # doc 2: 2*39 dup chars of 39+39+41 -> over half -> dropped
+    assert out[2].para_keep == 0
+
+
+def test_corpus_report_totals_are_consistent(spark):
+    """Data-card invariants: per-slice totals sum to corpus totals,
+    keep counts never exceed doc counts."""
+    from hadoop_logfile_inputformat_spark.operators.pipeline import corpus_report
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = corpus_report(spark, sf).collect()
+    assert rows
+    n_docs = load(spark, sf, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.n_quality_keep <= r.n_docs
+        assert 0 <= r.n_gopher_keep <= r.n_docs
+        assert 0 < r.n_exact_unique <= r.n_docs
+        assert r.total_chars > 0 and r.total_tokens > 0
