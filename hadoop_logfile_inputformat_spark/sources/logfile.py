@@ -741,6 +741,45 @@ def scan_partition_arrow(
         fobj.close()
 
 
+#: Named first-line patterns for common log formats, usable as
+#: ``option("preset", "<name>")`` / ``option("preset.<path>", ...)``
+#: instead of spelling the regex.  An explicit ``pattern`` option at
+#: the same scope wins over a ``preset``.  All formats are public
+#: conventions (log4j %d layout, Apache httpd access/error logs,
+#: RFC 3164/5424 syslog); continuation lines (stack traces, wrapped
+#: messages, pretty-printed JSON bodies) attach to the preceding
+#: matching line exactly as with a hand-written pattern.
+#: NOTE: first-line matching is whole-line (``Matcher.matches()``
+#: parity with the reference), so every preset ends in ``.*``.
+PRESET_PATTERNS = {
+    # generic ISO date prefix — the reference's documented example
+    "iso-datetime": r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}.*",
+    # log4j/logback default %d{ISO8601}: '2024-01-31 12:34:56,789'
+    "log4j": r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3}.*",
+    # Apache/nginx access log (common + combined): 'host ident user ['
+    "apache-access": r"\S+ \S+ \S+ \[.*",
+    # Apache httpd error log: '[Mon Dec 16 01:02:03.456789 2019]'
+    "apache-error": r"\[[A-Z][a-z]{2} [A-Z][a-z]{2} ?\d{1,2} .*",
+    # BSD syslog (RFC 3164): 'Jan  5 03:04:05 hostname proc[pid]:'
+    "syslog": r"[A-Z][a-z]{2} [ 0-9]\d \d{2}:\d{2}:\d{2} .*",
+    # RFC 5424 syslog: '<165>1 2024-01-31T12:34:56Z host app ...'
+    "syslog-5424": r"<\d{1,3}>\d .*",
+    # JSON-lines with pretty-printed continuations: record starts at
+    # an unindented '{'
+    "json-object": r"\{.*",
+}
+
+
+def resolve_preset(name: str) -> str:
+    try:
+        return PRESET_PATTERNS[name.strip().lower()]
+    except KeyError:
+        raise ValueError(
+            f"Unknown logfile pattern preset {name!r}. "
+            f"Valid presets: {', '.join(sorted(PRESET_PATTERNS))}."
+        ) from None
+
+
 class PatternResolver:
     """Per-path first-line-pattern resolution.
 
@@ -768,7 +807,13 @@ class PatternResolver:
     @classmethod
     def from_options(cls, options) -> "PatternResolver":
         default = options.get("pattern")
+        if default is None and options.get("preset") is not None:
+            default = resolve_preset(options.get("preset"))
         per_path = {}
+        for key in options.keys():
+            if key.startswith("preset."):
+                # explicit pattern.<same-path> below wins by overwrite
+                per_path[key[len("preset."):]] = resolve_preset(options[key])
         for key in options.keys():
             if key.startswith("pattern."):
                 per_path[key[len("pattern."):]] = options[key]

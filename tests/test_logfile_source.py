@@ -309,3 +309,93 @@ def test_observe_scan_metrics(spark, corpus):
     # payload bytes == sum of record lengths (ASCII corpus: octet==char)
     total_chars = df.select(F.sum(F.length("record"))).collect()[0][0]
     assert m["record_bytes"] == total_chars
+
+
+def test_preset_patterns_assemble_multiline_records(spark, tmp_path):
+    """Each named preset must assemble continuation lines onto the
+    preceding matching first line."""
+    samples = {
+        "syslog": (
+            "Jan  5 03:04:05 host1 app[42]: started\n"
+            "Jan  5 03:04:06 host1 app[42]: failure\n"
+            "  continuation detail line\n"
+            "Jan 15 03:04:07 host1 app[42]: done\n",
+            3,
+        ),
+        "apache-access": (
+            '10.0.0.1 - frank [10/Oct/2024:13:55:36 -0700] "GET / HTTP/1.1" 200 2326\n'
+            '10.0.0.2 - - [10/Oct/2024:13:55:37 -0700] "POST /x HTTP/1.1" 500 0\n'
+            "wrapped user-agent tail\n",
+            2,
+        ),
+        "apache-error": (
+            "[Mon Dec 16 01:02:03.456789 2019] [core:error] [pid 100] msg one\n"
+            "stack detail\n"
+            "[Mon Dec 16 01:02:04.000000 2019] [core:error] [pid 100] msg two\n",
+            2,
+        ),
+        "syslog-5424": (
+            "<165>1 2024-01-31T12:34:56Z host app 1 - - body one\n"
+            "body continuation\n"
+            "<34>1 2024-01-31T12:34:57Z host app 1 - - body two\n",
+            2,
+        ),
+        "json-object": (
+            '{ "level": "info",\n  "msg": "pretty printed" }\n'
+            '{ "level": "error", "msg": "single line" }\n',
+            2,
+        ),
+        "log4j": (
+            "2024-01-31 12:34:56,789 ERROR boom\n"
+            "\tat com.example.Main(Main.java:1)\n"
+            "2024-01-31 12:34:57,000 INFO ok\n",
+            2,
+        ),
+    }
+    for preset, (body, expect) in samples.items():
+        p = tmp_path / f"{preset}.log"
+        p.write_text(body)
+        rows = (
+            spark.read.format("logfile")
+            .option("preset", preset)
+            .load(str(p))
+            .collect()
+        )
+        assert len(rows) == expect, preset
+        joined = "\n".join(r.record for r in rows)
+        assert joined.strip("\n") == body.strip("\n"), preset
+
+
+def test_preset_unknown_name_is_hard_error(spark, tmp_path):
+    p = tmp_path / "x.log"
+    p.write_text("2024-01-01 ok\n")
+    with pytest.raises(Exception, match="[Uu]nknown logfile pattern preset"):
+        spark.read.format("logfile").option("preset", "nope").load(str(p)).count()
+
+
+def test_explicit_pattern_beats_preset(spark, tmp_path):
+    p = tmp_path / "y.log"
+    p.write_text("A one\nB two\ncont\n")
+    rows = (
+        spark.read.format("logfile")
+        .option("preset", "log4j")          # would match nothing
+        .option("pattern", r"[AB] .*")      # explicit wins
+        .load(str(p))
+        .collect()
+    )
+    assert len(rows) == 2
+
+
+def test_per_path_preset_resolution(spark, tmp_path):
+    a = tmp_path / "a.log"
+    a.write_text("Jan  5 03:04:05 h app: one\ncont\n")
+    b = tmp_path / "b.log"
+    b.write_text("2024-01-31 12:34:56,789 INFO two\n")
+    rows = (
+        spark.read.format("logfile")
+        .option("preset.a.log", "syslog")
+        .option("preset.b.log", "log4j")
+        .load(f"{a},{b}")
+        .collect()
+    )
+    assert len(rows) == 2
