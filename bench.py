@@ -94,6 +94,7 @@ EXTRA = [
     "rare_token_profile",
     "gopher_quality",
     "paragraph_dedup",
+    "substring_dedup",
     "corpus_report",
     "dedup_minhash_lsh_portable",
     "dedup_simhash_portable",

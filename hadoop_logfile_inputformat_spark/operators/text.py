@@ -735,6 +735,124 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBSTR_K = 8  # duplicated-substring window length, in tokens
+
+
+def substring_dedup(
+    spark: SparkSession, sf_dir: str, k: int = SUBSTR_K
+) -> DataFrame:
+    """Exact duplicated-substring deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — the ExactSubstr granularity): any ``k``-token
+    window whose text occurs more than once in the corpus is a
+    duplicated substring; every occurrence except the global first
+    (lowest ``(doc_id, pos)``) is removed from its document.
+
+    The paper builds a corpus-wide suffix array — inherently
+    single-machine.  The Spark-first equivalent keys k-token windows by
+    an exact content hash instead: overlapping duplicated windows merge
+    into maximal spans per document, which is exactly the
+    suffix-array's maximal repeated substrings down-sampled to k-token
+    resolution.  Returns one row per document: token counts, merged
+    duplicated-span count/mass, the integer half-up duplicated ratio,
+    a keep flag, and the md5 of the span-removed rewritten text so the
+    rewrite itself is value-checkable.
+
+    Scale shape: one gram explode → hash-key shuffle for global
+    frequency + first-owner (single ``min_by`` groupBy, map-side
+    partials), hash join back restricted to duplicated grams, one
+    ``(doc_id, tpos)`` distinct + anti-join at token granularity, and
+    per-doc windows/groupBys (bounded by doc length — never global).
+    Nothing quadratic; hot boilerplate grams are content-addressed skew
+    handled by AQE's skew-join split, same as paragraph_dedup.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", _ws_tokens(F.lower(F.trim(F.col("text")))).alias("t")
+    )
+    grams = (
+        toks.filter(F.size("t") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {k - 1}),"
+                    f" i -> array_join(slice(t, i, {k}), ' '))"
+                )
+            ).alias("pos", "gram"),
+        )
+        .select("doc_id", "pos", F.md5("gram").alias("h"))
+    )
+    freq = grams.groupBy("h").agg(
+        F.count("*").alias("n_occ"),
+        F.expr("min_by(struct(doc_id, pos), struct(doc_id, pos))").alias("owner"),
+    )
+    dup = (
+        grams.join(freq, "h")
+        .filter(
+            (F.col("n_occ") > 1)
+            & ~(
+                (F.col("owner.doc_id") == F.col("doc_id"))
+                & (F.col("owner.pos") == F.col("pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    # token positions covered by at least one duplicated non-owner
+    # window — the union of the windows IS the merged-span set
+    covered = dup.select(
+        "doc_id", F.explode(F.expr(f"sequence(pos, pos + {k - 1})")).alias("tpos")
+    ).distinct()
+    w = Window.partitionBy("doc_id").orderBy("tpos")
+    prev = F.lag("tpos").over(w)
+    spans = covered.withColumn(
+        # a covered position starts a new maximal span iff it is not
+        # adjacent to the previous covered position
+        "brk",
+        (prev.isNull() | (F.col("tpos") > prev + 1)).cast("long"),
+    )
+    per_doc_dup = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_tokens"),
+        F.sum("brk").cast("long").alias("n_dup_spans"),
+    )
+    tokens = toks.select("doc_id", F.posexplode("t").alias("tpos", "token"))
+    kept = tokens.join(covered, ["doc_id", "tpos"], "left_anti")
+    rewritten = kept.groupBy("doc_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tpos", "token"))),
+                    lambda x: x["token"],
+                ),
+                " ",
+            )
+        ).alias("dedup_md5"),
+        F.count("*").cast("long").alias("n_kept_tokens"),
+    )
+    base = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    n_dup = F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("long")
+    return (
+        base.join(per_doc_dup, "doc_id", "left")
+        .join(rewritten, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias(
+                "n_dup_spans"
+            ),
+            n_dup.alias("n_dup_tokens"),
+            _ratio4(n_dup, F.col("n_tokens")).alias("dup_token_ratio"),
+            F.coalesce(F.col("n_kept_tokens"), F.lit(0)).cast("long").alias(
+                "n_kept_tokens"
+            ),
+            # null only when EVERY token sat in a duplicated span (the
+            # oracle's string_agg over zero rows is null too)
+            F.col("dedup_md5"),
+            (n_dup * 2 < F.col("n_tokens")).cast("int").alias("substr_keep"),
+        )
+    )
+
+
 PARA_MIN_CHARS = 10  # paragraphs shorter than this are skipped outright
 
 

@@ -1412,6 +1412,86 @@ _SQL: Dict[str, str] = {
                CAST(dup_chars * 2 < para_chars AS INT) AS para_keep
         FROM per_doc
     """.replace("{min_chars}", str(text.PARA_MIN_CHARS)),
+    # Exact duplicated-substring dedup (Lee et al. 2022 ExactSubstr at
+    # k-token resolution): md5 gram hashes, global first occurrence
+    # owns, covered positions merge into maximal spans, rewrite md5
+    # recomputed via string_agg ORDER BY position.
+    "substring_dedup": """
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        g0 AS (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - {km1})) AS i
+            FROM toks WHERE len(t) >= {k}
+        ),
+        grams AS (
+            SELECT doc_id, i - 1 AS pos,
+                   md5(array_to_string(list_slice(t, i, i + {km1}), ' ')) AS h
+            FROM g0
+        ),
+        tagged AS (
+            SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY h) AS n_occ,
+                   row_number() OVER (
+                       PARTITION BY h ORDER BY doc_id, pos) AS rn
+            FROM grams
+        ),
+        dup AS (SELECT doc_id, pos FROM tagged WHERE n_occ > 1 AND rn > 1),
+        cov0 AS (
+            SELECT doc_id,
+                   unnest(generate_series(pos, pos + {km1})) AS tpos
+            FROM dup
+        ),
+        covered AS (SELECT DISTINCT doc_id, tpos FROM cov0),
+        spans AS (
+            SELECT doc_id, tpos,
+                   CASE WHEN lag(tpos) OVER w IS NULL
+                             OR tpos > lag(tpos) OVER w + 1
+                        THEN 1 ELSE 0 END AS brk
+            FROM covered
+            WINDOW w AS (PARTITION BY doc_id ORDER BY tpos)
+        ),
+        per_doc_dup AS (
+            SELECT doc_id, count(*) AS n_dup_tokens, sum(brk) AS n_dup_spans
+            FROM spans GROUP BY doc_id
+        ),
+        tok0 AS (
+            SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+            FROM toks
+        ),
+        tokens AS (SELECT doc_id, i - 1 AS tpos, t[i] AS token FROM tok0),
+        kept AS (
+            SELECT tk.doc_id, tk.tpos, tk.token
+            FROM tokens tk
+            LEFT JOIN covered c
+              ON tk.doc_id = c.doc_id AND tk.tpos = c.tpos
+            WHERE c.doc_id IS NULL
+        ),
+        rewritten AS (
+            SELECT doc_id,
+                   md5(string_agg(token, ' ' ORDER BY tpos)) AS dedup_md5,
+                   count(*) AS n_kept_tokens
+            FROM kept GROUP BY doc_id
+        ),
+        base AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+        SELECT b.doc_id,
+               CAST(b.n_tokens AS BIGINT) AS n_tokens,
+               CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+               CAST(coalesce(n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+               floor((coalesce(n_dup_tokens, 0) * 20000 + b.n_tokens)
+                     / (b.n_tokens * 2)) / 10000 AS dup_token_ratio,
+               CAST(coalesce(n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens,
+               dedup_md5,
+               CAST(coalesce(n_dup_tokens, 0) * 2 < b.n_tokens AS INT)
+                   AS substr_keep
+        FROM base b
+        LEFT JOIN per_doc_dup USING (doc_id)
+        LEFT JOIN rewritten USING (doc_id)
+    """.replace("{km1}", str(text.SUBSTR_K - 1)).replace(
+        "{k}", str(text.SUBSTR_K)
+    ),
     # Gopher rule filter (Rae et al. 2021 Table A1): flags are pure
     # integer comparisons (n*10 vs m*k), never a rounded-ratio
     # threshold, so no float boundary can flip a rule cross-engine.
@@ -2093,6 +2173,13 @@ _PACKS: Dict[str, list] = {
         _m("para_dedup", text.paragraph_dedup, "paragraph_dedup",
            k1="doc_id", v1="n_paras", v2="n_dup_paras", v3="para_chars",
            v4="dup_chars", v5="dup_para_ratio", v6="para_keep"),
+        # exact duplicated-substring dedup (Lee et al. 2022 ExactSubstr
+        # at k-token resolution); the rewrite itself is pinned by the
+        # md5 of the span-removed text in k2
+        _m("substr_dedup", text.substring_dedup, "substring_dedup",
+           k1="doc_id", k2="dedup_md5", v1="n_tokens", v2="n_dup_spans",
+           v3="n_dup_tokens", v4="dup_token_ratio", v5="n_kept_tokens",
+           v6="substr_keep"),
         # unigram-frequency quality profile (log-free CCNet-style filter)
         _m("rare_tokens", text.rare_token_profile, "rare_token_profile",
            k1="doc_id", v1="n_tokens", v2="n_distinct", v3="n_rare",

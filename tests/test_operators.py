@@ -796,6 +796,39 @@ def test_paragraph_dedup_flags_repeated_boilerplate(spark, tmp_path):
     assert out[2].para_keep == 0
 
 
+def test_substring_dedup_removes_repeated_spans(spark, tmp_path):
+    """ExactSubstr semantics on crafted docs (k=4): the global first
+    occurrence of a repeated k-token run survives, later occurrences
+    lose the merged span; a full-duplicate doc loses everything."""
+    import hashlib
+
+    from hadoop_logfile_inputformat_spark.operators import text as T
+
+    sf = _write_docs(spark, tmp_path, [
+        "a b c d e f g h",              # owner of every shared gram
+        "x1 x2 a b c d e f y1 y2",      # interior 6-token repeated run
+        "a b c d e f g h",              # exact duplicate of doc 0
+        "p q r s",                      # exactly one (unique) gram
+        "t u v",                        # shorter than k -> no grams
+    ])
+    out = {r.doc_id: r for r in T.substring_dedup(spark, sf, k=4).collect()}
+    assert len(out) == 5
+    own = out[0]
+    assert (own.n_dup_tokens, own.n_dup_spans, own.substr_keep) == (0, 0, 1)
+    mid = out[1]
+    # dup grams at pos 2,3,4 cover tokens 2..7: one merged 6-token span
+    assert (mid.n_tokens, mid.n_dup_tokens, mid.n_dup_spans) == (10, 6, 1)
+    assert mid.n_kept_tokens == 4 and mid.substr_keep == 0
+    assert mid.dedup_md5 == hashlib.md5(b"x1 x2 y1 y2").hexdigest()
+    full = out[2]
+    assert (full.n_dup_tokens, full.n_kept_tokens) == (8, 0)
+    assert full.dedup_md5 is None and full.substr_keep == 0
+    assert out[3].n_dup_tokens == 0 and out[3].substr_keep == 1
+    short = out[4]  # sub-k docs carry no grams but keep their text
+    assert (short.n_tokens, short.n_dup_tokens, short.n_kept_tokens) == (3, 0, 3)
+    assert short.dedup_md5 == hashlib.md5(b"t u v").hexdigest()
+
+
 def test_corpus_report_totals_are_consistent(spark):
     """Data-card invariants: per-slice totals sum to corpus totals,
     keep counts never exceed doc counts."""
