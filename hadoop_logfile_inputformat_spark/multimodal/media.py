@@ -172,6 +172,192 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode_image_batch, MEDIA_FEATURE_SCHEMA)
 
 
+_AUD_MAGIC = b"FAKEAUD1"
+
+#: Output schema of :func:`extract_audio_features`.
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id bigint, media_type string, sample_rate int, n_samples int,"
+    " duration_ms double, rms double, zero_crossings int, peak int,"
+    " ok boolean, error string"
+)
+
+
+def _try_real_audio_decoder():
+    try:  # real path, if the env ever provides it
+        import soundfile  # noqa: F401
+
+        return soundfile
+    except ImportError:
+        return None
+
+
+def encode_fake_audio(sample_rate: int, n_samples: int, seed: int) -> bytes:
+    """Deterministic stand-in payload: 8-byte magic, rate/length/seed
+    header, then seeded bytes standing in for 8-bit PCM samples."""
+    header = _AUD_MAGIC + struct.pack("<iii", sample_rate, n_samples, seed)
+    body = bytes(((i * 17 + seed) % 256) for i in range(n_samples))
+    return header + body
+
+
+def attach_fake_audio(docs: DataFrame) -> DataFrame:
+    """Audio twin of :func:`attach_fake_media`: a deterministic binary
+    payload per document, byte-identical to ``encode_fake_audio(
+    8000 + pmod(doc_id,4)*4000, (pmod(doc_id,32)+8)*4, pmod(doc_id,
+    2^31-1))``, assembled JVM-side (hex + unhex, no Python UDF)."""
+    seed = F.pmod(F.col("doc_id"), F.lit(2147483647))
+    base = docs.select(
+        F.col("doc_id"),
+        seed.alias("seed"),
+        (F.pmod(F.col("doc_id"), F.lit(4)) * 4000 + 8000).cast("int").alias("sr"),
+        ((F.pmod(F.col("doc_id"), F.lit(32)) + 8) * 4).cast("int").alias("n"),
+    )
+    header_hex = F.concat(
+        F.lit(_AUD_MAGIC.hex().upper()),
+        _le32_hex(F.col("sr")),
+        _le32_hex(F.col("n")),
+        _le32_hex(F.col("seed").cast("int")),
+    )
+    body_hex = F.expr(
+        "array_join(transform(sequence(0, n - 1),"
+        " i -> lpad(hex(pmod(i * 17 + seed, 256)), 2, '0')), '')"
+    )
+    return base.select(
+        "doc_id",
+        F.lit("audio").alias("media_type"),
+        F.unhex(F.concat(header_hex, body_hex)).alias("payload"),
+    )
+
+
+def decode_audio_batch(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """``mapInPandas`` stage: audio payload → (rate, length, duration,
+    RMS, zero crossings, peak).  Bytes are read as centered 8-bit PCM
+    (``byte - 128``); all features are integer sums (plus one final
+    IEEE sqrt/divide), so the fake path is engine-portable for the
+    oracle.  Real decode (soundfile) when available; per-row failures
+    land in (ok, error), never fail the task."""
+    import numpy as np
+
+    real = _try_real_audio_decoder()
+    for pdf in pdfs:
+        out = {
+            "doc_id": pdf["doc_id"],
+            "media_type": pdf["media_type"],
+            "sample_rate": [], "n_samples": [], "duration_ms": [],
+            "rms": [], "zero_crossings": [], "peak": [],
+            "ok": [], "error": [],
+        }
+        for payload in pdf["payload"]:
+            try:
+                if payload is None:
+                    raise ValueError("null payload")
+                buf = bytes(payload)
+                if buf[:8] == _AUD_MAGIC:
+                    sr, n, _seed = struct.unpack("<iii", buf[8:20])
+                    x = (
+                        np.frombuffer(buf[20:20 + n], np.uint8).astype(np.int64)
+                        - 128
+                    )
+                else:
+                    if real is None:
+                        raise NotImplementedError(
+                            "real audio decode requires soundfile, which"
+                            " this environment does not provide"
+                        )
+                    import io as _io
+
+                    data, sr = real.read(_io.BytesIO(buf), dtype="int16")
+                    x = np.asarray(data, dtype=np.int64)
+                    if x.ndim > 1:  # downmix: feature path is mono
+                        x = x.mean(axis=1).astype(np.int64)
+                    n = len(x)
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000.0 / sr)
+                out["rms"].append(
+                    float(np.sqrt(int((x * x).sum()) / n)) if n else 0.0
+                )
+                out["zero_crossings"].append(
+                    int((x[:-1] * x[1:] < 0).sum()) if n > 1 else 0
+                )
+                out["peak"].append(int(np.abs(x).max()) if n else 0)
+                out["ok"].append(True); out["error"].append(None)
+            except Exception as e:  # noqa: BLE001 — per-row isolation
+                for c in ("sample_rate", "n_samples", "zero_crossings", "peak"):
+                    out[c].append(0)
+                out["duration_ms"].append(0.0); out["rms"].append(0.0)
+                out["ok"].append(False); out["error"].append(str(e))
+        yield pd.DataFrame(out)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract over a (doc_id, media_type, payload)
+    audio DataFrame.  Arrow-batched; output is compact typed rows."""
+    return media.mapInPandas(decode_audio_batch, AUDIO_FEATURE_SCHEMA)
+
+
+def resize_image_batch(target_w: int, target_h: int):
+    """``mapInPandas`` stage factory: image payload → resized image
+    payload (binary → binary, the transform shape of a real
+    preprocessing stage).  FAKEIMG payloads get a nearest-neighbor
+    resample re-encoded as FAKEIMG (numpy-gathered, integer index
+    math ``src = (y*h//th)*w + (x*w//tw)`` so the oracle can recompute
+    every output pixel); real images go through Pillow when present.
+    Failed rows pass through unchanged (the next decode stage reports
+    them) rather than killing the task."""
+    import numpy as np
+
+    def resize(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real = _try_real_decoder()
+        tw, th = target_w, target_h
+        ys = np.arange(th)
+        xs = np.arange(tw)
+        for pdf in pdfs:
+            out_payload = []
+            for payload in pdf["payload"]:
+                try:
+                    buf = bytes(payload)
+                    if buf[:8] == _MAGIC:
+                        w, h, seed = struct.unpack("<iii", buf[8:20])
+                        body = np.frombuffer(buf[20:20 + w * h], np.uint8)
+                        idx = (ys * h // th)[:, None] * w + (xs * w // tw)[None, :]
+                        resized = body[idx.ravel()].tobytes()
+                        out_payload.append(
+                            _MAGIC + struct.pack("<iii", tw, th, seed) + resized
+                        )
+                    elif real is not None:
+                        import io as _io
+
+                        with real.open(_io.BytesIO(buf)) as img:
+                            o = _io.BytesIO()
+                            img.resize((tw, th)).save(o, format="PNG")
+                            out_payload.append(o.getvalue())
+                    else:
+                        out_payload.append(buf)  # decode stage will report
+                except Exception:  # noqa: BLE001 — per-row isolation
+                    out_payload.append(payload)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out_payload,
+                }
+            )
+
+    return resize
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 8, target_h: int = 8
+) -> DataFrame:
+    """Resize every image payload to ``(target_w, target_h)``; same
+    (doc_id, media_type, payload) schema, composable with
+    :func:`extract_media_features` for a decode-after-transform check."""
+    return media.mapInPandas(
+        resize_image_batch(target_w, target_h),
+        "doc_id bigint, media_type string, payload binary",
+    )
+
+
 def sample_video_frames(media: DataFrame, every_nth: int = 10) -> DataFrame:
     """Frame-sampling plumbing: explode a video payload into frame
     rows.  Codec is stubbed — frames are synthesized indices with the

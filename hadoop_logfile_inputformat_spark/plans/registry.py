@@ -47,6 +47,31 @@ def _media_features_query(spark, sf_dir):
 
     return extract_media_features(attach_fake_media(load(spark, sf_dir, "documents")))
 
+
+def _audio_features_query(spark, sf_dir):
+    from hadoop_logfile_inputformat_spark.multimodal.media import (
+        attach_fake_audio,
+        extract_audio_features,
+    )
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    return extract_audio_features(attach_fake_audio(load(spark, sf_dir, "documents")))
+
+
+def _media_resize_query(spark, sf_dir):
+    """Resize-then-decode: features of the 8x8-downsampled payloads,
+    pinning every output pixel of the binary->binary resize stage."""
+    from hadoop_logfile_inputformat_spark.multimodal import (
+        attach_fake_media,
+        extract_media_features,
+    )
+    from hadoop_logfile_inputformat_spark.multimodal.media import resize_images
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    return extract_media_features(
+        resize_images(attach_fake_media(load(spark, sf_dir, "documents")), 8, 8)
+    )
+
 # ``QUERIES`` / ``ORACLES`` (the 50-key registry the driver consumes)
 # are assembled at the END of this module from:
 #   - the per-surface builders imported above,
@@ -1610,6 +1635,71 @@ _SQL["media_features"] = """
     FROM dims
 """
 
+# FAKEAUD twin (multimodal/media.py attach_fake_audio): samples are
+# ((i*17+seed) % 256) - 128; every feature is an integer sum plus one
+# final IEEE divide/sqrt, identical in both engines.
+_SQL["audio_features"] = """
+    WITH a AS (
+        SELECT doc_id,
+               CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+               CAST((doc_id % 32 + 8) * 4 AS INT) AS n_samples,
+               doc_id % 2147483647 AS seed
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, sample_rate, n_samples,
+               list_transform(generate_series(0, n_samples - 1),
+                              i -> ((i * 17 + seed) % 256) - 128) AS x
+        FROM a
+    )
+    SELECT doc_id,
+           'audio' AS media_type,
+           sample_rate,
+           n_samples,
+           n_samples * 1000.0 / sample_rate AS duration_ms,
+           sqrt(CAST(list_sum(list_transform(x, v -> v * v)) AS DOUBLE)
+                / n_samples) AS rms,
+           CAST(list_sum(list_transform(generate_series(1, n_samples - 1),
+                i -> CAST(x[i] * x[i + 1] < 0 AS INT))) AS INT)
+               AS zero_crossings,
+           CAST(list_max(list_transform(x, v -> abs(v))) AS INT) AS peak,
+           true AS ok,
+           CAST(NULL AS VARCHAR) AS error
+    FROM s
+"""
+
+# Nearest-neighbor 8x8 resize of the FAKEIMG payloads, then decode:
+# output pixel (x, y) reads source index (y*h//8)*w + (x*w//8), whose
+# byte is (idx*31+seed) % 251 — the oracle recomputes the resized
+# body exactly, so the binary->binary transform is value-checked via
+# the decoded features.
+_SQL["media_resize"] = """
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 16 + 4 AS INT) AS w,
+               CAST(doc_id % 8 + 4 AS INT) AS h,
+               doc_id % 2147483647 AS seed
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 63),
+                   i -> (((((i // 8) * h // 8) * w + ((i % 8) * w // 8))
+                         * 31 + seed) % 251)) AS body
+        FROM dims
+    )
+    SELECT doc_id,
+           'image' AS media_type,
+           CAST(84 AS BIGINT) AS n_bytes,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(1 AS INT) AS n_channels,
+           CAST(list_sum(body) AS DOUBLE) / 64 AS mean_luma,
+           true AS ok,
+           CAST(NULL AS VARCHAR) AS error
+    FROM g
+"""
+
 _SQL["corpus_split"] = """
     SELECT doc_id,
            CASE WHEN b < 800 THEN 'train'
@@ -2002,6 +2092,25 @@ _PACKS: Dict[str, list] = {
            k1="vec_id", k2="centroid_id",
            v1="n_close", v2="max_mate_sim", v3="kept"),
     ],
+    # Multimodal surface under its original key: image decode features,
+    # audio decode features, and resize-then-decode (all deterministic
+    # fake codecs — see multimodal/media.py — so every member is
+    # value-hashed; real Pillow/soundfile decode stays behind
+    # import-tries and is unit-tested separately).
+    "media_features": [
+        _m("img", _media_features_query, "media_features",
+           k1="doc_id", k2="media_type", k3="error", v1="n_bytes",
+           v2="width", v3="height", v4="n_channels", v5="mean_luma",
+           v6=("CAST(ok AS INT)", "CAST(ok AS INT)")),
+        _m("audio", _audio_features_query, "audio_features",
+           k1="doc_id", k2="media_type", k3="error", v1="sample_rate",
+           v2="n_samples", v3="duration_ms", v4="rms",
+           v5="zero_crossings", v6="peak"),
+        _m("resize", _media_resize_query, "media_resize",
+           k1="doc_id", k2="media_type", v1="n_bytes", v2="width",
+           v3="height", v4="mean_luma",
+           v5=("CAST(ok AS INT)", "CAST(ok AS INT)")),
+    ],
     "tpch_scalar_pack": [
         _m("q6", relational_ext.q6_forecast_revenue, "q6_forecast_revenue",
            v1="revenue", v2="n_items"),
@@ -2226,8 +2335,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logfile_gzip_equivalence": logparity.logfile_gzip_equivalence,
     "logfile_stack_hotspots": logparity.logfile_stack_hotspots,
     "logfile_sample": logparity.logfile_sample,
-    # --- multimodal surface ---
-    "media_features": _media_features_query,
+    # --- multimodal surface: rides as the media_features pack below ---
     # --- relational surface: structurally distinctive shapes stay
     # individual; schema-aligned families ride in packs below ---
     "q1_pricing_summary": relational.q1_pricing_summary,

@@ -48,6 +48,80 @@ def test_frame_sampling_schema_and_fanout(spark):
     assert all(len(r.frame_payload) <= 64 for r in rows)
 
 
+def test_audio_features_end_to_end(spark):
+    """FAKEAUD payloads through the Arrow decode stage: header fields
+    and integer-sum features must match a direct numpy recomputation."""
+    import numpy as np
+
+    from hadoop_logfile_inputformat_spark.multimodal.media import (
+        attach_fake_audio,
+        extract_audio_features,
+    )
+
+    docs = load(spark, SF, "documents").limit(40)
+    rows = extract_audio_features(attach_fake_audio(docs)).collect()
+    assert len(rows) == 40 and all(r.ok for r in rows)
+    for r in rows:
+        assert r.sample_rate == 8000 + (r.doc_id % 4) * 4000
+        assert r.n_samples == (r.doc_id % 32 + 8) * 4
+        seed = r.doc_id % 2147483647
+        x = np.array(
+            [((i * 17 + seed) % 256) - 128 for i in range(r.n_samples)]
+        )
+        assert r.peak == int(np.abs(x).max())
+        assert r.zero_crossings == int((x[:-1] * x[1:] < 0).sum())
+        assert abs(r.rms - float(np.sqrt((x * x).sum() / len(x)))) < 1e-12
+        assert abs(r.duration_ms - r.n_samples * 1000.0 / r.sample_rate) < 1e-12
+
+
+def test_audio_corrupt_payload_isolated(spark):
+    from hadoop_logfile_inputformat_spark.multimodal.media import (
+        encode_fake_audio,
+        extract_audio_features,
+    )
+
+    rows = [
+        (1, "audio", bytearray(encode_fake_audio(8000, 16, 7))),
+        (2, "audio", bytearray(b"not audio")),
+        (3, "audio", None),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+    out = {r.doc_id: r for r in extract_audio_features(media).collect()}
+    assert out[1].ok and out[1].sample_rate == 8000 and out[1].n_samples == 16
+    assert not out[2].ok and out[2].error
+    assert not out[3].ok
+
+
+def test_resize_nearest_neighbor_semantics(spark):
+    """4x2 -> 2x2 FAKEIMG resize picks exactly the nearest-neighbor
+    source pixels ((y*h//th)*w + (x*w//tw)) and re-encodes the header
+    with the target dims; decode of the resized payload agrees."""
+    from hadoop_logfile_inputformat_spark.multimodal.media import (
+        extract_media_features,
+        resize_images,
+    )
+
+    payload = encode_fake_image(4, 2, 9)  # body[i] = (i*31 + 9) % 251
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload))],
+        "doc_id long, media_type string, payload binary",
+    )
+    resized = resize_images(media, 2, 2).collect()[0].payload
+    body = payload[20:]
+    # tw=th=2: src_y = y*2//2 = y, src_x = x*4//2 = 2x -> indices 0,2,4,6
+    assert bytes(resized[20:]) == bytes(body[i] for i in (0, 2, 4, 6))
+    feats = extract_media_features(
+        spark.createDataFrame(
+            [(1, "image", bytearray(bytes(resized)))],
+            "doc_id long, media_type string, payload binary",
+        )
+    ).collect()[0]
+    assert feats.ok and (feats.width, feats.height) == (2, 2)
+    assert feats.mean_luma == sum(body[i] for i in (0, 2, 4, 6)) / 4
+
+
 def _tiny_png(pixels=(100, 200)) -> bytes:
     """Minimal valid 8-bit grayscale PNG (len(pixels) x 1), stdlib-only."""
     import struct
