@@ -95,6 +95,9 @@ EXTRA = [
     "gopher_quality",
     "paragraph_dedup",
     "substring_dedup",
+    "bpe_merges",
+    "audio_features",
+    "media_resize",
     "corpus_report",
     "dedup_minhash_lsh_portable",
     "dedup_simhash_portable",

@@ -15,7 +15,10 @@ from pyspark.sql import functions as F
 from hadoop_logfile_inputformat_spark.operators.ranks import (
     with_global_running_sum,
 )
-from hadoop_logfile_inputformat_spark.operators.tables import load
+from hadoop_logfile_inputformat_spark.operators.tables import (
+    load,
+    scoped_persist,
+)
 
 #: Tiny per-language stopword profiles for the n-gram/stopword LangID
 #: heuristic.  Word-boundary regexes work identically in Java regex
@@ -850,6 +853,101 @@ def substring_dedup(
             F.col("dedup_md5"),
             (n_dup * 2 < F.col("n_tokens")).cast("int").alias("substr_keep"),
         )
+    )
+
+
+BPE_MERGES = 8  # merge rounds learned by bpe_merges
+BPE_PASSES = 5  # fixed replace passes per round (see docstring)
+
+
+def bpe_merges(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = BPE_MERGES,
+    passes: int = BPE_PASSES,
+) -> DataFrame:
+    """Distributed BPE vocabulary learning (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units",
+    arXiv:1508.07909): iteratively merge the most frequent adjacent
+    symbol pair, weighted by word frequency.  Returns the learned merge
+    table — ``(rank, left_sym, right_sym, merged, pair_count)``.
+
+    Scale shape: the corpus collapses to its word-frequency VOCABULARY
+    first (one explode + one groupBy — the only corpus-sized work), and
+    the merge loop runs on that vocab table, which is Zipf-small at any
+    corpus size; per round one pair-count groupBy job, and the driver
+    observes exactly one (pair, count) row.  This is why word-level
+    pre-tokenized BPE scales: 100 TB of text is maybe 10M distinct
+    words.
+
+    Symbols ride in a ``|``-delimited string (``|h|i|</w>|``) and a
+    merge applies as ``passes`` fixed iterations of plain
+    ``replace(s, '|l|r|', '|lr|')`` — non-overlapping left-to-right
+    replace has IDENTICAL semantics in Spark and DuckDB, which makes
+    the whole learning loop oracle-recomputable.  Because consecutive
+    eligible pairs share their middle delimiter, one pass merges
+    alternate occurrences; the fixed extra passes reach the fixpoint
+    (each pass at least halves the remainder; 5 covers 32-symbol
+    words, and extra passes are no-ops).  Known deviation from
+    reference BPE: inside a run of IDENTICAL symbols the grouping may
+    differ from strictly-left-aligned pairing — deterministic, the
+    same in both engines, and irrelevant for l != r.
+
+    Tie-break: highest count, then lexicographically smallest (l, r) —
+    exact integer counts, so cross-engine agreement is structural.
+    Words containing the delimiter are excluded up front.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(_ws_tokens(F.lower(F.trim(F.col("text"))))).alias("w"))
+        .filter((F.col("w") != "") & ~F.col("w").contains("|"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sym0 = F.concat(
+        F.lit("|"),
+        F.expr(
+            "array_join(transform(sequence(1, length(w)),"
+            " i -> substr(w, i, 1)), '|')"
+        ),
+        F.lit("|</w>|"),
+    )
+    cur = words.select(sym0.alias("s"), "cnt")
+    cur = scoped_persist(cur.repartition(spark.sparkContext.defaultParallelism), "bpe_vocab")
+    merges = []
+    for rank in range(n_merges):
+        toks = F.expr("filter(split(s, '\\\\|'), x -> x <> '')")
+        pairs = cur.select(toks.alias("t"), "cnt").select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS l,"
+                    " element_at(t, i + 1) AS r))"
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        best = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:  # vocabulary fully merged — nothing left to learn
+            break
+        l, r, c = best[0]["l"], best[0]["r"], best[0]["c"]
+        merges.append((rank, l, r, l + r, int(c)))
+        scol = F.col("s")
+        for _ in range(passes):
+            scol = F.replace(
+                scol, F.lit(f"|{l}|{r}|"), F.lit(f"|{l}{r}|")
+            )
+        cur = cur.withColumn("s", scol)
+    return spark.createDataFrame(
+        merges,
+        "rank int, left_sym string, right_sym string, merged string,"
+        " pair_count long",
     )
 
 

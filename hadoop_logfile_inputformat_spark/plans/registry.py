@@ -1520,6 +1520,7 @@ _SQL: Dict[str, str] = {
     # Gopher rule filter (Rae et al. 2021 Table A1): flags are pure
     # integer comparisons (n*10 vs m*k), never a rounded-ratio
     # threshold, so no float boundary can flip a rule cross-engine.
+    # (BPE merge learning is generated below — see _bpe_oracle_sql.)
     "gopher_quality": f"""
         WITH m AS (
             SELECT doc_id,
@@ -1699,6 +1700,59 @@ _SQL["media_resize"] = """
            CAST(NULL AS VARCHAR) AS error
     FROM g
 """
+
+def _bpe_oracle_sql(n_merges: int, passes: int) -> str:
+    """DuckDB recomputation of text.bpe_merges: the merge loop unrolls
+    into chained CTEs — per round a pair-count aggregate, an argmax
+    (count DESC, pair ASC), and ``passes`` nested plain replaces whose
+    pattern/replacement come from scalar subqueries on that round's
+    winner.  Plain ``replace`` is non-overlapping left-to-right in both
+    engines, so the recomputation is exact by construction."""
+    ctes = [
+        """words AS MATERIALIZED (
+        SELECT w, count(*) AS cnt
+        FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+              FROM documents)
+        WHERE w <> '' AND w NOT LIKE '%|%'
+        GROUP BY w
+    )""",
+        """w0 AS MATERIALIZED (
+        SELECT '|' || array_to_string(list_transform(
+                   generate_series(1, length(w)), i -> substr(w, i, 1)), '|')
+               || '|</w>|' AS s, cnt
+        FROM words
+    )""",
+    ]
+    for r in range(n_merges):
+        ctes.append(f"""t{r} AS MATERIALIZED (
+        SELECT list_filter(string_split(s, '|'), x -> x <> '') AS t, cnt
+        FROM w{r}
+    )""")
+        ctes.append(f"""p{r} AS MATERIALIZED (
+        SELECT t, cnt, unnest(generate_series(1, len(t) - 1)) AS i FROM t{r}
+    )""")
+        ctes.append(f"""c{r} AS MATERIALIZED (
+        SELECT t[i] AS l, t[i + 1] AS r, sum(cnt) AS c
+        FROM p{r} GROUP BY 1, 2
+    )""")
+        ctes.append(
+            f"b{r} AS MATERIALIZED (SELECT l, r, c FROM c{r} ORDER BY c DESC, l, r LIMIT 1)"
+        )
+        pat = f"'|' || (SELECT l FROM b{r}) || '|' || (SELECT r FROM b{r}) || '|'"
+        rep = f"'|' || (SELECT l FROM b{r}) || (SELECT r FROM b{r}) || '|'"
+        expr = "s"
+        for _ in range(passes):
+            expr = f"replace({expr}, {pat}, {rep})"
+        ctes.append(f"w{r + 1} AS MATERIALIZED (SELECT {expr} AS s, cnt FROM w{r})")
+    finals = "\n        UNION ALL ".join(
+        f"SELECT {r} AS rank, l AS left_sym, r AS right_sym,"
+        f" l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(n_merges)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + finals
+
+
+_SQL["bpe_merges"] = _bpe_oracle_sql(text.BPE_MERGES, text.BPE_PASSES)
 
 _SQL["corpus_split"] = """
     SELECT doc_id,
@@ -2289,6 +2343,12 @@ _PACKS: Dict[str, list] = {
            k1="doc_id", k2="dedup_md5", v1="n_tokens", v2="n_dup_spans",
            v3="n_dup_tokens", v4="dup_token_ratio", v5="n_kept_tokens",
            v6="substr_keep"),
+        # distributed BPE merge learning on the word-frequency vocab
+        # (Sennrich et al. 2016); the whole iterative loop is
+        # recomputed by the oracle's unrolled CTE chain
+        _m("bpe", text.bpe_merges, "bpe_merges",
+           k1="left_sym", k2="right_sym", k3="merged", v1="rank",
+           v2="pair_count"),
         # unigram-frequency quality profile (log-free CCNet-style filter)
         _m("rare_tokens", text.rare_token_profile, "rare_token_profile",
            k1="doc_id", v1="n_tokens", v2="n_distinct", v3="n_rare",

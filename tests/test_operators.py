@@ -829,6 +829,26 @@ def test_substring_dedup_removes_repeated_spans(spark, tmp_path):
     assert short.dedup_md5 == hashlib.md5(b"t u v").hexdigest()
 
 
+def test_bpe_merges_learns_frequency_ordered_pairs(spark, tmp_path):
+    """Hand-computed BPE on a two-word vocabulary: (a,a) wins round 1
+    on weighted count 6, then the count-3 ties resolve by the
+    lexicographic (left, right) tie-break."""
+    from hadoop_logfile_inputformat_spark.operators import text as T
+
+    sf = _write_docs(spark, tmp_path, [
+        "aaab aaab aaab",   # aaab x3
+        "xy xy",            # xy x2
+    ])
+    rows = [tuple(r) for r in T.bpe_merges(spark, sf, n_merges=4).collect()]
+    assert rows == [
+        (0, "a", "a", "aa", 6),        # 2 pairs/word x 3 words
+        # after merging: aaab -> [aa, a, b]; ties at 3 break on left
+        (1, "a", "b", "ab", 3),
+        (2, "aa", "ab", "aaab", 3),
+        (3, "aaab", "</w>", "aaab</w>", 3),
+    ]
+
+
 def test_corpus_report_totals_are_consistent(spark):
     """Data-card invariants: per-slice totals sum to corpus totals,
     keep counts never exceed doc counts."""
