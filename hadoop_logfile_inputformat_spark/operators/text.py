@@ -951,6 +951,67 @@ def bpe_merges(
     )
 
 
+def bpe_tokenize(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    passes: int = BPE_PASSES,
+) -> DataFrame:
+    """Apply a learned BPE merge table (the output of
+    :func:`bpe_merges`, a DataFrame or ``(rank, l, r, ...)`` row list)
+    to a document frame: per word, run the merge chain in rank order
+    and count the resulting subword units.
+
+    The merge table is a trained model — tiny by construction — so
+    collecting it to the driver and compiling it into ONE chained
+    column expression is the correct distributed shape: tokenization
+    itself is a pure per-row projection (no shuffle, no Python), built
+    from the same delimited-string replace chain the trainer used, so
+    train and apply agree bit-for-bit.  Returns per-doc
+    ``(doc_id, n_words, n_subwords, subwords_per_word)``.
+    """
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r["rank"], r["left_sym"], r["right_sym"]) for r in merges.collect()
+        ]
+    else:
+        merges = [(m[0], m[1], m[2]) for m in merges]
+    merges = sorted(merges)
+    sym = (
+        "concat('|', array_join(transform(sequence(1, length(w)),"
+        " i -> substr(w, i, 1)), '|'), '|</w>|')"
+    )
+    expr = sym
+    for _rank, l, r in merges:
+        # symbols never contain quotes (vocab filter) but escape anyway
+        pat = f"|{l}|{r}|".replace("\\", "\\\\").replace("'", "\\'")
+        rep = f"|{l}{r}|".replace("\\", "\\\\").replace("'", "\\'")
+        for _ in range(passes):
+            expr = f"replace({expr}, '{pat}', '{rep}')"
+    per_word = f"size(filter(split({expr}, '\\\\|'), x -> x <> ''))"
+    toks = _ws_tokens(F.lower(F.trim(F.col(text_col))))
+    counts = F.expr(
+        f"aggregate(transform(filter(tokens, w -> w <> '' AND NOT contains(w, '|')),"
+        f" w -> {per_word}), 0L, (acc, x) -> acc + x)"
+    )
+    out = docs.select(
+        "doc_id",
+        toks.alias("tokens"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "size(filter(tokens, w -> w <> '' AND NOT contains(w, '|')))"
+        ).cast("long").alias("n_words"),
+        counts.alias("n_subwords"),
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_subwords",
+        _ratio4(F.col("n_subwords"), F.col("n_words")).alias("subwords_per_word"),
+    )
+
+
 PARA_MIN_CHARS = 10  # paragraphs shorter than this are skipped outright
 
 

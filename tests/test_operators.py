@@ -849,6 +849,23 @@ def test_bpe_merges_learns_frequency_ordered_pairs(spark, tmp_path):
     ]
 
 
+def test_bpe_tokenize_applies_learned_merges(spark, tmp_path):
+    """Train-then-apply round trip: fully-merged words collapse to one
+    subword; uncovered words stay at char+</w> granularity."""
+    from hadoop_logfile_inputformat_spark.operators import text as T
+
+    sf = _write_docs(spark, tmp_path, ["aaab aaab aaab", "xy xy"])
+    merges = T.bpe_merges(spark, sf, n_merges=4)
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in T.bpe_tokenize(docs, merges).collect()}
+    # all four merges chain: aaab -> aaab</w>, one subword per word
+    assert (out[0].n_words, out[0].n_subwords) == (3, 3)
+    assert out[0].subwords_per_word == 1.0
+    # xy untouched by the learned merges: x, y, </w> per word
+    assert (out[1].n_words, out[1].n_subwords) == (2, 6)
+    assert out[1].subwords_per_word == 3.0
+
+
 def test_corpus_report_totals_are_consistent(spark):
     """Data-card invariants: per-slice totals sum to corpus totals,
     keep counts never exceed doc counts."""
