@@ -339,7 +339,16 @@ def minhash_lsh_pairs(
     sets = scoped_persist(
         _shingle_sets(load(spark, sf_dir, "documents")), ("shingle_sets", sf_dir)
     )
-    sigs = _signatures_from_sets(sets, hash_fn)
+    # Persist the per-doc signature table too: the band-bucket SELF-join
+    # otherwise evaluates BOTH sides independently, running the whole
+    # shingle-explode + 32-min aggregation TWICE (verified in the
+    # executed plan — no exchange reuse fires across the self-join).
+    # One row of 32 longs per doc, far smaller than recomputing a
+    # corpus-sized signature pass at scale; banding re-derives from the
+    # cache as a pure projection on each side.
+    sigs = scoped_persist(
+        _signatures_from_sets(sets, hash_fn), ("minhash_sigs", sf_dir, hash_fn)
+    )
     buckets = _band_buckets(sigs, hash_fn)
     buckets = _cap_buckets(buckets, ["band", "bucket"], max_bucket_size)
     a = buckets.alias("a")
@@ -415,7 +424,12 @@ def simhash_pairs(
     The 8×8-bit chunking works unchanged for the 60-bit portable hash:
     chunk 7 simply carries 4 meaningful bits.
     """
-    sh = simhash_64(spark, sf_dir, hash_fn)
+    # persisted for the same reason as minhash_lsh_pairs' sigs: the
+    # chunk self-join would otherwise run the 64-bit-sum aggregation
+    # once per side (one row of one long per doc cached instead)
+    sh = scoped_persist(
+        simhash_64(spark, sf_dir, hash_fn), ("simhash_sigs", sf_dir, hash_fn)
+    )
     chunk = F.explode(
         F.array(
             *[
