@@ -882,3 +882,32 @@ def test_corpus_report_totals_are_consistent(spark):
         assert 0 <= r.n_gopher_keep <= r.n_docs
         assert 0 < r.n_exact_unique <= r.n_docs
         assert r.total_chars > 0 and r.total_tokens > 0
+
+
+def test_write_corpus_publishes_partitioned_layout_with_manifest(spark, tmp_path):
+    """Corpus publication: hive layout per split, file row counts
+    bounded, and the manifest verifies against a fresh re-count."""
+    from hadoop_logfile_inputformat_spark.operators import sinks
+
+    rows = [(i, "train" if i % 10 < 8 else "val", f"doc {i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, split string, text string")
+    out = str(tmp_path / "corpus")
+    manifest = sinks.write_corpus(
+        df, out, partition_by=("split",), max_records_per_file=50
+    )
+    m = {r.split: r.n_rows for r in manifest.collect()}
+    assert m == {"train": 160, "val": 40}
+    # hive layout + bounded files: train has 160 rows / cap 50 -> >= 4 files
+    import glob
+    train_files = glob.glob(out + "/split=train/*.parquet")
+    assert len(train_files) >= 4
+    assert glob.glob(out + "/split=val/*.parquet")
+    # _manifest dir is invisible to the data read (underscore convention)
+    assert spark.read.parquet(out).count() == 200
+    chk = sinks.verify_manifest(spark, out)
+    assert all(r.ok for r in chk.collect())
+    # a tampered partition is caught
+    import os
+    os.remove(train_files[0])
+    bad = {r.split: r.ok for r in sinks.verify_manifest(spark, out).collect()}
+    assert bad["val"] and not bad["train"]
