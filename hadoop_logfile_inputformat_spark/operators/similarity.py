@@ -17,7 +17,11 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hadoop_logfile_inputformat_spark.operators.tables import _table_sizes, load
+from hadoop_logfile_inputformat_spark.operators.tables import (
+    _table_sizes,
+    load,
+    scoped_persist,
+)
 
 QUERY_MODULUS = 50  # vec_id % 50 == 0 → deterministic query subset
 TOP_K = 5
@@ -325,6 +329,13 @@ def embedding_near_dup_scale(
         )
         .groupBy("vec_id", "band")
         .agg(F.sum("pv").alias("bucket"))
+    )
+    # persisted for the same reason as dedup.py's signature tables: the
+    # candidate SELF-join evaluates both sides independently, so
+    # without the cache every vector's n_planes dot products run twice
+    # (bands x |vectors| small rows cached instead)
+    buckets = scoped_persist(
+        buckets, ("hyperplane_buckets", sf_dir, n_planes, band_bits, seed)
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
