@@ -60,6 +60,47 @@ def training_corpus(
     return pack_chunks(chunks, budget)
 
 
+def curation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation audit: every gate's keep/drop flag side by
+    side plus the conjunction — the row-level provenance a pipeline
+    needs to answer "WHY was this document dropped?" (and to tune one
+    gate without re-running the others).
+
+    One row per document: heuristic quality, Gopher rules, unigram
+    rarity, paragraph dedup, exact-substring dedup, and exact-hash
+    survivorship.  All members are per-doc frames joined doc_id-equi —
+    co-partitioned after the first shuffle, same plan at 100 TB.
+    ``final_keep`` is the AND of all gates (the strictest composition;
+    real runs pick their subset).
+    """
+    from hadoop_logfile_inputformat_spark.operators import dedup, text
+
+    q = text.text_quality(spark, sf_dir).select("doc_id", "quality_keep")
+    g = text.gopher_quality(spark, sf_dir).select("doc_id", "gopher_keep")
+    r = text.rare_token_profile(spark, sf_dir).select("doc_id", "freq_keep")
+    p = text.paragraph_dedup(spark, sf_dir).select("doc_id", "para_keep")
+    s = text.substring_dedup(spark, sf_dir).select("doc_id", "substr_keep")
+    e = dedup.exact_dedup(spark, sf_dir).select(
+        "doc_id", (1 - F.col("is_dup")).cast("int").alias("exact_keep")
+    )
+    out = (
+        q.join(g, "doc_id")
+        .join(r, "doc_id")
+        # paragraph_dedup emits no row for docs with zero >=min_chars
+        # paragraphs: nothing to dedup there, so they default to keep
+        .join(p, "doc_id", "left")
+        .withColumn("para_keep", F.coalesce("para_keep", F.lit(1)))
+        .join(s, "doc_id")
+        .join(e, "doc_id")
+    )
+    gates = ["quality_keep", "gopher_keep", "freq_keep", "para_keep",
+             "substr_keep", "exact_keep"]
+    final = F.lit(1)
+    for c in gates:
+        final = final * F.col(c)
+    return out.select("doc_id", *gates, final.cast("int").alias("final_keep"))
+
+
 def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(language, source) corpus data card: document / character /
     token volume and the keep counts of each quality gate — the summary

@@ -1754,6 +1754,35 @@ def _bpe_oracle_sql(n_merges: int, passes: int) -> str:
 
 _SQL["bpe_merges"] = _bpe_oracle_sql(text.BPE_MERGES, text.BPE_PASSES)
 
+# Per-doc curation gate matrix: composed verbatim from the member
+# oracles (same convention as training_corpus / corpus_report);
+# paragraph_dedup left-joins because zero-paragraph docs have nothing
+# to dedup and default to keep.
+_SQL["curation_matrix"] = f"""
+    WITH q AS ({_SQL["text_quality"]}),
+    g AS ({_SQL["gopher_quality"]}),
+    r AS ({_SQL["rare_token_profile"]}),
+    p AS ({_SQL["paragraph_dedup"]}),
+    s AS ({_SQL["substring_dedup"]}),
+    e AS ({_SQL["dedup_exact"]})
+    SELECT q.doc_id,
+           q.quality_keep,
+           g.gopher_keep,
+           r.freq_keep,
+           CAST(coalesce(p.para_keep, 1) AS INT) AS para_keep,
+           s.substr_keep,
+           CAST(1 - e.is_dup AS INT) AS exact_keep,
+           CAST(q.quality_keep * g.gopher_keep * r.freq_keep
+                * coalesce(p.para_keep, 1) * s.substr_keep
+                * (1 - e.is_dup) AS INT) AS final_keep
+    FROM q
+    JOIN g USING (doc_id)
+    JOIN r USING (doc_id)
+    LEFT JOIN p USING (doc_id)
+    JOIN s USING (doc_id)
+    JOIN e USING (doc_id)
+"""
+
 _SQL["corpus_split"] = """
     SELECT doc_id,
            CASE WHEN b < 800 THEN 'train'
@@ -2343,6 +2372,11 @@ _PACKS: Dict[str, list] = {
            k1="doc_id", k2="dedup_md5", v1="n_tokens", v2="n_dup_spans",
            v3="n_dup_tokens", v4="dup_token_ratio", v5="n_kept_tokens",
            v6="substr_keep"),
+        # per-doc curation audit: every gate's keep flag + conjunction
+        _m("gate_matrix", pipeline.curation_matrix, "curation_matrix",
+           k1="doc_id", k2="final_keep", v1="quality_keep",
+           v2="gopher_keep", v3="freq_keep", v4="para_keep",
+           v5="substr_keep", v6="exact_keep"),
         # distributed BPE merge learning on the word-frequency vocab
         # (Sennrich et al. 2016); the whole iterative loop is
         # recomputed by the oracle's unrolled CTE chain

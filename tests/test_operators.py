@@ -911,3 +911,21 @@ def test_write_corpus_publishes_partitioned_layout_with_manifest(spark, tmp_path
     os.remove(train_files[0])
     bad = {r.split: r.ok for r in sinks.verify_manifest(spark, out).collect()}
     assert bad["val"] and not bad["train"]
+
+
+def test_curation_matrix_flags_are_consistent(spark):
+    """The gate matrix must be total over the corpus, each flag 0/1,
+    and final_keep exactly the conjunction of the gates."""
+    from hadoop_logfile_inputformat_spark.operators.pipeline import curation_matrix
+
+    rows = curation_matrix(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == n_docs
+    gates = ["quality_keep", "gopher_keep", "freq_keep", "para_keep",
+             "substr_keep", "exact_keep"]
+    for r in rows:
+        vals = [r[g] for g in gates]
+        assert all(v in (0, 1) for v in vals)
+        assert r.final_keep == min(vals)
+    assert any(r.final_keep == 0 for r in rows)  # gates actually bite
+    assert any(r.final_keep == 1 for r in rows)
