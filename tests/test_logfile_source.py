@@ -399,3 +399,38 @@ def test_per_path_preset_resolution(spark, tmp_path):
         .collect()
     )
     assert len(rows) == 2
+
+
+def test_sql_create_view_using_logfile(spark, corpus):
+    """Pure-SQL surface: the registered Python data source must work
+    through CREATE TEMPORARY VIEW ... USING logfile, so SQL-only users
+    get the multi-line reader without touching the DataFrame API."""
+    out, summary, path_formats, paths = corpus
+    # pick one format-A file so a single pattern option suffices
+    path = next(p for p, f in path_formats.items() if f == "A")
+    spark.sql("DROP VIEW IF EXISTS sql_logs")
+    # Spark SQL string literals are backslash-escaped, so the regex's
+    # backslashes must be doubled when spelled inline in OPTIONS
+    sql_pattern = FORMAT_A.replace("\\", "\\\\")
+    spark.sql(
+        f"""
+        CREATE TEMPORARY VIEW sql_logs
+        USING logfile
+        OPTIONS (path '{path}', pattern '{sql_pattern}')
+        """
+    )
+    try:
+        n = spark.sql("SELECT count(*) AS n FROM sql_logs").collect()[0].n
+        direct = (
+            spark.read.format("logfile")
+            .option("pattern", FORMAT_A)
+            .load(path)
+            .count()
+        )
+        assert n == direct > 0
+        firsts = spark.sql(
+            "SELECT count(*) AS n FROM sql_logs WHERE record LIKE '% | %'"
+        ).collect()[0].n
+        assert firsts == n  # every assembled record carries the header
+    finally:
+        spark.sql("DROP VIEW IF EXISTS sql_logs")
