@@ -752,6 +752,47 @@ def build_minhash_index(
         sets.unpersist()
 
 
+def build_exact_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    name: str,
+    n_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Materialize the exact-dedup hash index of ``docs``: a bucketed
+    ``<name>_hashes`` (text_hash, doc_id) table keyed by content
+    SHA-256, plus the ``<name>_batches`` replay log — the exact-hash
+    counterpart of :func:`build_minhash_index`, sized for streaming
+    anti-join probes (the corpus side reads through its bucketing with
+    no shuffle; each probe is O(batch)).
+
+    Rows carry the ``batch_id`` that contributed them (``-1`` for the
+    seed corpus): a replayed micro-batch excludes its OWN prior
+    contribution from the probe, so it reproduces the identical
+    survivor set instead of seeing itself as already-ingested
+    (curate_stream_batch's effectively-once guarantee)."""
+    hashes = docs.select(
+        F.sha2(F.col("text"), 256).alias("text_hash"),
+        "doc_id",
+        F.lit(-1).cast("long").alias("batch_id"),
+    )
+    writer = (
+        hashes.write.bucketBy(n_buckets, "text_hash")
+        .sortBy("text_hash")
+        .mode("overwrite")
+        .format("parquet")
+    )
+    if path is not None:
+        writer = writer.option("path", f"{path}/{name}_hashes")
+    writer.saveAsTable(f"{name}_hashes")
+    logw = spark.createDataFrame([], "batch_id BIGINT").write.mode(
+        "overwrite"
+    ).format("parquet")
+    if path is not None:
+        logw = logw.option("path", f"{path}/{name}_batches")
+    logw.saveAsTable(f"{name}_batches")
+
+
 def incremental_near_dups(
     spark: SparkSession,
     delta_docs: DataFrame,

@@ -55,13 +55,20 @@ def _ratio4(a: Column, b: Column) -> Column:
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics over the ``documents`` table — see
+    :func:`quality_flags` for the frame-level form."""
+    return quality_flags(load(spark, sf_dir, "documents"))
+
+
+def quality_flags(d: DataFrame) -> DataFrame:
     """Per-document quality metrics: lengths, word stats, character
     class ratios, stopword ratio, and a composite keep/drop signal.
+    Frame-level (any ``(doc_id, text)`` DataFrame — batch tables and
+    streaming micro-batches alike); pure per-row projection.
 
     The four-decimal ratios use :func:`_ratio4` (integer half-up
     rounding), not ``round(double, 4)`` — see its docstring.
     """
-    d = load(spark, sf_dir, "documents")
     text = F.col("text")
     toks = _ws_tokens(text)
     n_chars = F.length(text)
@@ -673,11 +680,18 @@ def rare_token_profile(
 
 
 def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule filter over the ``documents`` table — see
+    :func:`gopher_flags` for the frame-level form."""
+    return gopher_flags(load(spark, sf_dir, "documents"))
+
+
+def gopher_flags(d: DataFrame) -> DataFrame:
     """Gopher rule-based quality filter (Rae et al. 2021, "Scaling
     Language Models: ... Gopher", arXiv:2112.11446, Table A1): the
     public word-count / mean-word-length / symbol-ratio / bullet-line /
     ellipsis-line / alpha-word / stopword heuristics, one column per
-    rule plus the conjunction.
+    rule plus the conjunction.  Frame-level (any ``(doc_id, text)``
+    DataFrame — batch tables and streaming micro-batches alike).
 
     Thresholds follow the paper except ``min_words`` (50 → 5: the
     fixture documents are short; the rule column, not the constant, is
@@ -686,7 +700,6 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs at parquet-scan speed and composes with any downstream
     curation join.  Ratios are :func:`_ratio4` integer half-up.
     """
-    d = load(spark, sf_dir, "documents")
     text = F.col("text")
     toks = _ws_tokens(text)
     n_words = F.size(toks)

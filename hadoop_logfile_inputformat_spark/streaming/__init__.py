@@ -3,6 +3,8 @@ from hadoop_logfile_inputformat_spark.streaming.logfile_stream import (  # noqa:
     register_logfile_stream_source,
 )
 from hadoop_logfile_inputformat_spark.streaming.pipelines import (  # noqa: F401
+    curate_stream,
+    curate_stream_batch,
     dedup_stream,
     enrich_stream_with_dim,
     events_hourly_stream,

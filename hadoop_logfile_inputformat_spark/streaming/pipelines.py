@@ -12,7 +12,7 @@ events.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -212,6 +212,97 @@ def near_dup_stream(
             hash_fn=hash_fn,
             update_index=update_index,
         )
+
+    return (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def curate_stream_batch(
+    batch_docs: DataFrame,
+    index_name: str,
+    corpus_sink: str,
+    batch_id: int,
+) -> None:
+    """Gate + exact-dedup ONE micro-batch of documents and append the
+    survivors to the corpus sink: quality and Gopher rule gates
+    (stateless per-row projections), within-batch exact dedup (lowest
+    doc_id survives), then an anti-join against the persisted
+    ``build_exact_index`` hash table so re-submitted content never
+    re-enters the corpus.  New hashes append to the index under the
+    same replay-log guard as :func:`near_dup_stream_batch`; survivors
+    land in ``corpus_sink/batch_id=<id>`` with OVERWRITE, so a
+    replayed batch rewrites its own partition (effectively-once).
+
+    Per batch the work is O(batch) projections plus one bucketed
+    anti-join probe — the standing corpus is never rescanned.
+    """
+    from hadoop_logfile_inputformat_spark.operators import text as T
+
+    spark = batch_docs.sparkSession
+    flags = (
+        T.quality_flags(batch_docs).select("doc_id", "quality_keep")
+        .join(T.gopher_flags(batch_docs).select("doc_id", "gopher_keep"), "doc_id")
+    )
+    gated = (
+        batch_docs.join(flags, "doc_id")
+        .filter((F.col("quality_keep") == 1) & (F.col("gopher_keep") == 1))
+        .drop("quality_keep", "gopher_keep")
+        .withColumn("text_hash", F.sha2(F.col("text"), 256))
+    )
+    # within-batch exact dedup, deterministic survivor (lowest doc_id)
+    gated = (
+        gated.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("text_hash").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # exclude this batch's OWN prior contribution: a replay then
+    # reproduces the identical survivor set (the overwrite below stays
+    # idempotent) instead of anti-joining against itself to empty
+    seen = (
+        spark.table(f"{index_name}_hashes")
+        .filter(F.col("batch_id") != batch_id)
+        .select("text_hash")
+    )
+    fresh = gated.join(seen, "text_hash", "left_anti")
+    fresh.drop("text_hash").write.mode("overwrite").parquet(
+        f"{corpus_sink}/batch_id={batch_id}"
+    )
+    log = f"{index_name}_batches"
+    if spark.table(log).filter(F.col("batch_id") == batch_id).count() > 0:
+        return  # replayed batch: hashes already applied
+    fresh.select(
+        "text_hash", "doc_id", F.lit(batch_id).cast("long").alias("batch_id")
+    ).write.mode("append").insertInto(f"{index_name}_hashes")
+    spark.createDataFrame([(batch_id,)], "batch_id BIGINT").write.mode(
+        "append"
+    ).insertInto(log)
+
+
+def curate_stream(
+    docs: DataFrame,
+    index_name: str,
+    corpus_sink: str,
+    checkpoint: str,
+):
+    """Continuous corpus ingestion: documents arrive as a stream, pass
+    the stateless quality gates, are exact-deduped within the batch and
+    against the full ingestion history (persisted hash index — bounded
+    per-batch work, unlike ``dropDuplicates``'s ever-growing state),
+    and the survivors append to a partitioned corpus sink.  Returns the
+    started ``StreamingQuery``; compose with :func:`near_dup_stream`
+    on the sink for the approximate layer.
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        curate_stream_batch(batch_df, index_name, corpus_sink, batch_id)
 
     return (
         docs.writeStream.foreachBatch(_process)

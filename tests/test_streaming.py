@@ -561,3 +561,62 @@ def test_near_dup_stream_probes_and_grows_index(spark, tmp_path):
         assert got3 == got2
         for t in ("t_stream_idx_buckets", "t_stream_idx_sets", "t_stream_idx_batches"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_curate_stream_gates_and_dedups_across_batches(spark, tmp_path):
+    """Continuous corpus ingestion: quality+Gopher gates drop junk,
+    within-batch and cross-batch exact dups never re-enter the corpus,
+    and a replayed batch body is effectively-once."""
+    from hadoop_logfile_inputformat_spark.operators import dedup
+    from hadoop_logfile_inputformat_spark.streaming import (
+        curate_stream,
+        curate_stream_batch,
+    )
+
+    for t in ("t_curate_idx_hashes", "t_curate_idx_batches"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    good = (
+        "the quick brown fox jumps over the lazy dog beside the calm river"
+    )
+    good2 = (
+        "many colorful parrots squawk loudly above the ancient temple ruins"
+        " in the warm morning light"
+    )
+    junk = "1234 5678 9012 3456 7890"  # zero alpha chars: fails quality
+    schema = "doc_id long, text string"
+    seed = spark.createDataFrame([(1, good)], schema)
+    dedup.build_exact_index(
+        spark, seed, "t_curate_idx", n_buckets=2,
+        path=str(tmp_path / "idx"),
+    )
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    sink = str(tmp_path / "corpus")
+    # batch 0: dup of the seed doc, junk, and one genuinely new doc —
+    # plus an in-batch duplicate of the new doc
+    spark.createDataFrame(
+        [(101, good), (102, junk), (103, good2), (104, good2)], schema
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = curate_stream(stream, "t_curate_idx", sink, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        kept = {r.doc_id for r in spark.read.parquet(sink).collect()}
+        assert kept == {103}  # 101 dup-of-seed, 102 junk, 104 in-batch dup
+        # batch 1: resubmission of good2 must be caught via the index
+        spark.createDataFrame([(201, good2)], schema).coalesce(1).write.parquet(
+            str(src / "b1")
+        )
+        q.processAllAvailable()
+        kept = {r.doc_id for r in spark.read.parquet(sink).collect()}
+        assert kept == {103}
+    finally:
+        q.stop()
+    n_hashes = spark.table("t_curate_idx_hashes").count()
+    # replaying batch 0's body must not change sink or index
+    replay = spark.createDataFrame(
+        [(101, good), (102, junk), (103, good2), (104, good2)], schema
+    )
+    curate_stream_batch(replay, "t_curate_idx", sink, batch_id=0)
+    assert {r.doc_id for r in spark.read.parquet(sink).collect()} == {103}
+    assert spark.table("t_curate_idx_hashes").count() == n_hashes
