@@ -164,6 +164,123 @@ def ann_ivf_topk(
     )
 
 
+def build_ivf_index(
+    spark: SparkSession,
+    vectors: DataFrame,
+    name: str,
+    centroid_modulus: int = IVF_CENTROID_MODULUS,
+    n_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Materialize the IVF search structure of ``vectors`` (any
+    ``(vec_id, embedding)`` DataFrame) as persisted tables — the vector
+    counterpart of ``dedup.build_minhash_index``: at corpus scale the
+    assignment pass (|corpus| x |centroids| scoring) runs ONCE here,
+    not per query.
+
+    - ``<name>_lists`` (vec_id, centroid_id, embedding, nrm), bucketed
+      + sorted by centroid_id — the inverted lists; probes join on
+      centroid_id and the corpus side reads through its bucketing with
+      no Exchange;
+    - ``<name>_centroids`` (centroid_id, c_emb, c_nrm) — tiny, one
+      file, broadcast at probe time.
+
+    Centroids are the deterministic modulus subset (parity with
+    :func:`ann_ivf_topk`); swap in learned centroids by overwriting
+    ``<name>_centroids`` — the probe path only needs the two tables.
+    """
+    v = vectors.select(
+        "vec_id", "embedding", _norm("embedding").alias("nrm")
+    )
+    cent = v.filter(F.col("vec_id") % centroid_modulus == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    sim_vc = _dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
+    assigned = (
+        v.join(F.broadcast(cent), how="cross")
+        .select(
+            "vec_id", "embedding", "nrm", "centroid_id", sim_vc.alias("c_sim")
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.first("nrm").alias("nrm"),
+            F.expr("max_by(centroid_id, struct(c_sim, -centroid_id))").alias(
+                "centroid_id"
+            ),
+        )
+    )
+    writer = (
+        assigned.write.bucketBy(n_buckets, "centroid_id")
+        .sortBy("centroid_id")
+        .mode("overwrite")
+        .format("parquet")
+    )
+    if path is not None:
+        writer = writer.option("path", f"{path}/{name}_lists")
+    writer.saveAsTable(f"{name}_lists")
+    cw = cent.coalesce(1).write.mode("overwrite").format("parquet")
+    if path is not None:
+        cw = cw.option("path", f"{path}/{name}_centroids")
+    cw.saveAsTable(f"{name}_centroids")
+
+
+def ann_ivf_probe(
+    spark: SparkSession,
+    queries: DataFrame,
+    name: str,
+    k: int = TOP_K,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Search a persisted :func:`build_ivf_index`: each query ranks
+    only the vectors of its ``nprobe`` nearest centroids.
+
+    ``queries`` is any ``(query_id, embedding)`` DataFrame.  Per call
+    the work is |queries| x |centroids| scoring (centroids broadcast)
+    plus one centroid_id join that reads the inverted lists through
+    their bucketing — no index-side shuffle, no corpus rescan.  No
+    explicit broadcast hint on the probe side: AQE broadcasts it when
+    small, and at scale the join degrades to sort-merge that still
+    consumes the bucketing (plan-asserted in tests).
+    """
+    cent = spark.table(f"{name}_centroids")
+    q = queries.select(
+        F.col("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_nrm"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("centroid_id")
+    )
+    probes = (
+        q.join(F.broadcast(cent), how="cross")
+        .select(
+            "query_id", "q_emb", "q_nrm", "centroid_id",
+            (_dot("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm"))).alias(
+                "c_sim"
+            ),
+        )
+        .withColumn("p", F.row_number().over(probe_w))
+        .filter(F.col("p") <= nprobe)
+        .drop("p", "c_sim")
+    )
+    lists = spark.table(f"{name}_lists")
+    sim = F.round(_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm")), 4)
+    hits = (
+        probes.join(lists, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def quantized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, q array<double>, nrm): int8 scalar quantization of the
     embedding column (values integer-valued, carried as doubles).

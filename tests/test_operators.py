@@ -929,3 +929,47 @@ def test_curation_matrix_flags_are_consistent(spark):
         assert r.final_keep == min(vals)
     assert any(r.final_keep == 0 for r in rows)  # gates actually bite
     assert any(r.final_keep == 1 for r in rows)
+
+
+def test_ivf_index_probe_matches_inline_search(spark, tmp_path):
+    """The persisted IVF index must return exactly what the inline
+    build-per-query operator returns, and its probe must read the
+    inverted lists through their bucketing (no corpus-side Exchange)
+    under the forced sort-merge shape."""
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    for t in ("t_ivf_lists", "t_ivf_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    vectors = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    similarity.build_ivf_index(
+        spark, vectors, "t_ivf", n_buckets=4, path=str(tmp_path / "ivf")
+    )
+    queries = vectors.filter(
+        F.col("vec_id") % similarity.QUERY_MODULUS == 0
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    try:
+        probe = {
+            tuple(r)
+            for r in similarity.ann_ivf_probe(spark, queries, "t_ivf").collect()
+        }
+        inline = {
+            tuple(r) for r in similarity.ann_ivf_topk(spark, SF).collect()
+        }
+        assert probe == inline and probe
+        prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = similarity.ann_ivf_probe(spark, queries, "t_ivf")
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            scans = [
+                line for line in plan.splitlines()
+                if "FileScan" in line and "t_ivf_lists" in line
+            ]
+            assert scans, plan
+            for line in scans:
+                assert "Bucketed: true" in line, line
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    finally:
+        for t in ("t_ivf_lists", "t_ivf_centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
