@@ -299,7 +299,15 @@ def quantized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     search value-hash-checkable (unlike float sums, which would depend
     on fold order).
     """
-    e = load(spark, sf_dir, "embeddings")
+    return quantize_frame(load(spark, sf_dir, "embeddings"))
+
+
+def quantize_frame(e: DataFrame) -> DataFrame:
+    """Frame-level int8 scalar quantization (see
+    :func:`quantized_vectors`): any ``(vec_id, embedding)`` DataFrame →
+    ``(vec_id, q, nrm)``.  Per-vector scale, so quantizing a query
+    frame separately yields bit-identical values to quantizing it as
+    part of a corpus."""
     staged = e.select(
         "vec_id",
         "embedding",
@@ -784,6 +792,143 @@ def ann_pq_topk(
 
 
 SEMDEDUP_TAU = 0.95  # paper-typical threshold for real embedding spaces
+
+
+def build_pq_index(
+    spark: SparkSession,
+    vectors: DataFrame,
+    name: str,
+    n_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Materialize the PQ search structure of ``vectors`` (any
+    ``(vec_id, embedding)`` DataFrame): quantize + encode the corpus
+    ONCE instead of per query.  Three tables:
+
+    - ``<name>_codes`` (vec_id, m, code, code_nrm2) — M small ints per
+      vector, the resident ADC tier;
+    - ``<name>_quantized`` (vec_id, q, nrm), bucketed by vec_id — the
+      re-rank fetch side, read through its bucketing;
+    - ``<name>_codebooks`` (m, entry_id, c_sub, c_nrm2) — tiny, one
+      file, broadcast at probe time.
+
+    The deterministic modulus codebook stands in for sampled k-means
+    (same contract as :func:`ann_pq_topk`); swap learned codebooks in
+    by overwriting ``<name>_codebooks`` AND re-encoding codes.
+    """
+    qv = quantize_frame(vectors)
+    parts = _pq_parts(qv)
+    cb = (
+        _pq_parts(qv.filter(F.col("vec_id") % PQ_CODEBOOK_MODULUS == 0), "entry_id")
+        .select("m", "entry_id", F.col("sub").alias("c_sub"))
+        .withColumn("c_nrm2", F.expr(
+            "aggregate(c_sub, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)"
+        ))
+    )
+    score = F.col("c_nrm2") - 2 * _dot("sub", "c_sub")
+    codes = (
+        parts.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "entry_id", "c_nrm2", score.alias("score"))
+        .groupBy("vec_id", "m")
+        .agg(
+            F.expr("min_by(struct(entry_id, c_nrm2), struct(score, entry_id))")
+            .alias("ce")
+        )
+        .select(
+            "vec_id", "m",
+            F.col("ce.entry_id").alias("code"),
+            F.col("ce.c_nrm2").alias("code_nrm2"),
+        )
+    )
+    cw = codes.write.mode("overwrite").format("parquet")
+    if path is not None:
+        cw = cw.option("path", f"{path}/{name}_codes")
+    cw.saveAsTable(f"{name}_codes")
+    qw = (
+        qv.write.bucketBy(n_buckets, "vec_id")
+        .sortBy("vec_id")
+        .mode("overwrite")
+        .format("parquet")
+    )
+    if path is not None:
+        qw = qw.option("path", f"{path}/{name}_quantized")
+    qw.saveAsTable(f"{name}_quantized")
+    bw = cb.coalesce(1).write.mode("overwrite").format("parquet")
+    if path is not None:
+        bw = bw.option("path", f"{path}/{name}_codebooks")
+    bw.saveAsTable(f"{name}_codebooks")
+
+
+def ann_pq_probe(
+    spark: SparkSession,
+    queries: DataFrame,
+    name: str,
+    k: int = TOP_K,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """Search a persisted :func:`build_pq_index`: ADC shortlist against
+    the codes table, exact re-rank against the bucketed quantized
+    table.  ``queries`` is any ``(query_id, embedding)`` DataFrame —
+    quantized here with the same per-vector scale the index used, so
+    results are bit-identical to the inline :func:`ann_pq_topk` for
+    the same query set.  Per probe: |queries| x M x |codebook| LUT
+    rows (broadcast), one scan of codes, and |queries| x rerank
+    re-rank fetches — never a corpus re-encode."""
+    cb = spark.table(f"{name}_codebooks")
+    codes = spark.table(f"{name}_codes")
+    qv = quantize_frame(
+        queries.select(F.col("query_id").alias("vec_id"), "embedding")
+    )
+    lut = (
+        _pq_parts(qv, "query_id")
+        .join(F.broadcast(cb), "m")
+        .select("query_id", "m", "entry_id", _dot("sub", "c_sub").alias("pdot"))
+    )
+    q_nrm = qv.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("q_nrm"))
+    hits = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.m == lut.m) & (codes.code == lut.entry_id),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdot").alias("adc"), F.sum("code_nrm2").alias("rnrm2"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    adc_sim = F.round(F.col("adc") / (F.col("q_nrm") * F.sqrt("rnrm2")), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_sim"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        hits.join(F.broadcast(q_nrm), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc_sim.alias("adc_sim"),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qs = qv.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("q_q"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    ns = spark.table(f"{name}_quantized").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("n_q"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    exact_sim = F.round(_dot("q_q", "n_q") / (F.col("q_nrm") * F.col("n_nrm")), 4)
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        shortlist.join(F.broadcast(qs), "query_id")
+        .join(ns, "neighbor_id")
+        .select("query_id", "neighbor_id", exact_sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
 
 
 def semantic_dedup(

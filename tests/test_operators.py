@@ -973,3 +973,32 @@ def test_ivf_index_probe_matches_inline_search(spark, tmp_path):
     finally:
         for t in ("t_ivf_lists", "t_ivf_centroids"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_pq_index_probe_matches_inline_search(spark, tmp_path):
+    """The persisted PQ index (codes + quantized + codebooks) must
+    return exactly what the inline build-per-query operator returns
+    for the same query set."""
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    for t in ("t_pq_codes", "t_pq_quantized", "t_pq_codebooks"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    vectors = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    similarity.build_pq_index(
+        spark, vectors, "t_pq", n_buckets=4, path=str(tmp_path / "pq")
+    )
+    queries = vectors.filter(
+        F.col("vec_id") % similarity.QUERY_MODULUS == 0
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    try:
+        probe = {
+            tuple(r)
+            for r in similarity.ann_pq_probe(spark, queries, "t_pq").collect()
+        }
+        inline = {
+            tuple(r) for r in similarity.ann_pq_topk(spark, SF).collect()
+        }
+        assert probe == inline and probe
+    finally:
+        for t in ("t_pq_codes", "t_pq_quantized", "t_pq_codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
