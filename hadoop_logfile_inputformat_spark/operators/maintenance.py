@@ -66,6 +66,88 @@ def compact_parquet_dir(
     return n_out
 
 
+def compact_bucketed_table(
+    spark: SparkSession,
+    table: str,
+    keys: list,
+    n_buckets: int | None = None,
+) -> None:
+    """Rewrite ONE bucketed catalog table to one file per bucket while
+    KEEPING its bucket spec, so whatever no-shuffle join property the
+    bucketing provides survives the rewrite.  The shared engine behind
+    every index compaction here (LSH banding/sets, exact-hash, IVF
+    lists, PQ quantized vectors — any ``bucketBy`` table that accretes
+    files through appends).
+
+    Protocol: materialize a bucketed twin of the current contents under
+    a temp name (and, for EXTERNAL tables, a sibling ``__compact``
+    location), then swap catalog entries — the rewritten files are
+    fully on disk before the original is dropped.
+
+    ``n_buckets`` defaults to the existing bucket count (no-shuffle
+    rewrite); changing it pays the one repartition the change requires.
+    """
+    detail = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+
+    def _field(col, detail=detail):
+        row = next((r for r in detail if r.col_name == col), None)
+        return None if row is None else row.data_type
+
+    raw = _field("Num Buckets")
+    if raw is None:
+        raise ValueError(f"{table} is not a bucketed table")
+    nb = int(raw) if n_buckets is None else n_buckets
+    same_nb = nb == int(raw)
+    external = (_field("Type") or "").strip().upper() == "EXTERNAL"
+    location = _field("Location")
+    tmp = f"{table}__compact_tmp"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    if same_nb:
+        # same bucket count: keep the bucketed scan (one partition
+        # per storage bucket) and the rewrite needs NO shuffle —
+        # each task merges exactly its bucket's files.
+        frame = spark.table(table)
+    else:
+        # changing the bucket count: read by PATH (no bucket spec,
+        # so the explicit repartition onto the new bucket hash is
+        # not elided) and pay the one shuffle the change requires
+        frame = spark.read.parquet(location).repartition(nb, *keys)
+    writer = (
+        frame.write.bucketBy(nb, *keys)
+        .sortBy(*keys)
+        .format("parquet")
+    )
+    if external:
+        # alternate between <base> and <base>__compact so repeated
+        # compactions don't grow the path
+        base = location[: -len("__compact")] if location.endswith(
+            "__compact"
+        ) else location
+        new_loc = base if location.endswith("__compact") else f"{base}__compact"
+        writer = writer.option("path", new_loc)
+    if same_nb:
+        # a v1 write declares no distribution requirement, so
+        # DisableUnnecessaryBucketedScan would switch the scan to
+        # file-based splits and misalign the output buckets; pin
+        # the bucketed read for the duration of THIS write (the
+        # decision is made when the write job plans, not when the
+        # DataFrame is built)
+        auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        prior = spark.conf.get(auto, "true")
+        spark.conf.set(auto, "false")
+        try:
+            writer.saveAsTable(tmp)
+        finally:
+            spark.conf.set(auto, prior)
+    else:
+        writer.saveAsTable(tmp)
+    spark.sql(f"DROP TABLE {table}")  # external: old files remain...
+    if external and location:
+        fs, jvm = _hadoop_fs(spark, location)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(location), True)  # ...gone
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+
+
 def compact_minhash_index(
     spark: SparkSession,
     name: str,
@@ -74,76 +156,20 @@ def compact_minhash_index(
     """Rewrite the LSH index tables (``dedup.build_minhash_index``
     triple) after streaming appends: each micro-batch appended
     ``n_buckets`` files per table, and a long-running ``near_dup_stream``
-    turns every probe into a many-file scan.  Compaction rewrites each
-    bucketed table to one file per bucket (per writing task) while
-    KEEPING the bucket spec — the no-shuffle probe property survives.
-
-    Protocol per table: materialize a bucketed twin of the current
-    contents under a temp name (and, for EXTERNAL tables, a sibling
-    ``__compact`` location), then swap catalog entries — the rewritten
-    files are fully on disk before the original is dropped.  The
-    applied-batch log is left untouched.
-
-    ``n_buckets`` defaults to the existing tables' bucket count.
+    turns every probe into a many-file scan.  The applied-batch log is
+    left untouched.  See :func:`compact_bucketed_table`.
     """
     for suffix, keys in (("buckets", ["band", "bucket"]), ("sets", ["doc_id"])):
-        table = f"{name}_{suffix}"
-        detail = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        compact_bucketed_table(spark, f"{name}_{suffix}", keys, n_buckets)
 
-        def _field(col, detail=detail):
-            row = next((r for r in detail if r.col_name == col), None)
-            return None if row is None else row.data_type
 
-        raw = _field("Num Buckets")
-        if raw is None:
-            raise ValueError(f"{table} is not a bucketed table")
-        nb = int(raw) if n_buckets is None else n_buckets
-        same_nb = nb == int(raw)
-        external = (_field("Type") or "").strip().upper() == "EXTERNAL"
-        location = _field("Location")
-        tmp = f"{table}__compact_tmp"
-        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-        if same_nb:
-            # same bucket count: keep the bucketed scan (one partition
-            # per storage bucket) and the rewrite needs NO shuffle —
-            # each task merges exactly its bucket's files.
-            frame = spark.table(table)
-        else:
-            # changing the bucket count: read by PATH (no bucket spec,
-            # so the explicit repartition onto the new bucket hash is
-            # not elided) and pay the one shuffle the change requires
-            frame = spark.read.parquet(location).repartition(nb, *keys)
-        writer = (
-            frame.write.bucketBy(nb, *keys)
-            .sortBy(*keys)
-            .format("parquet")
-        )
-        if external:
-            # alternate between <base> and <base>__compact so repeated
-            # compactions don't grow the path
-            base = location[: -len("__compact")] if location.endswith(
-                "__compact"
-            ) else location
-            new_loc = base if location.endswith("__compact") else f"{base}__compact"
-            writer = writer.option("path", new_loc)
-        if same_nb:
-            # a v1 write declares no distribution requirement, so
-            # DisableUnnecessaryBucketedScan would switch the scan to
-            # file-based splits and misalign the output buckets; pin
-            # the bucketed read for the duration of THIS write (the
-            # decision is made when the write job plans, not when the
-            # DataFrame is built)
-            auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-            prior = spark.conf.get(auto, "true")
-            spark.conf.set(auto, "false")
-            try:
-                writer.saveAsTable(tmp)
-            finally:
-                spark.conf.set(auto, prior)
-        else:
-            writer.saveAsTable(tmp)
-        spark.sql(f"DROP TABLE {table}")  # external: old files remain...
-        if external and location:
-            fs, jvm = _hadoop_fs(spark, location)
-            fs.delete(jvm.org.apache.hadoop.fs.Path(location), True)  # ...gone
-        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+def compact_exact_index(
+    spark: SparkSession,
+    name: str,
+    n_buckets: int | None = None,
+) -> None:
+    """Compact the exact-dedup hash index (``dedup.build_exact_index``)
+    after ``curate_stream`` appends — same accretion pattern as the LSH
+    triple, one table.  The applied-batch log is left untouched."""
+    compact_bucketed_table(spark, f"{name}_hashes", ["text_hash"], n_buckets)
+

@@ -126,3 +126,62 @@ def test_compact_minhash_index_shrinks_files_same_pairs(spark, tmp_path):
     finally:
         for t in ("t_cmp_idx_buckets", "t_cmp_idx_sets", "t_cmp_idx_batches"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_exact_index_shrinks_files_same_decisions(spark, tmp_path):
+    """Streaming curation appends accrete hash-index files; compaction
+    must cut the file count while leaving dedup decisions identical."""
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        compact_exact_index,
+    )
+    from hadoop_logfile_inputformat_spark.streaming import curate_stream_batch
+
+    for t in ("t_cex_idx_hashes", "t_cex_idx_batches"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    schema = "doc_id long, text string"
+    good = [
+        "the quick brown fox jumps over the lazy dog beside the calm river",
+        "a small boat drifted slowly into the quiet harbor before the storm",
+        "many colorful parrots squawk loudly above the ancient temple ruins"
+        " in the warm morning light",
+    ]
+    idx_root = str(tmp_path / "idx")
+    dedup.build_exact_index(
+        spark,
+        spark.createDataFrame([(1, good[0])], schema),
+        "t_cex_idx",
+        n_buckets=2,
+        path=idx_root,
+    )
+    sink = str(tmp_path / "corpus")
+    for b, (off, t) in enumerate([(100, good[1]), (200, good[2])]):
+        curate_stream_batch(
+            spark.createDataFrame([(off, t)], schema),
+            "t_cex_idx", sink, batch_id=b,
+        )
+    try:
+        before = len(_parquet_files(os.path.join(idx_root, "t_cex_idx_hashes")))
+        assert before > 2
+        rows_before = {
+            tuple(r) for r in spark.table("t_cex_idx_hashes").collect()
+        }
+        compact_exact_index(spark, "t_cex_idx")
+        rows_after = {
+            tuple(r) for r in spark.table("t_cex_idx_hashes").collect()
+        }
+        assert rows_after == rows_before
+        loc = [r for r in spark.sql(
+            "DESCRIBE FORMATTED t_cex_idx_hashes").collect()
+            if r.col_name == "Location"][0].data_type
+        after = len(_parquet_files(loc.replace("file:", "")))
+        assert after < before
+        # a resubmission of already-ingested content is still caught
+        curate_stream_batch(
+            spark.createDataFrame([(300, good[2])], schema),
+            "t_cex_idx", sink, batch_id=2,
+        )
+        kept = {r.doc_id for r in spark.read.parquet(sink).collect()}
+        assert kept == {100, 200}
+    finally:
+        for t in ("t_cex_idx_hashes", "t_cex_idx_batches"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
