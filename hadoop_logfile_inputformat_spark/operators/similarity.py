@@ -164,6 +164,74 @@ def ann_ivf_topk(
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an ``(vec_id, embedding)``
+    DataFrame — the learned-centroid feed for :func:`build_ivf_index`
+    (its deterministic-modulus default stands in when no training pass
+    is wanted).  Returns ``(centroid_id, c_emb)``.
+
+    Deterministic end to end: init = the k lowest-``vec_id`` vectors,
+    assignment ties break to the lowest centroid_id, and an emptied
+    cluster keeps its previous centroid.  Scale shape per iteration:
+    one corpus pass scoring against the BROADCAST centroids with a
+    map-side ``min_by`` partial (never a |corpus| x k shuffle), then a
+    (centroid_id, position) mean aggregate whose result is k x dim
+    rows — that, not the corpus, is what the driver collects.
+    """
+    spark = vectors.sparkSession
+    v = vectors.select("vec_id", "embedding")
+    dim = len(v.select("embedding").head()[0])
+    init = v.orderBy("vec_id").limit(k).collect()
+    cents = [[float(x) for x in r["embedding"]] for r in init]
+    if len(cents) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(cents)}")
+    sq = (
+        "aggregate(zip_with(embedding, c_emb, (x, y) ->"
+        " (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " CAST(0.0 AS DOUBLE), (a, d) -> a + d)"
+    )
+    cdf = None
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            list(enumerate(cents)), "centroid_id int, c_emb array<double>"
+        )
+        assigned = (
+            v.join(F.broadcast(cdf), how="cross")
+            .select(
+                "vec_id",
+                "embedding",
+                "centroid_id",
+                F.expr(sq).alias("d2"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.first("embedding").alias("embedding"),
+                F.expr("min_by(centroid_id, struct(d2, centroid_id))").alias(
+                    "centroid_id"
+                ),
+            )
+        )
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode("embedding").alias("pos", "val")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = {}
+        for r in means:
+            new.setdefault(r["centroid_id"], [0.0] * dim)[r["pos"]] = r["m"]
+        cents = [new.get(i, cents[i]) for i in range(k)]
+    return spark.createDataFrame(
+        list(enumerate(cents)), "centroid_id int, c_emb array<double>"
+    )
+
+
 def build_ivf_index(
     spark: SparkSession,
     vectors: DataFrame,
@@ -171,12 +239,15 @@ def build_ivf_index(
     centroid_modulus: int = IVF_CENTROID_MODULUS,
     n_buckets: int = 32,
     path: str | None = None,
+    centroids: DataFrame | None = None,
 ) -> None:
     """Materialize the IVF search structure of ``vectors`` (any
     ``(vec_id, embedding)`` DataFrame) as persisted tables — the vector
     counterpart of ``dedup.build_minhash_index``: at corpus scale the
     assignment pass (|corpus| x |centroids| scoring) runs ONCE here,
-    not per query.
+    not per query.  Pass ``centroids`` (``(centroid_id, c_emb)``, e.g.
+    from :func:`kmeans_centroids`) to build over learned centroids
+    instead of the modulus subset.
 
     - ``<name>_lists`` (vec_id, centroid_id, embedding, nrm), bucketed
       + sorted by centroid_id — the inverted lists; probes join on
@@ -192,11 +263,16 @@ def build_ivf_index(
     v = vectors.select(
         "vec_id", "embedding", _norm("embedding").alias("nrm")
     )
-    cent = v.filter(F.col("vec_id") % centroid_modulus == 0).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
-    )
+    if centroids is not None:
+        cent = centroids.select(
+            "centroid_id", "c_emb", _norm("c_emb").alias("c_nrm")
+        )
+    else:
+        cent = v.filter(F.col("vec_id") % centroid_modulus == 0).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
     sim_vc = _dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
     assigned = (
         v.join(F.broadcast(cent), how="cross")

@@ -1002,3 +1002,41 @@ def test_pq_index_probe_matches_inline_search(spark, tmp_path):
     finally:
         for t in ("t_pq_codes", "t_pq_quantized", "t_pq_codebooks"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_kmeans_centroids_separate_clusters(spark, tmp_path):
+    """Two tight clusters: learned centroids land on the cluster means
+    and an IVF index built over them routes probes within-cluster."""
+    rows = []
+    for i in range(10):
+        rows.append((i, [10.0 + 0.1 * i, 0.0, 0.0, 0.0]))
+        rows.append((100 + i, [0.0, 10.0 + 0.1 * i, 0.0, 0.0]))
+    vectors = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = {
+        r.centroid_id: r.c_emb
+        for r in similarity.kmeans_centroids(vectors, k=2, iters=4).collect()
+    }
+    assert len(cents) == 2
+    # one centroid per cluster, at the cluster mean (10.45 on its axis)
+    axes = sorted(
+        (max(range(4), key=lambda d: c[d]), max(c)) for c in cents.values()
+    )
+    assert [a for a, _ in axes] == [0, 1]
+    for _, peak in axes:
+        assert abs(peak - 10.45) < 1e-9
+    for t in ("t_km_lists", "t_km_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    similarity.build_ivf_index(
+        spark, vectors, "t_km", n_buckets=2, path=str(tmp_path / "km"),
+        centroids=similarity.kmeans_centroids(vectors, k=2, iters=4),
+    )
+    try:
+        queries = spark.createDataFrame(
+            [(0, [11.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<double>"
+        )
+        hits = similarity.ann_ivf_probe(spark, queries, "t_km", k=3, nprobe=1)
+        got = {r.neighbor_id for r in hits.collect()}
+        assert got and all(n < 100 for n in got)  # stays in cluster A
+    finally:
+        for t in ("t_km_lists", "t_km_centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
