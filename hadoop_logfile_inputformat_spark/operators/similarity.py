@@ -608,8 +608,11 @@ def cosine_topk_arrow(
     k: int = TOP_K,
     query_modulus: int = QUERY_MODULUS,
 ) -> DataFrame:
-    """Arrow/numpy twin of :func:`cosine_topk` — identical results,
-    faster at sf0.1 (see BENCH) and widening with corpus size.
+    """Arrow/numpy twin of :func:`cosine_topk` — identical results.
+    At sf0.1 both run ~0.5 s (fixed overhead dominates and the two
+    trade places run to run); the Arrow kernel's advantage grows with
+    corpus size, where per-batch matmul throughput, not job overhead,
+    sets the rate.
 
     When the per-row math is dense linear algebra (64-dim dot products
     against every query), one numpy matmul per Arrow batch beats
