@@ -507,7 +507,12 @@ def embedding_near_dup_scale(
 
     v = _vectors(spark, sf_dir)
     # one-row driver action to learn the dimension (bounded by design)
-    dim = len(load(spark, sf_dir, "embeddings").select("embedding").head()[0])
+    first = load(spark, sf_dir, "embeddings").select("embedding").head()
+    if first is None:  # empty corpus (an empty partition/date at scale)
+        return spark.createDataFrame(
+            [], "vec_a long, vec_b long, sim double"
+        )
+    dim = len(first[0])
     H = np.random.RandomState(seed).standard_normal((n_planes, dim))
     planes = spark.createDataFrame(
         [(i, [float(x) for x in H[i]]) for i in range(n_planes)],

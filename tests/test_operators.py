@@ -1040,3 +1040,36 @@ def test_kmeans_centroids_separate_clusters(spark, tmp_path):
     finally:
         for t in ("t_km_lists", "t_km_centroids"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_operators_total_on_empty_tables(spark, tmp_path):
+    """Every operator with driver-side logic (dimension probes, collect
+    guards, fixpoint loops, learned models) must return an empty frame
+    on empty inputs, not crash — at scale an empty partition or date
+    slice is routine input."""
+    from hadoop_logfile_inputformat_spark.operators import pipeline, text
+
+    base = str(tmp_path)
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(base + "/documents.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(base + "/embeddings.parquet")
+    ops = [
+        dedup.minhash_lsh_pairs,
+        dedup.simhash_pairs,
+        dedup.near_dup_groups,
+        similarity.embedding_near_dup_scale,
+        similarity.cosine_topk_arrow,
+        similarity.ann_pq_topk,
+        similarity.ann_ivf_topk,
+        similarity.semantic_dedup,
+        text.bpe_merges,
+        text.substring_dedup,
+        text.stratified_sample,
+        pipeline.training_corpus,
+        pipeline.curation_matrix,
+    ]
+    for fn in ops:
+        assert fn(spark, base).count() == 0, fn.__name__
