@@ -114,6 +114,9 @@ EXTRA = [
     "q21_waiting_suppliers",
     "events_distinct_rollup",
     "dedup_incremental",
+    "shard_corpus",
+    "top_terms_per_source",
+    "embedding_stats",
     "pack_sequences",
     "decontaminate",
     "repetition_profile",

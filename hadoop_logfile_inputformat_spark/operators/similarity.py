@@ -56,6 +56,48 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
 
 
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding QA profile: the data-quality gate an ANN /
+    semantic-dedup pipeline runs BEFORE indexing 100 TB of vectors —
+    a broken encoder batch shows up here as a dimension drift, a
+    zero/degenerate-norm count, or a NaN count, each of which would
+    silently poison every cosine downstream.
+
+    One row per ``label``: vector count, min/max dimensionality,
+    min/max L2 norm, and a degenerate count (non-finite or ~zero norm).
+    Every statistic is either an integer or a min/max of
+    engine-identical doubles (the sequential-fold norm), so the whole
+    frame value-hashes cross-engine — deliberately NO mean/sum of
+    doubles, whose accumulation order Spark does not fix.
+
+    Scale shape: per-row projections + one low-cardinality groupBy
+    with map-side partials — cost is one corpus scan, shuffle is
+    |labels| rows.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    nrm = _norm("embedding")
+    bad = F.expr(
+        "exists(embedding, x -> isnan(CAST(x AS DOUBLE))"
+        " or abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"
+    )
+    rows = e.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        nrm.alias("nrm"),
+        bad.cast("int").alias("is_bad"),
+    )
+    return rows.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.min("dim").cast("long").alias("min_dim"),
+        F.max("dim").cast("long").alias("max_dim"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+        F.sum(
+            F.greatest("is_bad", (F.col("nrm") < 1e-6).cast("int"))
+        ).cast("long").alias("n_degenerate"),
+    )
+
+
 def cosine_topk(
     spark: SparkSession,
     sf_dir: str,

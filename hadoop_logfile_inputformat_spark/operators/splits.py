@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_logfile_inputformat_spark.operators.tables import load
@@ -69,4 +69,50 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return assign_split(d.select("doc_id")).select(
         "doc_id", "split", F.col("bucket").cast("long").alias("bucket")
+    )
+
+
+N_SHARDS = 8
+
+
+def _hash60(prefix: str, key_col) -> "F.Column":
+    """60-bit portable hash of ``prefix || key`` (engine-identical:
+    DuckDB spells it ``('0x' || substr(md5(...), 1, 15))::BIGINT``)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), key_col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def shard_corpus(
+    spark: SparkSession, sf_dir: str, n_shards: int = N_SHARDS
+) -> DataFrame:
+    """Deterministic training-shard assignment with pseudo-random
+    intra-shard order: ``(doc_id, shard, pos)``.
+
+    The step after packing in a training-data pipeline: data loaders
+    consume N shards, each in an order that must be (a) pseudo-random —
+    adjacent source documents must not stay adjacent in training — and
+    (b) reproducible across runs/engines without a global sort or a
+    seed file.  Both come from hashing the document key twice with
+    independent salts: ``shard`` is a bucket of one hash, ``pos`` ranks
+    a second, independent hash within the shard.
+
+    Scale shape: one hash-partition shuffle on ``shard`` plus a
+    partition-local sort; each window group is one shard ≈ |corpus| /
+    ``n_shards`` rows.  Production picks ``n_shards`` in the thousands
+    (loader parallelism), so groups stay bounded; the 100 TB variant of
+    a *global* pseudo-random order is exactly this with pos read
+    shard-major — no single-task sort anywhere.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    shard = (_hash60("shard|", F.col("doc_id")) % n_shards).alias("shard")
+    okey = _hash60("order|", F.col("doc_id"))
+    keyed = d.select("doc_id", shard, okey.alias("okey"))
+    w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
     )

@@ -620,6 +620,49 @@ def top_bigrams(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     )
 
 
+def top_terms_per_source(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """Characteristic terms per source — log-free TF-IDF-style keyword
+    extraction: for each ``source``, the ``k`` tokens ranked by term
+    frequency descending, source-document-frequency (how many DISTINCT
+    sources use the token) ascending, token ascending.
+
+    The float-free ordering keeps the top-k set engine-deterministic
+    (``tf · log(N/df)`` ties and 1-ulp ln() differences flip top-k
+    membership cross-engine; a lexicographic (tf, −src_df, token) order
+    ranks identically and needs no transcendental math).
+
+    Scale shape: token explode → ONE (source, token) groupBy with
+    map-side partials; src_df derives from that aggregate (|vocab| ×
+    |sources| rows, corpus-independent), and the final window
+    partitions by source over vocabulary-sized groups — never the
+    corpus.  At extreme vocab sizes swap the window for the two-phase
+    partition-local top-k in ``ranks.py`` (same pattern as
+    ``global_topk_orders``).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = _ws_tokens(F.lower(F.trim(F.col("text"))))
+    tf = (
+        d.select("source", F.explode(toks).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    src_df = tf.groupBy("token").agg(
+        F.count("*").cast("long").alias("src_df")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("tf"), F.asc("src_df"), F.asc("token")
+    )
+    return (
+        tf.join(src_df, "token")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("source", "token", F.col("tf").cast("long").alias("tf"),
+                "src_df", "rank")
+    )
+
+
 RARE_DF_MAX = 2      # tokens seen in <= this many docs count as rare
 COMMON_DF_CAP = 100  # df ceiling for the commonness score
 

@@ -1797,6 +1797,75 @@ _SQL["corpus_split"] = """
     )
 """
 
+# training-shard assignment (splits.py:shard_corpus): shard bucket and
+# intra-shard rank both from engine-portable 60-bit md5 hashes — the
+# oracle recomputes assignment AND order exactly.
+_SQL["shard_corpus"] = f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)),
+                                    1, 15)) AS BIGINT)
+                   % {splits.N_SHARDS} AS shard,
+               CAST(('0x' || substr(md5('order|' || CAST(doc_id AS VARCHAR)),
+                                    1, 15)) AS BIGINT) AS okey
+        FROM documents
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id)
+                - 1 AS BIGINT) AS pos
+    FROM keyed
+"""
+
+# per-label embedding QA profile (similarity.py:embedding_stats):
+# integer counts + min/max of the engine-identical sequential-fold
+# norm — deliberately no mean/sum of doubles (accumulation order).
+_SQL["embedding_stats"] = """
+    WITH rows AS (
+        SELECT label,
+               len(embedding) AS dim,
+               sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                            x -> x * x))) AS nrm,
+               CASE WHEN len(list_filter(CAST(embedding AS DOUBLE[]),
+                                         x -> isnan(x) OR isinf(x))) > 0
+                    THEN 1 ELSE 0 END AS is_bad
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(dim) AS BIGINT) AS min_dim,
+           CAST(max(dim) AS BIGINT) AS max_dim,
+           min(nrm) AS min_norm,
+           max(nrm) AS max_norm,
+           CAST(sum(greatest(is_bad,
+                             CASE WHEN nrm < 1e-6 THEN 1 ELSE 0 END))
+                AS BIGINT) AS n_degenerate
+    FROM rows
+    GROUP BY label
+"""
+
+# characteristic terms per source (text.py:top_terms_per_source):
+# log-free TF-IDF-style ranking — lexicographic (tf desc, src_df asc,
+# token asc), no transcendental math, so top-k membership is exact.
+_SQL["top_terms_per_source"] = """
+    WITH toks AS (
+        SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    occ AS (SELECT source, unnest(t) AS token FROM toks),
+    tf AS (SELECT source, token, count(*) AS tf FROM occ GROUP BY 1, 2),
+    sdf AS (SELECT token, count(*) AS src_df FROM tf GROUP BY token),
+    ranked AS (
+        SELECT tf.source, tf.token, tf.tf, sdf.src_df,
+               row_number() OVER (PARTITION BY tf.source
+                                  ORDER BY tf.tf DESC, sdf.src_df ASC,
+                                           tf.token ASC) AS rank
+        FROM tf JOIN sdf USING (token)
+    )
+    SELECT source, token, CAST(tf AS BIGINT) AS tf,
+           CAST(src_df AS BIGINT) AS src_df, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+"""
+
 # concat-and-cut sequence packing (text.py:pack_sequences /
 # pack_chunks): the oracle recomputes the global token cumsum with a
 # plain window — the Spark side's two-phase distributed cumsum must be
@@ -2174,6 +2243,11 @@ _PACKS: Dict[str, list] = {
            "semantic_dedup",
            k1="vec_id", k2="centroid_id",
            v1="n_close", v2="max_mate_sim", v3="kept"),
+        # per-label embedding QA profile (pre-indexing data-quality
+        # gate: dimension drift / degenerate-norm / NaN detection)
+        _m("embstats", similarity.embedding_stats, "embedding_stats",
+           k1="label", v1="n_vecs", v2="min_dim", v3="max_dim",
+           v4="min_norm", v5="max_norm", v6="n_degenerate"),
     ],
     # Multimodal surface under its original key: image decode features,
     # audio decode features, and resize-then-decode (all deterministic
@@ -2334,6 +2408,13 @@ _PACKS: Dict[str, list] = {
     "corpus_prep_pack": [
         _m("corpus_split", splits.corpus_split, "corpus_split",
            k1="doc_id", k2="split", v1="bucket"),
+        # deterministic training-shard assignment + pseudo-random
+        # intra-shard order (the data-loader handoff after packing)
+        _m("shard", splits.shard_corpus, "shard_corpus",
+           k1="doc_id", v1="shard", v2="pos"),
+        # log-free TF-IDF-style characteristic terms per source
+        _m("top_terms", text.top_terms_per_source, "top_terms_per_source",
+           k1="source", k2="token", v1="tf", v2="src_df", v3="rank"),
         _m("pack_sequences", text.pack_sequences, "pack_sequences",
            k1="doc_id", k2="chunk_id", v1="token_start", v2="n_tokens",
            v3="bin_id", v4="straddles"),

@@ -1068,8 +1068,86 @@ def test_operators_total_on_empty_tables(spark, tmp_path):
         text.bpe_merges,
         text.substring_dedup,
         text.stratified_sample,
+        text.top_terms_per_source,
         pipeline.training_corpus,
         pipeline.curation_matrix,
     ]
+    from hadoop_logfile_inputformat_spark.operators import splits
+    from hadoop_logfile_inputformat_spark.operators.similarity import embedding_stats
+
+    ops += [splits.shard_corpus, embedding_stats]
     for fn in ops:
         assert fn(spark, base).count() == 0, fn.__name__
+
+
+def test_shard_corpus_is_total_dense_and_stable(spark):
+    """Every document lands in exactly one shard; positions are dense
+    0..n-1 within each shard; assignment is identical across
+    invocations (no seed/session state)."""
+    from hadoop_logfile_inputformat_spark.operators import splits
+
+    out = splits.shard_corpus(spark, SF)
+    n_docs = spark.read.parquet(SF + "/documents.parquet").count()
+    rows = out.collect()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r.shard < splits.N_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    again = {(r.doc_id, r.shard, r.pos) for r in splits.shard_corpus(spark, SF).collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
+
+
+def test_embedding_stats_totals_and_sanity(spark):
+    """Label counts sum to the corpus; the synthetic embeddings are
+    64-dim, finite, non-zero — so dims pin at 64 and n_degenerate=0."""
+    from hadoop_logfile_inputformat_spark.operators.similarity import embedding_stats
+
+    rows = embedding_stats(spark, SF).collect()
+    n_vecs = spark.read.parquet(SF + "/embeddings.parquet").count()
+    assert sum(r.n_vecs for r in rows) == n_vecs
+    for r in rows:
+        assert r.min_dim == r.max_dim == 64
+        assert 0 < r.min_norm <= r.max_norm
+        assert r.n_degenerate == 0
+
+
+def test_embedding_stats_flags_degenerate_vectors(spark, tmp_path):
+    """NaN components and ~zero norms are exactly what the QA gate
+    exists to catch — construct both and assert they are counted."""
+    from hadoop_logfile_inputformat_spark.operators.similarity import embedding_stats
+
+    base = str(tmp_path)
+    rows = [
+        (1, [1.0, 2.0], 0),
+        (2, [float("nan"), 1.0], 0),
+        (3, [0.0, 0.0], 0),
+        (4, [3.0, 4.0], 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(base + "/embeddings.parquet")
+    got = {r.label: r for r in embedding_stats(spark, base).collect()}
+    assert got[0].n_vecs == 3 and got[0].n_degenerate == 2
+    assert got[1].n_vecs == 1 and got[1].n_degenerate == 0
+    assert got[1].min_norm == 5.0
+
+
+def test_top_terms_per_source_ranks_are_dense_topk(spark):
+    """k rows per source with dense ranks 1..k, ordered by the
+    (tf desc, src_df asc, token asc) total order."""
+    from hadoop_logfile_inputformat_spark.operators.text import top_terms_per_source
+
+    rows = top_terms_per_source(spark, SF, k=5).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        keys = [(-r.tf, r.src_df, r.token) for r in rs]
+        assert keys == sorted(keys)
