@@ -113,6 +113,7 @@ EXTRA = [
     "q16_supplier_part_counts",
     "q21_waiting_suppliers",
     "events_distinct_rollup",
+    "user_retention_cohorts",
     "dedup_incremental",
     "shard_corpus",
     "top_terms_per_source",

@@ -787,6 +787,49 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-active week,
+    per (cohort_week, week_offset) distinct-active counts and the
+    retention ratio — the standard product-analytics rollup, and a
+    representative "self-join a fact table against its own first-touch
+    aggregate" shape.
+
+    Scale shape: one user_id groupBy for first-touch (map-side
+    partials), one (user_id, week) distinct, one user_id-equi join
+    (co-partitioned after the first shuffle), then a low-cardinality
+    (cohort, week) aggregate.  Nothing quadratic, no window at all;
+    the retention ratio uses the integer half-up formulation so the
+    frame value-hashes cross-engine.
+    """
+    e = load(spark, sf_dir, "events")
+    wk = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    first = wk.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    cohort_sizes = first.groupBy("cohort_week").agg(
+        F.count("*").alias("n_cohort")
+    )
+    act = (
+        wk.join(first, "user_id")
+        .groupBy("cohort_week", "wk")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    ratio = F.expr(
+        "CAST((n_active * 20000 + n_cohort) DIV (2 * n_cohort) AS DOUBLE)"
+        " / 10000"
+    )
+    return (
+        act.join(cohort_sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            F.expr("datediff(wk, cohort_week) DIV 7").cast("long").alias("week_offset"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("n_cohort").cast("long").alias("n_cohort"),
+            ratio.alias("retention"),
+        )
+    )
+
+
 def q_order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist analytics over order values (top 1%
     orders with their exact distribution position).

@@ -637,6 +637,33 @@ _SQL: Dict[str, str] = {
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased
         FROM t
     """,
+    # cohort retention matrix (relational_ext.q_user_retention_cohorts):
+    # first-touch week per user, then (cohort, week) distinct actives;
+    # retention uses the integer half-up round-4 formulation.
+    "user_retention_cohorts": """
+        WITH wk AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+        ),
+        first AS (
+            SELECT user_id, min(wk) AS cohort_week FROM wk GROUP BY user_id
+        ),
+        coh AS (
+            SELECT cohort_week, count(*) AS n_cohort FROM first GROUP BY 1
+        ),
+        act AS (
+            SELECT f.cohort_week, w.wk, count(DISTINCT w.user_id) AS n_active
+            FROM wk w JOIN first f USING (user_id)
+            GROUP BY 1, 2
+        )
+        SELECT a.cohort_week,
+               CAST(datediff('day', a.cohort_week, a.wk) // 7 AS BIGINT)
+                   AS week_offset,
+               CAST(a.n_active AS BIGINT) AS n_active,
+               CAST(c.n_cohort AS BIGINT) AS n_cohort,
+               CAST((a.n_active * 20000 + c.n_cohort) // (2 * c.n_cohort)
+                    AS DOUBLE) / 10000 AS retention
+        FROM act a JOIN coh c USING (cohort_week)
+    """,
     "order_value_distribution": """
         WITH ranked AS (
             SELECT o_orderkey,
@@ -2380,6 +2407,11 @@ _PACKS: Dict[str, list] = {
            "events_distinct_rollup",
            k1=_ts("week"), k2="event_type", v1="exact_users", v2="n_days",
            v3="merged_est_ok", v4="merge_lossless"),
+        # cohort retention matrix: first-touch week x activity week
+        _m("retention", relational_ext.q_user_retention_cohorts,
+           "user_retention_cohorts",
+           k1=_ts("cohort_week"), v1="week_offset", v2="n_active",
+           v3="n_cohort", v4="retention"),
     ],
     # Rank/distribution windows: ntile deciles, RFM ntile trio,
     # percent_rank/cume_dist tail.

@@ -1151,3 +1151,16 @@ def test_top_terms_per_source_ranks_are_dense_topk(spark):
         assert len(rs) <= 5
         keys = [(-r.tf, r.src_df, r.token) for r in rs]
         assert keys == sorted(keys)
+
+
+def test_retention_cohorts_invariants(spark):
+    """Offset 0 is full retention by construction (every user is active
+    in their own cohort week); actives never exceed the cohort size;
+    offsets are non-negative."""
+    rows = relational_ext.q_user_retention_cohorts(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.week_offset >= 0
+        assert 0 < r.n_active <= r.n_cohort
+        if r.week_offset == 0:
+            assert r.n_active == r.n_cohort and r.retention == 1.0
