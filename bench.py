@@ -118,6 +118,7 @@ EXTRA = [
     "shard_corpus",
     "top_terms_per_source",
     "embedding_stats",
+    "corpus_snapshot_diff",
     "pack_sequences",
     "decontaminate",
     "repetition_profile",

@@ -32,6 +32,7 @@ from hadoop_logfile_inputformat_spark.operators import (
     relational,
     relational_ext,
     similarity,
+    snapshot,
     splits,
     text,
     tpch_rest,
@@ -1893,6 +1894,29 @@ _SQL["top_terms_per_source"] = """
     FROM ranked WHERE rank <= 5
 """
 
+# corpus snapshot diff (snapshot.py:corpus_snapshot_diff): two
+# deterministic snapshot views of documents full-outer-joined on
+# 32-byte digests — added/removed/changed/unchanged drift audit.
+_SQL["corpus_snapshot_diff"] = """
+    WITH old AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 89 = 0 THEN reverse(text)
+                        ELSE text END) AS old_md5
+        FROM documents WHERE doc_id % 97 != 3
+    ),
+    new AS (
+        SELECT doc_id, md5(text) AS new_md5
+        FROM documents WHERE doc_id % 93 != 5
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.old_md5 IS NULL THEN 'added'
+                WHEN n.new_md5 IS NULL THEN 'removed'
+                WHEN o.old_md5 != n.new_md5 THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           o.old_md5, n.new_md5
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""
+
 # concat-and-cut sequence packing (text.py:pack_sequences /
 # pack_chunks): the oracle recomputes the global token cumsum with a
 # plain window — the Spark side's two-phase distributed cumsum must be
@@ -2447,6 +2471,11 @@ _PACKS: Dict[str, list] = {
         # log-free TF-IDF-style characteristic terms per source
         _m("top_terms", text.top_terms_per_source, "top_terms_per_source",
            k1="source", k2="token", v1="tf", v2="src_df", v3="rank"),
+        # snapshot drift audit (added/removed/changed/unchanged); both
+        # digests ride in one engine-identical concat expression
+        _m("snap_diff", snapshot.corpus_snapshot_diff, "corpus_snapshot_diff",
+           k1="doc_id", k2="status",
+           k3="concat_ws('|', coalesce(old_md5, '-'), coalesce(new_md5, '-'))"),
         _m("pack_sequences", text.pack_sequences, "pack_sequences",
            k1="doc_id", k2="chunk_id", v1="token_start", v2="n_tokens",
            v3="bin_id", v4="straddles"),

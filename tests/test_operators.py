@@ -1074,8 +1074,11 @@ def test_operators_total_on_empty_tables(spark, tmp_path):
     ]
     from hadoop_logfile_inputformat_spark.operators import splits
     from hadoop_logfile_inputformat_spark.operators.similarity import embedding_stats
+    from hadoop_logfile_inputformat_spark.operators.snapshot import (
+        corpus_snapshot_diff,
+    )
 
-    ops += [splits.shard_corpus, embedding_stats]
+    ops += [splits.shard_corpus, embedding_stats, corpus_snapshot_diff]
     for fn in ops:
         assert fn(spark, base).count() == 0, fn.__name__
 
@@ -1164,3 +1167,41 @@ def test_retention_cohorts_invariants(spark):
         assert 0 < r.n_active <= r.n_cohort
         if r.week_offset == 0:
             assert r.n_active == r.n_cohort and r.retention == 1.0
+
+
+def test_snapshot_diff_statuses_and_counts(spark):
+    """All four statuses appear on the fixture-derived snapshots and
+    their counts match the modular construction exactly."""
+    from hadoop_logfile_inputformat_spark.operators.snapshot import (
+        corpus_snapshot_diff,
+    )
+
+    rows = corpus_snapshot_diff(spark, SF).collect()
+    doc_ids = [
+        r.doc_id
+        for r in spark.read.parquet(SF + "/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    assert len(rows) == len(doc_ids)
+    got = {}
+    for r in rows:
+        got[r.status] = got.get(r.status, 0) + 1
+        if r.status == "added":
+            assert r.old_md5 is None and r.new_md5 is not None
+        elif r.status == "removed":
+            assert r.new_md5 is None and r.old_md5 is not None
+        elif r.status == "changed":
+            assert r.old_md5 != r.new_md5
+        else:
+            assert r.old_md5 == r.new_md5
+    exp_added = sum(1 for d in doc_ids if d % 97 == 3 and d % 93 != 5)
+    exp_removed = sum(1 for d in doc_ids if d % 93 == 5 and d % 97 != 3)
+    exp_changed = sum(
+        1 for d in doc_ids if d % 89 == 0 and d % 97 != 3 and d % 93 != 5
+    )
+    assert got.get("added", 0) == exp_added
+    assert got.get("removed", 0) == exp_removed
+    # reversed text can coincide only for palindromes; none in fixture
+    assert got.get("changed", 0) == exp_changed
+    assert got.get("unchanged", 0) == len(doc_ids) - exp_added - exp_removed - exp_changed

@@ -202,7 +202,8 @@ def test_q15_and_q11_scalar_subquery_broadcasts(spark):
     # pack_sequences and is omitted: building its DataFrame runs the
     # connected-components fixpoint loop, which dominates suite time.
     ["acctbal_deciles", "customer_rfm", "order_value_distribution",
-     "pack_sequences", "substring_dedup", "paragraph_dedup"],
+     "pack_sequences", "substring_dedup", "paragraph_dedup",
+     "shard_corpus", "top_terms_per_source"],
 )
 def test_ranking_queries_have_no_global_sort_partition(spark, name):
     """The ranking/NTILE queries must not funnel data-sized input into a
