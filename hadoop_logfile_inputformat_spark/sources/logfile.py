@@ -67,6 +67,8 @@ import io
 import lzma
 import os
 import re
+import sys
+import zlib
 from dataclasses import dataclass
 from typing import TYPE_CHECKING, Iterator, List, Sequence, Tuple
 
@@ -131,6 +133,21 @@ try:  # optional dependency: zstd support when the env provides it
     _UNSUPPORTED_COMPRESSION = tuple(
         s for s in _UNSUPPORTED_COMPRESSION if s not in (".zst", ".zstd")
     )
+except ImportError:
+    pass
+
+
+#: Exception types that signal a CORRUPT (truncated / mis-encoded)
+#: input file rather than a bug: decompressor CRC/format errors are
+#: OSError subclasses (gzip.BadGzipFile) or zlib/lzma-specific types;
+#: EOFError is the stdlib's truncated-stream signal.  Used by the
+#: ``ignoreCorruptFiles`` option — kept explicit so programming errors
+#: never get swallowed.
+_CORRUPT_ERRORS: tuple = (OSError, EOFError, zlib.error, lzma.LZMAError)
+try:
+    import zstandard as _zstd_err_mod
+
+    _CORRUPT_ERRORS = _CORRUPT_ERRORS + (_zstd_err_mod.ZstdError,)
 except ImportError:
     pass
 
@@ -937,6 +954,16 @@ class LogfileReader(DataSourceReader):
         self.scanner = options.get("scanner", "chunked")
         if self.scanner not in ("chunked", "line"):
             raise ValueError(f"scanner must be 'chunked' or 'line', got {self.scanner!r}")
+        # Spark-native file-source semantics (spark.sql.files.*), as
+        # per-source options: a 100 TB scan must survive one truncated
+        # .gz (rows read so far are kept, the rest of the file is
+        # skipped) or a file deleted between planning and read.
+        self.ignore_corrupt = (
+            options.get("ignorecorruptfiles", "false").lower() == "true"
+        )
+        self.ignore_missing = (
+            options.get("ignoremissingfiles", "false").lower() == "true"
+        )
         path_spec = options.get("path")
         if not path_spec:
             raise ValueError("logfile source requires a load path")
@@ -978,7 +1005,7 @@ class LogfileReader(DataSourceReader):
             # pushFilters pruned every file: partitions() returned [],
             # and Spark falls back to one None partition — emit nothing.
             return
-        yield from scan_partition_arrow(
+        batches = scan_partition_arrow(
             partition.path,
             partition.start,
             partition.end,
@@ -987,6 +1014,38 @@ class LogfileReader(DataSourceReader):
             encoding=self.encoding,
             max_record_bytes=self.max_record_bytes,
         )
+        if not (self.ignore_corrupt or self.ignore_missing):
+            yield from batches
+            return
+        # Tolerant mode, matching Spark's file-source semantics: a
+        # missing file contributes nothing; a corrupt file keeps the
+        # rows already decoded and skips the rest of THIS partition
+        # only.  Errors stay typed (_CORRUPT_ERRORS) so genuine bugs
+        # (pattern errors, programming faults) still fail the task.
+        while True:
+            try:
+                batch = next(batches)
+            except StopIteration:
+                return
+            except FileNotFoundError as exc:
+                if self.ignore_missing:
+                    print(
+                        f"logfile source: ignoring missing file "
+                        f"{partition.path!r}: {exc}",
+                        file=sys.stderr,
+                    )
+                    return
+                raise
+            except _CORRUPT_ERRORS as exc:
+                if self.ignore_corrupt:
+                    print(
+                        f"logfile source: ignoring corrupt file "
+                        f"{partition.path!r} after partial read: {exc}",
+                        file=sys.stderr,
+                    )
+                    return
+                raise
+            yield batch
 
 
 class LogfileDataSource(DataSource):

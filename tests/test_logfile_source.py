@@ -434,3 +434,83 @@ def test_sql_create_view_using_logfile(spark, corpus):
         assert firsts == n  # every assembled record carries the header
     finally:
         spark.sql("DROP VIEW IF EXISTS sql_logs")
+
+
+# ---------------------------------------------------------------------------
+# Corrupt/missing-file tolerance (spark.sql.files.* semantics as options)
+# ---------------------------------------------------------------------------
+
+_TOL_PAT = r"\d{4}-\d{2}-\d{2} .*"
+
+
+def _write_truncated_gz(tmp_path, n_records=80_000, keep_frac=0.5):
+    import gzip as _gzip
+
+    plain = b"".join(
+        f"2024-01-0{1 + (i % 8)} record {i}\n\tdetail line {i}\n".encode()
+        for i in range(n_records)
+    )
+    full = tmp_path / "full.log.gz"
+    with _gzip.open(str(full), "wb") as fh:
+        fh.write(plain)
+    data = full.read_bytes()
+    trunc = tmp_path / "trunc.log.gz"
+    trunc.write_bytes(data[: int(len(data) * keep_frac)])
+    full.unlink()
+    return str(trunc)
+
+
+def test_corrupt_gzip_fails_hard_by_default(spark, tmp_path):
+    path = _write_truncated_gz(tmp_path)
+    df = spark.read.format("logfile").option("pattern", _TOL_PAT).load(path)
+    with pytest.raises(Exception):
+        df.count()
+
+
+def test_ignore_corrupt_files_keeps_partial_rows(spark, tmp_path):
+    """Spark's ignoreCorruptFiles contract: rows decoded before the
+    corruption are returned, the job completes, and a healthy sibling
+    file is unaffected."""
+    bad = _write_truncated_gz(tmp_path)
+    good = tmp_path / "good.log"
+    good.write_text("2024-01-01 healthy one\n2024-01-02 healthy two\n")
+    df = (
+        spark.read.format("logfile")
+        .option("pattern", _TOL_PAT)
+        .option("ignoreCorruptFiles", "true")
+        .load(f"{bad},{good}")
+    )
+    rows = df.collect()
+    good_rows = [r for r in rows if r.path == str(good)]
+    bad_rows = [r for r in rows if r.path == bad]
+    assert len(good_rows) == 2
+    # chunks decoded before the truncation point still yield their
+    # records (the corpus spans multiple scanner chunks by design)
+    assert 0 < len(bad_rows) < 80_000
+    assert all(r.record.startswith("2024-01-0") for r in bad_rows)
+
+
+def test_ignore_missing_files_read_path(spark, tmp_path):
+    """A file that vanishes between planning and read contributes
+    nothing under ignoreMissingFiles=true and raises without it.
+    Driven at the reader level: listing-time existence makes the
+    end-to-end race untestable deterministically."""
+    from hadoop_logfile_inputformat_spark.sources.logfile import (
+        LogfilePartition,
+        LogfileReader,
+    )
+    from pyspark.sql.types import StructType
+
+    real = tmp_path / "real.log"
+    real.write_text("2024-01-01 present\n")
+    ghost = LogfilePartition(str(tmp_path / "gone.log"), 0, 100, _TOL_PAT)
+
+    opts = {"path": str(real), "pattern": _TOL_PAT,
+            "ignoremissingfiles": "true"}
+    reader = LogfileReader(StructType([]), opts)
+    assert list(reader.read(ghost)) == []
+
+    opts_strict = {"path": str(real), "pattern": _TOL_PAT}
+    strict = LogfileReader(StructType([]), opts_strict)
+    with pytest.raises(FileNotFoundError):
+        list(strict.read(ghost))
