@@ -218,6 +218,15 @@ class LogfileStreamReader(DataSourceStreamReader):
         # bytes of file tail the driver scans per poll to find the last
         # first-line start (the largest safely-committable offset)
         self.tail_scan_bytes = int(options.get("tailscanbytes", 1 << 20))
+        # A file rotated away between partitions() and the executor
+        # read would otherwise fail the task forever (the checkpoint
+        # replays the same byte range against a file that no longer
+        # exists — a wedged stream).  Opt-in, because silently skipping
+        # committed-but-unread bytes weakens the exactly-once story;
+        # default keeps the strict contract.
+        self.ignore_missing = (
+            options.get("ignoremissingfiles", "false").lower() == "true"
+        )
         self._stable_polls: dict = {}
         self._last_size: dict = {}
         self._last_end: dict = {}
@@ -308,7 +317,7 @@ class LogfileStreamReader(DataSourceStreamReader):
     def read(self, partition: LogfileStreamPartition) -> Iterator:
         if not partition.path or partition.end <= partition.start:
             return
-        yield from scan_partition_arrow(
+        batches = scan_partition_arrow(
             partition.path,
             partition.start,
             partition.end,
@@ -318,6 +327,19 @@ class LogfileStreamReader(DataSourceStreamReader):
             max_record_bytes=self.max_record_bytes,
             cap=partition.cap,
         )
+        if not self.ignore_missing:
+            yield from batches
+            return
+        try:
+            yield from batches
+        except FileNotFoundError as exc:
+            import sys
+
+            print(
+                f"logfile-stream: ignoring file rotated away mid-batch "
+                f"{partition.path!r}: {exc}",
+                file=sys.stderr,
+            )
 
     def commit(self, end: dict) -> None:
         pass

@@ -620,3 +620,29 @@ def test_curate_stream_gates_and_dedups_across_batches(spark, tmp_path):
     curate_stream_batch(replay, "t_curate_idx", sink, batch_id=0)
     assert {r.doc_id for r in spark.read.parquet(sink).collect()} == {103}
     assert spark.table("t_curate_idx_hashes").count() == n_hashes
+
+
+def test_stream_reader_ignore_missing_files(tmp_path):
+    """A partition whose file rotated away between planning and read
+    yields nothing under ignoreMissingFiles=true and raises without it
+    (the wedged-stream escape hatch)."""
+    from hadoop_logfile_inputformat_spark.streaming.logfile_stream import (
+        LogfileStreamPartition,
+        LogfileStreamReader,
+    )
+
+    pat = r"\d{4}-\d{2}-\d{2} .*"
+    real = tmp_path / "real.log"
+    real.write_text("2024-01-01 here\n")
+    ghost = LogfileStreamPartition(str(tmp_path / "rotated.log"), 0, 50, 50, pat)
+
+    tolerant = LogfileStreamReader(
+        {"path": str(real), "pattern": pat, "ignoremissingfiles": "true"}
+    )
+    assert list(tolerant.read(ghost)) == []
+
+    strict = LogfileStreamReader({"path": str(real), "pattern": pat})
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        list(strict.read(ghost))
