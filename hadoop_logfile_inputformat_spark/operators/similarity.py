@@ -76,15 +76,24 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "embeddings")
     nrm = _norm("embedding")
+    # NULL vectors and NULL components ARE the broken-encoder output
+    # this gate exists to catch — they must count as degenerate, not
+    # vanish into NULL-skipping aggregates (exists() over a NULL array
+    # is NULL, sum() skips NULL: without the explicit IS NULL arms a
+    # batch of NULL embeddings sails through with n_degenerate=0).
     bad = F.expr(
-        "exists(embedding, x -> isnan(CAST(x AS DOUBLE))"
-        " or abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"
+        "CASE WHEN embedding IS NULL THEN 1"
+        " WHEN exists(embedding, x -> x IS NULL) THEN 1"
+        " WHEN exists(embedding, x -> isnan(CAST(x AS DOUBLE))"
+        "      or abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"
+        " THEN 1 ELSE 0 END"
     )
+    zero = F.when(F.col("nrm") < 1e-6, 1).otherwise(0)
     rows = e.select(
         "label",
         F.size("embedding").alias("dim"),
         nrm.alias("nrm"),
-        bad.cast("int").alias("is_bad"),
+        bad.alias("is_bad"),
     )
     return rows.groupBy("label").agg(
         F.count("*").cast("long").alias("n_vecs"),
@@ -92,9 +101,7 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("dim").cast("long").alias("max_dim"),
         F.min("nrm").alias("min_norm"),
         F.max("nrm").alias("max_norm"),
-        F.sum(
-            F.greatest("is_bad", (F.col("nrm") < 1e-6).cast("int"))
-        ).cast("long").alias("n_degenerate"),
+        F.sum(F.greatest("is_bad", zero)).cast("long").alias("n_degenerate"),
     )
 
 

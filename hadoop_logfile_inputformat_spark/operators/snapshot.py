@@ -35,15 +35,25 @@ def snapshot_diff(
     moves |keys| rows, so the audit costs two scans + one shuffle.
     """
     o = old.select(
-        F.col(key).alias(key), F.md5(F.col(content)).alias("old_md5")
+        F.col(key).alias(key),
+        F.md5(F.col(content)).alias("old_md5"),
+        F.lit(1).alias("_in_old"),
     )
     n = new.select(
-        F.col(key).alias(key), F.md5(F.col(content)).alias("new_md5")
+        F.col(key).alias(key),
+        F.md5(F.col(content)).alias("new_md5"),
+        F.lit(1).alias("_in_new"),
     )
+    # Presence comes from the join flags, NOT from digest NULL-ness:
+    # md5(NULL content) is NULL, and deriving status from it would
+    # report a doc with NULL text as perpetually 'added' (re-entering
+    # the delta every refresh) or a doc whose fetch failed as
+    # 'removed' while it still exists.  Digest comparison is
+    # null-safe for the same reason.
     status = (
-        F.when(F.col("old_md5").isNull(), "added")
-        .when(F.col("new_md5").isNull(), "removed")
-        .when(F.col("old_md5") != F.col("new_md5"), "changed")
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
+        .when(~F.col("old_md5").eqNullSafe(F.col("new_md5")), "changed")
         .otherwise("unchanged")
     )
     return o.join(n, key, "full_outer").select(

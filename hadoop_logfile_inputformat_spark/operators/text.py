@@ -620,8 +620,11 @@ def top_bigrams(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     )
 
 
+TOP_TERMS_K = 5  # default k; the registry oracle interpolates this
+
+
 def top_terms_per_source(
-    spark: SparkSession, sf_dir: str, k: int = 5
+    spark: SparkSession, sf_dir: str, k: int = TOP_TERMS_K
 ) -> DataFrame:
     """Characteristic terms per source — log-free TF-IDF-style keyword
     extraction: for each ``source``, the ``k`` tokens ranked by term

@@ -1853,7 +1853,10 @@ _SQL["embedding_stats"] = """
                len(embedding) AS dim,
                sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                                             x -> x * x))) AS nrm,
-               CASE WHEN len(list_filter(CAST(embedding AS DOUBLE[]),
+               CASE WHEN embedding IS NULL THEN 1
+                    WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+                    THEN 1
+                    WHEN len(list_filter(CAST(embedding AS DOUBLE[]),
                                          x -> isnan(x) OR isinf(x))) > 0
                     THEN 1 ELSE 0 END AS is_bad
         FROM embeddings
@@ -1874,7 +1877,7 @@ _SQL["embedding_stats"] = """
 # characteristic terms per source (text.py:top_terms_per_source):
 # log-free TF-IDF-style ranking — lexicographic (tf desc, src_df asc,
 # token asc), no transcendental math, so top-k membership is exact.
-_SQL["top_terms_per_source"] = """
+_SQL["top_terms_per_source"] = f"""
     WITH toks AS (
         SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS t
         FROM documents
@@ -1891,7 +1894,7 @@ _SQL["top_terms_per_source"] = """
     )
     SELECT source, token, CAST(tf AS BIGINT) AS tf,
            CAST(src_df AS BIGINT) AS src_df, CAST(rank AS BIGINT) AS rank
-    FROM ranked WHERE rank <= 5
+    FROM ranked WHERE rank <= {text.TOP_TERMS_K}
 """
 
 # corpus snapshot diff (snapshot.py:corpus_snapshot_diff): two
@@ -1909,9 +1912,9 @@ _SQL["corpus_snapshot_diff"] = """
         FROM documents WHERE doc_id % 93 != 5
     )
     SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-           CASE WHEN o.old_md5 IS NULL THEN 'added'
-                WHEN n.new_md5 IS NULL THEN 'removed'
-                WHEN o.old_md5 != n.new_md5 THEN 'changed'
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.old_md5 IS DISTINCT FROM n.new_md5 THEN 'changed'
                 ELSE 'unchanged' END AS status,
            o.old_md5, n.new_md5
     FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id

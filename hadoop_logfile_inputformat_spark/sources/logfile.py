@@ -1014,38 +1014,31 @@ class LogfileReader(DataSourceReader):
             encoding=self.encoding,
             max_record_bytes=self.max_record_bytes,
         )
-        if not (self.ignore_corrupt or self.ignore_missing):
-            yield from batches
-            return
         # Tolerant mode, matching Spark's file-source semantics: a
         # missing file contributes nothing; a corrupt file keeps the
-        # rows already decoded and skips the rest of THIS partition
-        # only.  Errors stay typed (_CORRUPT_ERRORS) so genuine bugs
-        # (pattern errors, programming faults) still fail the task.
-        while True:
-            try:
-                batch = next(batches)
-            except StopIteration:
-                return
-            except FileNotFoundError as exc:
-                if self.ignore_missing:
-                    print(
-                        f"logfile source: ignoring missing file "
-                        f"{partition.path!r}: {exc}",
-                        file=sys.stderr,
-                    )
-                    return
+        # rows already decoded (errors from a consumed generator
+        # propagate at the yield point, so batches before the failure
+        # are already out) and skips the rest of THIS partition only.
+        # Errors stay typed (_CORRUPT_ERRORS) so genuine bugs (pattern
+        # errors, programming faults) still fail the task.
+        try:
+            yield from batches
+        except FileNotFoundError as exc:
+            if not self.ignore_missing:
                 raise
-            except _CORRUPT_ERRORS as exc:
-                if self.ignore_corrupt:
-                    print(
-                        f"logfile source: ignoring corrupt file "
-                        f"{partition.path!r} after partial read: {exc}",
-                        file=sys.stderr,
-                    )
-                    return
+            print(
+                f"logfile source: ignoring missing file "
+                f"{partition.path!r}: {exc}",
+                file=sys.stderr,
+            )
+        except _CORRUPT_ERRORS as exc:
+            if not self.ignore_corrupt:
                 raise
-            yield batch
+            print(
+                f"logfile source: ignoring corrupt file "
+                f"{partition.path!r} after partial read: {exc}",
+                file=sys.stderr,
+            )
 
 
 class LogfileDataSource(DataSource):

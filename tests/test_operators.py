@@ -1205,3 +1205,38 @@ def test_snapshot_diff_statuses_and_counts(spark):
     # reversed text can coincide only for palindromes; none in fixture
     assert got.get("changed", 0) == exp_changed
     assert got.get("unchanged", 0) == len(doc_ids) - exp_added - exp_removed - exp_changed
+
+
+def test_snapshot_diff_null_content_uses_presence_not_digest(spark):
+    """md5(NULL) is NULL; status must come from key presence, not digest
+    NULL-ness: a doc with NULL text in both snapshots is 'unchanged',
+    NULL -> text is 'changed', and a NULL-text doc only in new is
+    'added' (code-review finding, confirmed by probe)."""
+    from hadoop_logfile_inputformat_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "hello"), (3, "bye")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, None), (4, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_embedding_stats_counts_null_vectors_as_degenerate(spark, tmp_path):
+    """A NULL embedding (or a NULL component) is the broken-encoder
+    output the QA gate exists to catch — it must count as degenerate
+    instead of vanishing into NULL-skipping aggregates (code-review
+    finding, confirmed by probe)."""
+    from hadoop_logfile_inputformat_spark.operators.similarity import embedding_stats
+
+    base = str(tmp_path)
+    spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, None, 0), (3, [1.0, None], 0)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(base + "/embeddings.parquet")
+    r = embedding_stats(spark, base).collect()[0]
+    assert r.n_vecs == 3
+    assert r.n_degenerate == 2
+    assert r.min_dim == 2  # NULL vector contributes no dim signal
