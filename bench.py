@@ -51,6 +51,13 @@ PORTABLE_TWINS = {
     "doc_fingerprints_portable": text.document_fingerprints_portable,
 }
 
+#: Library-only operators: real capabilities with no SQL-expressible
+#: oracle (zlib), deliberately outside the registry — timed here,
+#: test-asserted in tests/.
+LIBRARY_ONLY = {
+    "compression_profile": text.compression_profile,
+}
+
 #: Headline set: every operator family, weighted toward the shapes that
 #: dominate at 100 TB (scan-agg, fact-fact join, window, dedup, ANN).
 HEADLINE = [
@@ -119,6 +126,7 @@ EXTRA = [
     "top_terms_per_source",
     "embedding_stats",
     "corpus_snapshot_diff",
+    "compression_profile",
     "pack_sequences",
     "decontaminate",
     "repetition_profile",
@@ -214,6 +222,7 @@ def _time_query(spark, sf_dir, name):
     fn = (
         FAST_PATH.get(name)
         or PORTABLE_TWINS.get(name)
+        or LIBRARY_ONLY.get(name)
         or QUERIES.get(name)
         or MEMBER_QUERIES[name]
     )

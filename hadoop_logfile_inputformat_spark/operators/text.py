@@ -620,6 +620,69 @@ def top_bigrams(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     )
 
 
+#: Output schema of :func:`compression_profile`.
+COMPRESSION_SCHEMA = (
+    "doc_id long, n_bytes long, n_compressed long, "
+    "compress_ratio double, highly_compressible int"
+)
+
+#: Docs whose zlib output is below this fraction of the input are
+#: overwhelmingly boilerplate/repetition (normal prose lands ~0.3-0.6).
+COMPRESS_KEEP_MAX = 0.30
+
+
+def compression_profile(
+    spark: SparkSession, sf_dir: str, level: int = 6
+) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap
+    repetitiveness proxy (a low ratio ≈ templated/duplicated content)
+    used as a pre-filter before the heavier n-gram machinery.
+
+    Deliberately NOT in the oracle registry: zlib is not expressible in
+    SQL, so unlike every driver-gated operator this one is test-asserted
+    (repetitive ≪ diverse text, byte-exact determinism across runs)
+    instead of value-hashed.  The ratio itself uses the same integer
+    half-up rounding as the gated ops, so composing it into gated
+    pipelines stays exact.
+
+    Scale shape: ``mapInPandas`` over Arrow batches — the same
+    executor-side Python boundary as the media decoders; per-row cost
+    is one zlib pass over the document bytes, no shuffle at all
+    (perfectly embarrassing parallelism; the groupless frame never
+    exchanges).
+    """
+    import pandas as pd  # noqa: F401 (document the batch dependency)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def profile(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = [
+                (t if isinstance(t, str) else "").encode("utf-8")
+                for t in pdf["text"]
+            ]
+            n_bytes = [len(b) for b in raw]
+            n_comp = [len(zlib.compress(b, level)) for b in raw]
+            # integer half-up round-4, same formulation as _ratio4
+            ratio = [
+                ((c * 20000 + b) // (2 * b)) / 10000 if b else 0.0
+                for b, c in zip(n_bytes, n_comp)
+            ]
+            out = pdf[["doc_id"]].copy()
+            out["n_bytes"] = n_bytes
+            out["n_compressed"] = n_comp
+            out["compress_ratio"] = ratio
+            out["highly_compressible"] = [
+                int(b > 0 and r < COMPRESS_KEEP_MAX)
+                for b, r in zip(n_bytes, ratio)
+            ]
+            yield out
+
+    return d.mapInPandas(profile, COMPRESSION_SCHEMA)
+
+
 TOP_TERMS_K = 5  # default k; the registry oracle interpolates this
 
 

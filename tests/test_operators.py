@@ -1240,3 +1240,45 @@ def test_embedding_stats_counts_null_vectors_as_degenerate(spark, tmp_path):
     assert r.n_vecs == 3
     assert r.n_degenerate == 2
     assert r.min_dim == 2  # NULL vector contributes no dim signal
+
+
+def test_compression_profile_separates_repetition_and_is_deterministic(spark):
+    """The zlib ratio must rank repetitive text far below diverse text
+    (the property the filter exists for), be total over the corpus, and
+    reproduce byte-identically across invocations (no SQL oracle exists
+    for zlib, so determinism is asserted here instead)."""
+    from hadoop_logfile_inputformat_spark.operators.text import compression_profile
+
+    rows = compression_profile(spark, SF).collect()
+    n_docs = spark.read.parquet(SF + "/documents.parquet").count()
+    assert len(rows) == n_docs
+    again = {(r.doc_id, r.n_compressed, r.compress_ratio)
+             for r in compression_profile(spark, SF).collect()}
+    assert again == {(r.doc_id, r.n_compressed, r.compress_ratio) for r in rows}
+    for r in rows:
+        assert 0 < r.n_compressed
+        assert 0.0 < r.compress_ratio < 2.0
+
+
+def test_compression_profile_flags_constructed_repetition(spark, tmp_path):
+    import random
+
+    from hadoop_logfile_inputformat_spark.operators.text import compression_profile
+
+    rng = random.Random(7)
+    diverse = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(8))
+        for _ in range(200)
+    )
+    repetitive = "spam ham " * 800
+    base = str(tmp_path)
+    spark.createDataFrame(
+        [(1, repetitive, "en", "s", len(repetitive)),
+         (2, diverse, "en", "s", len(diverse)),
+         (3, None, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(base + "/documents.parquet")
+    got = {r.doc_id: r for r in compression_profile(spark, base).collect()}
+    assert got[1].compress_ratio < 0.1 and got[1].highly_compressible == 1
+    assert got[2].compress_ratio > 0.5 and got[2].highly_compressible == 0
+    assert got[3].n_bytes == 0 and got[3].highly_compressible == 0
