@@ -651,8 +651,6 @@ def compression_profile(
     (perfectly embarrassing parallelism; the groupless frame never
     exchanges).
     """
-    import pandas as pd  # noqa: F401 (document the batch dependency)
-
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
 
     def profile(batches):

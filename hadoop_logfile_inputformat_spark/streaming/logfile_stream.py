@@ -38,6 +38,7 @@ Two readers, one offset model:
 from __future__ import annotations
 
 import re
+import sys
 from dataclasses import dataclass
 from typing import Iterator, List, Tuple
 
@@ -327,14 +328,11 @@ class LogfileStreamReader(DataSourceStreamReader):
             max_record_bytes=self.max_record_bytes,
             cap=partition.cap,
         )
-        if not self.ignore_missing:
-            yield from batches
-            return
         try:
             yield from batches
         except FileNotFoundError as exc:
-            import sys
-
+            if not self.ignore_missing:
+                raise
             print(
                 f"logfile-stream: ignoring file rotated away mid-batch "
                 f"{partition.path!r}: {exc}",
