@@ -514,3 +514,46 @@ def test_ignore_missing_files_read_path(spark, tmp_path):
     strict = LogfileReader(StructType([]), opts_strict)
     with pytest.raises(FileNotFoundError):
         list(strict.read(ghost))
+
+
+def test_tolerant_read_yields_prefix_at_any_truncation(tmp_path):
+    """Property: for ANY truncation point of a gzip log, the tolerant
+    reader returns a PREFIX of the full record sequence — never a
+    corrupted/partial record, never out-of-order, never rows past the
+    cut.  Driven at the reader level (no Spark jobs) so a sweep of cut
+    points stays fast."""
+    import gzip as _gzip
+
+    from pyspark.sql.types import StructType
+
+    from hadoop_logfile_inputformat_spark.sources.logfile import (
+        LogfilePartition,
+        LogfileReader,
+    )
+
+    records = [
+        f"2024-01-0{1 + (i % 8)} record {i}\n\tdetail {i}\n" for i in range(5000)
+    ]
+    full_path = tmp_path / "full.log.gz"
+    with _gzip.open(str(full_path), "wb") as fh:
+        fh.write("".join(records).encode())
+    blob = full_path.read_bytes()
+
+    def read_records(path):
+        opts = {"path": str(path), "pattern": _TOL_PAT,
+                "ignorecorruptfiles": "true"}
+        reader = LogfileReader(StructType([]), opts)
+        part = LogfilePartition(str(path), 0, -1, _TOL_PAT)
+        out = []
+        for batch in reader.read(part):
+            out.extend(batch.column("record").to_pylist())
+        return out
+
+    full = read_records(full_path)
+    assert len(full) == 5000
+    for frac in (0.1, 0.33, 0.5, 0.77, 0.95):
+        cut = tmp_path / f"cut_{int(frac * 100)}.log.gz"
+        cut.write_bytes(blob[: int(len(blob) * frac)])
+        got = read_records(cut)
+        assert got == full[: len(got)], f"not a prefix at cut {frac}"
+        assert len(got) < 5000
