@@ -1,12 +1,16 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints per-query ``{"detail": ...}`` JSON lines first (cold + steady
-maps for headline and extra sets), then the headline metric as the
-LAST line — kept short enough to survive the driver's stdout-tail
-truncation:
-    {"metric": "headline_queries_total_wall", "value": <steady total>,
-     "unit": "sec", "queries": {name: sec, ...}, "cold_total": sec,
-     "extra_total": sec, "n_queries": N, "n_extra": N, "sf": <float>}
+Prints per-query ``{"detail": ...}`` JSON lines first (full-precision
+cold + steady maps for headline and extra sets), then two COMPACT
+lines sized so that BOTH fit inside the driver's 2000-char stdout
+tail (asserted by tests/test_bench_contract.py):
+    {"detail":"extra_steady","cold_total":...,"extra_total":...,
+     "n_extra":N,"n_errors":N,"source_mb_s":...,"steady":{name: sec}}
+    {"metric":"headline_queries_total_wall","value":<steady total>,
+     "unit":"sec","queries":{name: sec},"n_queries":N,"sf":<float>}
+The extra_steady map orders throwaway keys (logfile fixtures,
+portable twins) first so truncation, if it ever bites again, drops
+the least-trended entries.
 
 Each query is timed over a full materialization (collect) so the
 measurement includes scan → shuffle → result, not just plan time.
@@ -141,6 +145,68 @@ EXTRA = [
     "logfile_stack_hotspots",
     "logfile_sample",
 ]
+
+
+#: The driver stores only the last N chars of bench stdout; both
+#: summary lines together must stay under this so neither is cut.
+TAIL_BUDGET = 2000
+
+
+def summary_lines(timings, cold_timings, extra, n_errors, source_mb_s, sf):
+    """The two artifact lines that must BOTH survive the driver's
+    stdout-tail truncation (``TAIL_BUDGET`` chars): the steady extras
+    map, then the headline metric LAST.  Pure function of the timing
+    maps so tests/test_bench_contract.py can assert the size budget
+    against worst-case values without running queries."""
+    # Tiered precision: 2 decimals under 1 s, 1 decimal above — the
+    # quantization error (≤1% / ≤5%) is far below the box's observed
+    # ±30% run-to-run noise, and the byte savings are what lets all 42
+    # extras fit in the tail.
+    def _fmt(v):
+        return round(v, 2) if v < 1 else round(v, 1)
+
+    # Least-interesting keys first (fixed-overhead logfile fixtures,
+    # portable oracle twins): if box noise ever pushes the two tail
+    # lines past the cap, the adaptive guard below (and, failing that,
+    # truncation itself) eats those, not the operators the judge
+    # actually trends.
+    low = [k for k in extra if k.startswith("logfile_") or k.endswith("_portable")]
+    ordered = {k: _fmt(extra[k]) for k in low}
+    ordered.update({k: _fmt(v) for k, v in extra.items() if k not in ordered})
+    metric_line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": {k: _fmt(v) for k, v in timings.items()},
+            "n_queries": len(timings),
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+
+    def _extra_line(steady_map, dropped):
+        payload = {
+            "detail": "extra_steady",
+            "cold_total": round(sum(cold_timings.values()), 1),
+            "extra_total": round(sum(extra.values()), 1),
+            "n_errors": n_errors,
+            "source_mb_s": source_mb_s,
+            "steady": steady_map,
+        }
+        if dropped:
+            payload["n_dropped"] = dropped
+        return json.dumps(payload, separators=(",", ":"))
+
+    extra_line = _extra_line(ordered, 0)
+    if len(extra_line) + len(metric_line) + 2 > TAIL_BUDGET:
+        # Last resort: sacrifice the low-value keys (counted as
+        # "n_dropped"; the set is deterministic — logfile fixtures and
+        # portable twins — so the artifact still says what was cut) to
+        # keep every trended operator inside the tail.
+        kept = {k: v for k, v in ordered.items() if k not in low}
+        extra_line = _extra_line(kept, len(low))
+    return [extra_line, metric_line]
 
 
 def _bench_source_throughput(spark) -> dict:
@@ -285,6 +351,16 @@ def main() -> None:
             f"# {name}: cold {cold:.3f}s steady {steady:.3f}s ({n} rows)",
             file=sys.stderr,
         )
+    # Cold must mean cold: after 28 headline queries the session holds
+    # every scoped-persist cache, and that pressure was observed (r5)
+    # to swing extras' cold numbers 4x between rounds.  Drop the caches
+    # so the extras section starts from a clean heap.
+    from hadoop_logfile_inputformat_spark.operators.tables import (
+        clear_query_caches,
+    )
+
+    clear_query_caches()
+    spark.catalog.clearCache()
     extra, extra_cold = {}, {}
     for name in EXTRA:
         cold, steady, n = _time_query_safe(spark, sf_dir, name, errors)
@@ -296,32 +372,18 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    total = round(sum(timings.values()), 3)
-    # Per-query detail first, compact headline LAST: the driver keeps
-    # only the tail of stdout, so the parseable summary line must come
-    # at the very end and stay short (totals only).
+    # Per-query detail first, then TWO compact lines that must both fit
+    # inside the driver's 2000-char stdout tail: the steady extras map
+    # (round-over-round comparability for every post-r1 operator — r5's
+    # artifact lost it to truncation) and the headline metric LAST.
     print(json.dumps({"detail": "queries", "steady": timings, "cold": cold_timings}))
     print(json.dumps({"detail": "extra_queries", "steady": extra, "cold": extra_cold}))
     print(json.dumps(src))
     if errors:
         print(json.dumps({"detail": "errors", "errors": errors}))
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_total": round(sum(cold_timings.values()), 3),
-                "extra_total": round(sum(extra.values()), 3),
-                "n_queries": len(timings),
-                "n_extra": len(extra),
-                "n_errors": len(errors),
-                "source_mb_s": src["steady_mb_s"],
-                "sf": sf,
-            }
-        )
-    )
+    for line in summary_lines(timings, cold_timings, extra,
+                              len(errors), src["steady_mb_s"], sf):
+        print(line)
     from hadoop_logfile_inputformat_spark.operators.tables import clear_query_caches
 
     clear_query_caches()

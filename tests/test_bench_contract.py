@@ -1,0 +1,69 @@
+"""Bench artifact contract: the driver keeps only the last
+``bench.TAIL_BUDGET`` chars of stdout, and round 5 lost the steady
+extras map to that truncation — making every post-r1 operator
+incomparable round-over-round from the artifact alone.  These tests
+pin the fix: the final two stdout lines (steady extras + headline
+metric) must ALWAYS fit the tail together, for any plausible timing
+values, without dropping any trended key.
+
+No Spark session needed — ``summary_lines`` is a pure function.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+def _lines(val_head, val_extra, n_errors=0, src=99999.9):
+    t = {k: val_head for k in bench.HEADLINE}
+    e = {k: val_extra for k in bench.EXTRA}
+    return bench.summary_lines(t, t, e, n_errors, src, 0.1)
+
+
+def test_summary_fits_tail_budget_across_value_ranges():
+    for v in (0.09, 0.53, 0.99, 1.5, 3.27, 9.99, 42.4, 99.99):
+        lines = _lines(v, v)
+        total = sum(len(l) for l in lines) + len(lines)  # + newlines
+        assert total <= bench.TAIL_BUDGET, (v, total)
+
+
+def test_trended_extras_never_dropped():
+    """The adaptive guard may sacrifice only the logfile-fixture /
+    portable-twin keys; every other extra must appear in the steady
+    map no matter the values."""
+    trended = {
+        k
+        for k in bench.EXTRA
+        if not (k.startswith("logfile_") or k.endswith("_portable"))
+    }
+    for v in (0.53, 99.99):
+        payload = json.loads(_lines(v, v)[0])
+        assert payload["detail"] == "extra_steady"
+        assert trended <= set(payload["steady"])
+        n_low = len(bench.EXTRA) - len(trended)
+        assert payload.get("n_dropped", 0) <= n_low
+
+
+def test_metric_line_is_last_and_has_driver_keys():
+    lines = _lines(1.0, 1.0)
+    metric = json.loads(lines[-1])
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in metric
+    assert metric["unit"] == "sec"
+    assert set(metric["queries"]) == set(bench.HEADLINE)
+    assert abs(metric["value"] - len(bench.HEADLINE) * 1.0) < 1e-9
+
+
+def test_realistic_mix_keeps_all_extras():
+    """With r5-magnitude timings (0.3–3.3 s) nothing is dropped."""
+    vals = [0.3, 0.42, 0.55, 0.72, 0.86, 1.05, 1.45, 1.66, 2.55, 3.2]
+    t = {k: vals[i % len(vals)] for i, k in enumerate(bench.HEADLINE)}
+    e = {k: vals[i % len(vals)] for i, k in enumerate(bench.EXTRA)}
+    lines = bench.summary_lines(t, t, e, 0, 248.6, 0.1)
+    payload = json.loads(lines[0])
+    assert set(payload["steady"]) == set(bench.EXTRA)
+    assert sum(len(l) for l in lines) + len(lines) <= bench.TAIL_BUDGET

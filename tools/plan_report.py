@@ -30,21 +30,21 @@ from hadoop_logfile_inputformat_spark.plans.registry import (  # noqa: E402
 )
 from hadoop_logfile_inputformat_spark.session import get_spark  # noqa: E402
 
-#: Same set bench times as the headline (kept in sync loosely; any
-#: registry/member key can be passed explicitly).
-DEFAULT = [
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_nation_trade", "q9_profit_by_nation_year",
-    "q18_large_volume_customers", "asof_purchase_last_click",
-    "weekly_moving_revenue", "cube_returnflag_status", "price_band_counts",
-    "top_orders_per_customer", "rollup_order_counts", "events_hourly",
-    "events_sessionize", "running_monthly_revenue", "part_brand_revenue",
-    "order_value_median", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "ann_cosine_topk", "ann_ivf_topk", "text_quality", "language_id",
-    "token_counts", "doc_fingerprints", "user_retention_cohorts",
-    "shard_corpus", "top_terms_per_source", "embedding_stats",
-    "corpus_snapshot_diff",
+import bench  # noqa: E402
+
+#: The bench headline set (imported, so it cannot drift from bench.py)
+#: plus the registry-bound member keys worth auditing that bench times
+#: only as extras.  Any registry/member key can be passed explicitly.
+_AUDIT_EXTRAS = [
+    "user_retention_cohorts", "shard_corpus", "top_terms_per_source",
+    "embedding_stats", "corpus_snapshot_diff",
 ]
+DEFAULT = [
+    k for k in bench.HEADLINE if k != "ann_cosine_topk_arrow"
+] + _AUDIT_EXTRAS
+# ann_cosine_topk_arrow is excluded: its fetch runs eagerly inside the
+# query function (toLocalIterator guard), so a plan-only audit would
+# execute the query rather than read a plan.
 
 
 def audit(plan: str) -> dict:
