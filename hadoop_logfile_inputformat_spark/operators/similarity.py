@@ -89,11 +89,23 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         " THEN 1 ELSE 0 END"
     )
     zero = F.when(F.col("nrm") < 1e-6, 1).otherwise(0)
+    # Degenerate vectors are COUNTED (n_degenerate) but their norm must
+    # not enter min/max: the engines disagree on what that norm even is
+    # (Spark's sequential fold propagates a NULL component to a NULL
+    # norm and sorts NaN as largest; DuckDB's list_sum skips NULL
+    # elements and yields a finite value) — nulling nrm behind the same
+    # is_bad predicate on BOTH engines keeps the frame hashable no
+    # matter what broken batch shows up.
     rows = e.select(
         "label",
         F.size("embedding").alias("dim"),
         nrm.alias("nrm"),
         bad.alias("is_bad"),
+    ).withColumn(
+        "nrm",
+        F.when(F.col("is_bad") == 1, F.lit(None).cast("double")).otherwise(
+            F.col("nrm")
+        ),
     )
     return rows.groupBy("label").agg(
         F.count("*").cast("long").alias("n_vecs"),
@@ -1069,6 +1081,7 @@ def semantic_dedup(
     sf_dir: str,
     tau: float = SEMDEDUP_TAU,
     centroid_modulus: int = IVF_CENTROID_MODULUS,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over the embedding corpus
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -1096,6 +1109,18 @@ def semantic_dedup(
     clusters of ~1-10k vectors this is the exact cost profile the
     SemDeDup paper reports for its 100-cluster LAION sweep.  No
     all-pairs join anywhere.
+
+    ``max_cluster_size`` bounds the quadratic hazard the clustering
+    itself can't: on real skewed embeddings one mega-cluster re-creates
+    the all-pairs blowup (B members → B² pairs).  Same mitigation as
+    the LSH/simhash families (``dedup._cap_buckets``): clusters larger
+    than the cap skip the pairwise stage entirely — their members
+    survive with ``n_close=0`` and are flagged in an extra
+    ``cluster_capped`` column so the recall trade is visible per row.
+    The size aggregate and join run on ``centroid_id``, the key the
+    pairwise join shuffles on anyway — no new shuffle shape.  Default
+    ``None`` keeps exact parity with the registry oracle (no extra
+    column, no extra aggregate).
     """
     v = _vectors(spark, sf_dir)
     cent = v.filter(F.col("vec_id") % centroid_modulus == 0).select(
@@ -1116,13 +1141,19 @@ def semantic_dedup(
             ),
         )
     )
-    a = assigned.select(
+    if max_cluster_size is not None:
+        sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("csz"))
+        assigned = assigned.join(sizes, "centroid_id")
+        pair_src = assigned.filter(F.col("csz") <= max_cluster_size)
+    else:
+        pair_src = assigned
+    a = pair_src.select(
         "centroid_id",
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),
     )
-    b = assigned.select(
+    b = pair_src.select(
         "centroid_id",
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
@@ -1144,13 +1175,17 @@ def semantic_dedup(
             ((F.col("sim") >= tau) & (F.col("vec_b") < F.col("vec_a"))).cast("int")
         ).alias("dominated"),
     )
-    return (
-        assigned.join(profile, assigned.vec_id == profile.vec_a, "left")
-        .select(
-            "vec_id",
-            "centroid_id",
-            F.coalesce("n_close", F.lit(0)).cast("long").alias("n_close"),
-            F.col("max_mate_sim"),
-            (1 - F.coalesce("dominated", F.lit(0))).cast("int").alias("kept"),
+    cols = [
+        F.col("vec_id"),
+        F.col("centroid_id"),
+        F.coalesce("n_close", F.lit(0)).cast("long").alias("n_close"),
+        F.col("max_mate_sim"),
+        (1 - F.coalesce("dominated", F.lit(0))).cast("int").alias("kept"),
+    ]
+    if max_cluster_size is not None:
+        cols.append(
+            (F.col("csz") > max_cluster_size).cast("int").alias("cluster_capped")
         )
+    return assigned.join(profile, assigned.vec_id == profile.vec_a, "left").select(
+        *cols
     )

@@ -66,15 +66,18 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``documents`` table, exercising all four statuses.
 
     The "old" snapshot lacks ``doc_id % 97 == 3`` (those appear as
-    added) and carries reversed text for ``doc_id % 89 == 0`` (those
+    added) and carries prefixed text for ``doc_id % 89 == 0`` (those
     appear as changed); the "new" snapshot lacks ``doc_id % 93 == 5``
     (those appear as removed).  Both derivations are pure projections
-    the oracle replays exactly.
+    the oracle replays exactly.  The synthetic change is a prefix
+    concat — NOT ``reverse``, whose semantics differ cross-engine on
+    non-ASCII text (Spark reverses UTF-16 code units and can split
+    surrogate pairs; DuckDB reverses grapheme clusters).
     """
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     old = d.filter(F.col("doc_id") % 97 != 3).select(
         "doc_id",
-        F.when(F.col("doc_id") % 89 == 0, F.reverse("text"))
+        F.when(F.col("doc_id") % 89 == 0, F.concat(F.lit("X|"), F.col("text")))
         .otherwise(F.col("text"))
         .alias("text"),
     )

@@ -168,22 +168,38 @@ def _table_sizes(spark: SparkSession, path: str):
     if os.path.isfile(path):
         return 1, os.path.getsize(path)
     if os.path.isdir(path):
-        files = [
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        ]
-        return len(files), sum(os.path.getsize(f) for f in files)
+        # Recursive: a Hive-partitioned table (key=value/ subdirs, e.g.
+        # the corpus sink's batch_id=*/ layout) keeps its data files one
+        # or more levels down — counting only direct children read such
+        # tables as 0 files, and _needs_fanout would bolt a repartition
+        # onto an arbitrarily large table.
+        n, total = 0, 0
+        for dirpath, dirnames, filenames in os.walk(path):
+            dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+            for f in filenames:
+                if f.endswith(".parquet"):
+                    n += 1
+                    total += os.path.getsize(os.path.join(dirpath, f))
+        return n, total
     # Remote path: Hadoop FS via the JVM gateway (absent under Spark
-    # Connect — the except in _needs_fanout covers that too).
+    # Connect — the except in _needs_fanout covers that too).  The
+    # recursive listFiles iterator walks partition subdirectories the
+    # same way the local branch does.
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    statuses = fs.listStatus(jpath)
+    it = fs.listFiles(jpath, True)
     n, total = 0, 0
-    for st in statuses:
-        fname = st.getPath().getName()
-        if st.isFile() and fname.endswith(".parquet"):
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        fname = p.getName()
+        parent = p.getParent().getName() if p.getParent() is not None else ""
+        if (
+            fname.endswith(".parquet")
+            and not fname.startswith((".", "_"))
+            and not parent.startswith((".", "_"))
+        ):
             n += 1
             total += st.getLen()
     return n, total

@@ -1848,11 +1848,11 @@ _SQL["shard_corpus"] = f"""
 # integer counts + min/max of the engine-identical sequential-fold
 # norm — deliberately no mean/sum of doubles (accumulation order).
 _SQL["embedding_stats"] = """
-    WITH rows AS (
+    WITH rows0 AS (
         SELECT label,
                len(embedding) AS dim,
                sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-                                            x -> x * x))) AS nrm,
+                                            x -> x * x))) AS raw_nrm,
                CASE WHEN embedding IS NULL THEN 1
                     WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
                     THEN 1
@@ -1860,6 +1860,16 @@ _SQL["embedding_stats"] = """
                                          x -> isnan(x) OR isinf(x))) > 0
                     THEN 1 ELSE 0 END AS is_bad
         FROM embeddings
+    ),
+    -- degenerate norms are nulled behind the SAME predicate the Spark
+    -- side uses: the engines disagree on a NULL-component norm (fold
+    -- propagation vs list_sum NULL-skip), so it must reach min/max on
+    -- neither
+    rows AS (
+        SELECT label, dim,
+               CASE WHEN is_bad = 1 THEN NULL ELSE raw_nrm END AS nrm,
+               is_bad
+        FROM rows0
     )
     SELECT label,
            CAST(count(*) AS BIGINT) AS n_vecs,
@@ -1902,8 +1912,11 @@ _SQL["top_terms_per_source"] = f"""
 # 32-byte digests — added/removed/changed/unchanged drift audit.
 _SQL["corpus_snapshot_diff"] = """
     WITH old AS (
+        -- 'X|' || text mirrors Spark's NULL-propagating concat (DuckDB
+        -- concat() would SKIP the NULL); reverse() is avoided on both
+        -- engines (code-unit vs grapheme reversal diverges on non-ASCII)
         SELECT doc_id,
-               md5(CASE WHEN doc_id % 89 = 0 THEN reverse(text)
+               md5(CASE WHEN doc_id % 89 = 0 THEN 'X|' || text
                         ELSE text END) AS old_md5
         FROM documents WHERE doc_id % 97 != 3
     ),

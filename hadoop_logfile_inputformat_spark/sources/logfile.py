@@ -64,10 +64,10 @@ import fnmatch
 import glob as _glob
 import gzip
 import io
+import logging
 import lzma
 import os
 import re
-import sys
 import zlib
 from dataclasses import dataclass
 from typing import TYPE_CHECKING, Iterator, List, Sequence, Tuple
@@ -82,6 +82,12 @@ from pyspark.sql.datasource import (
     StringStartsWith,
 )
 from pyspark.sql.types import StructType
+
+#: Executor-side skip warnings (tolerant reads) go through here so
+#: deployments can attach a handler and audit partial reads; with no
+#: handler configured Python's last-resort handler still prints
+#: WARNING+ to the executor's stderr.
+_LOG = logging.getLogger(__name__)
 
 if TYPE_CHECKING:
     import pyarrow as pa
@@ -143,6 +149,18 @@ except ImportError:
 #: EOFError is the stdlib's truncated-stream signal.  Used by the
 #: ``ignoreCorruptFiles`` option — kept explicit so programming errors
 #: never get swallowed.
+#:
+#: Breadth caveat: OSError also covers TRANSIENT I/O faults
+#: (permission denied, NFS/disk hiccups, dropped remote connections),
+#: so with ``ignoreCorruptFiles=true`` a transient fault is treated as
+#: corruption and the rest of that partition is skipped — a 100 TB run
+#: can silently under-read.  This mirrors Spark's own file-source
+#: behavior (its ``ignoreCorruptFiles`` catches the equally-broad JVM
+#: IOException), and the skip is surfaced as a WARNING through the
+#: module logger (``hadoop_logfile_inputformat_spark.sources.logfile``)
+#: so executor logs remain auditable; jobs that cannot tolerate
+#: under-reads should leave the option off (default) and retry failed
+#: tasks instead.
 _CORRUPT_ERRORS: tuple = (OSError, EOFError, zlib.error, lzma.LZMAError)
 try:
     import zstandard as _zstd_err_mod
@@ -1026,18 +1044,23 @@ class LogfileReader(DataSourceReader):
         except FileNotFoundError as exc:
             if not self.ignore_missing:
                 raise
-            print(
-                f"logfile source: ignoring missing file "
-                f"{partition.path!r}: {exc}",
-                file=sys.stderr,
+            _LOG.warning(
+                "logfile source: ignoring missing file %r: %s",
+                partition.path,
+                exc,
             )
         except _CORRUPT_ERRORS as exc:
             if not self.ignore_corrupt:
                 raise
-            print(
-                f"logfile source: ignoring corrupt file "
-                f"{partition.path!r} after partial read: {exc}",
-                file=sys.stderr,
+            # WARNING through the module logger (not a bare print):
+            # Python's last-resort handler still lands it on executor
+            # stderr, and deployments can attach a handler to audit
+            # partial reads — see the _CORRUPT_ERRORS breadth caveat.
+            _LOG.warning(
+                "logfile source: ignoring corrupt file %r after partial "
+                "read: %s",
+                partition.path,
+                exc,
             )
 
 

@@ -702,6 +702,48 @@ def test_semantic_dedup_drops_injected_near_dup(spark, tmp_path):
     assert all(out[i].max_mate_sim < 0.95 for i in range(8))
 
 
+def test_semantic_dedup_caps_mega_cluster(spark, tmp_path):
+    """Hot-cluster guard: a constructed mega-cluster must be excluded
+    from the quadratic pairwise stage (bounded candidate rows), its
+    members surviving flagged — while small clusters dedup normally."""
+    import math
+
+    def ray(plane, deg, scale=1.0):
+        v = [0.0] * 4
+        v[plane] = scale * math.cos(math.radians(deg))
+        v[plane + 1] = scale * math.sin(math.radians(deg))
+        return v
+
+    # ids 0-19: one 20-member mega-cluster on plane (0,1), all within
+    # 2 degrees of each other (every pair would exceed tau);
+    # ids 20-23: a small plane-(2,3) cluster with one planted dup
+    vecs = [ray(0, 0.1 * i) for i in range(20)]
+    vecs += [ray(2, 0), ray(2, 40), ray(2, 40, scale=2.0), ray(2, 80)]
+    sf = _write_embeddings(spark, tmp_path, vecs)
+    capped = similarity.semantic_dedup(
+        spark, sf, tau=0.95, centroid_modulus=20, max_cluster_size=10
+    )
+    out = {r.vec_id: r for r in capped.collect()}
+    assert set(out) == set(range(24))
+    # mega-cluster (centroid 0) skipped the pairwise stage entirely
+    for i in range(20):
+        r = out[i]
+        assert r.cluster_capped == 1 and r.kept == 1 and r.n_close == 0
+        assert r.max_mate_sim is None
+    # the small cluster still dedups: 22 is a scaled copy of 21
+    assert [i for i in range(20, 24) if out[i].kept == 0] == [22]
+    assert all(out[i].cluster_capped == 0 for i in range(20, 24))
+    # bounded candidate volume: only the small cluster's 4*3 oriented
+    # pairs reach the similarity computation (mega would add 20*19)
+    uncapped = similarity.semantic_dedup(
+        spark, sf, tau=0.95, centroid_modulus=20
+    )
+    n_uncapped_close = sum(r.n_close for r in uncapped.collect())
+    n_capped_close = sum(r.n_close for r in out.values())
+    assert n_uncapped_close >= 20 * 19 + 2  # mega pairs all within tau
+    assert n_capped_close == 2
+
+
 def test_semantic_dedup_no_pairs_at_paper_tau_on_fixture(spark):
     """The synthetic corpus is near-random: at the paper-typical
     tau=0.95 everything survives, and every vector appears once."""
@@ -1240,6 +1282,28 @@ def test_embedding_stats_counts_null_vectors_as_degenerate(spark, tmp_path):
     assert r.n_vecs == 3
     assert r.n_degenerate == 2
     assert r.min_dim == 2  # NULL vector contributes no dim signal
+    # the NULL-component vector's norm must not reach min/max: Spark's
+    # fold propagates NULL where DuckDB's list_sum skips it, so both
+    # engines null it behind the same is_bad predicate
+    assert abs(r.min_norm - 5.0**0.5) < 1e-12
+    assert abs(r.max_norm - 5.0**0.5) < 1e-12
+    # replay the registry oracle on the same parquet: the full frame
+    # must match value-for-value even WITH degenerate rows present
+    import duckdb
+
+    from hadoop_logfile_inputformat_spark.plans.registry import _SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{base}/embeddings.parquet/*.parquet')"
+    )
+    odf = con.execute(_SQL["embedding_stats"]).fetchdf()
+    orow = odf.iloc[0]
+    assert int(orow["n_vecs"]) == r.n_vecs
+    assert int(orow["n_degenerate"]) == r.n_degenerate
+    assert abs(float(orow["min_norm"]) - r.min_norm) < 1e-12
+    assert abs(float(orow["max_norm"]) - r.max_norm) < 1e-12
 
 
 def test_compression_profile_separates_repetition_and_is_deterministic(spark):

@@ -183,6 +183,29 @@ def test_remote_simple_stream_reader(fake_fsspec):
     assert off2["files"]["mem://logs/a.log"] == len(LOG)
 
 
+def test_table_sizes_recurses_hive_partitions(spark, tmp_path):
+    """A Hive-partitioned table dir (key=value/ subdirs, the corpus
+    sink's layout) must report its true file count — r5 counted only
+    direct children, read 0 files, and _needs_fanout would have bolted
+    a repartition onto an arbitrarily large table."""
+    from hadoop_logfile_inputformat_spark.operators import tables
+
+    path = str(tmp_path / "sink.parquet")
+    (
+        spark.range(100)
+        .selectExpr("id AS doc_id", "CAST(id % 4 AS INT) AS batch_id")
+        .repartition(4, "batch_id")
+        .write.partitionBy("batch_id")
+        .parquet(path)
+    )
+    n_files, total = tables._table_sizes(spark, path)
+    assert n_files >= 4 and total > 0
+    # with real parts visible, a small target no longer demands fanout
+    tables._FANOUT_CACHE.clear()
+    assert tables._needs_fanout(spark, path, target=4) is False
+    tables._FANOUT_CACHE.clear()
+
+
 def test_needs_fanout_remote_path_safe(spark):
     """An unreachable hdfs:// table dir must yield fanout=False, not
     crash load() (VERDICT r4 'What's wrong' #1)."""
