@@ -190,6 +190,7 @@ def summary_lines(timings, cold_timings, extra, n_errors, source_mb_s, sf):
             "detail": "extra_steady",
             "cold_total": round(sum(cold_timings.values()), 1),
             "extra_total": round(sum(extra.values()), 1),
+            "n_extra": len(extra),
             "n_errors": n_errors,
             "source_mb_s": source_mb_s,
             "steady": steady_map,
@@ -205,7 +206,17 @@ def summary_lines(timings, cold_timings, extra, n_errors, source_mb_s, sf):
         # portable twins — so the artifact still says what was cut) to
         # keep every trended operator inside the tail.
         kept = {k: v for k, v in ordered.items() if k not in low}
-        extra_line = _extra_line(kept, len(low))
+        dropped = len(low)
+        extra_line = _extra_line(kept, dropped)
+        # Re-check after the bulk drop: pathological timing widths
+        # (many multi-hundred-second values) can still overflow, and a
+        # front-truncated line is worse than a shorter map.  Shed one
+        # key at a time — front of the map first, matching the
+        # least-trended-first ordering — until both lines fit.
+        while len(extra_line) + len(metric_line) + 2 > TAIL_BUDGET and kept:
+            kept.pop(next(iter(kept)))
+            dropped += 1
+            extra_line = _extra_line(kept, dropped)
     return [extra_line, metric_line]
 
 

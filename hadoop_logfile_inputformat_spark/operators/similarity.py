@@ -938,6 +938,18 @@ def ann_pq_topk(
 
 SEMDEDUP_TAU = 0.95  # paper-typical threshold for real embedding spaces
 
+#: Production default for :func:`semantic_dedup`'s ``max_cluster_size``:
+#: bounds the intra-cluster quadratic stage at ~10k² pairs per cluster
+#: (the SemDeDup paper's balanced-cluster operating point, SCALING.md
+#: "Semantic dedup").  Callers needing exact-parity semantics (the
+#: registry oracle binding) pass ``max_cluster_size=None`` explicitly.
+SEMDEDUP_MAX_CLUSTER = 10_000
+
+#: Sentinel so the guarded default above is resolved at CALL time —
+#: tests can tighten ``SEMDEDUP_MAX_CLUSTER`` and still exercise the
+#: true no-argument production path.
+_DEFAULT_CAP = object()
+
 
 def build_pq_index(
     spark: SparkSession,
@@ -1081,7 +1093,7 @@ def semantic_dedup(
     sf_dir: str,
     tau: float = SEMDEDUP_TAU,
     centroid_modulus: int = IVF_CENTROID_MODULUS,
-    max_cluster_size: int | None = None,
+    max_cluster_size=_DEFAULT_CAP,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over the embedding corpus
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -1118,10 +1130,15 @@ def semantic_dedup(
     survive with ``n_close=0`` and are flagged in an extra
     ``cluster_capped`` column so the recall trade is visible per row.
     The size aggregate and join run on ``centroid_id``, the key the
-    pairwise join shuffles on anyway — no new shuffle shape.  Default
-    ``None`` keeps exact parity with the registry oracle (no extra
-    column, no extra aggregate).
+    pairwise join shuffles on anyway — no new shuffle shape.  The
+    default is the GUARDED production cap ``SEMDEDUP_MAX_CLUSTER``
+    (10k): a caller on skewed real-world embeddings is protected
+    without opting in.  Pass ``None`` explicitly for exact-parity
+    semantics (no extra column, no size aggregate) — the registry
+    oracle binding does.
     """
+    if max_cluster_size is _DEFAULT_CAP:
+        max_cluster_size = SEMDEDUP_MAX_CLUSTER
     v = _vectors(spark, sf_dir)
     cent = v.filter(F.col("vec_id") % centroid_modulus == 0).select(
         F.col("vec_id").alias("centroid_id"),

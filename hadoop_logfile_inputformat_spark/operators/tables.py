@@ -188,18 +188,22 @@ def _table_sizes(spark: SparkSession, path: str):
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    root = fs.makeQualified(jpath).toUri().getPath().rstrip("/")
     it = fs.listFiles(jpath, True)
     n, total = 0, 0
     while it.hasNext():
         st = it.next()
         p = st.getPath()
         fname = p.getName()
-        parent = p.getParent().getName() if p.getParent() is not None else ""
-        if (
-            fname.endswith(".parquet")
-            and not fname.startswith((".", "_"))
-            and not parent.startswith((".", "_"))
-        ):
+        # Every path component BETWEEN the table root and the file must
+        # be visible, mirroring the local os.walk dirnames pruning: a
+        # crashed writer's `_temporary/0/task_x/part-*.parquet` sits
+        # several levels deep with a non-hidden immediate parent, so
+        # checking only getParent() would count in-flight/temp files.
+        ppath = p.toUri().getPath()
+        rel = ppath[len(root) :].lstrip("/") if ppath.startswith(root) else ppath
+        hidden = any(c.startswith((".", "_")) for c in rel.split("/") if c)
+        if fname.endswith(".parquet") and not hidden:
             n += 1
             total += st.getLen()
     return n, total

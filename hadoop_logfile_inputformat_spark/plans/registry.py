@@ -2304,9 +2304,11 @@ _PACKS: Dict[str, list] = {
         _m("pq", similarity.ann_pq_topk, "ann_pq_topk",
            k1="query_id", k2="neighbor_id", v1="sim", v2="rank"),
         # SemDeDup cluster-then-prune (tau=0.5: the fixture embeddings
-        # are near-random, see _SQL["semantic_dedup"])
+        # are near-random, see _SQL["semantic_dedup"]).  The oracle
+        # binding pins max_cluster_size=None — exact-parity semantics;
+        # the library default is the guarded SEMDEDUP_MAX_CLUSTER cap.
         _m("semdedup", lambda spark, sf_dir: similarity.semantic_dedup(
-               spark, sf_dir, tau=0.5),
+               spark, sf_dir, tau=0.5, max_cluster_size=None),
            "semantic_dedup",
            k1="vec_id", k2="centroid_id",
            v1="n_close", v2="max_mate_sim", v3="kept"),

@@ -58,6 +58,38 @@ def test_metric_line_is_last_and_has_driver_keys():
     assert abs(metric["value"] - len(bench.HEADLINE) * 1.0) < 1e-9
 
 
+def test_tail_truncation_replay_preserves_metric_line():
+    """Literal replay of the driver's tail cut (VERDICT r6 stretch):
+    join full stdout (noise detail lines + the two summary lines), keep
+    only the last TAIL_BUDGET chars, and BOTH summary lines must still
+    parse — even at timing widths that force the guard to drop keys."""
+    for v in (1.0, 734.6):
+        lines = _lines(v, v)
+        stdout = "\n".join(['{"detail":"per_query_noise"}'] * 60 + lines)
+        tail = stdout[-bench.TAIL_BUDGET :]
+        tail_lines = tail.split("\n")
+        metric = json.loads(tail_lines[-1])
+        assert metric["metric"] == "headline_queries_total_wall"
+        payload = json.loads(tail_lines[-2])
+        assert payload["detail"] == "extra_steady"
+        assert payload["n_extra"] == len(bench.EXTRA)
+
+
+def test_progressive_drop_converges_under_pathological_widths():
+    """If the bulk low-key drop still overflows (every value hundreds
+    of seconds wide), summary_lines must shed further keys one at a
+    time — recording each in n_dropped — rather than let the driver
+    front-truncate the extras line (ADVICE r6)."""
+    lines = _lines(999999.9, 999999.9)
+    assert sum(len(l) for l in lines) + len(lines) <= bench.TAIL_BUDGET
+    payload = json.loads(lines[0])
+    dropped = payload.get("n_dropped", 0)
+    assert dropped + len(payload["steady"]) == len(bench.EXTRA)
+    # the shed order sacrifices low-value keys before trended ones:
+    # any surviving key set must contain the LAST trended entries
+    assert payload["n_extra"] == len(bench.EXTRA)
+
+
 def test_realistic_mix_keeps_all_extras():
     """With r5-magnitude timings (0.3–3.3 s) nothing is dropped."""
     vals = [0.3, 0.42, 0.55, 0.72, 0.86, 1.05, 1.45, 1.66, 2.55, 3.2]

@@ -702,10 +702,14 @@ def test_semantic_dedup_drops_injected_near_dup(spark, tmp_path):
     assert all(out[i].max_mate_sim < 0.95 for i in range(8))
 
 
-def test_semantic_dedup_caps_mega_cluster(spark, tmp_path):
+def test_semantic_dedup_caps_mega_cluster(spark, tmp_path, monkeypatch):
     """Hot-cluster guard: a constructed mega-cluster must be excluded
     from the quadratic pairwise stage (bounded candidate rows), its
-    members surviving flagged — while small clusters dedup normally."""
+    members surviving flagged — while small clusters dedup normally.
+    Exercises BOTH the explicit-cap argument and the no-argument
+    production default (SEMDEDUP_MAX_CLUSTER, tightened for the test),
+    plus the explicit ``None`` opt-out the registry oracle binding
+    uses."""
     import math
 
     def ray(plane, deg, scale=1.0):
@@ -734,14 +738,30 @@ def test_semantic_dedup_caps_mega_cluster(spark, tmp_path):
     assert [i for i in range(20, 24) if out[i].kept == 0] == [22]
     assert all(out[i].cluster_capped == 0 for i in range(20, 24))
     # bounded candidate volume: only the small cluster's 4*3 oriented
-    # pairs reach the similarity computation (mega would add 20*19)
+    # pairs reach the similarity computation (mega would add 20*19).
+    # max_cluster_size=None is the explicit exact-parity opt-out (the
+    # registry oracle binding): no cap, no cluster_capped column.
     uncapped = similarity.semantic_dedup(
-        spark, sf, tau=0.95, centroid_modulus=20
+        spark, sf, tau=0.95, centroid_modulus=20, max_cluster_size=None
     )
+    assert "cluster_capped" not in uncapped.columns
     n_uncapped_close = sum(r.n_close for r in uncapped.collect())
     n_capped_close = sum(r.n_close for r in out.values())
     assert n_uncapped_close >= 20 * 19 + 2  # mega pairs all within tau
     assert n_capped_close == 2
+    # the PRODUCTION DEFAULT path (no max_cluster_size argument) is
+    # guarded: tighten the module cap and the same mega-cluster is
+    # skipped without the caller opting in
+    monkeypatch.setattr(similarity, "SEMDEDUP_MAX_CLUSTER", 10)
+    dflt = {
+        r.vec_id: r
+        for r in similarity.semantic_dedup(
+            spark, sf, tau=0.95, centroid_modulus=20
+        ).collect()
+    }
+    assert all(dflt[i].cluster_capped == 1 for i in range(20))
+    assert all(dflt[i].kept == 1 and dflt[i].n_close == 0 for i in range(20))
+    assert [i for i in range(20, 24) if dflt[i].kept == 0] == [22]
 
 
 def test_semantic_dedup_no_pairs_at_paper_tau_on_fixture(spark):
@@ -1244,7 +1264,7 @@ def test_snapshot_diff_statuses_and_counts(spark):
     )
     assert got.get("added", 0) == exp_added
     assert got.get("removed", 0) == exp_removed
-    # reversed text can coincide only for palindromes; none in fixture
+    # the "X|"-prefixed synthetic text can never equal the original
     assert got.get("changed", 0) == exp_changed
     assert got.get("unchanged", 0) == len(doc_ids) - exp_added - exp_removed - exp_changed
 

@@ -206,6 +206,31 @@ def test_table_sizes_recurses_hive_partitions(spark, tmp_path):
     tables._FANOUT_CACHE.clear()
 
 
+def test_table_sizes_remote_branch_skips_hidden_ancestors(spark, tmp_path):
+    """The Hadoop-FS branch must exclude files with ANY `.`/`_`-prefixed
+    ancestor under the table root, matching the local os.walk pruning —
+    crashed-writer debris like `_temporary/0/task_x/part-*.parquet` has
+    a non-hidden IMMEDIATE parent and r6 counted it (ADVICE r6)."""
+    from hadoop_logfile_inputformat_spark.operators import tables
+
+    root = tmp_path / "tbl.parquet"
+    good = root / "batch_id=0"
+    good.mkdir(parents=True)
+    (good / "part-0.parquet").write_bytes(b"x" * 10)
+    debris = root / "_temporary" / "0" / "task_20260814_0001"
+    debris.mkdir(parents=True)
+    (debris / "part-1.parquet").write_bytes(b"y" * 1000)
+    staging = root / ".staging" / "attempt_0"
+    staging.mkdir(parents=True)
+    (staging / "part-2.parquet").write_bytes(b"z" * 1000)
+    # a `file:` URI defeats os.path.isdir, forcing the JVM Hadoop-FS
+    # branch over the same directory tree
+    n_files, total = tables._table_sizes(spark, "file:" + str(root))
+    assert (n_files, total) == (1, 10)
+    n_local, total_local = tables._table_sizes(spark, str(root))
+    assert (n_local, total_local) == (1, 10)
+
+
 def test_needs_fanout_remote_path_safe(spark):
     """An unreachable hdfs:// table dir must yield fanout=False, not
     crash load() (VERDICT r4 'What's wrong' #1)."""
