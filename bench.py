@@ -33,7 +33,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from hadoop_logfile_inputformat_spark.operators import dedup, text
+from hadoop_logfile_inputformat_spark.operators import dedup, similarity, text
 from hadoop_logfile_inputformat_spark.plans.registry import MEMBER_QUERIES, QUERIES
 from hadoop_logfile_inputformat_spark.session import get_spark
 
@@ -60,6 +60,9 @@ PORTABLE_TWINS = {
 #: test-asserted in tests/.
 LIBRARY_ONLY = {
     "compression_profile": text.compression_profile,
+    # full learned-IVF lifecycle (k-means train -> index build ->
+    # probe): iterative driver-coordinated Lloyd's has no SQL oracle
+    "ann_ivf_topk_kmeans": similarity.ann_ivf_topk_kmeans,
 }
 
 #: Headline set: every operator family, weighted toward the shapes that
@@ -137,6 +140,7 @@ EXTRA = [
     "mixture_sample",
     "stratified_sample",
     "training_corpus",
+    "ann_ivf_topk_kmeans",
     # reference-parity surface (fixture corpus; mostly measures the
     # Python-DataSource fixed overhead at this size — the MB/s scan
     # numbers come from the source_throughput measurement below)

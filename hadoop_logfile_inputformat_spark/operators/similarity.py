@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from hadoop_logfile_inputformat_spark.operators.tables import (
     _table_sizes,
+    clear_orphaned_table,
     load,
     scoped_persist,
 )
@@ -229,24 +230,48 @@ def kmeans_centroids(
     vectors: DataFrame,
     k: int = 16,
     iters: int = 5,
+    metric: str = "l2",
 ) -> DataFrame:
     """Distributed Lloyd's k-means over an ``(vec_id, embedding)``
     DataFrame — the learned-centroid feed for :func:`build_ivf_index`
     (its deterministic-modulus default stands in when no training pass
     is wanted).  Returns ``(centroid_id, c_emb)``.
 
-    Deterministic end to end: init = the k lowest-``vec_id`` vectors,
-    assignment ties break to the lowest centroid_id, and an emptied
-    cluster keeps its previous centroid.  Scale shape per iteration:
+    ``metric="l2"`` is classic Lloyd's; ``metric="cosine"`` is
+    SPHERICAL k-means (assignment by max cosine, update = component
+    mean, whose direction is the spherical centroid — no explicit
+    normalization needed because every downstream consumer divides by
+    the centroid norm).  Use the cosine mode when the index it feeds
+    ranks by cosine (:func:`build_ivf_index` + :func:`ann_ivf_probe`):
+    training in L2 and probing in cosine mismatches the quantizer and
+    measurably costs recall.
+
+    Deterministic end to end: init = the k vectors with the lowest
+    ``xxhash64(vec_id)`` (ties to the lowest id) — a deterministic
+    pseudo-random SPREAD.  Initializing from the k lowest raw ids
+    would inherit whatever correlation ids have with content (the
+    fixture's id→label blocking left whole label regions uncovered and
+    cost ~0.5 IVF recall; a production corpus with time-ordered ids
+    has the same failure mode).  Assignment ties break to the lowest
+    centroid_id, and an emptied cluster keeps its previous centroid.  Scale shape per iteration:
     one corpus pass scoring against the BROADCAST centroids with a
-    map-side ``min_by`` partial (never a |corpus| x k shuffle), then a
-    (centroid_id, position) mean aggregate whose result is k x dim
-    rows — that, not the corpus, is what the driver collects.
+    map-side ``min_by``/``max_by`` partial (never a |corpus| x k
+    shuffle), then a (centroid_id, position) mean aggregate whose
+    result is k x dim rows — that, not the corpus, is what the driver
+    collects.
     """
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"metric must be 'l2' or 'cosine', got {metric!r}")
     spark = vectors.sparkSession
     v = vectors.select("vec_id", "embedding")
     dim = len(v.select("embedding").head()[0])
-    init = v.orderBy("vec_id").limit(k).collect()
+    # orderBy + limit plans as TakeOrderedAndProject (distributed
+    # top-k, no single-partition global sort)
+    init = (
+        v.orderBy(F.xxhash64("vec_id").asc(), F.col("vec_id").asc())
+        .limit(k)
+        .collect()
+    )
     cents = [[float(x) for x in r["embedding"]] for r in init]
     if len(cents) < k:
         raise ValueError(f"need at least k={k} vectors, got {len(cents)}")
@@ -255,10 +280,23 @@ def kmeans_centroids(
         " (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
         " CAST(0.0 AS DOUBLE), (a, d) -> a + d)"
     )
+    cos = (
+        "aggregate(zip_with(embedding, c_emb, (x, y) ->"
+        " CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, d) -> a + d)"
+        " / (sqrt(aggregate(c_emb, CAST(0.0 AS DOUBLE),"
+        " (a, y) -> a + y * y)) + 1e-12)"
+    )
     cdf = None
     for _ in range(iters):
         cdf = spark.createDataFrame(
             list(enumerate(cents)), "centroid_id int, c_emb array<double>"
+        )
+        score = F.expr(sq if metric == "l2" else cos)
+        pick = (
+            "min_by(centroid_id, struct(d2, centroid_id))"
+            if metric == "l2"
+            # max cosine; ties to the lowest centroid_id
+            else "max_by(centroid_id, struct(d2, -centroid_id))"
         )
         assigned = (
             v.join(F.broadcast(cdf), how="cross")
@@ -266,14 +304,12 @@ def kmeans_centroids(
                 "vec_id",
                 "embedding",
                 "centroid_id",
-                F.expr(sq).alias("d2"),
+                score.alias("d2"),
             )
             .groupBy("vec_id")
             .agg(
                 F.first("embedding").alias("embedding"),
-                F.expr("min_by(centroid_id, struct(d2, centroid_id))").alias(
-                    "centroid_id"
-                ),
+                F.expr(pick).alias("centroid_id"),
             )
         )
         means = (
@@ -357,10 +393,16 @@ def build_ivf_index(
     )
     if path is not None:
         writer = writer.option("path", f"{path}/{name}_lists")
+    else:
+        # a warehouse dir orphaned by a previous session (catalog entry
+        # gone) would fail the overwrite with LOCATION_ALREADY_EXISTS
+        clear_orphaned_table(spark, f"{name}_lists")
     writer.saveAsTable(f"{name}_lists")
     cw = cent.coalesce(1).write.mode("overwrite").format("parquet")
     if path is not None:
         cw = cw.option("path", f"{path}/{name}_centroids")
+    else:
+        clear_orphaned_table(spark, f"{name}_centroids")
     cw.saveAsTable(f"{name}_centroids")
 
 
@@ -416,6 +458,51 @@ def ann_ivf_probe(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def ann_ivf_topk_kmeans(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    query_modulus: int = QUERY_MODULUS,
+    nprobe: int = IVF_NPROBE,
+    n_centroids: int | None = None,
+    iters: int = 3,
+) -> DataFrame:
+    """End-to-end LEARNED-centroid IVF: k-means training pass →
+    persisted index build → bucketed probe — the full lifecycle a
+    production vector pipeline runs (train once, probe forever),
+    composed from :func:`kmeans_centroids`, :func:`build_ivf_index`
+    and :func:`ann_ivf_probe`.
+
+    ``n_centroids`` defaults to the modulus family's centroid count
+    (``|corpus| / IVF_CENTROID_MODULUS``) so recall comparisons against
+    :func:`ann_ivf_topk` hold the centroid budget constant; the learned
+    centroids then buy equal-or-better quantization — asserted
+    ``recall ≥ modulus baseline`` in tests/test_operators.py.
+
+    Not oracle-expressible: Lloyd's iterations are driver-coordinated
+    (k×dim means collected per pass — bounded, never the corpus), so
+    this is a bench ``LIBRARY_ONLY`` entry per the repo rules, while
+    the modulus family stays the registry's portable binding.
+    """
+    import hashlib
+
+    v = _vectors(spark, sf_dir)
+    if n_centroids is None:
+        n_centroids = max(2, v.count() // IVF_CENTROID_MODULUS)
+    cents = kmeans_centroids(
+        v.select("vec_id", "embedding"),
+        k=n_centroids,
+        iters=iters,
+        metric="cosine",
+    )
+    name = "ivf_kmeans_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    build_ivf_index(spark, v.select("vec_id", "embedding"), name, centroids=cents)
+    queries = v.filter(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_ivf_probe(spark, queries, name, k=k, nprobe=nprobe)
 
 
 def quantized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:

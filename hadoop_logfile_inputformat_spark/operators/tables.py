@@ -209,6 +209,25 @@ def _table_sizes(spark: SparkSession, path: str):
     return n, total
 
 
+def clear_orphaned_table(spark: SparkSession, table: str) -> None:
+    """Make ``saveAsTable(mode("overwrite"))`` safe across sessions.
+
+    A managed table's LOCATION can outlive its catalog entry (the
+    metastore here is session-scoped): the next session's overwrite
+    then fails with LOCATION_ALREADY_EXISTS.  If no catalog entry
+    claims the table, remove the orphaned warehouse directory; a LIVE
+    entry is left alone — ``mode("overwrite")`` handles it.
+    """
+    if spark.catalog.tableExists(table):
+        return
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{wh.rstrip('/')}/{table.lower()}")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
 def _needs_fanout(spark: SparkSession, path: str, target: int) -> bool:
     key = (path, target)
     if key not in _FANOUT_CACHE:

@@ -1037,12 +1037,17 @@ def bpe_merges(
     merges = []
     for rank in range(n_merges):
         toks = F.expr("filter(split(s, '\\\\|'), x -> x <> '')")
+        # adjacent pairs via zip_with over two slices: a fully-merged
+        # word (single symbol) yields an EMPTY pair array.  The earlier
+        # sequence(1, size(t) - 1) construction inferred step -1 when
+        # size(t) == 1 (sequence(1, 0) == [1, 0]) and crashed
+        # element_at(t, 2) — found by the x10 scale soak, where a word
+        # fully merged mid-loop.
         pairs = cur.select(toks.alias("t"), "cnt").select(
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(t) - 1),"
-                    " i -> struct(element_at(t, i) AS l,"
-                    " element_at(t, i + 1) AS r))"
+                    "zip_with(slice(t, 1, size(t) - 1),"
+                    " slice(t, 2, size(t) - 1), (l, r) -> struct(l, r))"
                 )
             ).alias("p"),
             "cnt",

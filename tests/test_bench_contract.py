@@ -90,12 +90,26 @@ def test_progressive_drop_converges_under_pathological_widths():
     assert payload["n_extra"] == len(bench.EXTRA)
 
 
-def test_realistic_mix_keeps_all_extras():
-    """With r5-magnitude timings (0.3–3.3 s) nothing is dropped."""
+def test_realistic_mix_keeps_all_trended_extras():
+    """With r5-magnitude timings (0.3–3.3 s) every TRENDED key survives
+    and anything sacrificed comes only from the sacrificial-first set
+    (logfile fixtures / portable twins, whose signal lives elsewhere:
+    source_mb_s and the fast-path twins).  The full-42-keys fit of r6
+    was 4 bytes from the cap — growth of the extra set necessarily
+    sheds low keys first, and that is the designed behavior."""
     vals = [0.3, 0.42, 0.55, 0.72, 0.86, 1.05, 1.45, 1.66, 2.55, 3.2]
     t = {k: vals[i % len(vals)] for i, k in enumerate(bench.HEADLINE)}
     e = {k: vals[i % len(vals)] for i, k in enumerate(bench.EXTRA)}
     lines = bench.summary_lines(t, t, e, 0, 248.6, 0.1)
     payload = json.loads(lines[0])
-    assert set(payload["steady"]) == set(bench.EXTRA)
+    trended = {
+        k
+        for k in bench.EXTRA
+        if not (k.startswith("logfile_") or k.endswith("_portable"))
+    }
+    assert trended <= set(payload["steady"])
+    dropped_keys = set(bench.EXTRA) - set(payload["steady"])
+    assert dropped_keys <= set(bench.EXTRA) - trended
+    assert payload.get("n_dropped", 0) == len(dropped_keys)
+    assert payload["n_extra"] == len(bench.EXTRA)
     assert sum(len(l) for l in lines) + len(lines) <= bench.TAIL_BUDGET

@@ -667,6 +667,93 @@ def _write_embeddings(spark, tmp_path, vecs):
     return str(tmp_path)
 
 
+def test_ann_ivf_kmeans_end_to_end_recall(spark):
+    """Learned-centroid IVF exercised END TO END (spherical k-means →
+    build_ivf_index → ann_ivf_probe), judged on recall vs brute-force
+    ground truth — and it must beat-or-match the modulus-centroid
+    baseline on an HONEST query set, one disjoint from both centroid
+    sets.  (The registry fixture's default queries, vec_id%50==0, are a
+    subset of the modulus centroids vec_id%25==0: every such query
+    probes its own cluster at sim 1.0, flattering the baseline to ~0.96
+    while any non-coincident centroid set measures ~0.3-0.5.)"""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.01"
+    rows = similarity.load(spark, sf, "embeddings").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=float)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    neutral_ids = [int(i) for i in ids[ids % 50 == 7]]
+    idx = {int(v): i for i, v in enumerate(ids)}
+    truth = {}
+    for q in neutral_ids:
+        srow = S[idx[q]].copy()
+        srow[idx[q]] = -9.0
+        truth[q] = {int(ids[j]) for j in np.argsort(-srow)[:5]}
+
+    v = similarity._vectors(spark, sf)
+    neutral = v.filter(F.col("vec_id") % 50 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n_cent = int((ids % 25 == 0).sum())
+
+    def _recall(hits):
+        got = {}
+        for r in hits.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        matched = sum(len(got.get(q, set()) & truth[q]) for q in truth)
+        return matched / (5 * len(truth))
+
+    names = ("t_ivf_mod", "t_ivf_km")
+    for n in names:
+        for s in ("_lists", "_centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS {n}{s}")
+    try:
+        similarity.build_ivf_index(
+            spark, v.select("vec_id", "embedding"), "t_ivf_mod"
+        )
+        r_mod = _recall(similarity.ann_ivf_probe(spark, neutral, "t_ivf_mod"))
+        cents = similarity.kmeans_centroids(
+            v.select("vec_id", "embedding"), k=n_cent, iters=3, metric="cosine"
+        )
+        assert cents.count() == n_cent
+        similarity.build_ivf_index(
+            spark, v.select("vec_id", "embedding"), "t_ivf_km", centroids=cents
+        )
+        r_km = _recall(similarity.ann_ivf_probe(spark, neutral, "t_ivf_km"))
+    finally:
+        for n in names:
+            for s in ("_lists", "_centroids"):
+                spark.sql(f"DROP TABLE IF EXISTS {n}{s}")
+    # learned quantization must not lose to an arbitrary-subset one,
+    # and must clear an absolute floor well above random candidates
+    assert r_km >= r_mod, (r_km, r_mod)
+    assert r_km >= 0.35, r_km
+
+
+def test_ann_ivf_topk_kmeans_operator_contract(spark):
+    """The bench-facing one-call lifecycle op: schema/rank contract and
+    a recall floor vs the exact brute-force twin on the default query
+    set (deterministic: hash-spread init + fixed fixture)."""
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(spark, sf).collect()
+    }
+    out = similarity.ann_ivf_topk_kmeans(spark, sf)
+    assert out.columns == ["query_id", "neighbor_id", "sim", "rank"]
+    got = out.collect()
+    assert got and all(1 <= r.rank <= 5 for r in got)
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    approx = {(r.query_id, r.neighbor_id) for r in got}
+    assert len(approx & exact) / len(exact) >= 0.3
+
+
 def test_semantic_dedup_drops_injected_near_dup(spark, tmp_path):
     """Two planted clusters; one vector is a scaled copy of a
     cluster-mate — SemDeDup must drop exactly the higher-id copy."""
@@ -909,6 +996,26 @@ def test_bpe_merges_learns_frequency_ordered_pairs(spark, tmp_path):
         (2, "aa", "ab", "aaab", 3),
         (3, "aaab", "</w>", "aaab</w>", 3),
     ]
+
+
+def test_bpe_merges_survives_fully_merged_word(spark, tmp_path):
+    """A word that collapses to ONE symbol mid-loop must contribute an
+    empty pair array, not crash the next round: the old
+    ``sequence(1, size(t) - 1)`` construction inferred step -1 at
+    size 1 (``sequence(1, 0) == [1, 0]``), so ``element_at(t, 2)``
+    threw INVALID_ARRAY_INDEX — found by the x10 scale soak, where a
+    word fully merged while merges remained.  The loop must keep
+    learning from the still-mergeable words, then stop at fixpoint."""
+    from hadoop_logfile_inputformat_spark.operators import text as T
+
+    sf = _write_docs(spark, tmp_path, ["aaab aaab aaab", "xy xy"])
+    rows = [tuple(r) for r in T.bpe_merges(spark, sf, n_merges=8).collect()]
+    # rounds 0-3 as in the frequency-order test; "aaab</w>" is then a
+    # single symbol and rounds 4-5 continue on the xy word alone
+    assert rows[4] == (4, "x", "y", "xy", 2)
+    assert rows[5] == (5, "xy", "</w>", "xy</w>", 2)
+    # round 6 finds no pair anywhere (both words fully merged): stop
+    assert len(rows) == 6
 
 
 def test_bpe_tokenize_applies_learned_merges(spark, tmp_path):
