@@ -1112,19 +1112,45 @@ def observe_scan(df, name: str = "logfile_scan"):
         max_offset   highest record start offset scanned
     """
     from pyspark.sql import Observation
-    from pyspark.sql import functions as F
 
     obs = Observation(name)
-    observed = df.observe(
-        obs,
+    observed = df.observe(obs, *_scan_metric_exprs())
+    return observed, obs
+
+
+def _scan_metric_exprs():
+    """The shared observed-metric aggregates of :func:`observe_scan` /
+    :func:`observe_scan_stream` (see observe_scan's docstring for the
+    per-metric semantics)."""
+    from pyspark.sql import functions as F
+
+    return [
         F.count(F.lit(1)).alias("n_records"),
         F.coalesce(F.sum(F.octet_length("record")), F.lit(0)).alias(
             "record_bytes"
         ),
         F.approx_count_distinct("path").alias("n_files"),
         F.max("offset").alias("max_offset"),
-    )
-    return observed, obs
+    ]
+
+
+def observe_scan_stream(df, name: str = "logfile_scan"):
+    """Streaming twin of :func:`observe_scan`: attach the same scan
+    metrics to a STREAMING logfile read, surfaced per micro-batch.
+
+    ``Observation`` objects are batch-only, so streams use the
+    named-observe form: after each micro-batch the metrics row appears
+    in ``StreamingQueryProgress.observedMetrics[name]`` (``n_records``,
+    ``record_bytes``, ``n_files``, ``max_offset`` — per BATCH, not
+    cumulative), which is exactly the poll-while-running surface the
+    reference's ``RecordReader.getProgress``
+    (LogfileRecordReader.java:332-337) gives Hadoop: progress numbers
+    for work in flight, at zero extra passes over the data.
+
+    Returns the observed DataFrame; start a sink on it and read
+    ``query.lastProgress["observedMetrics"][name]``.
+    """
+    return df.observe(name, *_scan_metric_exprs())
 
 
 def register_logfile_source(spark) -> None:

@@ -181,6 +181,28 @@ def near_dup_stream_batch(
     ).insertInto(log)
 
 
+#: Default compaction cadence for the streaming index pipelines: every
+#: N applied batches the index tables are rewritten back to their
+#: target bucket count.  Each micro-batch append adds ``n_buckets``
+#: files per index table, so without maintenance a long-running stream
+#: degrades every probe into an O(batches x buckets)-file scan; with
+#: it the file count is bounded by O((N + 1) x buckets).
+COMPACT_EVERY = 16
+
+
+def _maybe_compact(spark, index_name: str, batch_id: int, every, fn) -> None:
+    """Run index compaction every ``every`` APPLIED batches (skipped on
+    replays: the bookkeeping row for ``batch_id`` is written before
+    this runs, so the count grows once per distinct batch).  Compaction
+    itself is idempotent/crash-safe (tmp-table swap in maintenance.py),
+    so a crash mid-compact at worst leaves the pre-compact files."""
+    if not every:
+        return
+    n = spark.table(f"{index_name}_batches").count()
+    if n and n % every == 0:
+        fn(spark, index_name)
+
+
 def near_dup_stream(
     docs: DataFrame,
     index_name: str,
@@ -189,6 +211,7 @@ def near_dup_stream(
     threshold: float | None = None,
     hash_fn: str = "xxhash64",
     update_index: bool = True,
+    compact_every: int | None = COMPACT_EVERY,
 ):
     """Streaming incremental deduplication: each arriving micro-batch
     of documents is probed against (and appended to) the persisted LSH
@@ -200,7 +223,18 @@ def near_dup_stream(
     overwrite partitions and the index bookkeeping table (see
     :func:`near_dup_stream_batch`).  Returns the started
     ``StreamingQuery``.
+
+    Index maintenance is part of the lifecycle: every ``compact_every``
+    applied batches the buckets/sets tables are rewritten back to their
+    bucket count (``maintenance.compact_minhash_index``), bounding the
+    per-probe file fan-in of a long-running stream at
+    O(compact_every x buckets) instead of O(batches x buckets).  The
+    compacting batch pays the rewrite inline (one corpus-sized index
+    scan); pass ``None`` to disable and run maintenance out-of-band.
     """
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        compact_minhash_index,
+    )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         near_dup_stream_batch(
@@ -212,6 +246,14 @@ def near_dup_stream(
             hash_fn=hash_fn,
             update_index=update_index,
         )
+        if update_index:
+            _maybe_compact(
+                batch_df.sparkSession,
+                index_name,
+                batch_id,
+                compact_every,
+                compact_minhash_index,
+            )
 
     return (
         docs.writeStream.foreachBatch(_process)
@@ -291,6 +333,7 @@ def curate_stream(
     index_name: str,
     corpus_sink: str,
     checkpoint: str,
+    compact_every: int | None = COMPACT_EVERY,
 ):
     """Continuous corpus ingestion: documents arrive as a stream, pass
     the stateless quality gates, are exact-deduped within the batch and
@@ -299,10 +342,26 @@ def curate_stream(
     and the survivors append to a partitioned corpus sink.  Returns the
     started ``StreamingQuery``; compose with :func:`near_dup_stream`
     on the sink for the approximate layer.
+
+    Every ``compact_every`` applied batches the hash-index table is
+    rewritten back to its bucket count
+    (``maintenance.compact_exact_index``) so the anti-join probe's file
+    fan-in stays O(compact_every x buckets) on a long-running stream;
+    ``None`` disables inline maintenance.
     """
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        compact_exact_index,
+    )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         curate_stream_batch(batch_df, index_name, corpus_sink, batch_id)
+        _maybe_compact(
+            batch_df.sparkSession,
+            index_name,
+            batch_id,
+            compact_every,
+            compact_exact_index,
+        )
 
     return (
         docs.writeStream.foreachBatch(_process)

@@ -67,6 +67,55 @@ def test_logfile_stream_tails_incrementally(spark, tmp_path):
         q.stop()
 
 
+def test_observe_scan_stream_metrics_in_progress(spark, tmp_path):
+    """Streaming parity of S7f getProgress (VERDICT r6 #5): the
+    observe_scan metrics must ride the micro-batch and surface in
+    StreamingQueryProgress.observedMetrics — per batch, with
+    n_records/record_bytes matching the rows that batch emitted."""
+    from hadoop_logfile_inputformat_spark.sources.logfile import (
+        observe_scan_stream,
+    )
+
+    log = tmp_path / "app.log"
+    line1 = "2024-01-01 00:00:00,000 | INFO | a | one\n"
+    line2 = "2024-01-01 00:00:01,000 | WARN | a | two\n"
+    log.write_text(line1 + line2)
+    register_logfile_stream_source(spark)
+    stream = (
+        spark.readStream.format("logfile-stream")
+        .option("pattern", FORMAT_A.replace("(?P<timestamp>", "(").replace("(?P<loglevel>", "("))
+        .option("tailStableBatches", 1)
+        .load(str(tmp_path))
+    )
+    observed = observe_scan_stream(stream, "scan_m")
+    q = (
+        observed.writeStream.format("memory")
+        .queryName("obs_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        _await_rows(spark, q, "obs_t", 2)
+        # find the progress event that carried rows (holdback polls
+        # produce empty batches whose metrics row reports 0 records)
+        metrics = [
+            p["observedMetrics"]["scan_m"]
+            for p in (q.recentProgress or [])
+            if p.get("observedMetrics", {}).get("scan_m")
+        ]
+        assert metrics, "no observedMetrics surfaced in progress events"
+        total_records = sum(m["n_records"] for m in metrics)
+        total_bytes = sum(m["record_bytes"] for m in metrics)
+        assert total_records == 2
+        # record bodies exclude the trailing newline
+        assert total_bytes == len(line1) + len(line2) - 2
+        carrying = [m for m in metrics if m["n_records"] > 0]
+        assert all(m["n_files"] >= 1 and m["max_offset"] >= 0 for m in carrying)
+    finally:
+        q.stop()
+
+
 def test_logfile_stream_offsets_are_replayable(spark, tmp_path):
     """readBetweenOffsets must reproduce a batch exactly (recovery)."""
     from hadoop_logfile_inputformat_spark.streaming.logfile_stream import (
@@ -561,6 +610,92 @@ def test_near_dup_stream_probes_and_grows_index(spark, tmp_path):
         assert got3 == got2
         for t in ("t_stream_idx_buckets", "t_stream_idx_sets", "t_stream_idx_batches"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_near_dup_stream_compaction_bounds_index_files(spark, tmp_path):
+    """20-micro-batch soak: every micro-batch appends n_buckets files
+    per index table, so an unmaintained stream reaches
+    O(batches x buckets) files; with ``compact_every=5`` wired into the
+    lifecycle the file count must stay bounded by
+    O(compact_every x buckets) — and the index must still answer
+    probes correctly after multiple compaction cycles."""
+    import glob
+    import os
+
+    from hadoop_logfile_inputformat_spark.operators import dedup
+    from hadoop_logfile_inputformat_spark.streaming import near_dup_stream
+
+    name = "t_soak_idx"
+    for t in (f"{name}_buckets", f"{name}_sets", f"{name}_batches"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    base = "the quick brown fox jumps over the lazy dog beside the river today"
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame([(1, base)], schema)
+    dedup.build_minhash_index(
+        spark, corpus, name, n_buckets=2, path=str(tmp_path / "idx")
+    )
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    # 20 one-doc files -> 20 micro-batches via maxFilesPerTrigger=1;
+    # 19 distinct texts plus one near-dup of the seed corpus doc
+    for i in range(20):
+        # fully word-disjoint docs (threshold is 0.10: ANY shared
+        # 3-shingle skeleton would cross it)
+        text = (
+            base + " extra"
+            if i == 19
+            else " ".join(
+                f"{w}{i}"
+                for w in (
+                    "alpha", "beta", "gamma", "delta", "epsilon",
+                    "zeta", "eta", "theta", "iota", "kappa",
+                )
+            )
+        )
+        spark.createDataFrame([(100 + i, text)], schema).coalesce(
+            1
+        ).write.parquet(str(src / f"b{i:02d}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    sink = str(tmp_path / "pairs")
+    q = near_dup_stream(
+        stream, name, sink, str(tmp_path / "ckpt"), compact_every=5
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.table(f"{name}_batches").count() == 20
+
+    def _nfiles(table):
+        detail = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        loc = next(r.data_type for r in detail if r.col_name == "Location")
+        return len(glob.glob(os.path.join(loc.removeprefix("file:"), "*.parquet")))
+
+    # 20 applied batches -> compactions at 5/10/15/20; the last one
+    # rewrites to one file per bucket.  Without maintenance this would
+    # be (1 seed + 20 appends) x 2 buckets = 42 files.
+    bound = (5 + 1) * 2
+    assert _nfiles(f"{name}_buckets") <= bound
+    assert _nfiles(f"{name}_sets") <= bound
+    # correctness across compaction cycles: the late near-dup of the
+    # batch-0 seed was still found, and novel docs produced no pairs
+    got = {(r.doc_a, r.doc_b) for r in spark.read.parquet(sink).collect()}
+    assert (1, 119) in got
+    assert all(b == 119 for _, b in got)
+    # the index still probes correctly post-compaction
+    probe = spark.createDataFrame(
+        [(500, "alpha7 beta7 gamma7 delta7 epsilon7 zeta7 eta7 theta7"
+               " iota7 kappa7 padded")],
+        schema,
+    )
+    pairs = dedup.incremental_near_dups(spark, probe, name)
+    assert {(r.doc_a, r.doc_b) for r in pairs.collect()} == {(107, 500)}
+    for t in (f"{name}_buckets", f"{name}_sets", f"{name}_batches"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_curate_stream_gates_and_dedups_across_batches(spark, tmp_path):
