@@ -616,15 +616,38 @@ def embedding_near_dup_pairs(
 
 N_HYPERPLANES = 128
 LSH_BAND_BITS = 8  # 16 bands of 8 bits
+LSH_N_BANDS = N_HYPERPLANES // LSH_BAND_BITS  # band count fixes recall
+#: Target mean LSH bucket size for the adaptive band-width default:
+#: buckets-per-band = 2^band_bits must grow WITH the corpus (buckets
+#: ∝ N) to hold candidate volume ~linear; at any fixed width the
+#: per-band pair count is N²/2^band_bits — quadratic.  The x100 scale
+#: soak measured exactly that: 200k near-random vectors at the old
+#: fixed 8 bits meant ~780-member buckets and ~10⁹ candidate pairs.
+LSH_TARGET_BUCKET = 64
+
+
+def _lsh_geometry(n_vecs: int) -> tuple:
+    """(band_bits, n_planes) for a corpus of ``n_vecs`` vectors: band
+    width grows as log2(n / LSH_TARGET_BUCKET) — never below the
+    fixture geometry's 8 — while the band count stays LSH_N_BANDS, so
+    mean bucket size (and with it candidate volume per vector) is held
+    ~constant as the corpus grows.  Pure function; unit-tested."""
+    import math
+
+    bits = LSH_BAND_BITS
+    if n_vecs > LSH_TARGET_BUCKET:
+        bits = max(bits, math.ceil(math.log2(n_vecs / LSH_TARGET_BUCKET)))
+    return bits, LSH_N_BANDS * bits
 
 
 def embedding_near_dup_scale(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = 0.9,
-    n_planes: int = N_HYPERPLANES,
-    band_bits: int = LSH_BAND_BITS,
+    n_planes: int | None = None,
+    band_bits: int | None = None,
     seed: int = 7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Scale path of :func:`embedding_near_dup_pairs`: hyperplane-LSH
     bucketed candidates, verified exactly — never an all-pairs join.
@@ -638,13 +661,30 @@ def embedding_near_dup_scale(
     cosine verification — the same exact/approximate split dedup.py
     uses for text.
 
-    Default parameters (16 bands x 8 bits): a true pair at cosine 0.9
-    (per-bit agreement 0.856) survives with prob ``1-(1-0.856^8)^16``
-    ~= 0.996, while an unrelated orthogonal pair collides at
-    ``16 * 2^-8`` ~= 6% — a 16x candidate reduction on adversarially
-    random data, far more on real embedding distributions where near
-    dups cluster tightly.  Tune ``band_bits`` down / bands up for lower
-    thresholds (tests exercise this on the near-random testdata).
+    At the fixture's default geometry (16 bands x 8 bits): a true pair
+    at cosine 0.9 (per-bit agreement 0.856) survives with prob
+    ``1-(1-0.856^8)^16`` ~= 0.996, while an unrelated orthogonal pair
+    collides at ``16 * 2^-8`` ~= 6%.  Tune ``band_bits`` down / bands
+    up for lower thresholds (tests exercise this on the near-random
+    testdata).
+
+    ADAPTIVE WIDTH (the scale-correct default): with ``band_bits=None``
+    the band width grows with the corpus —
+    ``max(8, ceil(log2(n / LSH_TARGET_BUCKET)))`` — and ``n_planes``
+    follows as ``16 * band_bits``, keeping the band COUNT (hence the
+    recall curve's shape) fixed while buckets-per-band scales ∝ N.
+    That bounds mean bucket size at ~LSH_TARGET_BUCKET, making expected
+    candidate volume ~``bands x N x bucket/2`` — LINEAR in N.  Any
+    FIXED width is quadratic (per-band pairs = N²/2^bits): the x100
+    soak measured 200k vectors x 8 fixed bits = ~780-member buckets
+    and ~10⁹ candidate pairs.  The one count() this needs reads parquet
+    footers only; explicit parameters bypass it (oracle twins, tests).
+
+    ``max_bucket_size`` is the same skip-oversized-buckets safety valve
+    as ``dedup._cap_buckets`` (skewed REAL embedding spaces can
+    concentrate mass in one bucket no matter the width): members of a
+    dropped hot bucket almost always share a smaller bucket with their
+    true pairs; default ``None`` = exact parity with the oracle twin.
 
     Shuffle shape: |corpus| x bands rows keyed by (band, bucket) for
     candidate generation, then two vec_id hash joins for verification —
@@ -654,6 +694,14 @@ def embedding_near_dup_scale(
     import numpy as np
 
     v = _vectors(spark, sf_dir)
+    if band_bits is None:
+        band_bits, auto_planes = _lsh_geometry(
+            load(spark, sf_dir, "embeddings").count()
+        )
+        if n_planes is None:
+            n_planes = auto_planes
+    elif n_planes is None:
+        n_planes = LSH_N_BANDS * band_bits
     # one-row driver action to learn the dimension (bounded by design)
     first = load(spark, sf_dir, "embeddings").select("embedding").head()
     if first is None:  # empty corpus (an empty partition/date at scale)
@@ -691,6 +739,12 @@ def embedding_near_dup_scale(
     buckets = scoped_persist(
         buckets, ("hyperplane_buckets", sf_dir, n_planes, band_bits, seed)
     )
+    if max_bucket_size is not None:
+        from hadoop_logfile_inputformat_spark.operators.dedup import (
+            _cap_buckets,
+        )
+
+        buckets = _cap_buckets(buckets, ["band", "bucket"], max_bucket_size)
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(

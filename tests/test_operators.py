@@ -667,6 +667,71 @@ def _write_embeddings(spark, tmp_path, vecs):
     return str(tmp_path)
 
 
+def test_lsh_geometry_scales_band_width_with_corpus():
+    """Adaptive hyperplane-LSH geometry: band width grows log2 with
+    the corpus (buckets ∝ N → candidate volume ~linear), never below
+    the fixture geometry, with the band count pinned — found by the
+    x100 scale soak, where the old fixed 8 bits meant ~780-member
+    buckets and ~10⁹ candidate pairs at 200k vectors."""
+    g = similarity._lsh_geometry
+    # fixture scales keep the oracle-parity geometry (8 bits, 128 planes)
+    assert g(0) == (8, 128)
+    assert g(500) == (8, 128)
+    assert g(2_000) == (8, 128)
+    assert g(64 * 256) == (8, 128)  # boundary: exactly 2^8 buckets
+    # beyond it, width tracks ceil(log2(n/64)) at 16 bands
+    assert g(64 * 256 + 1) == (9, 144)
+    assert g(200_000) == (12, 192)
+    assert g(10**9) == (24, 384)
+    # mean bucket size stays bounded: n / 2^bits <= 64 everywhere
+    for n in (10**4, 10**6, 10**8, 10**10):
+        bits, _ = g(n)
+        assert n / (1 << bits) <= similarity.LSH_TARGET_BUCKET
+
+
+def test_embedding_near_dup_scale_adaptive_default_matches_explicit(spark):
+    """At fixture scale the adaptive default must resolve to the exact
+    oracle-parity geometry — bit-identical output to the explicit
+    (8-bit, 128-plane) call."""
+    dflt = similarity.embedding_near_dup_scale(spark, SF, threshold=0.40)
+    expl = similarity.embedding_near_dup_scale(
+        spark, SF, threshold=0.40, band_bits=8, n_planes=128
+    )
+    assert sorted(map(tuple, dflt.collect())) == sorted(
+        map(tuple, expl.collect())
+    )
+
+
+def test_embedding_near_dup_scale_bucket_cap_drops_hot_bucket(spark, tmp_path):
+    """max_bucket_size: a constructed hot bucket (many copies of one
+    direction) is excluded from candidate generation, while pairs in
+    small buckets survive."""
+    import math
+
+    def ray(plane, deg, scale=1.0):
+        v = [0.0] * 4
+        v[plane] = scale * math.cos(math.radians(deg))
+        v[plane + 1] = scale * math.sin(math.radians(deg))
+        return v
+
+    # ids 0-19: one direction repeated at tiny angular jitter (all in
+    # one LSH bucket, all true near-dups); ids 20-21: one isolated pair
+    vecs = [ray(0, 0.01 * i) for i in range(20)]
+    vecs += [ray(2, 10), ray(2, 10.5)]
+    sf = _write_embeddings(spark, tmp_path, vecs)
+    capped = similarity.embedding_near_dup_scale(
+        spark, sf, threshold=0.95, band_bits=4, n_planes=64,
+        max_bucket_size=10,
+    )
+    got = {(r.vec_a, r.vec_b) for r in capped.collect()}
+    assert (20, 21) in got
+    assert not any(a < 20 and b < 20 for a, b in got)
+    uncapped = similarity.embedding_near_dup_scale(
+        spark, sf, threshold=0.95, band_bits=4, n_planes=64
+    )
+    assert len(uncapped.collect()) >= 20 * 19 // 2 + 1
+
+
 def test_ann_ivf_kmeans_end_to_end_recall(spark):
     """Learned-centroid IVF exercised END TO END (spherical k-means →
     build_ivf_index → ann_ivf_probe), judged on recall vs brute-force
