@@ -28,6 +28,22 @@ QUERY_MODULUS = 50  # vec_id % 50 == 0 → deterministic query subset
 TOP_K = 5
 IVF_CENTROID_MODULUS = 25  # 1/25 of vectors act as IVF centroids
 IVF_NPROBE = 3
+#: Cap on the deterministic centroid/codebook cardinality: a FIXED
+#: modulus makes |centroids| ∝ N, so the |corpus| x |centroids|
+#: assignment (and PQ's |corpus| x |codebook| encoding) is N²/modulus —
+#: quadratic.  The x100 scale soak measured it: 200k vectors meant an
+#: 8000-entry PQ codebook and ~1.3e10 encode-scored rows (never
+#: finished).  Above TARGET the modulus scales with N instead, holding
+#: the broadcast set at ~TARGET entries; every gated fixture scale
+#: (sf0.001/0.01/0.1 = 200/500/2000 vectors) resolves to the plain
+#: modulus, so oracle parity is untouched.
+IVF_CENTROID_TARGET = 80
+
+
+def _effective_modulus(n_vecs: int, modulus: int = IVF_CENTROID_MODULUS) -> int:
+    """max(modulus, n // IVF_CENTROID_TARGET): the adaptive stand-in
+    selector (see IVF_CENTROID_TARGET).  Pure; unit-tested."""
+    return max(modulus, n_vecs // IVF_CENTROID_TARGET)
 
 #: Hard cap on the driver-collected query side of the Arrow top-k.
 #: 100k × 64 float64 ≈ 50 MB — comfortably in driver memory; anything
@@ -167,9 +183,18 @@ def ann_ivf_topk(
     centroids and ranks only vectors in those clusters.  At scale the
     corpus is thus partitioned by ``centroid_id`` and each query
     touches nprobe/|centroids| of it instead of all of it.
+
+    The centroid subset comes from the ADAPTIVE modulus
+    (:func:`_effective_modulus`): a fixed modulus would grow
+    |centroids| ∝ N and make the assignment pass quadratic; gated
+    fixture scales resolve to the plain ``IVF_CENTROID_MODULUS``, so
+    the oracle replay is unchanged.
     """
     v = _vectors(spark, sf_dir)
-    cent = v.filter(F.col("vec_id") % IVF_CENTROID_MODULUS == 0).select(
+    eff_mod = _effective_modulus(
+        load(spark, sf_dir, "embeddings", fanout=False).count()
+    )
+    cent = v.filter(F.col("vec_id") % eff_mod == 0).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
@@ -333,7 +358,7 @@ def build_ivf_index(
     spark: SparkSession,
     vectors: DataFrame,
     name: str,
-    centroid_modulus: int = IVF_CENTROID_MODULUS,
+    centroid_modulus: int | None = None,
     n_buckets: int = 32,
     path: str | None = None,
     centroids: DataFrame | None = None,
@@ -354,7 +379,9 @@ def build_ivf_index(
       file, broadcast at probe time.
 
     Centroids are the deterministic modulus subset (parity with
-    :func:`ann_ivf_topk`); swap in learned centroids by overwriting
+    :func:`ann_ivf_topk`; ``centroid_modulus=None`` selects the same
+    adaptive :func:`_effective_modulus`, keeping the build pass linear
+    in the corpus); swap in learned centroids by overwriting
     ``<name>_centroids`` — the probe path only needs the two tables.
     """
     v = vectors.select(
@@ -365,6 +392,8 @@ def build_ivf_index(
             "centroid_id", "c_emb", _norm("c_emb").alias("c_nrm")
         )
     else:
+        if centroid_modulus is None:
+            centroid_modulus = _effective_modulus(v.count())
         cent = v.filter(F.col("vec_id") % centroid_modulus == 0).select(
             F.col("vec_id").alias("centroid_id"),
             F.col("embedding").alias("c_emb"),
@@ -490,7 +519,8 @@ def ann_ivf_topk_kmeans(
 
     v = _vectors(spark, sf_dir)
     if n_centroids is None:
-        n_centroids = max(2, v.count() // IVF_CENTROID_MODULUS)
+        n = v.count()
+        n_centroids = max(2, n // _effective_modulus(n))
     cents = kmeans_centroids(
         v.select("vec_id", "embedding"),
         k=n_centroids,
@@ -988,12 +1018,21 @@ def ann_pq_topk(
     the lowest entry id.  Recall vs the exact ranking is asserted in
     tests; like IVF's modulus centroids, the deterministic codebook
     stands in for sampled k-means so the full build/encode/search
-    pipeline stays SQL-expressible.
+    pipeline stays SQL-expressible.  The codebook modulus is the same
+    adaptive :func:`_effective_modulus` as IVF's: a fixed modulus grows
+    the codebook ∝ N and makes the encode join |corpus| x |codebook| —
+    the x100 soak measured an 8000-entry codebook and ~1.3e10 scored
+    encode rows; fixture scales resolve to the plain modulus (oracle
+    parity).
     """
     v = quantized_vectors(spark, sf_dir)
+    eff_mod = _effective_modulus(
+        load(spark, sf_dir, "embeddings", fanout=False).count(),
+        PQ_CODEBOOK_MODULUS,
+    )
     parts = _pq_parts(v)
     cb = (
-        _pq_parts(v.filter(F.col("vec_id") % PQ_CODEBOOK_MODULUS == 0), "entry_id")
+        _pq_parts(v.filter(F.col("vec_id") % eff_mod == 0), "entry_id")
         .select("m", "entry_id", F.col("sub").alias("c_sub"))
         .withColumn("c_nrm2", F.expr(
             "aggregate(c_sub, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)"
@@ -1111,13 +1150,15 @@ def build_pq_index(
       file, broadcast at probe time.
 
     The deterministic modulus codebook stands in for sampled k-means
-    (same contract as :func:`ann_pq_topk`); swap learned codebooks in
+    (same contract as :func:`ann_pq_topk`, including its adaptive
+    :func:`_effective_modulus` codebook cap); swap learned codebooks in
     by overwriting ``<name>_codebooks`` AND re-encoding codes.
     """
     qv = quantize_frame(vectors)
+    eff_mod = _effective_modulus(qv.count(), PQ_CODEBOOK_MODULUS)
     parts = _pq_parts(qv)
     cb = (
-        _pq_parts(qv.filter(F.col("vec_id") % PQ_CODEBOOK_MODULUS == 0), "entry_id")
+        _pq_parts(qv.filter(F.col("vec_id") % eff_mod == 0), "entry_id")
         .select("m", "entry_id", F.col("sub").alias("c_sub"))
         .withColumn("c_nrm2", F.expr(
             "aggregate(c_sub, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)"

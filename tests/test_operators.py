@@ -689,6 +689,22 @@ def test_lsh_geometry_scales_band_width_with_corpus():
         assert n / (1 << bits) <= similarity.LSH_TARGET_BUCKET
 
 
+def test_effective_modulus_caps_centroid_and_codebook_cardinality():
+    """IVF centroids / PQ codebook: at fixture scales the adaptive
+    modulus resolves to the plain one (oracle parity), and beyond the
+    cap the stand-in cardinality n//modulus stays ~IVF_CENTROID_TARGET
+    instead of growing ∝ N (the x100 soak's measured quadratic)."""
+    m = similarity._effective_modulus
+    # every gated fixture scale: unchanged geometry
+    assert m(200) == 25 and m(500) == 25 and m(2_000) == 25
+    assert m(80 * 25) == 25  # boundary: exactly target*modulus vectors
+    # beyond it the modulus tracks n/target
+    assert m(20_000) == 250
+    assert m(200_000) == 2500
+    for n in (10**5, 10**7, 10**9):
+        assert n // m(n) <= similarity.IVF_CENTROID_TARGET + 1
+
+
 def test_embedding_near_dup_scale_adaptive_default_matches_explicit(spark):
     """At fixture scale the adaptive default must resolve to the exact
     oracle-parity geometry — bit-identical output to the explicit

@@ -14,15 +14,19 @@ Tiling rules (all deterministic, no RNG — rebuilding bit-identical):
   ``max(key) + 1`` in the base table, foreign keys shifted by the SAME
   stride as the table they reference: joins stay tile-local and every
   join/group cardinality grows exactly linearly with T.
-- ``documents.text`` passes through a per-tile letter + digit rotation
-  (rotation steps ``(t*7) % 26`` and ``t % 10``; distinct combinations
-  for T < lcm(26,10) = 130).  Byte length, token boundaries, case and
+- ``documents.text`` passes through a per-tile AFFINE alphabet
+  permutation ``c -> alpha[(a_t * idx(c) + b_t) % 26]`` (a_t from the
+  12 units mod 26, b_t = t % 26: 312 distinct letter mappings) plus a
+  digit rotation.  Byte length, token boundaries, case and
   punctuation — and hence the ``n_chars`` column and every
   quality-score distribution — are preserved exactly, but lowercase
   3-word shingles decorrelate across tiles, so near-dup output volume
   stays LINEAR in T.  Verbatim copies would put every document in a
   T-sized LSH bucket and grow pair volume quadratically, poisoning the
-  very curve this tool exists to measure.
+  very curve this tool exists to measure.  (v1 used a plain rotation,
+  period 26: at T=100 tiles {t, t+26, ...} shared the letter mapping,
+  manufacturing ~25% real near-duplicates — which the curation
+  pipeline correctly deduped, at quadratic candidate cost.)
 - ``embeddings.embedding`` gets a per-(tile, element) sign pattern:
   both vectors of any within-tile pair flip the same signs, so every
   within-tile cosine (and norm) is preserved EXACTLY, while cross-tile
@@ -115,12 +119,25 @@ def _rot(s: str, k: int) -> str:
     return s[k:] + s[:k]
 
 
+#: units mod 26 — multipliers for the affine per-tile letter permutation
+_AFFINE_A = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+
+
+def _tile_alpha(t: int) -> str:
+    """The tile-t letter mapping: affine permutation of the alphabet,
+    pairwise distinct for t < 12*26 = 312 (a plain rotation repeats at
+    period 26 and silently manufactures cross-tile near-duplicates)."""
+    a = _AFFINE_A[(t // 26) % len(_AFFINE_A)]
+    b = t % 26
+    return "".join(ALPHA[(a * i + b) % 26] for i in range(26))
+
+
 def _tile_text(col, t: int):
     """Length-preserving per-tile content decorrelation (see module
     docstring).  t=0 is the identity: tile 0 IS the base corpus."""
     if t == 0:
         return col
-    a = _rot(ALPHA, (t * 7) % 26)
+    a = _tile_alpha(t)
     d = _rot(DIGITS, t % 10)
     out = F.translate(col, ALPHA, a)
     out = F.translate(out, ALPHA.upper(), a.upper())
@@ -156,7 +173,8 @@ def build_tiled(spark, base: str, out_dir: str, tiles: int) -> str:
     """Materialize the xT corpus under ``out_dir`` (idempotent: a
     marker file records the tile count; rebuilds only on mismatch)."""
     marker = os.path.join(out_dir, "_SOAK_OK")
-    if os.path.exists(marker) and open(marker).read().strip() == str(tiles):
+    stamp = f"v2-affine:{tiles}"  # bump on any tiling-rule change
+    if os.path.exists(marker) and open(marker).read().strip() == stamp:
         return out_dir
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
@@ -189,7 +207,7 @@ def build_tiled(spark, base: str, out_dir: str, tiles: int) -> str:
             os.path.join(out_dir, f"{table}.parquet")
         )
     with open(marker, "w") as fh:
-        fh.write(str(tiles))
+        fh.write(stamp)
     return out_dir
 
 
@@ -202,7 +220,17 @@ def _stages(spark) -> dict:
     return {s["stageId"]: s for s in data}
 
 
-def _resolve(name):
+def _resolve(name, scale: int = 1):
+    # The ann_* modulus query sets grow WITH the corpus (vec_id % 50),
+    # so their total inline work is quadratic in T by construction —
+    # per-QUERY cost is the scale-relevant number.  Hold the query
+    # count at its x1 value by scaling the modulus with the tiling.
+    if name == "ann_pq_topk" and scale > 1:
+        from hadoop_logfile_inputformat_spark.operators import similarity
+
+        return lambda spark, d: similarity.ann_pq_topk(
+            spark, d, query_modulus=similarity.QUERY_MODULUS * scale
+        )
     return (
         bench.FAST_PATH.get(name)
         or bench.PORTABLE_TWINS.get(name)
@@ -212,10 +240,10 @@ def _resolve(name):
     )
 
 
-def measure(spark, sf_dir: str, key: str, warm: int = 2) -> dict:
+def measure(spark, sf_dir: str, key: str, warm: int = 2, scale: int = 1) -> dict:
     """bench-methodology timing + cold-run shuffle volume for one key."""
     clear_query_caches()
-    fn = _resolve(key)
+    fn = _resolve(key, scale)
     try:
         before = set(_stages(spark))
     except Exception:
@@ -288,7 +316,7 @@ def main() -> None:
     for scale, d in dirs:
         for key in args.keys:
             try:
-                m = measure(spark, d, key, warm=args.warm)
+                m = measure(spark, d, key, warm=args.warm, scale=scale)
             except Exception as exc:  # noqa: BLE001 - record, keep going
                 m = {"error": str(exc).split("\n", 1)[0][:160]}
             results[key][scale] = m
