@@ -408,10 +408,24 @@ def simhash_64(
     return per_doc.select("doc_id", simhash.alias("simhash"))
 
 
+#: Corpus size above which simhash candidate generation switches from
+#: single-chunk keys to chunk-PAIR keys.  Single-chunk keys have only
+#: 256 buckets per table, so candidate mass is 8·N²/256 = N²/32 —
+#: quadratic with a small constant; the x100 scale soak measured it
+#: (500k docs → ~8e9 candidate rows, 90s wall).  Pair keys give 28
+#: tables of 2^16 buckets (N²/2340, 70x fewer candidates) at a recall
+#: trade only near the loose end of ``max_hamming`` (the final exact
+#: hamming filter means candidate keys affect RECALL, never
+#: precision).  Fixture scales stay below the threshold — oracle
+#: replays are unchanged.
+SIMHASH_PAIRKEY_MIN_DOCS = 16384
+
+
 def simhash_pairs(
     spark: SparkSession, sf_dir: str, max_hamming: int = 12,
     hash_fn: str = "xxhash64",
     max_bucket_size: int | None = None,
+    candidate_chunks: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance.
 
@@ -421,28 +435,52 @@ def simhash_pairs(
     < 8 guarantees it; larger thresholds trade recall).  The join key
     is (chunk_index, chunk_value) — never a cross join.
 
+    ``candidate_chunks`` picks the key family: 1 = single chunks (the
+    oracle geometry: 8 tables × 256 buckets), 2 = chunk PAIRS (Manku
+    et al. 2007's wider-prefix idea: 28 tables × 2^16 buckets — a pair
+    within hamming k shares an untouched chunk pair whenever ≥ 2
+    chunks are untouched, which holds with high probability well past
+    k=12 and with certainty for k < 4).  ``None`` adapts by corpus
+    size (SIMHASH_PAIRKEY_MIN_DOCS); because verification is the exact
+    ``bit_count(xor) <= max_hamming`` filter, the key family can only
+    lose borderline candidates, never admit false pairs.
+
     The 8×8-bit chunking works unchanged for the 60-bit portable hash:
     chunk 7 simply carries 4 meaningful bits.
     """
+    if candidate_chunks is None:
+        n_docs = load(spark, sf_dir, "documents").count()
+        candidate_chunks = 2 if n_docs > SIMHASH_PAIRKEY_MIN_DOCS else 1
+    if candidate_chunks not in (1, 2):
+        raise ValueError(f"candidate_chunks must be 1 or 2, got {candidate_chunks}")
     # persisted for the same reason as minhash_lsh_pairs' sigs: the
     # chunk self-join would otherwise run the 64-bit-sum aggregation
     # once per side (one row of one long per doc cached instead)
     sh = scoped_persist(
         simhash_64(spark, sf_dir, hash_fn), ("simhash_sigs", sf_dir, hash_fn)
     )
-    chunk = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("ci"),
-                    F.shiftrightunsigned(F.col("simhash"), i * 8)
-                    .bitwiseAND(F.lit(255))
-                    .alias("cv"),
-                )
-                for i in range(8)
-            ]
+
+    def _cv(i):
+        return (
+            F.shiftrightunsigned(F.col("simhash"), i * 8)
+            .bitwiseAND(F.lit(255))
         )
-    )
+
+    if candidate_chunks == 1:
+        keys = [
+            F.struct(F.lit(i).alias("ci"), _cv(i).alias("cv"))
+            for i in range(8)
+        ]
+    else:
+        combos = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+        keys = [
+            F.struct(
+                F.lit(p).alias("ci"),
+                (_cv(i) * 256 + _cv(j)).alias("cv"),
+            )
+            for p, (i, j) in enumerate(combos)
+        ]
+    chunk = F.explode(F.array(*keys))
     chunks = sh.select("doc_id", "simhash", chunk.alias("c")).select(
         "doc_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
     )

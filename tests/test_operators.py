@@ -52,6 +52,38 @@ def test_simhash_pairs_have_low_hamming(spark):
     assert all(r.doc_a < r.doc_b for r in rows)
 
 
+def test_simhash_pairkey_family_keeps_strong_pairs(spark):
+    """Chunk-PAIR candidate keys (the >16k-doc scale geometry, 28
+    tables x 2^16 buckets instead of 8 x 256): must be a SUBSET of the
+    single-chunk candidates after the exact hamming filter (keys can
+    only lose borderline candidates, never admit false pairs) and must
+    retain every strong (jaccard >= 0.5) near-dup on the fixture."""
+    single_rows = dedup.simhash_pairs(spark, SF, candidate_chunks=1).collect()
+    single = {(r.doc_a, r.doc_b) for r in single_rows}
+    paired = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_pairs(spark, SF, candidate_chunks=2).collect()
+    }
+    assert paired <= single
+    # pigeonhole THEOREM for pair keys: k <= 6 flips touch <= 6 chunks,
+    # so >= 2 of 8 stay untouched — such pairs cannot be lost
+    guaranteed = {(r.doc_a, r.doc_b) for r in single_rows if r.hamming <= 6}
+    assert guaranteed and guaranteed <= paired
+    # strong near-dups: near-full recall (the trade is confined to the
+    # loose hamming tail, where a pair can touch 7+ chunks)
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(spark, SF, threshold=0.5).collect()
+    }
+    assert truth
+    assert len(truth & paired) / len(truth) >= 0.9
+    # the adaptive selector stays on the oracle geometry at fixture size
+    dflt = {
+        (r.doc_a, r.doc_b) for r in dedup.simhash_pairs(spark, SF).collect()
+    }
+    assert dflt == single
+
+
 def test_simhash_portable_family_finds_near_dups(spark):
     """60-bit portable SimHash: same structural invariants as the
     64-bit default, and full recall of the strong (jaccard >= 0.5)
