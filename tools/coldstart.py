@@ -83,6 +83,11 @@ def main() -> None:
         pat = r"^\d{4}-\d{2}-\d{2}\s\d{2}:\d{2}:\d{2},\d{3}\s\|\s.*"
         spark.read.format("logfile").option("pattern", pat).load(tiny).count()
         out["py_job"] = round(time.monotonic() - t, 2)
+        # second identical job isolates the reusable-worker benefit
+        # (spark.python.worker.reuse): delta = spawn + import cost
+        t = time.monotonic()
+        spark.read.format("logfile").option("pattern", pat).load(tiny).count()
+        out["py_job2"] = round(time.monotonic() - t, 2)
 
         t = time.monotonic()
         for tbl in TABLES:
@@ -109,10 +114,9 @@ def main() -> None:
     out["q_steady"] = round(best, 2)
     out["query"] = args.query
     out["rows"] = n
+    timing_keys = ("session", "jvm_job", "py_job", "py_job2", "footers", "q_cold")
     out["total_to_first_result"] = round(
-        sum(v for k, v in out.items() if isinstance(v, (int, float)))
-        - out["q_steady"],
-        2,
+        sum(out[k] for k in timing_keys if k in out), 2
     )
     print(json.dumps(out))
     spark.stop()
