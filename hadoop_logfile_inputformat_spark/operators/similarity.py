@@ -1270,12 +1270,95 @@ def ann_pq_probe(
     )
 
 
+def _assign_hierarchical(v: DataFrame, cent: DataFrame, probe: int = 2) -> DataFrame:
+    """Nearest-centroid assignment in O(N·√k·(1+probe)) scored rows
+    instead of the flat O(N·k) — the coarse-then-fine pass SemDeDup
+    needs once centroid count grows ∝ N (its bounded-cluster-SIZE
+    contract): at 200k vectors / 8000 centroids the flat cross scores
+    1.6e9 rows, hierarchical ~5e7.
+
+    Two-level structure over the SAME centroid set: every √k-th
+    centroid (by id rank) is a COARSE cell; each fine centroid maps to
+    its nearest coarse cell once (k·√k, one-off).  A vector scores the
+    √k coarse cells, keeps its ``probe`` best, and fine-assigns only
+    among centroids parented by those cells.  Exact whenever the true
+    nearest fine centroid's parent is within the probed cells —
+    boundary vectors can differ from the flat assignment (recall knob:
+    raise ``probe``).  Tie-breaks match the flat path exactly
+    (max cosine, then lowest centroid_id).
+
+    The only window runs over the CENTROID frame (k rows, bounded by
+    design — never the corpus), and every join here broadcasts a
+    centroid-sized frame; the corpus is touched map-side only.
+    Returns ``(vec_id, embedding, nrm, centroid_id)``.
+    """
+    import math
+
+    k = cent.count()
+    coarse_step = max(1, math.isqrt(k))
+    wk = Window.orderBy("centroid_id")  # k rows: bounded, see docstring
+    cent_r = cent.withColumn("_r", F.row_number().over(wk))
+    coarse = cent_r.filter((F.col("_r") % coarse_step) == 1).select(
+        F.col("centroid_id").alias("coarse_id"),
+        F.col("c_emb").alias("g_emb"),
+        F.col("c_nrm").alias("g_nrm"),
+    )
+    g_sim = _dot("c_emb", "g_emb") / (F.col("c_nrm") * F.col("g_nrm"))
+    f2c = (
+        cent.join(F.broadcast(coarse), how="cross")
+        .select("centroid_id", "c_emb", "c_nrm", "coarse_id", g_sim.alias("g_sim"))
+        .groupBy("centroid_id")
+        .agg(
+            F.first("c_emb").alias("c_emb"),
+            F.first("c_nrm").alias("c_nrm"),
+            F.expr("max_by(coarse_id, struct(g_sim, -coarse_id))").alias(
+                "coarse_id"
+            ),
+        )
+    )
+    v_sim = _dot("embedding", "g_emb") / (F.col("nrm") * F.col("g_nrm"))
+    # top-`probe` coarse cells per vector via a map-side collect_list
+    # of the √k-sized struct list (no corpus-keyed window)
+    top = (
+        v.join(F.broadcast(coarse), how="cross")
+        .select("vec_id", "embedding", "nrm", "coarse_id", v_sim.alias("g_sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.first("nrm").alias("nrm"),
+            F.expr(
+                f"slice(array_sort(collect_list("
+                f"struct(-g_sim AS ns, coarse_id))), 1, {int(probe)})"
+            ).alias("cells"),
+        )
+        .select(
+            "vec_id", "embedding", "nrm",
+            F.explode("cells.coarse_id").alias("coarse_id"),
+        )
+    )
+    c_sim = _dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
+    return (
+        top.join(F.broadcast(f2c), "coarse_id")
+        .select("vec_id", "embedding", "nrm", "centroid_id", c_sim.alias("c_sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.first("nrm").alias("nrm"),
+            F.expr("max_by(centroid_id, struct(c_sim, -centroid_id))").alias(
+                "centroid_id"
+            ),
+        )
+    )
+
+
 def semantic_dedup(
     spark: SparkSession,
     sf_dir: str,
     tau: float = SEMDEDUP_TAU,
     centroid_modulus: int = IVF_CENTROID_MODULUS,
     max_cluster_size=_DEFAULT_CAP,
+    assignment: str = "flat",
+    coarse_probe: int = 3,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over the embedding corpus
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -1302,7 +1385,13 @@ def semantic_dedup(
     only in CLUSTER size, never corpus size — with balanced k-means
     clusters of ~1-10k vectors this is the exact cost profile the
     SemDeDup paper reports for its 100-cluster LAION sweep.  No
-    all-pairs join anywhere.
+    all-pairs join anywhere.  Because SemDeDup's contract keeps
+    cluster SIZE bounded, centroid count grows ∝ N and the flat
+    assignment is O(N·k): pass ``assignment="hierarchical"`` for the
+    coarse-then-fine pass (:func:`_assign_hierarchical`,
+    O(N·√k·(1+coarse_probe)) — boundary vectors may land one cluster
+    off vs flat; ``coarse_probe`` is the recall knob).  The registry
+    binding stays flat (oracle parity; fixture k is tiny).
 
     ``max_cluster_size`` bounds the quadratic hazard the clustering
     itself can't: on real skewed embeddings one mega-cluster re-creates
@@ -1321,25 +1410,34 @@ def semantic_dedup(
     """
     if max_cluster_size is _DEFAULT_CAP:
         max_cluster_size = SEMDEDUP_MAX_CLUSTER
+    if assignment not in ("flat", "hierarchical"):
+        raise ValueError(
+            f"assignment must be 'flat' or 'hierarchical', got {assignment!r}"
+        )
     v = _vectors(spark, sf_dir)
     cent = v.filter(F.col("vec_id") % centroid_modulus == 0).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
     )
-    sim_vc = _dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
-    assigned = (
-        v.join(F.broadcast(cent), how="cross")
-        .select("vec_id", "embedding", "nrm", "centroid_id", sim_vc.alias("c_sim"))
-        .groupBy("vec_id")
-        .agg(
-            F.first("embedding").alias("embedding"),
-            F.first("nrm").alias("nrm"),
-            F.expr("max_by(centroid_id, struct(c_sim, -centroid_id))").alias(
-                "centroid_id"
-            ),
+    if assignment == "hierarchical":
+        assigned = _assign_hierarchical(v, cent, probe=coarse_probe)
+    else:
+        sim_vc = _dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
+        assigned = (
+            v.join(F.broadcast(cent), how="cross")
+            .select(
+                "vec_id", "embedding", "nrm", "centroid_id", sim_vc.alias("c_sim")
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.first("embedding").alias("embedding"),
+                F.first("nrm").alias("nrm"),
+                F.expr("max_by(centroid_id, struct(c_sim, -centroid_id))").alias(
+                    "centroid_id"
+                ),
+            )
         )
-    )
     if max_cluster_size is not None:
         sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("csz"))
         assigned = assigned.join(sizes, "centroid_id")

@@ -964,6 +964,67 @@ def test_semantic_dedup_caps_mega_cluster(spark, tmp_path, monkeypatch):
     assert [i for i in range(20, 24) if dflt[i].kept == 0] == [22]
 
 
+def test_semantic_dedup_hierarchical_assignment(spark, tmp_path):
+    """Coarse-then-fine assignment (the O(N·√k) scale path): on
+    well-separated clusters it must agree with the flat assignment
+    EXACTLY (the true nearest centroid's coarse parent is always
+    probed); on the near-random fixture — the adversarial worst case
+    for a two-level quantizer — it must stay total (one row per
+    vector) and agree with flat on a solid majority at the default
+    probe width."""
+    import math
+
+    def ray(plane, deg, scale=1.0):
+        v = [0.0] * 8
+        v[plane] = scale * math.cos(math.radians(deg))
+        v[plane + 1] = scale * math.sin(math.radians(deg))
+        return v
+
+    # four tight clusters on disjoint planes, ids arranged so the
+    # modulus-5 centroids (0,5,10,15) hit one vector of each plane
+    vecs = []
+    for c in range(4):
+        for i in range(5):
+            vecs.append(ray(2 * c, 3 * i))
+    sf = _write_embeddings(spark, tmp_path, vecs)
+    flat = {
+        r.vec_id: r
+        for r in similarity.semantic_dedup(
+            spark, sf, tau=0.95, centroid_modulus=5
+        ).collect()
+    }
+    hier = {
+        r.vec_id: r
+        for r in similarity.semantic_dedup(
+            spark, sf, tau=0.95, centroid_modulus=5,
+            assignment="hierarchical",
+        ).collect()
+    }
+    assert set(hier) == set(flat) == set(range(20))
+    assert all(
+        hier[i].centroid_id == flat[i].centroid_id
+        and hier[i].kept == flat[i].kept
+        for i in range(20)
+    )
+    # near-random fixture: totality + majority agreement (measured
+    # 0.82 at probe 3; random data is the worst case — real embedding
+    # spaces cluster, which is the regime SemDeDup targets)
+    SFD = "/root/testdata/sf0.01"
+    f2 = {
+        r.vec_id: r.centroid_id
+        for r in similarity.semantic_dedup(spark, SFD).collect()
+    }
+    h2 = {
+        r.vec_id: r.centroid_id
+        for r in similarity.semantic_dedup(
+            spark, SFD, assignment="hierarchical"
+        ).collect()
+    }
+    assert set(h2) == set(f2)
+    agree = sum(1 for k in f2 if h2[k] == f2[k]) / len(f2)
+    assert agree >= 0.6, agree
+
+
 def test_semantic_dedup_no_pairs_at_paper_tau_on_fixture(spark):
     """The synthetic corpus is near-random: at the paper-typical
     tau=0.95 everything survives, and every vector appears once."""
