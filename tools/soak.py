@@ -225,12 +225,20 @@ def _resolve(name, scale: int = 1):
     # so their total inline work is quadratic in T by construction —
     # per-QUERY cost is the scale-relevant number.  Hold the query
     # count at its x1 value by scaling the modulus with the tiling.
-    if name == "ann_pq_topk" and scale > 1:
+    if scale > 1:
         from hadoop_logfile_inputformat_spark.operators import similarity
 
-        return lambda spark, d: similarity.ann_pq_topk(
-            spark, d, query_modulus=similarity.QUERY_MODULUS * scale
-        )
+        scaled = {
+            "ann_pq_topk": similarity.ann_pq_topk,
+            "ann_ivf_topk": similarity.ann_ivf_topk,
+            "ann_cosine_topk_arrow": similarity.cosine_topk_arrow,
+            "ann_ivf_topk_kmeans": similarity.ann_ivf_topk_kmeans,
+        }
+        if name in scaled:
+            fn = scaled[name]
+            return lambda spark, d: fn(
+                spark, d, query_modulus=similarity.QUERY_MODULUS * scale
+            )
     return (
         bench.FAST_PATH.get(name)
         or bench.PORTABLE_TWINS.get(name)
