@@ -653,7 +653,12 @@ LSH_N_BANDS = N_HYPERPLANES // LSH_BAND_BITS  # band count fixes recall
 #: per-band pair count is N²/2^band_bits — quadratic.  The x100 scale
 #: soak measured exactly that: 200k near-random vectors at the old
 #: fixed 8 bits meant ~780-member buckets and ~10⁹ candidate pairs.
-LSH_TARGET_BUCKET = 64
+#: The candidate mass is ~bands·N·target/2, LINEAR in target: 16
+#: (vs the first-cut 64) costs two extra bits (+32 planes at 16
+#: bands, ~17% more signature work) and cuts verification volume 4x —
+#: measured 63.6 s → (see SCALING.md) at x100.  Band count, and with
+#: it the recall curve, is unchanged.
+LSH_TARGET_BUCKET = 16
 
 
 def _lsh_geometry(n_vecs: int) -> tuple:

@@ -710,11 +710,11 @@ def test_lsh_geometry_scales_band_width_with_corpus():
     assert g(0) == (8, 128)
     assert g(500) == (8, 128)
     assert g(2_000) == (8, 128)
-    assert g(64 * 256) == (8, 128)  # boundary: exactly 2^8 buckets
-    # beyond it, width tracks ceil(log2(n/64)) at 16 bands
-    assert g(64 * 256 + 1) == (9, 144)
-    assert g(200_000) == (12, 192)
-    assert g(10**9) == (24, 384)
+    assert g(16 * 256) == (8, 128)  # boundary: exactly 2^8 buckets
+    # beyond it, width tracks ceil(log2(n/target)) at 16 bands
+    assert g(16 * 256 + 1) == (9, 144)
+    assert g(200_000) == (14, 224)
+    assert g(10**9) == (26, 416)
     # mean bucket size stays bounded: n / 2^bits <= 64 everywhere
     for n in (10**4, 10**6, 10**8, 10**10):
         bits, _ = g(n)
