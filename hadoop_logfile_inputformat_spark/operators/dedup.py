@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_logfile_inputformat_spark.operators.tables import (
+    cached_count,
     load,
     register_aux_cache,
     scoped_persist,
@@ -449,7 +450,7 @@ def simhash_pairs(
     chunk 7 simply carries 4 meaningful bits.
     """
     if candidate_chunks is None:
-        n_docs = load(spark, sf_dir, "documents").count()
+        n_docs = cached_count(spark, sf_dir, "documents")
         candidate_chunks = 2 if n_docs > SIMHASH_PAIRKEY_MIN_DOCS else 1
     if candidate_chunks not in (1, 2):
         raise ValueError(f"candidate_chunks must be 1 or 2, got {candidate_chunks}")

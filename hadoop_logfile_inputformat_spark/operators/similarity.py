@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from hadoop_logfile_inputformat_spark.operators.tables import (
     _table_sizes,
+    cached_count,
     clear_orphaned_table,
     load,
     scoped_persist,
@@ -191,9 +192,7 @@ def ann_ivf_topk(
     the oracle replay is unchanged.
     """
     v = _vectors(spark, sf_dir)
-    eff_mod = _effective_modulus(
-        load(spark, sf_dir, "embeddings", fanout=False).count()
-    )
+    eff_mod = _effective_modulus(cached_count(spark, sf_dir, "embeddings"))
     cent = v.filter(F.col("vec_id") % eff_mod == 0).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("c_emb"),
@@ -731,7 +730,7 @@ def embedding_near_dup_scale(
     v = _vectors(spark, sf_dir)
     if band_bits is None:
         band_bits, auto_planes = _lsh_geometry(
-            load(spark, sf_dir, "embeddings").count()
+            cached_count(spark, sf_dir, "embeddings")
         )
         if n_planes is None:
             n_planes = auto_planes
@@ -1032,8 +1031,7 @@ def ann_pq_topk(
     """
     v = quantized_vectors(spark, sf_dir)
     eff_mod = _effective_modulus(
-        load(spark, sf_dir, "embeddings", fanout=False).count(),
-        PQ_CODEBOOK_MODULUS,
+        cached_count(spark, sf_dir, "embeddings"), PQ_CODEBOOK_MODULUS
     )
     parts = _pq_parts(v)
     cb = (

@@ -293,3 +293,20 @@ def load(
     if name in ALWAYS_BROADCAST:
         return F.broadcast(df)
     return df
+
+
+#: (sf_dir, table) -> row count; static test/bench corpora make this
+#: safe to memoize for a session, and the adaptive geometry selectors
+#: (_effective_modulus / _lsh_geometry / simhash key-family pick) call
+#: it once per OPERATOR INVOCATION — without the memo a bench's
+#: cold+3-warm loop pays four footer-scan jobs per query.  Cleared with
+#: the rest of the session caches (register_aux_cache).
+_COUNT_CACHE: dict = register_aux_cache({})
+
+
+def cached_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Session-memoized ``load(...).count()`` (parquet footer read)."""
+    key = (sf_dir, name)
+    if key not in _COUNT_CACHE:
+        _COUNT_CACHE[key] = load(spark, sf_dir, name, fanout=False).count()
+    return _COUNT_CACHE[key]
