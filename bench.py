@@ -37,16 +37,21 @@ from hadoop_logfile_inputformat_spark.operators import dedup, similarity, text
 from hadoop_logfile_inputformat_spark.plans.registry import MEMBER_QUERIES, QUERIES
 from hadoop_logfile_inputformat_spark.session import get_spark
 
-#: Three headline keys whose REGISTRY binding is the engine-portable
-#: md5-affine twin (bound that way so DuckDB can value-hash the full
-#: pipeline).  The bench times the xxhash64 library DEFAULT — the path
-#: a real pipeline runs, and the binding rounds 1/2 measured, keeping
-#: the round-over-round trend apples-to-apples.  The portable twins
-#: stay visible under ``extra_queries`` via the ``*_portable`` keys.
+#: Keys whose REGISTRY binding is an engine-portable twin (md5-affine
+#: hash family, or pinned fixture geometry/modulus so DuckDB's
+#: hardcoded SQL can never diverge).  The bench times the library
+#: DEFAULT — the adaptive/xxhash64 path a real pipeline runs, and the
+#: path the earlier rounds measured, keeping the round-over-round
+#: trend apples-to-apples.  At the bench fixture scales the pinned
+#: and adaptive geometries resolve identically, so the three ANN/LSH
+#: entries time the same plan either way — the split is contractual.
 FAST_PATH = {
     "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
     "dedup_simhash": dedup.simhash_pairs,
     "doc_fingerprints": text.document_fingerprints,
+    "ann_ivf_topk": similarity.ann_ivf_topk,
+    "ann_pq_topk": similarity.ann_pq_topk,
+    "embedding_near_dup_scale": similarity.embedding_near_dup_scale,
 }
 
 PORTABLE_TWINS = {

@@ -651,8 +651,15 @@ def minhash_lsh_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry variant of :func:`simhash_pairs` (60-bit portable
-    hash) — hash-checked against a DuckDB bit-for-bit recomputation."""
-    return simhash_pairs(spark, sf_dir, hash_fn="md5")
+    hash) — hash-checked against a DuckDB bit-for-bit recomputation.
+
+    ``candidate_chunks`` is PINNED to 1: the oracle SQL hardcodes the
+    single-chunk key family, and on any gated corpus above
+    ``SIMHASH_PAIRKEY_MIN_DOCS`` the adaptive default would switch to
+    chunk-pair keys and (at the loose end of ``max_hamming``) drop
+    borderline candidates the oracle still finds.  The library default
+    stays adaptive — this pin is the oracle-binding contract only."""
+    return simhash_pairs(spark, sf_dir, hash_fn="md5", candidate_chunks=1)
 
 
 # --- incremental deduplication against a persisted corpus index ------

@@ -175,6 +175,7 @@ def ann_ivf_topk(
     k: int = TOP_K,
     query_modulus: int = QUERY_MODULUS,
     nprobe: int = IVF_NPROBE,
+    centroid_modulus: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: deterministic centroid subset,
     inverted lists, nprobe-cluster search.
@@ -189,10 +190,16 @@ def ann_ivf_topk(
     (:func:`_effective_modulus`): a fixed modulus would grow
     |centroids| ∝ N and make the assignment pass quadratic; gated
     fixture scales resolve to the plain ``IVF_CENTROID_MODULUS``, so
-    the oracle replay is unchanged.
+    the oracle replay is unchanged.  An EXPLICIT ``centroid_modulus``
+    bypasses the adaptive pick entirely — the pin the oracle binding
+    (:func:`ann_ivf_topk_portable`) needs so Spark can never diverge
+    from a fixed-modulus SQL replay, whatever the corpus size.
     """
     v = _vectors(spark, sf_dir)
-    eff_mod = _effective_modulus(cached_count(spark, sf_dir, "embeddings"))
+    if centroid_modulus is not None:
+        eff_mod = centroid_modulus
+    else:
+        eff_mod = _effective_modulus(cached_count(spark, sf_dir, "embeddings"))
     cent = v.filter(F.col("vec_id") % eff_mod == 0).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("c_emb"),
@@ -248,6 +255,18 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def ann_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry/oracle binding of :func:`ann_ivf_topk` with the
+    centroid modulus PINNED to ``IVF_CENTROID_MODULUS`` — the DuckDB
+    oracle hardcodes that geometry, so the binding must never follow
+    the adaptive :func:`_effective_modulus` (which switches above
+    ~``modulus * IVF_CENTROID_TARGET`` vectors and would silently
+    diverge from the SQL replay on a larger gated corpus).  Every
+    shipped fixture resolves identically either way; the pin makes
+    that an invariant instead of a coincidence."""
+    return ann_ivf_topk(spark, sf_dir, centroid_modulus=IVF_CENTROID_MODULUS)
 
 
 def kmeans_centroids(
@@ -735,7 +754,13 @@ def embedding_near_dup_scale(
         if n_planes is None:
             n_planes = auto_planes
     elif n_planes is None:
-        n_planes = LSH_N_BANDS * band_bits
+        # An EXPLICIT band_bits with no n_planes keeps the historical
+        # N_HYPERPLANES budget (so band count = 128/band_bits: tuning
+        # band_bits DOWN raises the band count, the recall direction
+        # the docstring promises).  Only the adaptive path above ties
+        # n_planes to 16*band_bits — there the band COUNT is the fixed
+        # quantity and width is what grows with the corpus.
+        n_planes = N_HYPERPLANES
     # one-row driver action to learn the dimension (bounded by design)
     first = load(spark, sf_dir, "embeddings").select("embedding").head()
     if first is None:  # empty corpus (an empty partition/date at scale)
@@ -994,6 +1019,7 @@ def ann_pq_topk(
     k: int = TOP_K,
     query_modulus: int = QUERY_MODULUS,
     rerank: int = PQ_RERANK,
+    codebook_modulus: int | None = None,
 ) -> DataFrame:
     """Product-quantization ADC shortlist + exact re-rank — the
     memory-floor ANN tier.
@@ -1030,9 +1056,14 @@ def ann_pq_topk(
     parity).
     """
     v = quantized_vectors(spark, sf_dir)
-    eff_mod = _effective_modulus(
-        cached_count(spark, sf_dir, "embeddings"), PQ_CODEBOOK_MODULUS
-    )
+    if codebook_modulus is not None:
+        # explicit pin (oracle binding: ann_pq_topk_portable) — never
+        # follow the adaptive pick, whatever the corpus size
+        eff_mod = codebook_modulus
+    else:
+        eff_mod = _effective_modulus(
+            cached_count(spark, sf_dir, "embeddings"), PQ_CODEBOOK_MODULUS
+        )
     parts = _pq_parts(v)
     cb = (
         _pq_parts(v.filter(F.col("vec_id") % eff_mod == 0), "entry_id")
@@ -1116,6 +1147,30 @@ def ann_pq_topk(
         .withColumn("rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def ann_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry/oracle binding of :func:`ann_pq_topk` with the codebook
+    modulus PINNED to ``PQ_CODEBOOK_MODULUS`` (same contract as
+    :func:`ann_ivf_topk_portable`: the DuckDB oracle hardcodes the
+    fixed-modulus codebook, so the binding must never follow the
+    adaptive :func:`_effective_modulus`)."""
+    return ann_pq_topk(spark, sf_dir, codebook_modulus=PQ_CODEBOOK_MODULUS)
+
+
+def embedding_near_dup_scale_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry/oracle binding of :func:`embedding_near_dup_scale` with
+    the LSH geometry PINNED to the fixture shape (16 bands × 8 bits,
+    128 planes).  The oracle replays EXACT all-pairs cosine; the pinned
+    geometry is the one whose ~0.996 survival at the 0.9 threshold was
+    verified against it — the adaptive default widens bands above
+    ~``2^8 * LSH_TARGET_BUCKET`` vectors, which is the right production
+    move but must never silently change what the gate compares."""
+    return embedding_near_dup_scale(
+        spark, sf_dir, band_bits=LSH_BAND_BITS, n_planes=N_HYPERPLANES
     )
 
 
@@ -1301,7 +1356,12 @@ def _assign_hierarchical(v: DataFrame, cent: DataFrame, probe: int = 2) -> DataF
     coarse_step = max(1, math.isqrt(k))
     wk = Window.orderBy("centroid_id")  # k rows: bounded, see docstring
     cent_r = cent.withColumn("_r", F.row_number().over(wk))
-    coarse = cent_r.filter((F.col("_r") % coarse_step) == 1).select(
+    # (_r - 1) % step == 0, NOT _r % step == 1: the two agree for
+    # step >= 2, but at step == 1 (k <= 3 centroids) `_r % 1 == 1` is
+    # never true — the coarse set would be EMPTY and every join below
+    # would silently emit zero rows (all vectors dropped).  The -1 form
+    # always selects row 1 and degenerates to all-coarse at step 1.
+    coarse = cent_r.filter(((F.col("_r") - 1) % coarse_step) == 0).select(
         F.col("centroid_id").alias("coarse_id"),
         F.col("c_emb").alias("g_emb"),
         F.col("c_nrm").alias("g_nrm"),

@@ -217,14 +217,41 @@ def clear_orphaned_table(spark: SparkSession, table: str) -> None:
     then fails with LOCATION_ALREADY_EXISTS.  If no catalog entry
     claims the table, remove the orphaned warehouse directory; a LIVE
     entry is left alone — ``mode("overwrite")`` handles it.
+
+    The location is resolved against the CURRENT database (a
+    non-default db's tables live under ``{warehouse}/{db}.db/``, where
+    the bare ``{warehouse}/{table}`` guess would both miss the real
+    orphan and point at an unrelated path), and the directory is only
+    deleted if it LOOKS like a table remnant — contains a parquet part
+    or a ``_SUCCESS`` marker.  A same-named directory that was never a
+    table is left alone: the subsequent ``saveAsTable`` then fails
+    loudly instead of this helper silently eating user data.
     """
+    name = table
+    db = None
+    if "." in table:
+        db, name = table.rsplit(".", 1)
     if spark.catalog.tableExists(table):
         return
+    if db is None:
+        db = spark.catalog.currentDatabase()
     wh = spark.conf.get("spark.sql.warehouse.dir")
+    prefix = "" if db == "default" else f"{db.lower()}.db/"
     jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(f"{wh.rstrip('/')}/{table.lower()}")
+    jpath = jvm.org.apache.hadoop.fs.Path(
+        f"{wh.rstrip('/')}/{prefix}{name.lower()}"
+    )
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(jpath):
+    if not fs.exists(jpath):
+        return
+    looks_like_table = False
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        fname = it.next().getPath().getName()
+        if fname.endswith(".parquet") or fname == "_SUCCESS":
+            looks_like_table = True
+            break
+    if looks_like_table:
         fs.delete(jpath, True)
 
 

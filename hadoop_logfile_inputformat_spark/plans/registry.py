@@ -2300,8 +2300,10 @@ _PACKS: Dict[str, list] = {
            "ann_cosine_topk_quantized",
            k1="query_id", k2="neighbor_id", v1="sim", v2="rank"),
         # PQ ADC shortlist + exact re-rank (codes are M small ints per
-        # vector — the memory-floor index tier)
-        _m("pq", similarity.ann_pq_topk, "ann_pq_topk",
+        # vector — the memory-floor index tier).  Portable binding pins
+        # the codebook modulus (oracle hardcodes it); bench FAST_PATH
+        # times the adaptive library default.
+        _m("pq", similarity.ann_pq_topk_portable, "ann_pq_topk",
            k1="query_id", k2="neighbor_id", v1="sim", v2="rank"),
         # SemDeDup cluster-then-prune (tau=0.5: the fixture embeddings
         # are near-random, see _SQL["semantic_dedup"]).  The oracle
@@ -2571,10 +2573,15 @@ _PACKS: Dict[str, list] = {
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- similarity surface ---
+    # Oracle-bound keys with adaptive geometry pin the FIXTURE geometry
+    # here (the *_portable contract, cf. dedup_simhash): the DuckDB SQL
+    # hardcodes one geometry, so the binding must resolve to it on ANY
+    # corpus size, not just coincidentally on the shipped fixtures.
+    # Library defaults (bench FAST_PATH) stay adaptive.
     "ann_cosine_topk": similarity.cosine_topk,
-    "ann_ivf_topk": similarity.ann_ivf_topk,
+    "ann_ivf_topk": similarity.ann_ivf_topk_portable,
     "embedding_near_dup": similarity.embedding_near_dup_pairs,
-    "embedding_near_dup_scale": similarity.embedding_near_dup_scale,
+    "embedding_near_dup_scale": similarity.embedding_near_dup_scale_portable,
     # --- text-analysis surface ---
     "text_quality": text.text_quality,
     "language_id": text.language_id,

@@ -185,3 +185,57 @@ def test_compact_exact_index_shrinks_files_same_decisions(spark, tmp_path):
     finally:
         for t in ("t_cex_idx_hashes", "t_cex_idx_batches"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_clear_orphaned_table_is_conservative_and_db_aware(spark):
+    """clear_orphaned_table must only delete directories that LOOK like
+    table remnants (parquet part / _SUCCESS), must leave a same-named
+    non-table directory alone, and must resolve the location under the
+    CURRENT database's {db}.db/ prefix — the bare {warehouse}/{table}
+    guess is wrong for any non-default database."""
+    from hadoop_logfile_inputformat_spark.operators.tables import (
+        clear_orphaned_table,
+    )
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh_local = wh[len("file:"):] if wh.startswith("file:") else wh
+
+    # 1. a non-table directory with the candidate name survives
+    plain = os.path.join(wh_local, "t_orphan_plain")
+    os.makedirs(plain, exist_ok=True)
+    with open(os.path.join(plain, "notes.txt"), "w") as fh:
+        fh.write("user data, not a table")
+    clear_orphaned_table(spark, "t_orphan_plain")
+    assert os.path.exists(os.path.join(plain, "notes.txt"))
+
+    # 2. an orphaned table remnant (parquet part, no catalog entry) is
+    # removed so the subsequent overwrite-saveAsTable can proceed
+    orphan = os.path.join(wh_local, "t_orphan_tbl")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "part-00000.snappy.parquet"), "wb") as fh:
+        fh.write(b"PAR1")
+    clear_orphaned_table(spark, "t_orphan_tbl")
+    assert not os.path.exists(orphan)
+
+    # 3. db-qualified name resolves under {db}.db/, not the warehouse
+    # root; a same-named root dir must NOT be the victim
+    spark.sql("CREATE DATABASE IF NOT EXISTS odb_orphan_test")
+    try:
+        dbdir = os.path.join(wh_local, "odb_orphan_test.db", "t_orphan_q")
+        os.makedirs(dbdir, exist_ok=True)
+        with open(os.path.join(dbdir, "_SUCCESS"), "w") as fh:
+            fh.write("")
+        decoy = os.path.join(wh_local, "t_orphan_q")
+        os.makedirs(decoy, exist_ok=True)
+        with open(os.path.join(decoy, "part-0.parquet"), "wb") as fh:
+            fh.write(b"PAR1")
+        clear_orphaned_table(spark, "odb_orphan_test.t_orphan_q")
+        assert not os.path.exists(dbdir)
+        assert os.path.exists(decoy)  # root-level decoy untouched
+    finally:
+        import shutil
+
+        spark.sql("DROP DATABASE IF EXISTS odb_orphan_test CASCADE")
+        shutil.rmtree(os.path.join(wh_local, "t_orphan_plain"), True)
+        shutil.rmtree(os.path.join(wh_local, "t_orphan_q"), True)
+        shutil.rmtree(os.path.join(wh_local, "odb_orphan_test.db"), True)

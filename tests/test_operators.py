@@ -1025,6 +1025,106 @@ def test_semantic_dedup_hierarchical_assignment(spark, tmp_path):
     assert agree >= 0.6, agree
 
 
+def test_hierarchical_assignment_survives_tiny_centroid_count(spark, tmp_path):
+    """k <= 3 centroids makes coarse_step == 1; the coarse-cell filter
+    must then select EVERY centroid (the all-coarse degenerate case),
+    not none — the old ``_r % 1 == 1`` predicate was never true, the
+    coarse frame came back empty, and semantic_dedup(hierarchical)
+    silently returned ZERO rows (every vector dropped)."""
+    import math
+
+    def ray(plane, deg):
+        v = [0.0] * 8
+        v[plane] = math.cos(math.radians(deg))
+        v[plane + 1] = math.sin(math.radians(deg))
+        return v
+
+    # two tight clusters on disjoint planes; modulus-4 centroids are
+    # vec_ids 0 and 4 — one per cluster, k=2, isqrt(2)=1
+    vecs = [ray(0, 3 * i) for i in range(4)] + [ray(2, 3 * i) for i in range(4)]
+    sf = _write_embeddings(spark, tmp_path, vecs)
+    flat = {
+        r.vec_id: (r.centroid_id, r.kept)
+        for r in similarity.semantic_dedup(
+            spark, sf, tau=0.95, centroid_modulus=4
+        ).collect()
+    }
+    hier = {
+        r.vec_id: (r.centroid_id, r.kept)
+        for r in similarity.semantic_dedup(
+            spark, sf, tau=0.95, centroid_modulus=4, assignment="hierarchical"
+        ).collect()
+    }
+    assert set(hier) == set(range(8))  # total: one row per vector
+    assert hier == flat  # separated clusters ⇒ exact agreement
+
+
+def test_oracle_bindings_pin_adaptive_geometry(monkeypatch):
+    """Every oracle-bound key whose library default adapts geometry or
+    modulus to corpus size must PIN the fixture shape (the DuckDB SQL
+    hardcodes one geometry): on a gated corpus past the adaptive
+    threshold an unpinned binding would silently diverge from its
+    oracle.  Asserts both the registry wiring and the actual kwargs
+    each portable wrapper forwards."""
+    from hadoop_logfile_inputformat_spark.plans import registry
+
+    assert QUERIES["ann_ivf_topk"] is similarity.ann_ivf_topk_portable
+    assert (
+        QUERIES["embedding_near_dup_scale"]
+        is similarity.embedding_near_dup_scale_portable
+    )
+    assert registry.MEMBER_QUERIES["ann_pq_topk"] is similarity.ann_pq_topk_portable
+    assert QUERIES["dedup_simhash"] is dedup.simhash_pairs_portable
+
+    seen = {}
+    monkeypatch.setattr(
+        similarity, "ann_ivf_topk",
+        lambda spark, sf_dir, **kw: seen.setdefault("ivf", kw),
+    )
+    monkeypatch.setattr(
+        similarity, "ann_pq_topk",
+        lambda spark, sf_dir, **kw: seen.setdefault("pq", kw),
+    )
+    monkeypatch.setattr(
+        similarity, "embedding_near_dup_scale",
+        lambda spark, sf_dir, **kw: seen.setdefault("lsh", kw),
+    )
+    monkeypatch.setattr(
+        dedup, "simhash_pairs",
+        lambda spark, sf_dir, **kw: seen.setdefault("simhash", kw),
+    )
+    similarity.ann_ivf_topk_portable(None, "d")
+    similarity.ann_pq_topk_portable(None, "d")
+    similarity.embedding_near_dup_scale_portable(None, "d")
+    dedup.simhash_pairs_portable(None, "d")
+    assert seen["ivf"] == {"centroid_modulus": similarity.IVF_CENTROID_MODULUS}
+    assert seen["pq"] == {"codebook_modulus": similarity.PQ_CODEBOOK_MODULUS}
+    assert seen["lsh"] == {
+        "band_bits": similarity.LSH_BAND_BITS,
+        "n_planes": similarity.N_HYPERPLANES,
+    }
+    assert seen["simhash"] == {"hash_fn": "md5", "candidate_chunks": 1}
+
+
+def test_explicit_band_bits_keeps_plane_budget(spark, tmp_path):
+    """An explicit ``band_bits`` with no ``n_planes`` keeps the
+    historical N_HYPERPLANES plane budget (so band count =
+    128/band_bits: tuning band_bits DOWN raises the band count — the
+    recall direction the docstring promises).  Only the adaptive path
+    ties planes to 16·band_bits."""
+    from hadoop_logfile_inputformat_spark.operators import tables
+
+    vecs = [[float(i == j) for j in range(8)] for i in range(6)]
+    sf = _write_embeddings(spark, tmp_path, vecs)
+    similarity.embedding_near_dup_scale(spark, sf, band_bits=4).collect()
+    keys = [
+        k
+        for k in tables._QUERY_CACHE
+        if k[0] == "hyperplane_buckets" and k[1] == sf and k[3] == 4
+    ]
+    assert keys and keys[0][2] == similarity.N_HYPERPLANES
+
+
 def test_semantic_dedup_no_pairs_at_paper_tau_on_fixture(spark):
     """The synthetic corpus is near-random: at the paper-typical
     tau=0.95 everything survives, and every vector appears once."""
