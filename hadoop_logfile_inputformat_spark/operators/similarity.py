@@ -22,6 +22,7 @@ from hadoop_logfile_inputformat_spark.operators.tables import (
     cached_count,
     clear_orphaned_table,
     load,
+    register_aux_cache,
     scoped_persist,
 )
 
@@ -679,6 +680,30 @@ LSH_N_BANDS = N_HYPERPLANES // LSH_BAND_BITS  # band count fixes recall
 LSH_TARGET_BUCKET = 16
 
 
+#: (n_planes, dim, seed) → the hyperplane DataFrame.  Reused across
+#: invocations because two byte-identical ``createDataFrame`` calls
+#: yield LocalRelations that are NOT ``sameResult`` (measured on this
+#: Spark: fresh exprIds defeat canonicalization) — a per-call planes
+#: frame therefore defeated ``scoped_persist``'s warm-reuse of the
+#: signature table downstream, and every warm invocation silently
+#: repaid the full |corpus| × n_planes signature pass (~22 s at the
+#: x100 soak scale).  Session-scoped; cleared with the other caches.
+_PLANES_CACHE: dict = register_aux_cache({})
+
+
+def _hyperplanes(spark: SparkSession, n_planes: int, dim: int, seed: int) -> DataFrame:
+    key = (n_planes, dim, seed)
+    if key not in _PLANES_CACHE:
+        import numpy as np
+
+        H = np.random.RandomState(seed).standard_normal((n_planes, dim))
+        _PLANES_CACHE[key] = spark.createDataFrame(
+            [(i, [float(x) for x in H[i]]) for i in range(n_planes)],
+            "plane_id int, plane array<double>",
+        )
+    return _PLANES_CACHE[key]
+
+
 def _lsh_geometry(n_vecs: int) -> tuple:
     """(band_bits, n_planes) for a corpus of ``n_vecs`` vectors: band
     width grows as log2(n / LSH_TARGET_BUCKET) — never below the
@@ -740,12 +765,13 @@ def embedding_near_dup_scale(
     true pairs; default ``None`` = exact parity with the oracle twin.
 
     Shuffle shape: |corpus| x bands rows keyed by (band, bucket) for
-    candidate generation, then two vec_id hash joins for verification —
-    every join key is bounded-cardinality; nothing is quadratic in the
-    corpus.
+    candidate generation (each carrying the ~|bands|·8-byte signature,
+    so the in-join hamming prefilter needs no extra join), then two
+    vec_id hash joins fetching embeddings for the FILTERED candidates
+    only — every join key is bounded-cardinality; nothing is quadratic
+    in the corpus, and the exact-cosine stage's input is the near-true
+    pairs, not the banded collisions.
     """
-    import numpy as np
-
     v = _vectors(spark, sf_dir)
     if band_bits is None:
         band_bits, auto_planes = _lsh_geometry(
@@ -768,11 +794,7 @@ def embedding_near_dup_scale(
             [], "vec_a long, vec_b long, sim double"
         )
     dim = len(first[0])
-    H = np.random.RandomState(seed).standard_normal((n_planes, dim))
-    planes = spark.createDataFrame(
-        [(i, [float(x) for x in H[i]]) for i in range(n_planes)],
-        "plane_id int, plane array<double>",
-    )
+    planes = _hyperplanes(spark, n_planes, dim, seed)
     dot_sql = (
         "aggregate(zip_with(embedding, plane,"
         " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
@@ -791,20 +813,66 @@ def embedding_near_dup_scale(
         .groupBy("vec_id", "band")
         .agg(F.sum("pv").alias("bucket"))
     )
-    # persisted for the same reason as dedup.py's signature tables: the
-    # candidate SELF-join evaluates both sides independently, so
-    # without the cache every vector's n_planes dot products run twice
-    # (bands x |vectors| small rows cached instead)
-    buckets = scoped_persist(
-        buckets, ("hyperplane_buckets", sf_dir, n_planes, band_bits, seed)
+    # Compact per-vector signature: sig[band] = that band's bucket
+    # value, so the full n_planes-bit sketch is |bands| longs (~128 B)
+    # per vector.  Persisted for the same reason as dedup.py's
+    # signature tables — the candidate SELF-join evaluates both sides
+    # independently, so without the cache every vector's n_planes dot
+    # products run twice.
+    sigs = buckets.groupBy("vec_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(band, bucket))),"
+            " s -> s.bucket)"
+        ).alias("sig")
+    )
+    sigs = scoped_persist(
+        sigs, ("hyperplane_sigs", sf_dir, n_planes, band_bits, seed)
+    )
+    ex = sigs.select(
+        "vec_id", "sig", F.posexplode("sig").alias("band", "bucket")
     )
     if max_bucket_size is not None:
         from hadoop_logfile_inputformat_spark.operators.dedup import (
             _cap_buckets,
         )
 
-        buckets = _cap_buckets(buckets, ["band", "bucket"], max_bucket_size)
-    a, b = buckets.alias("a"), buckets.alias("b")
+        ex = _cap_buckets(ex, ["band", "bucket"], max_bucket_size)
+    # SIGNATURE-HAMMING PREFILTER, then distinct, then exact verify.
+    # The x100 soak profiled the naive order (distinct all banded
+    # collisions, then fetch embeddings and verify): 33M collision rows
+    # paid an 8 s distinct plus two 33M-row embedding joins and 33M
+    # interpreted 64-dim cosines (~17 s).  A collision row already
+    # carries both full sketches, and the n_planes-bit hamming distance
+    # is a 64x-cheaper similarity proxy: per-bit disagreement is
+    # angle/pi (Goemans-Williamson), so a true pair at cosine >=
+    # `threshold` has hamming ~Binomial(n_planes, acos(threshold)/pi)
+    # and passes `mu + 6*sigma` with miss probability ~1e-9, while an
+    # unrelated pair (disagreement ~0.5) sits many sigmas above the
+    # bound at any production threshold and dies HERE, map-side, inside
+    # the collision join — never reaching the shuffle-heavy stages.
+    # The distinct then dedups near-true pairs only, and the embedding
+    # fetch + exact cosine (the unchanged correctness gate — the
+    # prefilter can only drop, never admit) runs on that tiny set.
+    # At loose thresholds the bound exceeds the random-pair mean and
+    # the prefilter degrades to a no-op — recall is never worse than
+    # the banding itself beyond the ~1e-9 tail.
+    import math
+
+    p_dis = math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+    hbound = min(
+        n_planes,
+        int(
+            math.ceil(
+                n_planes * p_dis
+                + 6.0 * math.sqrt(n_planes * p_dis * (1.0 - p_dis))
+            )
+        ),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    sig_hamming = F.expr(
+        "aggregate(zip_with(a.sig, b.sig, (x, y) -> bit_count(x ^ y)),"
+        " 0, (acc, h) -> acc + h)"
+    )
     candidates = (
         a.join(
             b,
@@ -812,6 +880,7 @@ def embedding_near_dup_scale(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
+        .filter(sig_hamming <= F.lit(hbound))
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )

@@ -1120,7 +1120,7 @@ def test_explicit_band_bits_keeps_plane_budget(spark, tmp_path):
     keys = [
         k
         for k in tables._QUERY_CACHE
-        if k[0] == "hyperplane_buckets" and k[1] == sf and k[3] == 4
+        if k[0] == "hyperplane_sigs" and k[1] == sf and k[3] == 4
     ]
     assert keys and keys[0][2] == similarity.N_HYPERPLANES
 
