@@ -516,6 +516,7 @@ def ann_ivf_topk_kmeans(
     nprobe: int = IVF_NPROBE,
     n_centroids: int | None = None,
     iters: int = 3,
+    name: str | None = None,
 ) -> DataFrame:
     """End-to-end LEARNED-centroid IVF: k-means training pass →
     persisted index build → bucketed probe — the full lifecycle a
@@ -529,16 +530,27 @@ def ann_ivf_topk_kmeans(
     centroids then buy equal-or-better quantization — asserted
     ``recall ≥ modulus baseline`` in tests/test_operators.py.
 
+    Warehouse hygiene: with no ``name`` the index tables get an
+    invocation-unique name and are DROPPED before returning (the probe
+    result — |queries| × k rows, bounded by contract — is materialized
+    first, so the returned frame does not depend on them).  Two
+    concurrent sessions benching the same ``sf_dir`` therefore cannot
+    clobber each other's ``_lists``/``_centroids`` mid-probe, and a
+    bench loop leaves no managed tables behind.  Pass an explicit
+    ``name`` to KEEP the persisted index under that name (the
+    train-once-probe-forever deployment: reuse it via
+    :func:`ann_ivf_probe`) — the caller then owns the tables' cleanup.
+
     Not oracle-expressible: Lloyd's iterations are driver-coordinated
     (k×dim means collected per pass — bounded, never the corpus), so
     this is a bench ``LIBRARY_ONLY`` entry per the repo rules, while
     the modulus family stays the registry's portable binding.
     """
-    import hashlib
+    import uuid
 
     v = _vectors(spark, sf_dir)
     if n_centroids is None:
-        n = v.count()
+        n = cached_count(spark, sf_dir, "embeddings")
         n_centroids = max(2, n // _effective_modulus(n))
     cents = kmeans_centroids(
         v.select("vec_id", "embedding"),
@@ -546,12 +558,20 @@ def ann_ivf_topk_kmeans(
         iters=iters,
         metric="cosine",
     )
-    name = "ivf_kmeans_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    ephemeral = name is None
+    if ephemeral:
+        name = "ivf_kmeans_" + uuid.uuid4().hex[:12]
     build_ivf_index(spark, v.select("vec_id", "embedding"), name, centroids=cents)
     queries = v.filter(F.col("vec_id") % query_modulus == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann_ivf_probe(spark, queries, name, k=k, nprobe=nprobe)
+    out = ann_ivf_probe(spark, queries, name, k=k, nprobe=nprobe)
+    if not ephemeral:
+        return out
+    rows = out.collect()  # |queries| × k — bounded by contract
+    for t in (f"{name}_lists", f"{name}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return spark.createDataFrame(rows, out.schema)
 
 
 def quantized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1417,7 +1437,18 @@ def _assign_hierarchical(v: DataFrame, cent: DataFrame, probe: int = 2) -> DataF
     The only window runs over the CENTROID frame (k rows, bounded by
     design — never the corpus), and every join here broadcasts a
     centroid-sized frame; the corpus is touched map-side only.
-    Returns ``(vec_id, embedding, nrm, centroid_id)``.
+    Returns ``(vec_id, embedding, nrm, centroid_id, coarse_rank)``.
+
+    ``coarse_rank`` is the per-row AUDIT signal of probe adequacy: the
+    1-based rank (among the vector's ``probe`` best coarse cells) of
+    the cell that parented the CHOSEN fine centroid.  Rank 1 = the
+    winner sat in the vector's closest coarse cell (the flat
+    assignment almost certainly agrees); rank = ``probe`` = the winner
+    came from the LAST probed cell, i.e. the true best fine centroid
+    plausibly lives in an unprobed cell — the rows where raising
+    ``probe`` buys agreement.  A production caller can aggregate it
+    (e.g. share of rows at rank > 1) to see what the coarse pass cost
+    without re-running the flat assignment.
     """
     import math
 
@@ -1465,20 +1496,34 @@ def _assign_hierarchical(v: DataFrame, cent: DataFrame, probe: int = 2) -> DataF
         )
         .select(
             "vec_id", "embedding", "nrm",
-            F.explode("cells.coarse_id").alias("coarse_id"),
+            F.posexplode("cells").alias("p", "cell"),
+        )
+        .select(
+            "vec_id", "embedding", "nrm",
+            F.col("cell.coarse_id").alias("coarse_id"),
+            (F.col("p") + 1).cast("int").alias("coarse_rank"),
         )
     )
     c_sim = _dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
     return (
         top.join(F.broadcast(f2c), "coarse_id")
-        .select("vec_id", "embedding", "nrm", "centroid_id", c_sim.alias("c_sim"))
+        .select(
+            "vec_id", "embedding", "nrm", "centroid_id", "coarse_rank",
+            c_sim.alias("c_sim"),
+        )
         .groupBy("vec_id")
         .agg(
             F.first("embedding").alias("embedding"),
             F.first("nrm").alias("nrm"),
-            F.expr("max_by(centroid_id, struct(c_sim, -centroid_id))").alias(
-                "centroid_id"
-            ),
+            F.expr(
+                "max_by(struct(centroid_id, coarse_rank),"
+                " struct(c_sim, -centroid_id))"
+            ).alias("w"),
+        )
+        .select(
+            "vec_id", "embedding", "nrm",
+            F.col("w.centroid_id").alias("centroid_id"),
+            F.col("w.coarse_rank").alias("coarse_rank"),
         )
     )
 
@@ -1522,7 +1567,14 @@ def semantic_dedup(
     assignment is O(N·k): pass ``assignment="hierarchical"`` for the
     coarse-then-fine pass (:func:`_assign_hierarchical`,
     O(N·√k·(1+coarse_probe)) — boundary vectors may land one cluster
-    off vs flat; ``coarse_probe`` is the recall knob).  The registry
+    off vs flat; ``coarse_probe`` is the recall knob).  Hierarchical
+    output carries an extra ``coarse_rank`` audit column (the probed
+    cell rank that produced each vector's assignment — rows at rank
+    ``coarse_probe`` are where a wider probe could still change the
+    result; see :func:`_assign_hierarchical`).  Measured agreement vs
+    flat on ADVERSARIALLY-random vectors: ~0.82 at probe 3 (exact on
+    separated clusters — the regime SemDeDup targets); the
+    probe→agreement curve is exercised in tests.  The registry
     binding stays flat (oracle parity; fixture k is tiny).
 
     ``max_cluster_size`` bounds the quadratic hazard the clustering
@@ -1611,6 +1663,8 @@ def semantic_dedup(
         F.col("max_mate_sim"),
         (1 - F.coalesce("dominated", F.lit(0))).cast("int").alias("kept"),
     ]
+    if assignment == "hierarchical":
+        cols.append(F.col("coarse_rank"))
     if max_cluster_size is not None:
         cols.append(
             (F.col("csz") > max_cluster_size).cast("int").alias("cluster_capped")

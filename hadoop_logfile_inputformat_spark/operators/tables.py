@@ -100,15 +100,32 @@ def scoped_persist(df: DataFrame, key) -> DataFrame:
 #: here so one call releases every session-scoped cache.
 _AUX_CACHES: list = []
 
+#: Registered with ``static_input=True``: memos keyed PURELY on
+#: immutable input corpora (parquet footer counts) that hold no Spark
+#: resources.  A memory-pressure clear (``static_inputs=False``) keeps
+#: them — re-deriving a footer count of a corpus that cannot have
+#: changed is measurement noise, not reclaimable memory.  Callers
+#: whose INPUTS changed must use the default full clear.
+_STATIC_AUX_CACHES: list = []
 
-def register_aux_cache(cache: dict) -> dict:
-    _AUX_CACHES.append(cache)
+
+def register_aux_cache(cache: dict, static_input: bool = False) -> dict:
+    (_STATIC_AUX_CACHES if static_input else _AUX_CACHES).append(cache)
     return cache
 
 
-def clear_query_caches() -> None:
+def clear_query_caches(static_inputs: bool = True) -> None:
     """Release every scoped-persist entry and registered memo
-    (bench/service shutdown, or after external inputs changed)."""
+    (bench/service shutdown, or after external inputs changed).
+
+    ``static_inputs=False`` is the MEMORY-PRESSURE variant: it drops
+    everything holding executor/driver memory (persisted frames,
+    DataFrame-bearing memos) but keeps plain-scalar memos keyed on
+    immutable inputs (the footer-count cache) — the bench's mid-run
+    clear uses it so the adaptive geometry selectors don't re-pay a
+    count job per measurement.  Anything that might reflect CHANGED
+    input data must clear with the default full variant.
+    """
     for df in _QUERY_CACHE.values():
         try:
             df.unpersist(blocking=False)
@@ -117,6 +134,9 @@ def clear_query_caches() -> None:
     _QUERY_CACHE.clear()
     for cache in _AUX_CACHES:
         cache.clear()
+    if static_inputs:
+        for cache in _STATIC_AUX_CACHES:
+            cache.clear()
 
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
@@ -328,7 +348,7 @@ def load(
 #: it once per OPERATOR INVOCATION — without the memo a bench's
 #: cold+3-warm loop pays four footer-scan jobs per query.  Cleared with
 #: the rest of the session caches (register_aux_cache).
-_COUNT_CACHE: dict = register_aux_cache({})
+_COUNT_CACHE: dict = register_aux_cache({}, static_input=True)
 
 
 def cached_count(spark: SparkSession, sf_dir: str, name: str) -> int:

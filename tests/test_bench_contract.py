@@ -113,3 +113,22 @@ def test_realistic_mix_keeps_all_trended_extras():
     assert payload.get("n_dropped", 0) == len(dropped_keys)
     assert payload["n_extra"] == len(bench.EXTRA)
     assert sum(len(l) for l in lines) + len(lines) <= bench.TAIL_BUDGET
+
+
+def test_clear_query_caches_static_input_exemption():
+    """The bench's mid-run memory-pressure clear (static_inputs=False)
+    must keep the footer-count memo — static corpora make re-counting
+    a measurement artifact — while still dropping ordinary memos; the
+    default full clear drops both."""
+    from hadoop_logfile_inputformat_spark.operators import tables
+
+    probe_aux = tables.register_aux_cache({"x": 1})
+    try:
+        tables._COUNT_CACHE["__probe__"] = 7
+        tables.clear_query_caches(static_inputs=False)
+        assert tables._COUNT_CACHE.get("__probe__") == 7
+        assert not probe_aux
+        tables.clear_query_caches()
+        assert "__probe__" not in tables._COUNT_CACHE
+    finally:
+        tables._AUX_CACHES.remove(probe_aux)

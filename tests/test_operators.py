@@ -1006,6 +1006,15 @@ def test_semantic_dedup_hierarchical_assignment(spark, tmp_path):
         and hier[i].kept == flat[i].kept
         for i in range(20)
     )
+    # the audit column: hierarchical rows carry the probed-cell rank
+    # that produced the assignment (flat output has no such column);
+    # rank is 1-based and bounded by the probe width
+    assert all(1 <= hier[i].coarse_rank <= 3 for i in range(20))
+    assert "coarse_rank" not in (
+        similarity.semantic_dedup(
+            spark, sf, tau=0.95, centroid_modulus=5
+        ).columns
+    )
     # near-random fixture: totality + majority agreement (measured
     # 0.82 at probe 3; random data is the worst case — real embedding
     # spaces cluster, which is the regime SemDeDup targets)
@@ -1023,6 +1032,49 @@ def test_semantic_dedup_hierarchical_assignment(spark, tmp_path):
     assert set(h2) == set(f2)
     agree = sum(1 for k in f2 if h2[k] == f2[k]) / len(f2)
     assert agree >= 0.6, agree
+    # probe→agreement curve: a wider probe can only see more cells, so
+    # agreement with flat must not degrade probe 1 → 3 (the audit
+    # column's premise: high-rank rows are where probing wider helps)
+    h1 = {
+        r.vec_id: r.centroid_id
+        for r in similarity.semantic_dedup(
+            spark, SFD, assignment="hierarchical", coarse_probe=1
+        ).collect()
+    }
+    agree1 = sum(1 for k in f2 if h1[k] == f2[k]) / len(f2)
+    assert agree1 <= agree + 0.02, (agree1, agree)
+
+
+def test_ann_ivf_kmeans_warehouse_hygiene(spark):
+    """Default invocations are concurrency-safe and self-cleaning: the
+    index name is invocation-unique and the ``_lists``/``_centroids``
+    tables are dropped before returning (the bounded probe result is
+    materialized first).  Explicit names KEEP the index, and two
+    distinct names coexist without clobbering each other."""
+    before = {t.name for t in spark.catalog.listTables()}
+    out = similarity.ann_ivf_topk_kmeans(spark, SF, n_centroids=4, iters=1)
+    rows = out.collect()
+    assert rows
+    assert {t.name for t in spark.catalog.listTables()} == before
+    try:
+        r1 = similarity.ann_ivf_topk_kmeans(
+            spark, SF, n_centroids=4, iters=1, name="kmh_a"
+        )
+        r2 = similarity.ann_ivf_topk_kmeans(
+            spark, SF, n_centroids=4, iters=1, name="kmh_b"
+        )
+        n1 = r1.count()
+        assert n1 == r2.count() == len(rows)  # deterministic lifecycle
+        tabs = {t.name for t in spark.catalog.listTables()}
+        assert {
+            "kmh_a_lists", "kmh_a_centroids", "kmh_b_lists", "kmh_b_centroids"
+        } <= tabs
+        # the first probe still reads ITS index after the second build
+        assert r1.count() == n1
+    finally:
+        for t in ("kmh_a_lists", "kmh_a_centroids",
+                  "kmh_b_lists", "kmh_b_centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_hierarchical_assignment_survives_tiny_centroid_count(spark, tmp_path):
