@@ -375,14 +375,14 @@ def main() -> None:
     # every scoped-persist cache, and that pressure was observed (r5)
     # to swing extras' cold numbers 4x between rounds.  Drop the caches
     # so the extras section starts from a clean heap — but keep the
-    # footer-count memo (static_inputs=False): the corpora cannot have
-    # changed mid-bench, and re-paying a count job per adaptive-
+    # footer-count memo (drop_static_memos=False): the corpora cannot
+    # have changed mid-bench, and re-paying a count job per adaptive-
     # geometry query is a measurement artifact, not memory.
     from hadoop_logfile_inputformat_spark.operators.tables import (
         clear_query_caches,
     )
 
-    clear_query_caches(static_inputs=False)
+    clear_query_caches(drop_static_memos=False)
     spark.catalog.clearCache()
     extra, extra_cold = {}, {}
     for name in EXTRA:

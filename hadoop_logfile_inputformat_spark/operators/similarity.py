@@ -531,9 +531,13 @@ def ann_ivf_topk_kmeans(
     ``recall ≥ modulus baseline`` in tests/test_operators.py.
 
     Warehouse hygiene: with no ``name`` the index tables get an
-    invocation-unique name and are DROPPED before returning (the probe
-    result — |queries| × k rows, bounded by contract — is materialized
-    first, so the returned frame does not depend on them).  Two
+    invocation-unique name and are DROPPED before returning.  The probe
+    result is materialized DISTRIBUTED first (eager
+    ``localCheckpoint``: each executor pins its own partitions, so the
+    returned frame no longer reads the dropped tables) — never
+    collected: |queries| = |corpus| / query_modulus grows linearly
+    with the corpus, so a driver collect here would be an O(N) driver
+    OOM at the 100 TB shape this operator documents.  Two
     concurrent sessions benching the same ``sf_dir`` therefore cannot
     clobber each other's ``_lists``/``_centroids`` mid-probe, and a
     bench loop leaves no managed tables behind.  Pass an explicit
@@ -568,10 +572,14 @@ def ann_ivf_topk_kmeans(
     out = ann_ivf_probe(spark, queries, name, k=k, nprobe=nprobe)
     if not ephemeral:
         return out
-    rows = out.collect()  # |queries| × k — bounded by contract
+    # Distributed materialization: block-manager-pinned partitions on
+    # the executors (NOT a driver collect — |queries| x k is O(N) in
+    # the corpus).  Eager, so the frame is independent of the index
+    # tables before they are dropped.
+    out = out.localCheckpoint(eager=True)
     for t in (f"{name}_lists", f"{name}_centroids"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-    return spark.createDataFrame(rows, out.schema)
+    return out
 
 
 def quantized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -700,19 +708,22 @@ LSH_N_BANDS = N_HYPERPLANES // LSH_BAND_BITS  # band count fixes recall
 LSH_TARGET_BUCKET = 16
 
 
-#: (n_planes, dim, seed) → the hyperplane DataFrame.  Reused across
-#: invocations because two byte-identical ``createDataFrame`` calls
-#: yield LocalRelations that are NOT ``sameResult`` (measured on this
-#: Spark: fresh exprIds defeat canonicalization) — a per-call planes
-#: frame therefore defeated ``scoped_persist``'s warm-reuse of the
-#: signature table downstream, and every warm invocation silently
+#: (app_id, n_planes, dim, seed) → the hyperplane DataFrame.  Reused
+#: across invocations because two byte-identical ``createDataFrame``
+#: calls yield LocalRelations that are NOT ``sameResult`` (measured on
+#: this Spark: fresh exprIds defeat canonicalization) — a per-call
+#: planes frame therefore defeated ``scoped_persist``'s warm-reuse of
+#: the signature table downstream, and every warm invocation silently
 #: repaid the full |corpus| × n_planes signature pass (~22 s at the
-#: x100 soak scale).  Session-scoped; cleared with the other caches.
+#: x100 soak scale).  The key INCLUDES the live application id: a
+#: process that stops and recreates its SparkSession without calling
+#: ``clear_query_caches`` must never be handed a DataFrame bound to
+#: the dead session.  Cleared with the other caches.
 _PLANES_CACHE: dict = register_aux_cache({})
 
 
 def _hyperplanes(spark: SparkSession, n_planes: int, dim: int, seed: int) -> DataFrame:
-    key = (n_planes, dim, seed)
+    key = (spark.sparkContext.applicationId, n_planes, dim, seed)
     if key not in _PLANES_CACHE:
         import numpy as np
 
@@ -746,6 +757,7 @@ def embedding_near_dup_scale(
     band_bits: int | None = None,
     seed: int = 7,
     max_bucket_size: int | None = None,
+    hbound_sigmas: float | None = 6.0,
 ) -> DataFrame:
     """Scale path of :func:`embedding_near_dup_pairs`: hyperplane-LSH
     bucketed candidates, verified exactly — never an all-pairs join.
@@ -783,6 +795,17 @@ def embedding_near_dup_scale(
     concentrate mass in one bucket no matter the width): members of a
     dropped hot bucket almost always share a smaller bucket with their
     true pairs; default ``None`` = exact parity with the oracle twin.
+
+    ``hbound_sigmas`` is the hamming prefilter's slack in binomial
+    standard deviations above the expected disagreement of a true pair
+    at ``threshold`` (see the in-code derivation below).  The ~1e-9
+    miss bound at the default 6σ assumes RANDOM hyperplanes, but the
+    planes are FIXED by ``seed`` — for an unlucky (seed, pair) the
+    drop is deterministic and repeats every run, so library-default
+    recall is seed-conditional rather than per-run probabilistic.
+    Recall-sensitive callers can widen the slack (e.g. 8–10σ) or pass
+    ``None`` to disable the prefilter entirely without changing the
+    LSH geometry (the banding recall curve is untouched either way).
 
     Shuffle shape: |corpus| x bands rows keyed by (band, bucket) for
     candidate generation (each carrying the ~|bands|·8-byte signature,
@@ -878,32 +901,36 @@ def embedding_near_dup_scale(
     # the banding itself beyond the ~1e-9 tail.
     import math
 
-    p_dis = math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
-    hbound = min(
-        n_planes,
-        int(
-            math.ceil(
-                n_planes * p_dis
-                + 6.0 * math.sqrt(n_planes * p_dis * (1.0 - p_dis))
-            )
-        ),
-    )
+    if hbound_sigmas is None:
+        hbound = n_planes  # prefilter disabled: every collision passes
+    else:
+        p_dis = math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+        hbound = min(
+            n_planes,
+            int(
+                math.ceil(
+                    n_planes * p_dis
+                    + hbound_sigmas
+                    * math.sqrt(n_planes * p_dis * (1.0 - p_dis))
+                )
+            ),
+        )
     a, b = ex.alias("a"), ex.alias("b")
     sig_hamming = F.expr(
         "aggregate(zip_with(a.sig, b.sig, (x, y) -> bit_count(x ^ y)),"
         " 0, (acc, h) -> acc + h)"
     )
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(sig_hamming <= F.lit(hbound))
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
+    collisions = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
+    if hbound < n_planes:
+        collisions = collisions.filter(sig_hamming <= F.lit(hbound))
+    candidates = collisions.select(
+        F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+    ).distinct()
     va = v.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),

@@ -102,9 +102,9 @@ _AUX_CACHES: list = []
 
 #: Registered with ``static_input=True``: memos keyed PURELY on
 #: immutable input corpora (parquet footer counts) that hold no Spark
-#: resources.  A memory-pressure clear (``static_inputs=False``) keeps
-#: them — re-deriving a footer count of a corpus that cannot have
-#: changed is measurement noise, not reclaimable memory.  Callers
+#: resources.  A memory-pressure clear (``drop_static_memos=False``)
+#: keeps them — re-deriving a footer count of a corpus that cannot
+#: have changed is measurement noise, not reclaimable memory.  Callers
 #: whose INPUTS changed must use the default full clear.
 _STATIC_AUX_CACHES: list = []
 
@@ -114,17 +114,19 @@ def register_aux_cache(cache: dict, static_input: bool = False) -> dict:
     return cache
 
 
-def clear_query_caches(static_inputs: bool = True) -> None:
+def clear_query_caches(drop_static_memos: bool = True) -> None:
     """Release every scoped-persist entry and registered memo
     (bench/service shutdown, or after external inputs changed).
 
-    ``static_inputs=False`` is the MEMORY-PRESSURE variant: it drops
-    everything holding executor/driver memory (persisted frames,
-    DataFrame-bearing memos) but keeps plain-scalar memos keyed on
+    ``drop_static_memos=False`` is the MEMORY-PRESSURE variant: it
+    drops everything holding executor/driver memory (persisted frames,
+    DataFrame-bearing memos) but KEEPS plain-scalar memos keyed on
     immutable inputs (the footer-count cache) — the bench's mid-run
     clear uses it so the adaptive geometry selectors don't re-pay a
     count job per measurement.  Anything that might reflect CHANGED
-    input data must clear with the default full variant.
+    input data must clear with the default full variant: keeping the
+    static memos while the underlying corpus changed leaves adaptive
+    geometry (LSH band width, IVF/PQ moduli) sized for the OLD corpus.
     """
     for df in _QUERY_CACHE.values():
         try:
@@ -134,7 +136,7 @@ def clear_query_caches(static_inputs: bool = True) -> None:
     _QUERY_CACHE.clear()
     for cache in _AUX_CACHES:
         cache.clear()
-    if static_inputs:
+    if drop_static_memos:
         for cache in _STATIC_AUX_CACHES:
             cache.clear()
 
@@ -242,10 +244,14 @@ def clear_orphaned_table(spark: SparkSession, table: str) -> None:
     non-default db's tables live under ``{warehouse}/{db}.db/``, where
     the bare ``{warehouse}/{table}`` guess would both miss the real
     orphan and point at an unrelated path), and the directory is only
-    deleted if it LOOKS like a table remnant — contains a parquet part
-    or a ``_SUCCESS`` marker.  A same-named directory that was never a
-    table is left alone: the subsequent ``saveAsTable`` then fails
-    loudly instead of this helper silently eating user data.
+    deleted if it LOOKS like a table remnant — contains a parquet part,
+    a ``_SUCCESS`` marker, a ``_temporary`` staging subtree (a write
+    that crashed BEFORE committing any part file leaves only that —
+    the exact orphan this helper exists for), or nothing at all (an
+    empty directory cannot be user data).  A same-named directory
+    holding anything else was never a table and is left alone: the
+    subsequent ``saveAsTable`` then fails loudly instead of this
+    helper silently eating user data.
     """
     name = table
     db = None
@@ -264,14 +270,27 @@ def clear_orphaned_table(spark: SparkSession, table: str) -> None:
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
         return
+    root = fs.makeQualified(jpath).toUri().getPath().rstrip("/")
+    any_file = False
     looks_like_table = False
     it = fs.listFiles(jpath, True)
     while it.hasNext():
-        fname = it.next().getPath().getName()
-        if fname.endswith(".parquet") or fname == "_SUCCESS":
+        any_file = True
+        p = it.next().getPath()
+        fname = p.getName()
+        ppath = p.toUri().getPath()
+        rel = ppath[len(root) :].lstrip("/") if ppath.startswith(root) else ppath
+        dirs = [c for c in rel.split("/") if c][:-1]
+        if (
+            fname.endswith(".parquet")
+            or fname == "_SUCCESS"
+            or "_temporary" in dirs
+        ):
             looks_like_table = True
             break
-    if looks_like_table:
+    # zero files at all (empty dir, or empty _temporary/ scaffolding
+    # left by a crash before the first task wrote) is equally a remnant
+    if looks_like_table or not any_file:
         fs.delete(jpath, True)
 
 

@@ -116,16 +116,18 @@ def test_realistic_mix_keeps_all_trended_extras():
 
 
 def test_clear_query_caches_static_input_exemption():
-    """The bench's mid-run memory-pressure clear (static_inputs=False)
-    must keep the footer-count memo — static corpora make re-counting
-    a measurement artifact — while still dropping ordinary memos; the
-    default full clear drops both."""
+    """The bench's mid-run memory-pressure clear
+    (drop_static_memos=False — the name reads as what it does: the
+    dangerous keep-the-memo variant looks dangerous) must keep the
+    footer-count memo — static corpora make re-counting a measurement
+    artifact — while still dropping ordinary memos; the default full
+    clear drops both."""
     from hadoop_logfile_inputformat_spark.operators import tables
 
     probe_aux = tables.register_aux_cache({"x": 1})
     try:
         tables._COUNT_CACHE["__probe__"] = 7
-        tables.clear_query_caches(static_inputs=False)
+        tables.clear_query_caches(drop_static_memos=False)
         assert tables._COUNT_CACHE.get("__probe__") == 7
         assert not probe_aux
         tables.clear_query_caches()

@@ -189,10 +189,11 @@ def test_compact_exact_index_shrinks_files_same_decisions(spark, tmp_path):
 
 def test_clear_orphaned_table_is_conservative_and_db_aware(spark):
     """clear_orphaned_table must only delete directories that LOOK like
-    table remnants (parquet part / _SUCCESS), must leave a same-named
-    non-table directory alone, and must resolve the location under the
-    CURRENT database's {db}.db/ prefix — the bare {warehouse}/{table}
-    guess is wrong for any non-default database."""
+    table remnants (parquet part / _SUCCESS / _temporary staging /
+    empty), must leave a same-named non-table directory alone, and must
+    resolve the location under the CURRENT database's {db}.db/ prefix —
+    the bare {warehouse}/{table} guess is wrong for any non-default
+    database."""
     from hadoop_logfile_inputformat_spark.operators.tables import (
         clear_orphaned_table,
     )
@@ -217,6 +218,26 @@ def test_clear_orphaned_table_is_conservative_and_db_aware(spark):
     clear_orphaned_table(spark, "t_orphan_tbl")
     assert not os.path.exists(orphan)
 
+    # 2b. a write that crashed BEFORE committing any part file leaves
+    # only a _temporary/ staging subtree — the exact orphan this helper
+    # exists for; it must be removed even with zero committed files
+    crashed = os.path.join(wh_local, "t_orphan_crashed")
+    os.makedirs(os.path.join(crashed, "_temporary", "0", "task_x"),
+                exist_ok=True)
+    with open(
+        os.path.join(crashed, "_temporary", "0", "task_x", "part-0.inflight"),
+        "wb",
+    ) as fh:
+        fh.write(b"x")
+    clear_orphaned_table(spark, "t_orphan_crashed")
+    assert not os.path.exists(crashed)
+
+    # 2c. an entirely empty directory cannot be user data either
+    empty = os.path.join(wh_local, "t_orphan_empty")
+    os.makedirs(empty, exist_ok=True)
+    clear_orphaned_table(spark, "t_orphan_empty")
+    assert not os.path.exists(empty)
+
     # 3. db-qualified name resolves under {db}.db/, not the warehouse
     # root; a same-named root dir must NOT be the victim
     spark.sql("CREATE DATABASE IF NOT EXISTS odb_orphan_test")
@@ -238,4 +259,6 @@ def test_clear_orphaned_table_is_conservative_and_db_aware(spark):
         spark.sql("DROP DATABASE IF EXISTS odb_orphan_test CASCADE")
         shutil.rmtree(os.path.join(wh_local, "t_orphan_plain"), True)
         shutil.rmtree(os.path.join(wh_local, "t_orphan_q"), True)
+        shutil.rmtree(os.path.join(wh_local, "t_orphan_crashed"), True)
+        shutil.rmtree(os.path.join(wh_local, "t_orphan_empty"), True)
         shutil.rmtree(os.path.join(wh_local, "odb_orphan_test.db"), True)

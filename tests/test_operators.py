@@ -780,6 +780,82 @@ def test_embedding_near_dup_scale_bucket_cap_drops_hot_bucket(spark, tmp_path):
     assert len(uncapped.collect()) >= 20 * 19 // 2 + 1
 
 
+def test_prefilter_recall_at_production_threshold_and_geometry(spark, tmp_path):
+    """Hamming-prefilter recall at the PRODUCTION operating point —
+    threshold 0.9 at the default 128-plane / 8-bit geometry, prefilter
+    mathematically active (hbound << n_planes) — with INJECTED known
+    near-dups: every planted pair must survive, and the final output
+    must be identical with the prefilter disabled (``hbound_sigmas=
+    None``) — the prefilter may only shed collisions the exact-cosine
+    verify would reject anyway.  Also pins the degrade-to-no-op
+    contract at a loose threshold."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((40, 64))
+    vecs = [list(map(float, v)) for v in base]
+    # 10 planted near-dup partners: tiny additive perturbation keeps
+    # cosine >= ~0.97 (well above threshold, well inside banding
+    # survival ~1.0 at 16 bands x 8 bits)
+    planted = []
+    for i in range(10):
+        v = base[i]
+        w = v + 0.12 * rng.standard_normal(64) * np.linalg.norm(v) / 8.0
+        cos = float(v @ w / (np.linalg.norm(v) * np.linalg.norm(w)))
+        assert cos >= 0.95, cos
+        planted.append((i, 40 + len(planted)))
+        vecs.append([float(x) for x in w])
+    sf = _write_embeddings(spark, tmp_path, vecs)
+
+    # the prefilter must actually be ON at this operating point
+    p_dis = math.acos(0.9) / math.pi
+    hbound = math.ceil(128 * p_dis + 6 * math.sqrt(128 * p_dis * (1 - p_dis)))
+    assert hbound < 128 // 2  # far below the random-pair mean (64)
+
+    filtered = similarity.embedding_near_dup_scale(
+        spark, sf, threshold=0.9, band_bits=8, n_planes=128
+    )
+    got = {(r.vec_a, r.vec_b) for r in filtered.collect()}
+    assert set(planted) <= got, set(planted) - got
+    unfiltered = similarity.embedding_near_dup_scale(
+        spark, sf, threshold=0.9, band_bits=8, n_planes=128,
+        hbound_sigmas=None,
+    )
+    assert got == {(r.vec_a, r.vec_b) for r in unfiltered.collect()}
+
+    # loose threshold: the bound reaches/exceeds n_planes' random-pair
+    # regime and the prefilter must not change the output either
+    loose = similarity.embedding_near_dup_scale(
+        spark, sf, threshold=-1.0, band_bits=8, n_planes=128
+    )
+    loose_off = similarity.embedding_near_dup_scale(
+        spark, sf, threshold=-1.0, band_bits=8, n_planes=128,
+        hbound_sigmas=None,
+    )
+    assert sorted(map(tuple, loose.collect())) == sorted(
+        map(tuple, loose_off.collect())
+    )
+
+
+def test_planes_cache_is_session_keyed(spark):
+    """_PLANES_CACHE must key on the LIVE application id: a stale
+    entry from a stopped-and-recreated session (different appId) must
+    never be returned — the cached DataFrame would be bound to a dead
+    session (found by ADVICE r8)."""
+    similarity._PLANES_CACHE.clear()
+    df = similarity._hyperplanes(spark, 8, 4, seed=3)
+    app = spark.sparkContext.applicationId
+    assert (app, 8, 4, 3) in similarity._PLANES_CACHE
+    # plant a stale dead-session entry: same geometry, different appId;
+    # a fresh call must ignore it and return the live-session frame
+    similarity._PLANES_CACHE[("dead-app-0000", 8, 4, 3)] = object()
+    again = similarity._hyperplanes(spark, 8, 4, seed=3)
+    assert again is df  # memo hit on the LIVE key, not the stale one
+    del similarity._PLANES_CACHE[("dead-app-0000", 8, 4, 3)]
+
+
 def test_ann_ivf_kmeans_end_to_end_recall(spark):
     """Learned-centroid IVF exercised END TO END (spherical k-means →
     build_ivf_index → ann_ivf_probe), judged on recall vs brute-force
@@ -1048,11 +1124,23 @@ def test_semantic_dedup_hierarchical_assignment(spark, tmp_path):
 def test_ann_ivf_kmeans_warehouse_hygiene(spark):
     """Default invocations are concurrency-safe and self-cleaning: the
     index name is invocation-unique and the ``_lists``/``_centroids``
-    tables are dropped before returning (the bounded probe result is
-    materialized first).  Explicit names KEEP the index, and two
-    distinct names coexist without clobbering each other."""
+    tables are dropped before returning — with the probe result
+    materialized DISTRIBUTED (eager localCheckpoint), never collected:
+    |queries| is N/query_modulus, linear in the corpus, so a driver
+    collect here is an O(N) OOM at scale (ADVICE r8).  Explicit names
+    KEEP the index, and two distinct names coexist without clobbering
+    each other."""
+    import inspect
+
+    # code-shape gate: no driver collect of the result set on any path
+    # (kmeans_centroids' own bounded k x dim collects live elsewhere)
+    assert ".collect()" not in inspect.getsource(similarity.ann_ivf_topk_kmeans)
     before = {t.name for t in spark.catalog.listTables()}
     out = similarity.ann_ivf_topk_kmeans(spark, SF, n_centroids=4, iters=1)
+    # distributed materialization: the ephemeral frame scans checkpoint
+    # RDD blocks (executor-resident), not a driver-local relation
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan, plan
     rows = out.collect()
     assert rows
     assert {t.name for t in spark.catalog.listTables()} == before
