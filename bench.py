@@ -68,6 +68,9 @@ LIBRARY_ONLY = {
     # full learned-IVF lifecycle (k-means train -> index build ->
     # probe): iterative driver-coordinated Lloyd's has no SQL oracle
     "ann_ivf_topk_kmeans": similarity.ann_ivf_topk_kmeans,
+    # learned-codebook PQ (per-subspace k-means -> encode -> ADC ->
+    # re-rank): float-mean entries + iterative training, no SQL oracle
+    "ann_pq_topk_kmeans": similarity.ann_pq_topk_kmeans,
 }
 
 #: Headline set: every operator family, weighted toward the shapes that
@@ -146,6 +149,7 @@ EXTRA = [
     "stratified_sample",
     "training_corpus",
     "ann_ivf_topk_kmeans",
+    "ann_pq_topk_kmeans",
     # reference-parity surface (fixture corpus; mostly measures the
     # Python-DataSource fixed overhead at this size — the MB/s scan
     # numbers come from the source_throughput measurement below)

@@ -1180,16 +1180,43 @@ def ann_pq_topk(
         eff_mod = _effective_modulus(
             cached_count(spark, sf_dir, "embeddings"), PQ_CODEBOOK_MODULUS
         )
-    parts = _pq_parts(v)
-    cb = (
+    cb = _pq_modulus_codebooks(v, eff_mod)
+    queries = v.filter(F.col("vec_id") % query_modulus == 0)
+    return _pq_adc_search(v, cb, queries, k=k, rerank=rerank)
+
+
+def _pq_modulus_codebooks(v: DataFrame, eff_mod: int) -> DataFrame:
+    """(m, entry_id, c_sub, c_nrm2): the deterministic modulus codebook
+    — entries are the subvectors of every ``vec_id % eff_mod == 0``
+    corpus vector (the SQL-expressible stand-in for sampled k-means
+    that keeps :func:`ann_pq_topk` value-hash-checkable)."""
+    return (
         _pq_parts(v.filter(F.col("vec_id") % eff_mod == 0), "entry_id")
         .select("m", "entry_id", F.col("sub").alias("c_sub"))
         .withColumn("c_nrm2", F.expr(
             "aggregate(c_sub, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)"
         ))
     )
+
+
+def _pq_adc_search(
+    v: DataFrame,
+    cb: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """The PQ search stage shared by :func:`ann_pq_topk` (modulus
+    codebooks) and :func:`ann_pq_topk_kmeans` (learned codebooks):
+    encode the quantized corpus ``v`` against ``cb``, ADC-shortlist the
+    ``queries`` subset (rows of ``v``), exact-re-rank the shortlist.
+    The plan shape — broadcast codebook encode with a map-side argmin
+    partial, broadcast LUT, constant re-rank fetches per query — is
+    identical for both codebook families."""
+    parts = _pq_parts(v)
     # encode: argmin ||x − c||² per (vector, subspace); x·x is constant
-    # per group, so score = |c|² − 2·x·c (exact integers)
+    # per group, so score = |c|² − 2·x·c (exact integers under the
+    # modulus codebook; double arithmetic under learned float entries)
     score = F.col("c_nrm2") - 2 * _dot("sub", "c_sub")
     codes = (
         parts.join(F.broadcast(cb), "m")
@@ -1205,7 +1232,6 @@ def ann_pq_topk(
             F.col("ce.c_nrm2").alias("code_nrm2"),
         )
     )
-    queries = v.filter(F.col("vec_id") % query_modulus == 0)
     # per-query lookup table: dot of each query subvector with each
     # codebook entry (|queries| × PQ_M × |codebook| rows — broadcast)
     lut = (
@@ -1273,6 +1299,141 @@ def ann_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-modulus codebook, so the binding must never follow the
     adaptive :func:`_effective_modulus`)."""
     return ann_pq_topk(spark, sf_dir, codebook_modulus=PQ_CODEBOOK_MODULUS)
+
+
+def pq_codebooks_kmeans(
+    qv: DataFrame, n_entries: int, iters: int = 3
+) -> DataFrame:
+    """LEARNED per-subspace PQ codebooks: Lloyd's k-means over each of
+    the PQ_M subvector spaces, trained JOINTLY — one corpus pass per
+    iteration scores ALL subspaces against the broadcast codebook (a
+    per-subspace loop would pay M passes).  Returns
+    ``(m, entry_id, c_sub, c_nrm2)``, drop-in for the modulus codebook
+    in :func:`_pq_adc_search` / ``<name>_codebooks``.
+
+    This is production PQ (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search"): per-subspace k-means minimizes subspace
+    quantization MSE, which is exactly the ADC approximation error —
+    the modulus codebook (an arbitrary corpus subset) is the
+    SQL-expressible stand-in, this is what a real index trains.
+
+    Deterministic init mirrors :func:`kmeans_centroids`: the
+    ``n_entries`` vectors with the lowest ``xxhash64(vec_id)`` seed
+    every subspace (a hash-spread sample; raw-id init would inherit
+    id↔content correlation).  Assignment ties break to the lowest
+    entry_id; an emptied entry keeps its previous value.
+
+    Scale shape per iteration: |corpus|·M scored rows against the
+    BROADCAST (M × n_entries)-row codebook with a map-side ``min_by``
+    partial, then a (m, entry_id, pos) mean aggregate whose result —
+    M × n_entries × subdim rows, never the corpus — is what the driver
+    collects.  Codebook entries are float means (unlike the integer
+    modulus entries), so this family is bench/LIBRARY_ONLY: grouped
+    float sums have no order-independent DuckDB replay.
+    """
+    spark = qv.sparkSession
+    parts = _pq_parts(qv.select("vec_id", "q"))
+    init = (
+        qv.select("vec_id", "q")
+        .orderBy(F.xxhash64("vec_id").asc(), F.col("vec_id").asc())
+        .limit(n_entries)
+        .collect()
+    )
+    if len(init) < n_entries:
+        raise ValueError(
+            f"need at least n_entries={n_entries} vectors, got {len(init)}"
+        )
+    # cents[m][e] = the e-th init vector's m-th subvector
+    cents = [
+        [
+            [float(x) for x in r["q"][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]]
+            for r in init
+        ]
+        for m in range(PQ_M)
+    ]
+    l2 = (
+        "aggregate(zip_with(sub, c_sub, (x, y) ->"
+        " (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " CAST(0.0 AS DOUBLE), (a, d) -> a + d)"
+    )
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [
+                (m, e, cents[m][e])
+                for m in range(PQ_M)
+                for e in range(n_entries)
+            ],
+            "m int, entry_id int, c_sub array<double>",
+        )
+        assigned = (
+            parts.join(F.broadcast(cdf), "m")
+            .select("vec_id", "m", "sub", "entry_id", F.expr(l2).alias("d2"))
+            .groupBy("vec_id", "m")
+            .agg(
+                F.first("sub").alias("sub"),
+                F.expr("min_by(entry_id, struct(d2, entry_id))").alias(
+                    "entry_id"
+                ),
+            )
+        )
+        means = (
+            assigned.select(
+                "m", "entry_id", F.posexplode("sub").alias("pos", "val")
+            )
+            .groupBy("m", "entry_id", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .collect()  # M x n_entries x PQ_SUBDIM rows — bounded
+        )
+        new = {}
+        for r in means:
+            new.setdefault((r["m"], r["entry_id"]), [0.0] * PQ_SUBDIM)[
+                r["pos"]
+            ] = r["mean"]
+        cents = [
+            [new.get((m, e), cents[m][e]) for e in range(n_entries)]
+            for m in range(PQ_M)
+        ]
+    return spark.createDataFrame(
+        [(m, e, cents[m][e]) for m in range(PQ_M) for e in range(n_entries)],
+        "m int, entry_id int, c_sub array<double>",
+    ).withColumn(
+        "c_nrm2",
+        F.expr("aggregate(c_sub, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)"),
+    )
+
+
+def ann_pq_topk_kmeans(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    query_modulus: int = QUERY_MODULUS,
+    rerank: int = PQ_RERANK,
+    n_entries: int | None = None,
+    iters: int = 3,
+) -> DataFrame:
+    """End-to-end LEARNED-codebook PQ: per-subspace k-means training
+    pass → encode → ADC shortlist → exact re-rank, composed from
+    :func:`pq_codebooks_kmeans` + :func:`_pq_adc_search` — the learned
+    twin of :func:`ann_pq_topk`, exactly as :func:`ann_ivf_topk_kmeans`
+    is the learned twin of :func:`ann_ivf_topk`.
+
+    ``n_entries`` defaults to the modulus family's per-subspace entry
+    count (``|corpus| / _effective_modulus``), holding the codebook
+    budget constant so the learned entries buy equal-or-better
+    quantization — asserted ``recall >= modulus baseline`` on a
+    DISJOINT query set in tests/test_operators.py.
+
+    Not oracle-expressible (iterative training, float-mean entries):
+    bench ``LIBRARY_ONLY``, while the pinned modulus family stays the
+    registry's portable binding.
+    """
+    v = quantized_vectors(spark, sf_dir)
+    if n_entries is None:
+        n = cached_count(spark, sf_dir, "embeddings")
+        n_entries = max(2, n // _effective_modulus(n, PQ_CODEBOOK_MODULUS))
+    cb = pq_codebooks_kmeans(v, n_entries=n_entries, iters=iters)
+    queries = v.filter(F.col("vec_id") % query_modulus == 0)
+    return _pq_adc_search(v, cb, queries, k=k, rerank=rerank)
 
 
 def embedding_near_dup_scale_portable(

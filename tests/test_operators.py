@@ -922,6 +922,77 @@ def test_ann_ivf_kmeans_end_to_end_recall(spark):
     assert r_km >= 0.35, r_km
 
 
+def test_ann_pq_kmeans_end_to_end_recall(spark):
+    """Learned-codebook PQ exercised END TO END (per-subspace k-means →
+    encode → ADC shortlist → exact re-rank), judged on recall vs
+    brute-force ground truth over the operator's own re-rank space (the
+    quantized vectors) — and it must beat-or-match the modulus-codebook
+    baseline at the SAME per-subspace entry budget on a DISJOINT query
+    set (vec_id%50==7 is never ≡0 mod 25, so no query is a codebook
+    exemplar)."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.01"
+    v = similarity.quantized_vectors(spark, sf)
+    rows = v.select("vec_id", "q").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    Q = np.array([r.q for r in rows], dtype=float)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    S = Qn @ Qn.T
+    neutral_ids = [int(i) for i in ids[ids % 50 == 7]]
+    idx = {int(x): i for i, x in enumerate(ids)}
+    truth = {}
+    for q in neutral_ids:
+        srow = S[idx[q]].copy()
+        srow[idx[q]] = -9.0
+        truth[q] = {int(ids[j]) for j in np.argsort(-srow)[:5]}
+
+    queries = v.filter(F.col("vec_id") % 50 == 7)
+    n = len(rows)
+    eff = similarity._effective_modulus(n, similarity.PQ_CODEBOOK_MODULUS)
+    n_entries = max(2, n // eff)
+
+    def _recall(hits):
+        got = {}
+        for r in hits.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(got.get(q, set()) & truth[q]) for q in truth) / (
+            5 * len(truth)
+        )
+
+    cb_mod = similarity._pq_modulus_codebooks(v, eff)
+    r_mod = _recall(similarity._pq_adc_search(v, cb_mod, queries))
+    cb_km = similarity.pq_codebooks_kmeans(v, n_entries=n_entries, iters=3)
+    assert cb_km.count() == similarity.PQ_M * n_entries
+    r_km = _recall(similarity._pq_adc_search(v, cb_km, queries))
+    # learned quantization must not lose to an arbitrary-subset one at
+    # the same entry budget, and must clear an absolute floor
+    assert r_km >= r_mod, (r_km, r_mod)
+    assert r_km >= 0.35, r_km
+
+
+def test_ann_pq_topk_kmeans_operator_contract(spark):
+    """The bench-facing learned-PQ lifecycle op: schema/rank contract
+    and a recall floor vs the exact brute-force twin on the default
+    query set (deterministic hash-spread init, fixed fixture)."""
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(spark, sf).collect()
+    }
+    out = similarity.ann_pq_topk_kmeans(spark, sf)
+    assert out.columns == ["query_id", "neighbor_id", "sim", "rank"]
+    got = out.collect()
+    assert got and all(1 <= r.rank <= 5 for r in got)
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(x) == list(range(1, len(x) + 1)) for x in per_q.values())
+    approx = {(r.query_id, r.neighbor_id) for r in got}
+    assert len(approx & exact) / len(exact) >= 0.3
+
+
 def test_ann_ivf_topk_kmeans_operator_contract(spark):
     """The bench-facing one-call lifecycle op: schema/rank contract and
     a recall floor vs the exact brute-force twin on the default query
