@@ -3,4 +3,5 @@ from hadoop_logfile_inputformat_spark.sources.logfile import (  # noqa: F401
     iter_records,
     plan_partitions,
     register_logfile_source,
+    stage_decompress,
 )

@@ -557,3 +557,80 @@ def test_tolerant_read_yields_prefix_at_any_truncation(tmp_path):
         got = read_records(cut)
         assert got == full[: len(got)], f"not a prefix at cut {frac}"
         assert len(got) < 5000
+
+
+def test_stage_decompress_identical_and_splittable(spark, corpus, tmp_path):
+    """The giant-gzip mitigation (SCALING.md "Ingestion"): one linear
+    decompression pre-pass into splittable staging, after which the
+    corpus byte-range-splits instead of one-task-per-.gz
+    (LogfileInputFormat.java:112-119 contract).  Staged reads must be
+    record-identical (offsets included — the staged copy is the exact
+    decompressed byte stream), basenames preserved for per-basename
+    pattern options, plain files pass through unstaged, and the pass
+    is idempotent."""
+    import os
+
+    from hadoop_logfile_inputformat_spark.sources.logfile import (
+        stage_decompress,
+    )
+
+    out, summary, path_formats, paths = corpus
+    staging = str(tmp_path / "staging")
+    staged = stage_decompress(spark, f"{out}/*.log.gz", staging)
+    gz_paths = [p for p in paths if p.endswith(".gz")]
+    assert len(staged) == len(gz_paths)
+    assert sorted(os.path.basename(p) for p in staged) == sorted(
+        os.path.basename(p)[: -len(".gz")] for p in gz_paths
+    )
+
+    def read_basename_patterns(paths_spec, mpb=1 << 30):
+        # basename-keyed patterns: a staged copy of app.log.gz keeps the
+        # basename app.log, so the PLAIN file's registration covers it
+        r = spark.read.format("logfile").option("maxPartitionBytes", mpb)
+        for path, fmt in path_formats.items():
+            r = r.option(
+                f"pattern.{os.path.basename(path)}",
+                FORMAT_A if fmt == "A" else FORMAT_B,
+            )
+        return r.load(paths_spec)
+
+    direct = read_basename_patterns(f"{out}/*.log.gz")
+    via_staging = read_basename_patterns(",".join(staged))
+    key = lambda r: (r["offset"], r["record"])  # noqa: E731
+    assert sorted(map(key, via_staging.collect())) == sorted(
+        map(key, direct.collect())
+    )
+    assert via_staging.count() == summary.total
+
+    # splittability: the staged copies byte-range split; the gz originals
+    # are pinned to one task per file
+    n_gz = len(gz_paths)
+    assert (
+        read_basename_patterns(f"{out}/*.log.gz", mpb=4096)
+        .rdd.getNumPartitions()
+        == n_gz
+    )
+    assert (
+        read_basename_patterns(",".join(staged), mpb=4096)
+        .rdd.getNumPartitions()
+        > n_gz
+    )
+
+    # idempotent: a second pass returns the same paths without rewriting
+    mtimes = {p: os.path.getmtime(p) for p in staged}
+    again = stage_decompress(spark, f"{out}/*.log.gz", staging)
+    assert again == staged
+    assert {p: os.path.getmtime(p) for p in staged} == mtimes
+
+    # mixed spec: plain inputs pass through unstaged, compressed stage
+    mixed = stage_decompress(spark, f"{out}/*", staging)
+    assert sorted(p for p in mixed if p.startswith(out)) == sorted(
+        p for p in paths if p.endswith(".log")
+    )
+    assert sorted(p for p in mixed if not p.startswith(out)) == sorted(staged)
+
+    # unsupported codec: hard error on the driver, same as the read path
+    bad = tmp_path / "x.log.lz4"
+    bad.write_bytes(b"\x00")
+    with pytest.raises(Exception, match="unsupported compression"):
+        stage_decompress(spark, str(bad), staging)
