@@ -14,5 +14,6 @@ from hadoop_logfile_inputformat_spark.streaming.pipelines import (  # noqa: F401
     sessionize_stream,
 )
 from hadoop_logfile_inputformat_spark.streaming.stateful import (  # noqa: F401
+    ROCKSDB_STATE_CONFS,
     sessionize_with_state,
 )

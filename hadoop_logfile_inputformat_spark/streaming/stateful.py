@@ -39,6 +39,27 @@ STATE_SCHEMA = (
 
 DEFAULT_GAP_S = 1800
 
+#: Session confs selecting the RocksDB state store provider — the
+#: 100 TB default for stateful streaming.  The HDFS-backed default
+#: keeps every key's state in EXECUTOR HEAP between batches: at
+#: millions of open sessions per executor that is an OOM, not a tuning
+#: problem.  RocksDB keeps state on local SSD with a block-cache tier,
+#: bounding heap by cache size instead of keyspace; changelog
+#: checkpointing ships per-batch deltas instead of full SST snapshots.
+#: Apply BEFORE the query starts (``for k, v in
+#: ROCKSDB_STATE_CONFS.items(): spark.conf.set(k, v)``) — the provider
+#: is fixed per query at start.  Ships with the stock Spark
+#: distribution (no extra jars); exercised in tests/test_streaming.py.
+ROCKSDB_STATE_CONFS = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    # surface numRowsTotal in StreamingQueryProgress.stateOperators so
+    # bounded-state assertions (and production dashboards) can see it
+    "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows": "true",
+}
+
 
 def _close(state_tuple) -> dict:
     start_us, last_us, n, sv, ft, lt = state_tuple
@@ -52,7 +73,9 @@ def _close(state_tuple) -> dict:
     }
 
 
-def _session_fn(gap_s: int, idle_flush_ms: int | None):
+def _session_fn(
+    gap_s: int, idle_flush_ms: int | None, event_time: bool = False
+):
     def fn(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
@@ -85,7 +108,19 @@ def _session_fn(gap_s: int, idle_flush_ms: int | None):
                     cur[5] = row.event_type
             if cur is not None:
                 state.update(tuple(cur))
-                if idle_flush_ms is not None:
+                if event_time:
+                    # close when the WATERMARK passes last-event + gap:
+                    # deterministic event-time semantics (processing-
+                    # time flush closes fast replays too early and idle
+                    # live streams too late).  Spark rejects a timeout
+                    # at-or-below the current watermark, so clamp — the
+                    # session is then already closeable and times out
+                    # on the next watermark advance.
+                    due_ms = cur[1] // 1_000 + gap_s * 1_000
+                    state.setTimeoutTimestamp(
+                        max(due_ms, state.getCurrentWatermarkMs() + 1)
+                    )
+                elif idle_flush_ms is not None:
                     state.setTimeoutDuration(idle_flush_ms)
         if closed:
             out = pd.DataFrame(closed)
@@ -99,27 +134,53 @@ def sessionize_with_state(
     events: DataFrame,
     gap_s: int = DEFAULT_GAP_S,
     idle_flush_ms: int | None = None,
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """Sessionize an event stream with explicit per-user state.
 
     ``events`` needs columns (user_id, ts timestamp, event_type, value).
-    Emits one row per CLOSED session — closed by a later event beyond
-    ``gap_s`` (event-time), or, when ``idle_flush_ms`` is set, by that
-    much processing-time silence for the user.  The timeout keeps state
-    bounded for one-shot users in production, but makes the engine run
-    continuous timeout-check batches — leave it None in tests and
-    batch-drain jobs where ``processAllAvailable`` must quiesce.
+    Emits one row per CLOSED session.  Three close mechanisms:
+
+    - a later event of the SAME user beyond ``gap_s`` (always on);
+    - ``watermark_delay`` (e.g. ``"10 minutes"``): EVENT-TIME timeout —
+      a watermark is applied to ``ts`` and a user's open session closes
+      when the watermark passes ``last_event + gap_s``, i.e. exactly
+      when no in-order event could still extend it.  This is the
+      PRODUCTION mode: deterministic in event time (replays at any
+      speed close identically), and it bounds state for one-shot users
+      without wall-clock heuristics.  State stays bounded at
+      ~|users active within one gap+delay window|.
+    - ``idle_flush_ms``: PROCESSING-time silence flush — wall-clock
+      heuristic for live dashboards; replay-speed-dependent, and it
+      makes the engine run continuous timeout-check batches (leave
+      None where ``processAllAvailable`` must quiesce).
+
+    The two timeout modes are mutually exclusive (engine contract:
+    one timeoutConf per query).
+
+    At scale pair the event-time mode with the RocksDB state store
+    (``ROCKSDB_STATE_CONFS``) so per-executor state lives on local SSD
+    instead of heap — exercised together in tests/test_streaming.py.
     """
-    timeout = (
-        GroupStateTimeout.NoTimeout
-        if idle_flush_ms is None
-        else GroupStateTimeout.ProcessingTimeTimeout
-    )
+    if watermark_delay is not None and idle_flush_ms is not None:
+        raise ValueError(
+            "watermark_delay (event-time timeout) and idle_flush_ms "
+            "(processing-time timeout) are mutually exclusive"
+        )
+    if watermark_delay is not None:
+        events = events.withWatermark("ts", watermark_delay)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    elif idle_flush_ms is not None:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
     return (
         events.select("user_id", "ts", "event_type", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _session_fn(gap_s, idle_flush_ms),
+            _session_fn(
+                gap_s, idle_flush_ms, event_time=watermark_delay is not None
+            ),
             outputStructType=SESSION_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

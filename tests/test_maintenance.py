@@ -262,3 +262,47 @@ def test_clear_orphaned_table_is_conservative_and_db_aware(spark):
         shutil.rmtree(os.path.join(wh_local, "t_orphan_crashed"), True)
         shutil.rmtree(os.path.join(wh_local, "t_orphan_empty"), True)
         shutil.rmtree(os.path.join(wh_local, "odb_orphan_test.db"), True)
+
+
+def test_soak_build_skewed_produces_documented_hot_keys(spark, tmp_path):
+    """tools/soak.py --skew corpus builder: the skew fractions SCALING's
+    measured-skew section cites must actually hold — one customer with
+    ~10% of orders, one order with ~10% of line items, ~5% of documents
+    sharing the boilerplate paragraph (but NOT byte-identical), all
+    other tables byte-copied."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools")
+    )
+    import soak
+
+    base = "/root/testdata/sf0.001"
+    out = str(tmp_path / "skew")
+    soak.build_skewed(spark, base, out)
+    o = spark.read.parquet(os.path.join(out, "orders.parquet"))
+    n = o.count()
+    top = (
+        o.groupBy("o_custkey").count().orderBy(F.desc("count")).first()
+    )
+    assert abs(top["count"] / n - 0.1) < 0.03, (top, n)
+    l = spark.read.parquet(os.path.join(out, "lineitem.parquet"))
+    nl = l.count()
+    topl = l.groupBy("l_orderkey").count().orderBy(F.desc("count")).first()
+    assert abs(topl["count"] / nl - 0.1) < 0.03, (topl, nl)
+    d = spark.read.parquet(os.path.join(out, "documents.parquet"))
+    nd = d.count()
+    boiler = d.filter(F.col("text").startswith(soak.BOILERPLATE))
+    assert abs(boiler.count() / nd - 0.05) < 0.01
+    # hot docs are near-dups, never exact dups (unique tail)
+    assert boiler.select("text").distinct().count() == boiler.count()
+    # untouched tables byte-copied
+    for t in ("customer", "nation", "region"):
+        src = os.path.join(base, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        assert os.path.getsize(src) == os.path.getsize(dst)
+    # idempotent: marker short-circuits the rebuild
+    m0 = os.path.getmtime(os.path.join(out, "orders.parquet"))
+    soak.build_skewed(spark, base, out)
+    assert os.path.getmtime(os.path.join(out, "orders.parquet")) == m0

@@ -781,3 +781,102 @@ def test_stream_reader_ignore_missing_files(tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         list(strict.read(ghost))
+
+
+def test_event_time_timeout_closes_idle_session_on_rocksdb(spark, tmp_path):
+    """EVENT-time timeout + RocksDB state store (the 100 TB pairing,
+    SCALING.md "Streaming"): an idle user's open session closes when
+    the WATERMARK passes last_event + gap — no later event of that user
+    required, deterministic in event time — and the closed session's
+    state row leaves the store (bounded state).  The query runs on the
+    RocksDB provider and the progress metrics must prove it engaged."""
+    import datetime as dt
+
+    from hadoop_logfile_inputformat_spark.streaming import (
+        ROCKSDB_STATE_CONFS,
+    )
+
+    saved = {}
+    for k, v in ROCKSDB_STATE_CONFS.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(mins, user, typ, val):
+        return (t0 + dt.timedelta(minutes=mins), user, typ, val)
+
+    src = tmp_path / "sess_et"
+    src.mkdir()
+    schema = "ts timestamp, user_id long, event_type string, value double"
+    spark.createDataFrame(
+        [ev(0, 1, "view", 1.0), ev(5, 1, "click", 2.0), ev(0, 2, "view", 5.0)],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        sessionize_with_state(
+            stream, gap_s=1800, watermark_delay="10 minutes"
+        )
+        .writeStream.format("memory")
+        .queryName("sess_et")
+        .option("checkpointLocation", str(tmp_path / "ckpt_et"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("sess_et").count() == 0  # nothing closed yet
+        # an UNRELATED user-2 event 2h later advances the watermark far
+        # past user 1's (last_event + gap); timeouts are evaluated
+        # against the PREVIOUS batch's watermark, so one more batch
+        # actually fires it
+        spark.createDataFrame(
+            [ev(120, 2, "view", 1.0)], schema
+        ).coalesce(1).write.parquet(str(src / "b1"))
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [ev(121, 2, "view", 1.0)], schema
+        ).coalesce(1).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        got = {(r.user_id, r.n_events) for r in spark.table("sess_et").collect()}
+        # user 1: closed by TIMEOUT only (it never had a later event);
+        # user 2: first session closed by the ordinary in-stream gap
+        assert got == {(1, 2), (2, 1)}
+        u1 = [r for r in spark.table("sess_et").collect() if r.user_id == 1][0]
+        assert u1.sum_value == 3.0
+        assert u1.session_start == t0
+        assert u1.session_end == t0 + dt.timedelta(minutes=5)
+        prog = q.lastProgress
+        ops = prog["stateOperators"][0]
+        # bounded state: only user 2's open session remains
+        assert ops["numRowsTotal"] == 1
+        # the RocksDB provider actually served the query
+        assert any(
+            m.startswith("rocksdb") for m in ops.get("customMetrics", {})
+        ), ops.get("customMetrics")
+    finally:
+        q.stop()
+        for k, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
+
+
+def test_sessionize_timeout_modes_are_mutually_exclusive(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        sessionize_with_state(
+            spark.readStream.format("rate").load().selectExpr(
+                "timestamp as ts", "value as user_id",
+                "'x' as event_type", "1.0 as value",
+            ),
+            watermark_delay="1 minute",
+            idle_flush_ms=1000,
+        )

@@ -211,6 +211,234 @@ def build_tiled(spark, base: str, out_dir: str, tiles: int) -> str:
     return out_dir
 
 
+#: ~420 chars of deterministic boilerplate: long enough to dominate a
+#: document's 3-word shingle set (so sharing it puts two docs above the
+#: Jaccard threshold and into the same LSH buckets) and to pass the
+#: paragraph-dedup min-length filter.
+BOILERPLATE = (
+    "subscribe to our newsletter for weekly updates and exclusive offers "
+    "terms of service apply to all content on this site all rights "
+    "reserved reproduction without permission is prohibited contact the "
+    "editorial team for licensing questions cookie preferences can be "
+    "managed in your account settings this page was generated "
+    "automatically and is updated every day without further notice "
+    "please review the community guidelines before posting"
+)
+
+
+def _copy_table(src: str, dst: str) -> None:
+    if os.path.isdir(src):
+        shutil.copytree(src, dst)
+    else:
+        shutil.copyfile(src, dst)
+
+
+def build_skewed(spark, src: str, out_dir: str) -> str:
+    """Materialize a SKEWED variant of corpus ``src`` (idempotent, same
+    marker scheme as :func:`build_tiled`) — the hazard class the
+    uniform tiling cannot produce:
+
+    - ``orders``: one hot customer owns ~10% of orders
+      (``o_orderkey % 10 == 0`` → the min custkey) — the classic
+      one-customer join/group skew;
+    - ``lineitem``: one hot order owns ~10% of line items
+      (``xxhash64(l_orderkey, l_linenumber) % 10 == 0`` → the min
+      orderkey) — a hot groupBy(l_orderkey) group AND a hot join key
+      against orders;
+    - ``documents``: ~5% of docs (``doc_id % 20 == 0``) become one
+      shared boilerplate paragraph plus a short unique tail — one hot
+      LSH bucket (minhash/simhash) and one hot paragraph-hash group,
+      while staying NON-identical (exact dedup untouched).
+
+    Everything else copies as-is.  All transforms are deterministic —
+    rebuilds are bit-identical.
+    """
+    marker = os.path.join(out_dir, "_SKEW_OK")
+    stamp = f"skew-v1:{src}"
+    if os.path.exists(marker) and open(marker).read().strip() == stamp:
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    tables = list(KEY_SHIFTS) + COPY_AS_IS
+    for table in tables:
+        sp = os.path.join(src, f"{table}.parquet")
+        dp = os.path.join(out_dir, f"{table}.parquet")
+        if table == "orders":
+            o = spark.read.parquet(sp)
+            hot = o.agg(F.min("o_custkey")).collect()[0][0]
+            o.withColumn(
+                "o_custkey",
+                F.when(
+                    F.pmod(F.col("o_orderkey"), F.lit(10)) == 0, F.lit(hot)
+                )
+                .otherwise(F.col("o_custkey"))
+                .cast("long"),
+            ).write.mode("overwrite").parquet(dp)
+        elif table == "lineitem":
+            l = spark.read.parquet(sp)
+            hot = l.agg(F.min("l_orderkey")).collect()[0][0]
+            l.withColumn(
+                "l_orderkey",
+                F.when(
+                    F.pmod(
+                        F.xxhash64("l_orderkey", "l_linenumber"), F.lit(10)
+                    )
+                    == 0,
+                    F.lit(hot),
+                )
+                .otherwise(F.col("l_orderkey"))
+                .cast("long"),
+            ).write.mode("overwrite").parquet(dp)
+        elif table == "documents":
+            d = spark.read.parquet(sp)
+            d.withColumn(
+                "text",
+                F.when(
+                    F.pmod(F.col("doc_id"), F.lit(20)) == 0,
+                    F.concat(
+                        F.lit(BOILERPLATE + "\n\nrecord id "),
+                        F.col("doc_id").cast("string"),
+                    ),
+                ).otherwise(F.col("text")),
+            ).write.mode("overwrite").parquet(dp)
+        else:
+            _copy_table(sp, dp)
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+    return out_dir
+
+
+def _timed(spark, make_df, confs: dict | None = None, warm: int = 1) -> dict:
+    """min-of-warm steady timing of ``make_df() -> DataFrame`` under
+    temporary conf overrides (restored after)."""
+    saved = {}
+    try:
+        for k, v in (confs or {}).items():
+            try:
+                saved[k] = spark.conf.get(k)
+            except Exception:
+                saved[k] = None
+            spark.conf.set(k, v)
+        clear_query_caches()
+        t0 = time.monotonic()
+        rows = len(make_df().collect())
+        cold = time.monotonic() - t0
+        steady = None
+        for _ in range(warm):
+            t0 = time.monotonic()
+            rows = len(make_df().collect())
+            dt = time.monotonic() - t0
+            steady = dt if steady is None else min(steady, dt)
+        return {"cold": round(cold, 2), "steady": round(steady, 2), "rows": rows}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
+
+
+#: Join-isolation conf sets: broadcast disabled so the join MUST
+#: shuffle both sides (the regime salting/AQE-skew exist for).  AQE
+#: skew thresholds lowered to engage at soak volume (defaults target
+#: 256 MB partitions; the x10 hot key is ~tens of MB).
+_NO_BROADCAST = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+_SKEW_OFF = {**_NO_BROADCAST, "spark.sql.adaptive.skewJoin.enabled": "false"}
+_SKEW_ON = {
+    **_NO_BROADCAST,
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+}
+
+
+def run_skew_suite(spark, base_dir: str, skew_dir: str, warm: int = 1) -> list:
+    """Measure the skew hazard class and every shipped mitigation knob
+    doing its job — emits one JSON line per case, returns the list."""
+    import bench as _b
+    from hadoop_logfile_inputformat_spark.operators import dedup
+    from hadoop_logfile_inputformat_spark.operators.skew import salted_join
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    q18 = _b.QUERIES["q18_large_volume_customers"]
+    para = _b.MEMBER_QUERIES["paragraph_dedup"]
+
+    def join_frames(d):
+        l = load(spark, d, "lineitem").select("l_orderkey", "l_quantity")
+        o = load(spark, d, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+        )
+        return l, o
+
+    def plain_join(d):
+        l, o = join_frames(d)
+        return l.join(o, "l_orderkey").agg(
+            F.count("*").alias("n"), F.sum("l_quantity").alias("s")
+        )
+
+    def salted(d):
+        l, o = join_frames(d)
+        return salted_join(l, o, "l_orderkey").agg(
+            F.count("*").alias("n"), F.sum("l_quantity").alias("s")
+        )
+
+    cases = [
+        # hot groupBy group + hot join key, absorbed by partial agg +
+        # broadcast dims: q18 must NOT degrade under skew
+        ("q18_base", lambda: q18(spark, base_dir), None),
+        ("q18_skew", lambda: q18(spark, skew_dir), None),
+        # hot paragraph-hash group: map-side partials absorb it
+        ("paragraph_dedup_base", lambda: para(spark, base_dir), None),
+        ("paragraph_dedup_skew", lambda: para(spark, skew_dir), None),
+        # hot LSH bucket: quadratic uncapped, linear with the cap
+        (
+            "minhash_skew_uncapped",
+            lambda: dedup.minhash_lsh_pairs(spark, skew_dir),
+            None,
+        ),
+        (
+            "minhash_skew_cap64",
+            lambda: dedup.minhash_lsh_pairs(
+                spark, skew_dir, max_bucket_size=64
+            ),
+            None,
+        ),
+        (
+            "simhash_skew_uncapped",
+            lambda: dedup.simhash_pairs(spark, skew_dir),
+            None,
+        ),
+        (
+            "simhash_skew_cap64",
+            lambda: dedup.simhash_pairs(spark, skew_dir, max_bucket_size=64),
+            None,
+        ),
+        # join-skew isolation (broadcast off => both sides shuffle):
+        # plain vs AQE skew split vs manual salting, same query
+        ("join_skew_plain", lambda: plain_join(skew_dir), _SKEW_OFF),
+        ("join_skew_aqe", lambda: plain_join(skew_dir), _SKEW_ON),
+        ("join_skew_salted", lambda: salted(skew_dir), _SKEW_OFF),
+        ("join_base_plain", lambda: plain_join(base_dir), _SKEW_OFF),
+    ]
+    out = []
+    for name, fn, confs in cases:
+        try:
+            m = _timed(spark, fn, confs, warm=warm)
+        except Exception as exc:  # noqa: BLE001 - record, keep going
+            m = {"error": str(exc).split("\n", 1)[0][:160]}
+        rec = {"skew_case": name, **m}
+        out.append(rec)
+        print(json.dumps(rec))
+    return out
+
+
 def _stages(spark) -> dict:
     """stageId -> StageData from the UI REST API (local-mode UI)."""
     ui = spark.sparkContext.uiWebUrl
@@ -233,6 +461,7 @@ def _resolve(name, scale: int = 1):
             "ann_ivf_topk": similarity.ann_ivf_topk,
             "ann_cosine_topk_arrow": similarity.cosine_topk_arrow,
             "ann_ivf_topk_kmeans": similarity.ann_ivf_topk_kmeans,
+            "ann_pq_topk_kmeans": similarity.ann_pq_topk_kmeans,
         }
         if name in scaled:
             fn = scaled[name]
@@ -306,6 +535,12 @@ def main() -> None:
     ap.add_argument("--tiles", type=int, nargs="*", default=[10, 100])
     ap.add_argument("--keys", nargs="*", default=HEAVY_KEYS)
     ap.add_argument("--warm", type=int, default=2)
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="build a skewed variant of the LARGEST scale dir and run "
+        "the skew mitigation suite instead of the uniform key sweep",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="spark-graft-soak")
@@ -319,6 +554,31 @@ def main() -> None:
             f"# built x{t} in {time.monotonic() - b0:.1f}s", file=sys.stderr
         )
         dirs.append((t, d))
+
+    if args.skew:
+        scale, src = dirs[-1]
+        sk = os.path.join(args.out, f"x{scale}_skew")
+        print(f"# building skewed x{scale} at {sk} ...", file=sys.stderr)
+        b0 = time.monotonic()
+        build_skewed(spark, src, sk)
+        print(
+            f"# built skew in {time.monotonic() - b0:.1f}s", file=sys.stderr
+        )
+        results = run_skew_suite(spark, src, sk, warm=args.warm)
+        print(
+            json.dumps(
+                {
+                    "detail": "skew_summary",
+                    "scale": scale,
+                    "cases": {
+                        r["skew_case"]: r.get("steady", r.get("error"))
+                        for r in results
+                    },
+                }
+            )
+        )
+        spark.stop()
+        return
 
     results: dict[str, dict[int, dict]] = {k: {} for k in args.keys}
     for scale, d in dirs:
