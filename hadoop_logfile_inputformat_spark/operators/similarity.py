@@ -1199,6 +1199,30 @@ def _pq_modulus_codebooks(v: DataFrame, eff_mod: int) -> DataFrame:
     )
 
 
+def _pq_encode(parts: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, code, code_nrm2): encode PQ subvectors against a
+    broadcast codebook — argmin ||x − c||² per (vector, subspace); x·x
+    is constant per group, so score = |c|² − 2·x·c (exact integers
+    under the modulus codebook; double arithmetic under learned float
+    entries).  Map-side ``min_by`` partial — never a |corpus| ranking
+    window."""
+    score = F.col("c_nrm2") - 2 * _dot("sub", "c_sub")
+    return (
+        parts.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "entry_id", "c_nrm2", score.alias("score"))
+        .groupBy("vec_id", "m")
+        .agg(
+            F.expr("min_by(struct(entry_id, c_nrm2), struct(score, entry_id))")
+            .alias("ce")
+        )
+        .select(
+            "vec_id", "m",
+            F.col("ce.entry_id").alias("code"),
+            F.col("ce.c_nrm2").alias("code_nrm2"),
+        )
+    )
+
+
 def _pq_adc_search(
     v: DataFrame,
     cb: DataFrame,
@@ -1213,25 +1237,7 @@ def _pq_adc_search(
     The plan shape — broadcast codebook encode with a map-side argmin
     partial, broadcast LUT, constant re-rank fetches per query — is
     identical for both codebook families."""
-    parts = _pq_parts(v)
-    # encode: argmin ||x − c||² per (vector, subspace); x·x is constant
-    # per group, so score = |c|² − 2·x·c (exact integers under the
-    # modulus codebook; double arithmetic under learned float entries)
-    score = F.col("c_nrm2") - 2 * _dot("sub", "c_sub")
-    codes = (
-        parts.join(F.broadcast(cb), "m")
-        .select("vec_id", "m", "entry_id", "c_nrm2", score.alias("score"))
-        .groupBy("vec_id", "m")
-        .agg(
-            F.expr("min_by(struct(entry_id, c_nrm2), struct(score, entry_id))")
-            .alias("ce")
-        )
-        .select(
-            "vec_id", "m",
-            F.col("ce.entry_id").alias("code"),
-            F.col("ce.c_nrm2").alias("code_nrm2"),
-        )
-    )
+    codes = _pq_encode(_pq_parts(v), cb)
     # per-query lookup table: dot of each query subvector with each
     # codebook entry (|queries| × PQ_M × |codebook| rows — broadcast)
     lut = (
@@ -1472,6 +1478,7 @@ def build_pq_index(
     name: str,
     n_buckets: int = 32,
     path: str | None = None,
+    codebooks: DataFrame | None = None,
 ) -> None:
     """Materialize the PQ search structure of ``vectors`` (any
     ``(vec_id, embedding)`` DataFrame): quantize + encode the corpus
@@ -1484,39 +1491,26 @@ def build_pq_index(
     - ``<name>_codebooks`` (m, entry_id, c_sub, c_nrm2) — tiny, one
       file, broadcast at probe time.
 
-    The deterministic modulus codebook stands in for sampled k-means
-    (same contract as :func:`ann_pq_topk`, including its adaptive
-    :func:`_effective_modulus` codebook cap); swap learned codebooks in
-    by overwriting ``<name>_codebooks`` AND re-encoding codes.
+    Pass ``codebooks`` (``(m, entry_id, c_sub, c_nrm2)``, e.g. from
+    :func:`pq_codebooks_kmeans` over the quantized corpus) to build
+    over LEARNED codebooks — the encode pass and probe path are
+    identical, only the codebook feed changes (the same contract as
+    :func:`build_ivf_index`'s ``centroids``).  Default is the
+    deterministic modulus codebook (same as :func:`ann_pq_topk`,
+    including its adaptive :func:`_effective_modulus` cap).
     """
     qv = quantize_frame(vectors)
-    eff_mod = _effective_modulus(qv.count(), PQ_CODEBOOK_MODULUS)
-    parts = _pq_parts(qv)
-    cb = (
-        _pq_parts(qv.filter(F.col("vec_id") % eff_mod == 0), "entry_id")
-        .select("m", "entry_id", F.col("sub").alias("c_sub"))
-        .withColumn("c_nrm2", F.expr(
-            "aggregate(c_sub, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)"
-        ))
-    )
-    score = F.col("c_nrm2") - 2 * _dot("sub", "c_sub")
-    codes = (
-        parts.join(F.broadcast(cb), "m")
-        .select("vec_id", "m", "entry_id", "c_nrm2", score.alias("score"))
-        .groupBy("vec_id", "m")
-        .agg(
-            F.expr("min_by(struct(entry_id, c_nrm2), struct(score, entry_id))")
-            .alias("ce")
-        )
-        .select(
-            "vec_id", "m",
-            F.col("ce.entry_id").alias("code"),
-            F.col("ce.c_nrm2").alias("code_nrm2"),
-        )
-    )
+    if codebooks is not None:
+        cb = codebooks.select("m", "entry_id", "c_sub", "c_nrm2")
+    else:
+        eff_mod = _effective_modulus(qv.count(), PQ_CODEBOOK_MODULUS)
+        cb = _pq_modulus_codebooks(qv, eff_mod)
+    codes = _pq_encode(_pq_parts(qv), cb)
     cw = codes.write.mode("overwrite").format("parquet")
     if path is not None:
         cw = cw.option("path", f"{path}/{name}_codes")
+    else:
+        clear_orphaned_table(spark, f"{name}_codes")
     cw.saveAsTable(f"{name}_codes")
     qw = (
         qv.write.bucketBy(n_buckets, "vec_id")
@@ -1526,10 +1520,14 @@ def build_pq_index(
     )
     if path is not None:
         qw = qw.option("path", f"{path}/{name}_quantized")
+    else:
+        clear_orphaned_table(spark, f"{name}_quantized")
     qw.saveAsTable(f"{name}_quantized")
     bw = cb.coalesce(1).write.mode("overwrite").format("parquet")
     if path is not None:
         bw = bw.option("path", f"{path}/{name}_codebooks")
+    else:
+        clear_orphaned_table(spark, f"{name}_codebooks")
     bw.saveAsTable(f"{name}_codebooks")
 
 

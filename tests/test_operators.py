@@ -1658,6 +1658,42 @@ def test_pq_index_probe_matches_inline_search(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_pq_index_over_learned_codebooks_matches_inline(spark, tmp_path):
+    """build_pq_index(codebooks=...) — the learned-codebook persisted
+    lifecycle: probing the index must return exactly what the inline
+    learned-codebook search returns for the same query set (the same
+    build-once/probe-forever equivalence the modulus family pins)."""
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    for t in ("t_pqk_codes", "t_pqk_quantized", "t_pqk_codebooks"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    vectors = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    v = similarity.quantize_frame(vectors)
+    cb = similarity.pq_codebooks_kmeans(v, n_entries=8, iters=2)
+    similarity.build_pq_index(
+        spark, vectors, "t_pqk", n_buckets=4,
+        path=str(tmp_path / "pqk"), codebooks=cb,
+    )
+    queries = vectors.filter(
+        F.col("vec_id") % similarity.QUERY_MODULUS == 0
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    try:
+        probe = {
+            tuple(r)
+            for r in similarity.ann_pq_probe(spark, queries, "t_pqk").collect()
+        }
+        inline = {
+            tuple(r)
+            for r in similarity._pq_adc_search(
+                v, cb, v.filter(F.col("vec_id") % similarity.QUERY_MODULUS == 0)
+            ).collect()
+        }
+        assert probe == inline and probe
+    finally:
+        for t in ("t_pqk_codes", "t_pqk_quantized", "t_pqk_codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_kmeans_centroids_separate_clusters(spark, tmp_path):
     """Two tight clusters: learned centroids land on the cluster means
     and an IVF index built over them routes probes within-cluster."""
