@@ -71,6 +71,9 @@ LIBRARY_ONLY = {
     # learned-codebook PQ (per-subspace k-means -> encode -> ADC ->
     # re-rank): float-mean entries + iterative training, no SQL oracle
     "ann_pq_topk_kmeans": similarity.ann_pq_topk_kmeans,
+    # composite IVF-PQ (coarse k-means routing + residual PQ codes,
+    # IVFADC): the production index layout — same no-oracle reasons
+    "ann_ivfpq_topk": similarity.ann_ivfpq_topk,
 }
 
 #: Headline set: every operator family, weighted toward the shapes that
@@ -150,6 +153,7 @@ EXTRA = [
     "training_corpus",
     "ann_ivf_topk_kmeans",
     "ann_pq_topk_kmeans",
+    "ann_ivfpq_topk",
     # reference-parity surface (fixture corpus; mostly measures the
     # Python-DataSource fixed overhead at this size — the MB/s scan
     # numbers come from the source_throughput measurement below)

@@ -1223,6 +1223,29 @@ def _pq_encode(parts: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
+def _exact_rerank(
+    shortlist: DataFrame, qs: DataFrame, ns: DataFrame, k: int
+) -> DataFrame:
+    """Exact re-rank of an ADC ``(query_id, neighbor_id)`` shortlist,
+    shared by every PQ-family search: fetch both sides' quantized
+    vectors (|queries| × rerank rows — constant per query regardless
+    of corpus size), score the exact int8 cosine, keep the top ``k``.
+    ``qs`` is ``(query_id, q_q, q_nrm)`` (broadcast — query-set
+    sized); ``ns`` is ``(neighbor_id, n_q, n_nrm)``, either the inline
+    corpus frame or a vec_id-bucketed ``<name>_quantized`` table whose
+    bucketing the fetch join consumes."""
+    exact_sim = F.round(_dot("q_q", "n_q") / (F.col("q_nrm") * F.col("n_nrm")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        shortlist.join(F.broadcast(qs), "query_id")
+        .join(ns, "neighbor_id")
+        .select("query_id", "neighbor_id", exact_sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def _pq_adc_search(
     v: DataFrame,
     cb: DataFrame,
@@ -1286,16 +1309,7 @@ def _pq_adc_search(
         F.col("q").alias("n_q"),
         F.col("nrm").alias("n_nrm"),
     )
-    exact_sim = F.round(_dot("q_q", "n_q") / (F.col("q_nrm") * F.col("n_nrm")), 4)
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        shortlist.join(F.broadcast(qs), "query_id")
-        .join(ns, "neighbor_id")
-        .select("query_id", "neighbor_id", exact_sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w2).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
-    )
+    return _exact_rerank(shortlist, qs, ns, k)
 
 
 def ann_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1591,16 +1605,327 @@ def ann_pq_probe(
         F.col("q").alias("n_q"),
         F.col("nrm").alias("n_nrm"),
     )
-    exact_sim = F.round(_dot("q_q", "n_q") / (F.col("q_nrm") * F.col("n_nrm")), 4)
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        shortlist.join(F.broadcast(qs), "query_id")
-        .join(ns, "neighbor_id")
-        .select("query_id", "neighbor_id", exact_sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w2).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
+    return _exact_rerank(shortlist, qs, ns, k)
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    vectors: DataFrame,
+    name: str,
+    n_centroids: int | None = None,
+    n_entries: int | None = None,
+    iters: int = 3,
+    n_buckets: int = 32,
+    path: str | None = None,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> None:
+    """Materialize the composite IVF-PQ (IVFADC) search structure of
+    ``vectors`` (any ``(vec_id, embedding)`` DataFrame) — the canonical
+    production ANN layout (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", §V): a coarse spherical-k-means quantizer
+    routes each vector into an inverted list, and product quantization
+    encodes the RESIDUAL ``x − c(x)`` in PQ_M codes, so a probe touches
+    only ``nprobe`` lists AND reads M small codes per member instead of
+    the full vector.  Four tables:
+
+    - ``<name>_centroids`` (centroid_id, c_emb, c_nrm) — the coarse
+      quantizer; tiny, one file, broadcast at probe time;
+    - ``<name>_codebooks`` (m, entry_id, c_sub, c_nrm2) — the residual
+      PQ codebooks; tiny, broadcast;
+    - ``<name>_codes`` (vec_id, centroid_id, m, code, nrm) — the
+      inverted lists, bucketed + sorted by centroid_id: probes join on
+      centroid_id and read through the bucketing with no index-side
+      Exchange.  ``nrm`` is the EXACT stored-vector norm, so the ADC
+      similarity divides by the true denominator instead of a
+      reconstructed one (better shortlist fidelity for free — the norm
+      is one double the lists carry anyway);
+    - ``<name>_quantized`` (vec_id, q, nrm), bucketed by vec_id — the
+      exact re-rank fetch path.
+
+    Training defaults mirror the single-tier builders: coarse
+    centroids from :func:`kmeans_centroids` (cosine mode — the probe
+    ranks by cosine) and residual codebooks from
+    :func:`pq_codebooks_kmeans` over ``x − c(x)``.  Training on
+    residuals rather than raw vectors is what lets the composite beat
+    flat PQ at the same code budget: after coarse routing the codes
+    only have to explain within-cell displacement, not the whole
+    vector.  Pass ``centroids=`` / ``codebooks=`` to reuse externally
+    trained inputs (same contract as :func:`build_ivf_index` /
+    :func:`build_pq_index`).
+
+    Scale shape: one |corpus| × |centroids| assignment pass against
+    the BROADCAST centroids (map-side ``max_by`` partial), one
+    residual-encode pass against the broadcast codebooks
+    (:func:`_pq_encode`), two bucketed writes.  The residual frame is
+    persisted for the duration of the build (codebook training scans
+    it once per Lloyd iteration) and released before returning.  The
+    driver only ever holds k×dim and M×n_entries×subdim training
+    means — never the corpus.
+    """
+    qv = quantize_frame(vectors)
+    n = None
+    if centroids is None or (codebooks is None and n_entries is None):
+        n = qv.count()
+    if centroids is not None:
+        cent = centroids.select(
+            "centroid_id", "c_emb", _norm("c_emb").alias("c_nrm")
+        )
+    else:
+        if n_centroids is None:
+            n_centroids = max(2, n // _effective_modulus(n))
+        cent = kmeans_centroids(
+            qv.select("vec_id", F.col("q").alias("embedding")),
+            k=n_centroids,
+            iters=iters,
+            metric="cosine",
+        ).select("centroid_id", "c_emb", _norm("c_emb").alias("c_nrm"))
+    sim_vc = _dot("q", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
+    assigned = (
+        qv.join(F.broadcast(cent), how="cross")
+        .select("vec_id", "q", "nrm", "centroid_id", sim_vc.alias("c_sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.first("q").alias("q_full"),
+            F.first("nrm").alias("nrm"),
+            F.expr("max_by(centroid_id, struct(c_sim, -centroid_id))").alias(
+                "centroid_id"
+            ),
+        )
+        .join(F.broadcast(cent.select("centroid_id", "c_emb")), "centroid_id")
     )
+    # residual carried as column "q" so _pq_parts / pq_codebooks_kmeans
+    # consume it unchanged
+    res = assigned.select(
+        "vec_id",
+        "centroid_id",
+        "nrm",
+        F.expr(
+            "zip_with(q_full, c_emb, (x, y) -> CAST(x AS DOUBLE) - y)"
+        ).alias("q"),
+    ).persist()
+    try:
+        if codebooks is not None:
+            cb = codebooks.select("m", "entry_id", "c_sub", "c_nrm2")
+        else:
+            if n_entries is None:
+                n_entries = max(
+                    2, n // _effective_modulus(n, PQ_CODEBOOK_MODULUS)
+                )
+            cb = pq_codebooks_kmeans(res, n_entries=n_entries, iters=iters)
+        codes = (
+            _pq_encode(_pq_parts(res), cb)
+            .join(res.select("vec_id", "centroid_id", "nrm"), "vec_id")
+            .select("vec_id", "centroid_id", "m", "code", "nrm")
+        )
+        cw = (
+            codes.write.bucketBy(n_buckets, "centroid_id")
+            .sortBy("centroid_id")
+            .mode("overwrite")
+            .format("parquet")
+        )
+        if path is not None:
+            cw = cw.option("path", f"{path}/{name}_codes")
+        else:
+            clear_orphaned_table(spark, f"{name}_codes")
+        cw.saveAsTable(f"{name}_codes")
+    finally:
+        res.unpersist(blocking=False)
+    qw = (
+        qv.write.bucketBy(n_buckets, "vec_id")
+        .sortBy("vec_id")
+        .mode("overwrite")
+        .format("parquet")
+    )
+    if path is not None:
+        qw = qw.option("path", f"{path}/{name}_quantized")
+    else:
+        clear_orphaned_table(spark, f"{name}_quantized")
+    qw.saveAsTable(f"{name}_quantized")
+    for frame, suffix in ((cent, "_centroids"), (cb, "_codebooks")):
+        w = frame.coalesce(1).write.mode("overwrite").format("parquet")
+        if path is not None:
+            w = w.option("path", f"{path}/{name}{suffix}")
+        else:
+            clear_orphaned_table(spark, f"{name}{suffix}")
+        w.saveAsTable(f"{name}{suffix}")
+
+
+def ann_ivfpq_probe(
+    spark: SparkSession,
+    queries: DataFrame,
+    name: str,
+    k: int = TOP_K,
+    nprobe: int = IVF_NPROBE,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """Search a persisted :func:`build_ivfpq_index` — coarse routing,
+    residual-ADC shortlist inside the probed lists only, exact re-rank.
+    ``queries`` is any ``(query_id, embedding)`` DataFrame (quantized
+    here with the index's per-vector scale, so corpus-member queries
+    score bit-identically to their stored form).
+
+    Inner-product ADC: ``dot(q, x) = dot(q, c) + dot(q, r)`` ≈
+    ``dot(q, c) + Σ_m dot(q_m, cb[m][code_m])``.  For inner product the
+    per-subspace lookup table is CENTROID-INDEPENDENT — unlike L2
+    IVFADC, which must build one table per probed list — so ONE
+    |queries| × M × n_entries broadcast LUT serves every probed list.
+    The ADC similarity divides by the stored exact vector norm.
+
+    Per probe: |queries| × |centroids| coarse scoring against the
+    broadcast centroids, the LUT build, one centroid_id join that
+    reads the codes through their bucketing (only the nprobe probed
+    lists' members survive — never a full-corpus ADC), and |queries| ×
+    rerank exact fetches through the quantized table's vec_id
+    bucketing.  Never a corpus re-encode.
+    """
+    cent = spark.table(f"{name}_centroids")
+    cb = spark.table(f"{name}_codebooks")
+    codes = spark.table(f"{name}_codes")
+    qv = quantize_frame(
+        queries.select(F.col("query_id").alias("vec_id"), "embedding")
+    )
+    q = qv.select(
+        F.col("vec_id").alias("query_id"), "q", F.col("nrm").alias("q_nrm")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("centroid_id")
+    )
+    qc = _dot("q", "c_emb")
+    probes = (
+        q.join(F.broadcast(cent), how="cross")
+        .select(
+            "query_id",
+            "q_nrm",
+            "centroid_id",
+            qc.alias("qc_dot"),
+            (qc / (F.col("q_nrm") * F.col("c_nrm"))).alias("c_sim"),
+        )
+        .withColumn("p", F.row_number().over(probe_w))
+        .filter(F.col("p") <= nprobe)
+        .select("query_id", "centroid_id", "qc_dot", "q_nrm")
+    )
+    lut = (
+        _pq_parts(qv, "query_id")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "query_id",
+            "m",
+            F.col("entry_id").alias("code"),
+            _dot("sub", "c_sub").alias("pdot"),
+        )
+    )
+    # a member vector's M code rows all carry the same qc_dot/nrm (one
+    # assigned list per vector, one probed row per (query, list)), so
+    # first() is deterministic; sum(pdot) folds the M subspace entries
+    hits = (
+        probes.join(codes, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.first("qc_dot").alias("qc_dot"),
+            F.sum("pdot").alias("rdot"),
+            F.first("nrm").alias("nrm"),
+            F.first("q_nrm").alias("q_nrm"),
+        )
+    )
+    adc_sim = F.round(
+        (F.col("qc_dot") + F.col("rdot")) / (F.col("q_nrm") * F.col("nrm")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_sim"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        hits.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc_sim.alias("adc_sim"),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qs = qv.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("q_q"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    ns = spark.table(f"{name}_quantized").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("n_q"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    return _exact_rerank(shortlist, qs, ns, k)
+
+
+def ann_ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    query_modulus: int = QUERY_MODULUS,
+    nprobe: int = IVF_NPROBE,
+    rerank: int = PQ_RERANK,
+    n_centroids: int | None = None,
+    n_entries: int | None = None,
+    iters: int = 3,
+    name: str | None = None,
+) -> DataFrame:
+    """End-to-end composite IVF-PQ lifecycle — train (coarse spherical
+    k-means + residual PQ codebooks) → :func:`build_ivfpq_index` →
+    :func:`ann_ivfpq_probe` — the third learned ANN tier next to
+    :func:`ann_ivf_topk_kmeans` (full vectors in the lists) and
+    :func:`ann_pq_topk_kmeans` (flat PQ, whole-corpus ADC): a probe
+    reads only ``nprobe`` lists AND only M codes per member, the shape
+    that keeps a 100 TB corpus's index simultaneously resident and
+    cheap to scan.
+
+    Same warehouse hygiene as :func:`ann_ivf_topk_kmeans`: ephemeral
+    (no ``name``) builds under an invocation-unique name, materializes
+    the probe result DISTRIBUTED (eager localCheckpoint — never a
+    driver collect: |queries| = N/query_modulus grows with the corpus)
+    and drops all four tables before returning; an explicit ``name``
+    keeps the index for :func:`ann_ivfpq_probe` reuse, cleanup owned
+    by the caller.
+
+    Not oracle-expressible (iterative training, float residual
+    arithmetic): bench ``LIBRARY_ONLY``; the pinned modulus families
+    remain the registry's portable bindings.
+    """
+    import uuid
+
+    v = _vectors(spark, sf_dir)
+    ephemeral = name is None
+    if ephemeral:
+        name = "ivfpq_" + uuid.uuid4().hex[:12]
+    n = cached_count(spark, sf_dir, "embeddings")
+    if n_centroids is None:
+        n_centroids = max(2, n // _effective_modulus(n))
+    if n_entries is None:
+        n_entries = max(2, n // _effective_modulus(n, PQ_CODEBOOK_MODULUS))
+    build_ivfpq_index(
+        spark,
+        v.select("vec_id", "embedding"),
+        name,
+        n_centroids=n_centroids,
+        n_entries=n_entries,
+        iters=iters,
+    )
+    queries = v.filter(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_ivfpq_probe(spark, queries, name, k=k, nprobe=nprobe, rerank=rerank)
+    if not ephemeral:
+        return out
+    out = out.localCheckpoint(eager=True)
+    for t in (
+        f"{name}_codes",
+        f"{name}_quantized",
+        f"{name}_centroids",
+        f"{name}_codebooks",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
 
 
 def _assign_hierarchical(v: DataFrame, cent: DataFrame, probe: int = 2) -> DataFrame:

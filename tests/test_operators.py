@@ -1694,6 +1694,179 @@ def test_pq_index_over_learned_codebooks_matches_inline(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_ivfpq_full_coverage_equals_exact(spark, tmp_path):
+    """Composite IVF-PQ degenerates to the EXACT quantized ranking when
+    every list is probed and the re-rank covers the corpus: coarse
+    routing is complete (no vector lost between lists), the residual-
+    ADC join scores every (query, member) pair, and the exact re-rank
+    then reproduces ann_cosine_topk_quantized bit-for-bit — same sims,
+    same tie-breaks.  Pins the whole index lifecycle (build → probe →
+    rerank) against the one available ground truth."""
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    vectors = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    n = vectors.count()
+    similarity.build_ivfpq_index(
+        spark, vectors, "t_ivfpq_full", n_centroids=4, n_entries=8,
+        iters=2, n_buckets=4, path=str(tmp_path / "ivfpq"),
+    )
+    queries = vectors.filter(
+        F.col("vec_id") % similarity.QUERY_MODULUS == 0
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    try:
+        full = {
+            tuple(r)
+            for r in similarity.ann_ivfpq_probe(
+                spark, queries, "t_ivfpq_full", nprobe=4, rerank=n
+            ).collect()
+        }
+        exact = {
+            tuple(r)
+            for r in similarity.ann_cosine_topk_quantized(spark, SF).collect()
+        }
+        assert full == exact and full
+        # the probe must read the codes through their centroid_id
+        # bucketing (no index-side Exchange) under forced sort-merge
+        prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = similarity.ann_ivfpq_probe(spark, queries, "t_ivfpq_full")
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            scans = [
+                line for line in plan.splitlines()
+                if "FileScan" in line and "t_ivfpq_full_codes" in line
+            ]
+            assert scans, plan
+            for line in scans:
+                assert "Bucketed: true" in line, line
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    finally:
+        for s in ("_codes", "_quantized", "_centroids", "_codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS t_ivfpq_full{s}")
+
+
+def test_ivfpq_residual_recall_vs_flat_pq(spark):
+    """The reason IVF-PQ encodes residuals: after coarse routing the M
+    codes only explain within-cell displacement, so at the SAME
+    per-subspace entry budget the composite's shortlist is higher-
+    fidelity than flat PQ's whole-corpus ADC.  Judged on brute-force
+    ground truth over the re-rank space (quantized vectors) on a
+    DISJOINT query set (vec_id%50==7 — never a centroid exemplar);
+    measured 0.78 vs flat 0.72 at this geometry, and the default
+    nprobe=3 (3 of 20 lists) still clears an absolute floor."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.01"
+    v = similarity.quantized_vectors(spark, sf)
+    rows = v.select("vec_id", "q").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    Q = np.array([r.q for r in rows], dtype=float)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    S = Qn @ Qn.T
+    idx = {int(x): i for i, x in enumerate(ids)}
+    truth = {}
+    for q in (int(i) for i in ids[ids % 50 == 7]):
+        srow = S[idx[q]].copy()
+        srow[idx[q]] = -9.0
+        truth[q] = {int(ids[j]) for j in np.argsort(-srow)[:5]}
+
+    def _recall(hits):
+        got = {}
+        for r in hits.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(got.get(q, set()) & truth[q]) for q in truth) / (
+            5 * len(truth)
+        )
+
+    n = len(rows)
+    n_entries = max(2, n // similarity._effective_modulus(
+        n, similarity.PQ_CODEBOOK_MODULUS
+    ))
+    n_cent = max(2, n // similarity._effective_modulus(n))
+    queries = v.filter(F.col("vec_id") % 50 == 7)
+    cb_flat = similarity.pq_codebooks_kmeans(v, n_entries=n_entries, iters=3)
+    r_flat = _recall(similarity._pq_adc_search(v, cb_flat, queries))
+
+    vraw = similarity._vectors(spark, sf)
+    qraw = vraw.filter(F.col("vec_id") % 50 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for s in ("_codes", "_quantized", "_centroids", "_codebooks"):
+        spark.sql(f"DROP TABLE IF EXISTS t_ivfpq_res{s}")
+    try:
+        similarity.build_ivfpq_index(
+            spark, vraw.select("vec_id", "embedding"), "t_ivfpq_res",
+            n_centroids=n_cent, n_entries=n_entries, iters=3,
+        )
+        r_full = _recall(similarity.ann_ivfpq_probe(
+            spark, qraw, "t_ivfpq_res", nprobe=n_cent
+        ))
+        r_def = _recall(similarity.ann_ivfpq_probe(
+            spark, qraw, "t_ivfpq_res", nprobe=3
+        ))
+    finally:
+        for s in ("_codes", "_quantized", "_centroids", "_codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS t_ivfpq_res{s}")
+    # residual codes must not lose to flat codes at the same budget
+    # once coverage is equal (full nprobe), and both tiers clear floors
+    assert r_full >= r_flat, (r_full, r_flat)
+    assert r_full >= 0.5, r_full
+    assert r_def >= 0.35, r_def
+
+
+def test_ann_ivfpq_topk_contract_and_hygiene(spark):
+    """The bench-facing composite lifecycle op: schema/rank contract, a
+    recall floor vs the exact twin, and the ann_ivf_topk_kmeans
+    warehouse-hygiene contract — no driver collect of the result set on
+    any path, invocation-unique ephemeral tables dropped before
+    returning with the result materialized DISTRIBUTED, explicit names
+    kept for ann_ivfpq_probe reuse."""
+    import inspect
+
+    assert ".collect()" not in inspect.getsource(similarity.ann_ivfpq_topk)
+    before = {t.name for t in spark.catalog.listTables()}
+    out = similarity.ann_ivfpq_topk(
+        spark, SF, n_centroids=4, n_entries=8, iters=1
+    )
+    assert out.columns == ["query_id", "neighbor_id", "sim", "rank"]
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan, plan
+    rows = out.collect()
+    assert rows and all(1 <= r.rank <= 5 for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(x) == list(range(1, len(x) + 1)) for x in per_q.values())
+    assert {t.name for t in spark.catalog.listTables()} == before
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(spark, SF).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(approx & exact) / len(exact) >= 0.3
+    try:
+        kept = similarity.ann_ivfpq_topk(
+            spark, SF, n_centroids=4, n_entries=8, iters=1, name="ivfpqh"
+        )
+        n1 = kept.count()
+        assert n1 == len(rows)
+        tabs = {t.name for t in spark.catalog.listTables()}
+        assert {
+            "ivfpqh_codes", "ivfpqh_quantized",
+            "ivfpqh_centroids", "ivfpqh_codebooks",
+        } <= tabs
+        # the kept index serves fresh probes
+        q = similarity._vectors(spark, SF).filter(
+            F.col("vec_id") % similarity.QUERY_MODULUS == 0
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        assert similarity.ann_ivfpq_probe(spark, q, "ivfpqh").count() == n1
+    finally:
+        for s in ("_codes", "_quantized", "_centroids", "_codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS ivfpqh{s}")
+
+
 def test_kmeans_centroids_separate_clusters(spark, tmp_path):
     """Two tight clusters: learned centroids land on the cluster means
     and an IVF index built over them routes probes within-cluster."""
