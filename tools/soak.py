@@ -462,6 +462,7 @@ def _resolve(name, scale: int = 1):
             "ann_cosine_topk_arrow": similarity.cosine_topk_arrow,
             "ann_ivf_topk_kmeans": similarity.ann_ivf_topk_kmeans,
             "ann_pq_topk_kmeans": similarity.ann_pq_topk_kmeans,
+            "ann_ivfpq_topk": similarity.ann_ivfpq_topk,
         }
         if name in scaled:
             fn = scaled[name]
