@@ -270,6 +270,81 @@ def ann_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(spark, sf_dir, centroid_modulus=IVF_CENTROID_MODULUS)
 
 
+def _sql_centroid_array(cents) -> str:
+    """Render a list-of-lists of floats as ONE Spark SQL
+    ``array<array<double>>`` literal.  A literal (not a joined frame,
+    not thousands of py4j ``lit()`` calls) is what makes Lloyd's
+    assignment a pure projection: the centroids ride inside the
+    expression tree to every task, so the corpus is never joined,
+    regrouped, or exchanged during training.  ``repr(float)`` is the
+    shortest round-tripping decimal, so the parsed double is
+    bit-identical to the driver-side value."""
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+            for c in cents
+        )
+        + ")"
+    )
+
+
+def _argmin_centroid_expr(cents_sql: str, vec_col: str, metric: str) -> str:
+    """SQL for the inline nearest-centroid id of ``vec_col`` against a
+    centroid-array literal (see :func:`_sql_centroid_array`):
+    ``array_min`` over ``struct(score, index)`` — identical semantics
+    to the former broadcast-join ``min_by``/``max_by`` (l2: min
+    distance, cosine: max similarity; ties to the lowest centroid id)
+    but with NO corpus-side join or Exchange."""
+    if metric == "l2":
+        score = (
+            f"aggregate(zip_with({vec_col}, c, (x, y) ->"
+            " (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+            " CAST(0.0 AS DOUBLE), (a, d) -> a + d)"
+        )
+    else:
+        # negated cosine so array_min picks the MAX similarity; double
+        # negation is exact (sign flip), so ordering matches the old
+        # max_by(.., struct(sim, -cid)) bit for bit
+        score = (
+            f"-(aggregate(zip_with({vec_col}, c, (x, y) ->"
+            " CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, d) -> a + d)"
+            " / (sqrt(aggregate(c, CAST(0.0 AS DOUBLE),"
+            " (a, y) -> a + y * y)) + 1e-12))"
+        )
+    return (
+        f"array_min(transform({cents_sql}, (c, i) ->"
+        f" struct({score} AS d, i AS cid))).cid"
+    )
+
+
+def _lloyd_iteration_means(v: DataFrame, cents, metric: str) -> DataFrame:
+    """One Lloyd's iteration as a DataFrame: assign every vector of
+    ``v`` (``(vec_id, embedding)``) to its nearest centroid INLINE
+    (argmin projection over the centroid literal — no join, no
+    ``groupBy(vec_id)`` regroup, so the corpus is never exchanged) and
+    return the ``(centroid_id, pos, m)`` component means.  The single
+    shuffle in the plan is the map-side-partial mean aggregate, whose
+    exchange carries k x dim partial rows per task — plan-asserted in
+    tests/test_plan_quality.py."""
+    assign = F.expr(
+        _argmin_centroid_expr(_sql_centroid_array(cents), "embedding", metric)
+    )
+    # assignment in its OWN projection below the explode: selecting the
+    # argmin alongside posexplode would place the Project above the
+    # Generate and recompute the k-way argmin once per exploded
+    # component (dim x redundant work — measured 2-3x on the lifecycle
+    # keys) instead of once per vector
+    assigned = v.select(assign.alias("centroid_id"), "embedding")
+    return (
+        assigned.select(
+            "centroid_id", F.posexplode("embedding").alias("pos", "val")
+        )
+        .groupBy("centroid_id", "pos")
+        .agg(F.avg("val").alias("m"))
+    )
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     k: int = 16,
@@ -297,12 +372,16 @@ def kmeans_centroids(
     fixture's id→label blocking left whole label regions uncovered and
     cost ~0.5 IVF recall; a production corpus with time-ordered ids
     has the same failure mode).  Assignment ties break to the lowest
-    centroid_id, and an emptied cluster keeps its previous centroid.  Scale shape per iteration:
-    one corpus pass scoring against the BROADCAST centroids with a
-    map-side ``min_by``/``max_by`` partial (never a |corpus| x k
-    shuffle), then a (centroid_id, position) mean aggregate whose
-    result is k x dim rows — that, not the corpus, is what the driver
-    collects.
+    centroid_id, and an emptied cluster keeps its previous centroid.
+
+    Scale shape per iteration: the centroids ride as an
+    ``array<array<double>>`` LITERAL inside one projection
+    (:func:`_lloyd_iteration_means`) — assignment is an inline
+    ``array_min(transform(...))`` argmin, so the corpus is never
+    joined, regrouped, or exchanged; the plan's only shuffle is the
+    (centroid_id, position) mean aggregate whose exchange carries
+    k x dim map-side partials per task, and whose k x dim result —
+    never the corpus — is what the driver collects.
     """
     if metric not in ("l2", "cosine"):
         raise ValueError(f"metric must be 'l2' or 'cosine', got {metric!r}")
@@ -319,51 +398,8 @@ def kmeans_centroids(
     cents = [[float(x) for x in r["embedding"]] for r in init]
     if len(cents) < k:
         raise ValueError(f"need at least k={k} vectors, got {len(cents)}")
-    sq = (
-        "aggregate(zip_with(embedding, c_emb, (x, y) ->"
-        " (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
-        " CAST(0.0 AS DOUBLE), (a, d) -> a + d)"
-    )
-    cos = (
-        "aggregate(zip_with(embedding, c_emb, (x, y) ->"
-        " CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, d) -> a + d)"
-        " / (sqrt(aggregate(c_emb, CAST(0.0 AS DOUBLE),"
-        " (a, y) -> a + y * y)) + 1e-12)"
-    )
-    cdf = None
     for _ in range(iters):
-        cdf = spark.createDataFrame(
-            list(enumerate(cents)), "centroid_id int, c_emb array<double>"
-        )
-        score = F.expr(sq if metric == "l2" else cos)
-        pick = (
-            "min_by(centroid_id, struct(d2, centroid_id))"
-            if metric == "l2"
-            # max cosine; ties to the lowest centroid_id
-            else "max_by(centroid_id, struct(d2, -centroid_id))"
-        )
-        assigned = (
-            v.join(F.broadcast(cdf), how="cross")
-            .select(
-                "vec_id",
-                "embedding",
-                "centroid_id",
-                score.alias("d2"),
-            )
-            .groupBy("vec_id")
-            .agg(
-                F.first("embedding").alias("embedding"),
-                F.expr(pick).alias("centroid_id"),
-            )
-        )
-        means = (
-            assigned.select(
-                "centroid_id", F.posexplode("embedding").alias("pos", "val")
-            )
-            .groupBy("centroid_id", "pos")
-            .agg(F.avg("val").alias("m"))
-            .collect()
-        )
+        means = _lloyd_iteration_means(v, cents, metric).collect()
         new = {}
         for r in means:
             new.setdefault(r["centroid_id"], [0.0] * dim)[r["pos"]] = r["m"]
@@ -723,8 +759,14 @@ _PLANES_CACHE: dict = register_aux_cache({})
 
 
 def _hyperplanes(spark: SparkSession, n_planes: int, dim: int, seed: int) -> DataFrame:
-    key = (spark.sparkContext.applicationId, n_planes, dim, seed)
+    app = spark.sparkContext.applicationId
+    key = (app, n_planes, dim, seed)
     if key not in _PLANES_CACHE:
+        # evict dead-application entries: a long-lived process that
+        # restarts its SparkSession would otherwise accumulate one
+        # cache generation per application until clear_query_caches()
+        for stale in [k for k in _PLANES_CACHE if k[0] != app]:
+            del _PLANES_CACHE[stale]
         import numpy as np
 
         H = np.random.RandomState(seed).standard_normal((n_planes, dim))
@@ -1298,8 +1340,11 @@ def _pq_adc_search(
     )
     # exact re-rank of the shortlist only: two doc-id joins fetch the
     # quantized vectors of |queries| × rerank rows — constant work per
-    # query regardless of corpus size
-    qs = v.select(
+    # query regardless of corpus size.  qs comes from the QUERIES
+    # frame (queries are rows of v, so values are identical) — deriving
+    # it from v would put a corpus-sized frame under _exact_rerank's
+    # broadcast hint.
+    qs = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("q_q"),
         F.col("nrm").alias("q_nrm"),
@@ -1319,6 +1364,41 @@ def ann_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-modulus codebook, so the binding must never follow the
     adaptive :func:`_effective_modulus`)."""
     return ann_pq_topk(spark, sf_dir, codebook_modulus=PQ_CODEBOOK_MODULUS)
+
+
+def _pq_lloyd_iteration_means(parts: DataFrame, cents) -> DataFrame:
+    """One joint-subspace PQ Lloyd's iteration as a DataFrame: assign
+    every ``(m, sub)`` row of ``parts`` to its nearest codebook entry
+    INLINE (the full M-subspace codebook is one nested array literal;
+    ``element_at(CB, m + 1)`` picks the row's subspace, ``array_min``
+    the argmin entry — no join, no ``groupBy(vec_id, m)`` regroup, so
+    the corpus is never exchanged) and return the
+    ``(m, entry_id, pos, mean)`` component means.  The single shuffle
+    is the map-side-partial mean aggregate (M x n_entries x subdim
+    partial rows per task) — plan-asserted in
+    tests/test_plan_quality.py.  Ties break to the lowest entry_id,
+    matching the former broadcast-join ``min_by``."""
+    cb_sql = (
+        "array(" + ",".join(_sql_centroid_array(cm) for cm in cents) + ")"
+    )
+    score = (
+        "aggregate(zip_with(sub, c, (x, y) ->"
+        " (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " CAST(0.0 AS DOUBLE), (a, d) -> a + d)"
+    )
+    assign = F.expr(
+        f"array_min(transform(element_at({cb_sql}, m + 1), (c, i) ->"
+        f" struct({score} AS d, i AS eid))).eid"
+    )
+    # own projection below the explode — see _lloyd_iteration_means
+    assigned = parts.select("m", assign.alias("entry_id"), "sub")
+    return (
+        assigned.select(
+            "m", "entry_id", F.posexplode("sub").alias("pos", "val")
+        )
+        .groupBy("m", "entry_id", "pos")
+        .agg(F.avg("val").alias("mean"))
+    )
 
 
 def pq_codebooks_kmeans(
@@ -1343,9 +1423,13 @@ def pq_codebooks_kmeans(
     id↔content correlation).  Assignment ties break to the lowest
     entry_id; an emptied entry keeps its previous value.
 
-    Scale shape per iteration: |corpus|·M scored rows against the
-    BROADCAST (M × n_entries)-row codebook with a map-side ``min_by``
-    partial, then a (m, entry_id, pos) mean aggregate whose result —
+    Scale shape per iteration: the full M-subspace codebook rides as
+    ONE nested ``array`` literal inside a single projection
+    (:func:`_pq_lloyd_iteration_means`) — each row picks its
+    subspace's codebook with ``element_at(CB, m + 1)`` and assigns by
+    inline ``array_min`` argmin, so the corpus is never joined or
+    regrouped during training; the plan's only shuffle is the
+    (m, entry_id, pos) mean aggregate whose result —
     M × n_entries × subdim rows, never the corpus — is what the driver
     collects.  Codebook entries are float means (unlike the integer
     modulus entries), so this family is bench/LIBRARY_ONLY: grouped
@@ -1371,39 +1455,9 @@ def pq_codebooks_kmeans(
         ]
         for m in range(PQ_M)
     ]
-    l2 = (
-        "aggregate(zip_with(sub, c_sub, (x, y) ->"
-        " (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
-        " CAST(0.0 AS DOUBLE), (a, d) -> a + d)"
-    )
     for _ in range(iters):
-        cdf = spark.createDataFrame(
-            [
-                (m, e, cents[m][e])
-                for m in range(PQ_M)
-                for e in range(n_entries)
-            ],
-            "m int, entry_id int, c_sub array<double>",
-        )
-        assigned = (
-            parts.join(F.broadcast(cdf), "m")
-            .select("vec_id", "m", "sub", "entry_id", F.expr(l2).alias("d2"))
-            .groupBy("vec_id", "m")
-            .agg(
-                F.first("sub").alias("sub"),
-                F.expr("min_by(entry_id, struct(d2, entry_id))").alias(
-                    "entry_id"
-                ),
-            )
-        )
-        means = (
-            assigned.select(
-                "m", "entry_id", F.posexplode("sub").alias("pos", "val")
-            )
-            .groupBy("m", "entry_id", "pos")
-            .agg(F.avg("val").alias("mean"))
-            .collect()  # M x n_entries x PQ_SUBDIM rows — bounded
-        )
+        means = _pq_lloyd_iteration_means(parts, cents).collect()
+        # M x n_entries x PQ_SUBDIM rows — bounded, never the corpus
         new = {}
         for r in means:
             new.setdefault((r["m"], r["entry_id"]), [0.0] * PQ_SUBDIM)[

@@ -233,3 +233,49 @@ def test_ranking_queries_have_no_global_sort_partition(spark, name):
             assert not re.search(
                 r"windowspecdefinition\([^,()]* (ASC|DESC)", line
             ), f"{name}: un-partitioned window:\n{line}"
+
+
+def test_lloyd_training_iteration_has_no_corpus_exchange(spark):
+    """The Lloyd's-iteration plans (kmeans_centroids and
+    pq_codebooks_kmeans) must be pure projections over the corpus: the
+    centroid/codebook literal rides inside the expression, so the only
+    hash exchange per iteration is the map-side-partial component-mean
+    aggregate — never a join, never a regroup of the corpus by vec_id.
+    Before this shape, every training iteration shipped the full
+    corpus (embedding payloads included) through an Exchange on
+    vec_id; at 3-5 iterations x two training loops that dominated the
+    IVFPQ lifecycle cost."""
+    from hadoop_logfile_inputformat_spark.operators import similarity as S
+
+    v = S._vectors(spark, SF).select("vec_id", "embedding")
+    cents = [[0.0] * 64, [1.0] * 64]
+    for frame in (
+        S._lloyd_iteration_means(v, cents, "l2"),
+        S._lloyd_iteration_means(v, cents, "cosine"),
+        S._pq_lloyd_iteration_means(
+            S._pq_parts(S.quantize_frame(v)),
+            [[[0.0] * S.PQ_SUBDIM, [1.0] * S.PQ_SUBDIM]] * S.PQ_M,
+        ),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, "training iteration must not join"
+        hash_ex = [
+            l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+        ]
+        assert len(hash_ex) == 1, (
+            f"exactly one (group-key) exchange expected:\n{plan}"
+        )
+        assert "vec_id" not in hash_ex[0], (
+            f"corpus regrouped by vec_id:\n{hash_ex[0]}"
+        )
+        # and the exchange's input must already be a partial aggregate
+        assert "partial_avg" in plan, "means must partial-aggregate map-side"
+        # the argmin must be computed once per VECTOR, not once per
+        # exploded component: its Project must sit below the Generate
+        lines = plan.splitlines()
+        gen = next(i for i, l in enumerate(lines) if "Generate" in l)
+        argmin = next(i for i, l in enumerate(lines) if "array_min" in l)
+        assert argmin > gen, (
+            "argmin recomputed per exploded component (Project above "
+            "Generate) — dim x redundant work"
+        )
