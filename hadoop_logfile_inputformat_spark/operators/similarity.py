@@ -13,6 +13,7 @@ probe-cluster*, not globally; ``ann_ivf_topk`` shows that composition.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -46,6 +47,19 @@ def _effective_modulus(n_vecs: int, modulus: int = IVF_CENTROID_MODULUS) -> int:
     """max(modulus, n // IVF_CENTROID_TARGET): the adaptive stand-in
     selector (see IVF_CENTROID_TARGET).  Pure; unit-tested."""
     return max(modulus, n_vecs // IVF_CENTROID_TARGET)
+
+
+#: Wall-clock phase timings of the most recent lifecycle invocation,
+#: keyed by operator name → {"t": train, "b": build, "p": probe}
+#: seconds.  bench.py reads this after timing each lifecycle key so
+#: the artifact trends SERVING cost separately from training cost (the
+#: quantity a user actually tunes — probe latency at a given recall —
+#: was invisible inside the single lifecycle total).  Phases cover
+#: what the call itself materializes: ann_pq_topk_kmeans's search is
+#: lazy (the caller's collect pays it), so it records only "t" and
+#: serve = total − t; the ephemeral IVF/IVFPQ lifecycles materialize
+#: the probe via eager localCheckpoint, so "p" is the measured probe.
+LIFECYCLE_PHASES: dict = {}
 
 #: Hard cap on the driver-collected query side of the Arrow top-k.
 #: 100k × 64 float64 ≈ 50 MB — comfortably in driver memory; anything
@@ -592,27 +606,36 @@ def ann_ivf_topk_kmeans(
     if n_centroids is None:
         n = cached_count(spark, sf_dir, "embeddings")
         n_centroids = max(2, n // _effective_modulus(n))
+    t0 = time.monotonic()
     cents = kmeans_centroids(
         v.select("vec_id", "embedding"),
         k=n_centroids,
         iters=iters,
         metric="cosine",
     )
+    t1 = time.monotonic()
     ephemeral = name is None
     if ephemeral:
         name = "ivf_kmeans_" + uuid.uuid4().hex[:12]
     build_ivf_index(spark, v.select("vec_id", "embedding"), name, centroids=cents)
+    t2 = time.monotonic()
     queries = v.filter(F.col("vec_id") % query_modulus == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = ann_ivf_probe(spark, queries, name, k=k, nprobe=nprobe)
     if not ephemeral:
+        LIFECYCLE_PHASES["ann_ivf_topk_kmeans"] = {
+            "t": t1 - t0, "b": t2 - t1,  # probe is lazy when kept
+        }
         return out
     # Distributed materialization: block-manager-pinned partitions on
     # the executors (NOT a driver collect — |queries| x k is O(N) in
     # the corpus).  Eager, so the frame is independent of the index
     # tables before they are dropped.
     out = out.localCheckpoint(eager=True)
+    LIFECYCLE_PHASES["ann_ivf_topk_kmeans"] = {
+        "t": t1 - t0, "b": t2 - t1, "p": time.monotonic() - t2,
+    }
     for t in (f"{name}_lists", f"{name}_centroids"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     return out
@@ -1505,7 +1528,11 @@ def ann_pq_topk_kmeans(
     if n_entries is None:
         n = cached_count(spark, sf_dir, "embeddings")
         n_entries = max(2, n // _effective_modulus(n, PQ_CODEBOOK_MODULUS))
+    t0 = time.monotonic()
     cb = pq_codebooks_kmeans(v, n_entries=n_entries, iters=iters)
+    # the ADC search is lazy (caller's collect pays it): only training
+    # is materialized here, so serve = caller-observed total − "t"
+    LIFECYCLE_PHASES["ann_pq_topk_kmeans"] = {"t": time.monotonic() - t0}
     queries = v.filter(F.col("vec_id") % query_modulus == 0)
     return _pq_adc_search(v, cb, queries, k=k, rerank=rerank)
 
@@ -1721,6 +1748,7 @@ def build_ivfpq_index(
     n = None
     if centroids is None or (codebooks is None and n_entries is None):
         n = qv.count()
+    t0 = time.monotonic()
     if centroids is not None:
         cent = centroids.select(
             "centroid_id", "c_emb", _norm("c_emb").alias("c_nrm")
@@ -1758,6 +1786,7 @@ def build_ivfpq_index(
             "zip_with(q_full, c_emb, (x, y) -> CAST(x AS DOUBLE) - y)"
         ).alias("q"),
     ).persist()
+    t1 = time.monotonic()
     try:
         if codebooks is not None:
             cb = codebooks.select("m", "entry_id", "c_sub", "c_nrm2")
@@ -1767,6 +1796,7 @@ def build_ivfpq_index(
                     2, n // _effective_modulus(n, PQ_CODEBOOK_MODULUS)
                 )
             cb = pq_codebooks_kmeans(res, n_entries=n_entries, iters=iters)
+        t2 = time.monotonic()
         codes = (
             _pq_encode(_pq_parts(res), cb)
             .join(res.select("vec_id", "centroid_id", "nrm"), "vec_id")
@@ -1803,6 +1833,12 @@ def build_ivfpq_index(
         else:
             clear_orphaned_table(spark, f"{name}{suffix}")
         w.saveAsTable(f"{name}{suffix}")
+    # train = coarse k-means + residual-codebook training (the residual
+    # materialization folds into the first pq training pass); build =
+    # encode + the bucketed/tiny writes
+    LIFECYCLE_PHASES["build_ivfpq_index"] = {
+        "t": t2 - t0, "b": time.monotonic() - t2, "_t_coarse": t1 - t0,
+    }
 
 
 def ann_ivfpq_probe(
@@ -1965,13 +2001,19 @@ def ann_ivfpq_topk(
         n_entries=n_entries,
         iters=iters,
     )
+    phases = dict(LIFECYCLE_PHASES.get("build_ivfpq_index", {}))
+    phases.pop("_t_coarse", None)
+    t2 = time.monotonic()
     queries = v.filter(F.col("vec_id") % query_modulus == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = ann_ivfpq_probe(spark, queries, name, k=k, nprobe=nprobe, rerank=rerank)
     if not ephemeral:
+        LIFECYCLE_PHASES["ann_ivfpq_topk"] = phases  # probe lazy when kept
         return out
     out = out.localCheckpoint(eager=True)
+    phases["p"] = time.monotonic() - t2
+    LIFECYCLE_PHASES["ann_ivfpq_topk"] = phases
     for t in (
         f"{name}_codes",
         f"{name}_quantized",

@@ -134,3 +134,64 @@ def test_clear_query_caches_static_input_exemption():
         assert "__probe__" not in tables._COUNT_CACHE
     finally:
         tables._AUX_CACHES.remove(probe_aux)
+
+
+def test_lifecycle_submap_fits_and_replaces_totals():
+    """With lifecycle phases recorded, the three lifecycle keys leave
+    the steady map (their totals reconstruct as the phase sum) and the
+    compact "lc" submap rides in the extras line — all still inside
+    the tail budget at worst-case widths, with every other trended key
+    surviving."""
+    lc = {
+        "ivfk": {"t": 42.4, "b": 42.4, "p": 42.4},
+        "pqk": {"t": 42.4, "s": 42.4},
+        "ivfpq": {"t": 42.4, "b": 42.4, "p": 42.4},
+    }
+    trended = {
+        k
+        for k in bench.EXTRA
+        if not (k.startswith("logfile_") or k.endswith("_portable"))
+        and k not in bench.LIFECYCLE_KEYS
+    }
+    # realistic (r9-magnitude) widths: everything fits, nothing trended
+    # is dropped, and the lc submap rides whole
+    vals = [0.3, 0.42, 0.55, 0.72, 0.86, 1.05, 1.45, 1.66, 2.55, 3.2]
+    t = {k: vals[i % 10] for i, k in enumerate(bench.HEADLINE)}
+    e = {k: vals[i % 10] for i, k in enumerate(bench.EXTRA)}
+    lines = bench.summary_lines(t, t, e, 0, 248.6, 0.1, lifecycle=lc)
+    assert sum(len(l) for l in lines) + len(lines) <= bench.TAIL_BUDGET
+    payload = json.loads(lines[0])
+    assert payload["lc"] == lc
+    for long_key in bench.LIFECYCLE_KEYS:
+        assert long_key not in payload["steady"]
+    assert trended <= set(payload["steady"])
+    # n_extra still counts ALL extras (lifecycle keys included)
+    assert payload["n_extra"] == len(bench.EXTRA)
+    # pathological widths: the guard must still converge under budget
+    # (shedding is allowed there — the drop is counted, never silent)
+    wide = bench.summary_lines(
+        {k: 99.99 for k in bench.HEADLINE},
+        {k: 99.99 for k in bench.HEADLINE},
+        {k: 99.99 for k in bench.EXTRA},
+        0, 99999.9, 0.1, lifecycle=lc,
+    )
+    assert sum(len(l) for l in wide) + len(wide) <= bench.TAIL_BUDGET
+    wp = json.loads(wide[0])
+    assert wp["lc"] == lc
+    assert wp.get("n_dropped", 0) + len(wp["steady"]) + len(lc) == len(
+        bench.EXTRA
+    )
+
+
+def test_lifecycle_key_without_phases_stays_in_steady_map():
+    """A lifecycle operator that failed to record phases (error path)
+    must keep its total in the steady map rather than vanish."""
+    lc = {"ivfk": {"t": 1.0, "b": 1.0, "p": 1.0}}  # pqk/ivfpq missing
+    t = {k: 1.0 for k in bench.HEADLINE}
+    e = {k: 1.0 for k in bench.EXTRA}
+    payload = json.loads(
+        bench.summary_lines(t, t, e, 0, 248.6, 0.1, lifecycle=lc)[0]
+    )
+    assert "ann_ivf_topk_kmeans" not in payload["steady"]
+    assert "ann_pq_topk_kmeans" in payload["steady"]
+    assert "ann_ivfpq_topk" in payload["steady"]
