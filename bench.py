@@ -65,6 +65,11 @@ PORTABLE_TWINS = {
 #: test-asserted in tests/.
 LIBRARY_ONLY = {
     "compression_profile": text.compression_profile,
+    # table-backed incremental lifecycle (seed build -> delta append ->
+    # post-append probe): the catalog round-trip itself is what's
+    # timed; correctness is gated by the oracled inline twin
+    # (ann_ivf_incremental pack member, pinned bit-equal in tests)
+    "ann_ivf_append": similarity.ann_ivf_append_lifecycle,
     # full learned-IVF lifecycle (k-means train -> index build ->
     # probe): iterative driver-coordinated Lloyd's has no SQL oracle
     "ann_ivf_topk_kmeans": similarity.ann_ivf_topk_kmeans,
@@ -86,6 +91,10 @@ LIFECYCLE_KEYS = {
     "ann_ivf_topk_kmeans": "ivfk",
     "ann_pq_topk_kmeans": "pqk",
     "ann_ivfpq_topk": "ivfpq",
+    # incremental lifecycle: {"b": seed build, "a": delta append,
+    # "p": probe} — append cost is the number a standing-index
+    # refresh pays per batch
+    "ann_ivf_append": "ivfa",
 }
 
 
@@ -167,6 +176,10 @@ EXTRA = [
     "ann_ivf_topk_kmeans",
     "ann_pq_topk_kmeans",
     "ann_ivfpq_topk",
+    # incremental embedding-index surface: the oracled inline twin and
+    # the table-backed append lifecycle it is pinned bit-equal to
+    "ann_ivf_incremental",
+    "ann_ivf_append",
     # reference-parity surface (fixture corpus; mostly measures the
     # Python-DataSource fixed overhead at this size — the MB/s scan
     # numbers come from the source_throughput measurement below)

@@ -146,6 +146,13 @@ def compact_bucketed_table(
         fs, jvm = _hadoop_fs(spark, location)
         fs.delete(jvm.org.apache.hadoop.fs.Path(location), True)  # ...gone
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    # drop this session's cached relation (files moved for EXTERNAL
+    # tables).  Spark's relation cache is PER SESSION: any OTHER
+    # session that read the table before this compaction must
+    # spark.catalog.refreshTable(table) itself — the foreachBatch
+    # streams compact inside the stream's cloned session, so a driver
+    # session inspecting the index mid-stream is exactly that case.
+    spark.catalog.refreshTable(table)
 
 
 def compact_minhash_index(
@@ -173,3 +180,32 @@ def compact_exact_index(
     triple, one table.  The applied-batch log is left untouched."""
     compact_bucketed_table(spark, f"{name}_hashes", ["text_hash"], n_buckets)
 
+
+
+def compact_ivf_index(
+    spark: SparkSession,
+    name: str,
+    n_buckets: int | None = None,
+) -> None:
+    """Compact the IVF embedding index (``similarity.build_ivf_index``)
+    after ``append_to_ivf_index`` streaming appends: the inverted-lists
+    table accretes ``n_buckets`` files per applied batch exactly like
+    the LSH triple.  Centroids and the batch/stats ledgers are tiny and
+    append-bounded — left untouched.  See :func:`compact_bucketed_table`
+    (the bucket spec, and with it the probe's no-index-side-shuffle
+    property, survives the rewrite)."""
+    compact_bucketed_table(spark, f"{name}_lists", ["centroid_id"], n_buckets)
+
+
+def compact_ivfpq_index(
+    spark: SparkSession,
+    name: str,
+    n_buckets: int | None = None,
+) -> None:
+    """Compact the IVFADC index (``similarity.build_ivfpq_index``) after
+    ``append_to_ivfpq_index`` appends: both corpus-sized tables — the
+    residual codes (bucketed by centroid_id) and the re-rank quantized
+    vectors (bucketed by vec_id) — are rewritten back to one file per
+    bucket; codebooks/centroids/ledgers untouched."""
+    compact_bucketed_table(spark, f"{name}_codes", ["centroid_id"], n_buckets)
+    compact_bucketed_table(spark, f"{name}_quantized", ["vec_id"], n_buckets)

@@ -423,6 +423,102 @@ def kmeans_centroids(
     )
 
 
+def _assign_to_centroids(v: DataFrame, cent: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, <vec_col>, nrm, centroid_id, c_sim): nearest-centroid
+    assignment of ``v`` (``(vec_id, <vec_col>, nrm)``) against the
+    BROADCAST ``cent`` (``(centroid_id, c_emb, c_nrm)``) — one corpus
+    pass with a map-side ``max_by`` partial (never a |corpus| x k
+    shuffle); ties break to the lowest centroid_id.  ``c_sim`` is the
+    winning cosine — the quantization-quality signal the ``_stats``
+    drift ledger aggregates.  Shared by the index builders and the
+    incremental appends so a delta assigns bit-identically to how the
+    seed corpus did."""
+    sim_vc = _dot(vec_col, "c_emb") / (F.col("nrm") * F.col("c_nrm"))
+    return (
+        v.join(F.broadcast(cent), how="cross")
+        .select("vec_id", vec_col, "nrm", "centroid_id", sim_vc.alias("c_sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.first(vec_col).alias(vec_col),
+            F.first("nrm").alias("nrm"),
+            F.expr("max_by(centroid_id, struct(c_sim, -centroid_id))").alias(
+                "centroid_id"
+            ),
+            F.max("c_sim").alias("c_sim"),
+        )
+    )
+
+
+def _write_index_aux(
+    spark: SparkSession,
+    name: str,
+    path: str | None,
+    n_vecs: int,
+    mean_sim: float | None,
+) -> None:
+    """Write the append-lifecycle bookkeeping pair next to an embedding
+    index (same protocol as ``dedup.build_minhash_index``'s triple):
+
+    - ``<name>_batches`` — applied-batch replay log, reset EMPTY on
+      every (re)build so stale ids never silently skip appends;
+    - ``<name>_stats`` — the drift ledger: one row per build/append
+      with the batch's vector count and mean assignment cosine
+      (batch_id −1 = the seed build).  :func:`ivf_index_drift` compares
+      seed vs appended quality to decide when a retrain pays.
+    """
+    logw = spark.createDataFrame([], "batch_id BIGINT").write.mode(
+        "overwrite"
+    ).format("parquet")
+    if path is not None:
+        logw = logw.option("path", f"{path}/{name}_batches")
+    else:
+        clear_orphaned_table(spark, f"{name}_batches")
+    logw.saveAsTable(f"{name}_batches")
+    sw = spark.createDataFrame(
+        [(-1, n_vecs, mean_sim)],
+        "batch_id BIGINT, n_vecs BIGINT, mean_sim DOUBLE",
+    ).write.mode("overwrite").format("parquet")
+    if path is not None:
+        sw = sw.option("path", f"{path}/{name}_stats")
+    else:
+        clear_orphaned_table(spark, f"{name}_stats")
+    sw.saveAsTable(f"{name}_stats")
+
+
+def _batch_applied(spark: SparkSession, name: str, batch_id: int) -> bool:
+    log = f"{name}_batches"
+    return (
+        spark.catalog.tableExists(log)
+        and spark.table(log).filter(F.col("batch_id") == batch_id).count() > 0
+    )
+
+
+def _append_index_bookkeeping(
+    spark: SparkSession,
+    name: str,
+    assigned: DataFrame,
+    batch_id: int | None,
+) -> None:
+    """Append the delta's drift-ledger row (+ replay-log row when
+    ``batch_id`` given).  ``assigned`` carries ``c_sim``; the stats agg
+    is one map-side-partial pass over the (cached, delta-sized)
+    assignment frame — two scalar rows, never the delta itself, reach
+    the tables."""
+    stats = assigned.agg(
+        F.count("*").alias("n"), F.avg("c_sim").alias("s")
+    ).collect()[0]
+    # unguarded (batch-API) appends record a NULL batch_id — still an
+    # "appended" row to the drift ledger, distinct from the −1 seed
+    spark.createDataFrame(
+        [(batch_id, stats["n"], stats["s"])],
+        "batch_id BIGINT, n_vecs BIGINT, mean_sim DOUBLE",
+    ).write.mode("append").insertInto(f"{name}_stats")
+    if batch_id is not None:
+        spark.createDataFrame([(batch_id,)], "batch_id BIGINT").write.mode(
+            "append"
+        ).insertInto(f"{name}_batches")
+
+
 def build_ivf_index(
     spark: SparkSession,
     vectors: DataFrame,
@@ -468,20 +564,8 @@ def build_ivf_index(
             F.col("embedding").alias("c_emb"),
             F.col("nrm").alias("c_nrm"),
         )
-    sim_vc = _dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
-    assigned = (
-        v.join(F.broadcast(cent), how="cross")
-        .select(
-            "vec_id", "embedding", "nrm", "centroid_id", sim_vc.alias("c_sim")
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.first("embedding").alias("embedding"),
-            F.first("nrm").alias("nrm"),
-            F.expr("max_by(centroid_id, struct(c_sim, -centroid_id))").alias(
-                "centroid_id"
-            ),
-        )
+    assigned = _assign_to_centroids(v, cent).select(
+        "vec_id", "embedding", "nrm", "centroid_id"
     )
     writer = (
         assigned.write.bucketBy(n_buckets, "centroid_id")
@@ -502,6 +586,22 @@ def build_ivf_index(
     else:
         clear_orphaned_table(spark, f"{name}_centroids")
     cw.saveAsTable(f"{name}_centroids")
+    # seed drift-ledger row, recomputed from the WRITTEN tables: one
+    # linear read-back pass (join against the tiny broadcast centroid
+    # table) instead of a second |corpus| x |centroids| assignment
+    lists = spark.table(f"{name}_lists")
+    ct = spark.table(f"{name}_centroids")
+    seed = (
+        lists.join(F.broadcast(ct), "centroid_id")
+        .select(
+            (
+                _dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
+            ).alias("c_sim")
+        )
+        .agg(F.count("*").alias("n"), F.avg("c_sim").alias("s"))
+        .collect()[0]
+    )
+    _write_index_aux(spark, name, path, seed["n"], seed["s"])
 
 
 def ann_ivf_probe(
@@ -510,6 +610,7 @@ def ann_ivf_probe(
     name: str,
     k: int = TOP_K,
     nprobe: int = IVF_NPROBE,
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Search a persisted :func:`build_ivf_index`: each query ranks
     only the vectors of its ``nprobe`` nearest centroids.
@@ -521,6 +622,13 @@ def ann_ivf_probe(
     explicit broadcast hint on the probe side: AQE broadcasts it when
     small, and at scale the join degrades to sort-merge that still
     consumes the bucketing (plan-asserted in tests).
+
+    ``exclude_ids`` (a ``(vec_id)`` DataFrame, broadcast) drops those
+    index members from the candidate set BEFORE ranking — the hook
+    ``streaming.embedding_index_stream_batch`` uses so a replayed
+    micro-batch (whose own vectors already landed in the lists) ranks
+    against exactly the pre-batch corpus and reproduces its original
+    match set.
     """
     cent = spark.table(f"{name}_centroids")
     q = queries.select(
@@ -544,6 +652,10 @@ def ann_ivf_probe(
         .drop("p", "c_sim")
     )
     lists = spark.table(f"{name}_lists")
+    if exclude_ids is not None:
+        lists = lists.join(
+            F.broadcast(exclude_ids.select("vec_id")), "vec_id", "left_anti"
+        )
     sim = F.round(_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm")), 4)
     hits = (
         probes.join(lists, "centroid_id")
@@ -636,7 +748,303 @@ def ann_ivf_topk_kmeans(
     LIFECYCLE_PHASES["ann_ivf_topk_kmeans"] = {
         "t": t1 - t0, "b": t2 - t1, "p": time.monotonic() - t2,
     }
-    for t in (f"{name}_lists", f"{name}_centroids"):
+    for t in (
+        f"{name}_lists",
+        f"{name}_centroids",
+        f"{name}_batches",
+        f"{name}_stats",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
+
+
+# --- incremental embedding-index lifecycle ---------------------------
+#
+# The refresh shape of a 100 TB vector pipeline, mirroring the text-LSH
+# incremental pattern (dedup.build_minhash_index / incremental_near_dups
+# / near_dup_stream): the standing corpus is assigned + encoded ONCE
+# into bucketed tables; each new embedding batch (the *delta*) assigns
+# itself to the EXISTING centroids/codebooks and appends through the
+# tables' bucket specs.  Per refresh the work is O(delta x centroids)
+# scoring plus bucketed inserts — the standing lists are never read or
+# rewritten, and no retrain runs.  Centroids/codebooks are immutable
+# between rebuilds; the _stats drift ledger (ivf_index_drift) says when
+# appended batches quantize badly enough that a retrain pays.
+
+#: Deterministic corpus/delta split for the oracle-checked incremental
+#: twin — same split as dedup's (INCR_SPLIT_MOD/INCR_DELTA_REM): delta =
+#: vec_id % 4 == 3 (25% "new embeddings"), seed corpus = the rest.
+INCR_SPLIT_MOD = 4
+INCR_DELTA_REM = 3
+#: Query subset of the DELTA for the incremental probe: vec_id % 20 == 3
+#: (20 ≡ 0 mod 4, so every such id is a delta id) — the refresh question
+#: is "what does each NEW embedding match in the post-append index".
+INCR_QUERY_MODULUS = 20
+
+
+def append_to_ivf_index(
+    spark: SparkSession,
+    delta_vectors: DataFrame,
+    name: str,
+    batch_id: int | None = None,
+) -> bool:
+    """Append a DELTA of new vectors (any ``(vec_id, embedding)``
+    DataFrame) to a persisted :func:`build_ivf_index`: assign each to
+    the EXISTING ``<name>_centroids`` (broadcast — no retrain) and
+    insert into ``<name>_lists`` THROUGH its bucket spec
+    (``insertInto`` applies the catalog bucketing, so the probe's
+    no-index-side-shuffle property survives appends; compaction
+    (``maintenance.compact_ivf_index``) bounds the file fan-in of a
+    long-running append stream exactly as the LSH triple's does).
+
+    Per append: one |delta| x |centroids| broadcast scoring pass plus
+    delta-sized writes — the standing lists are never read.  The
+    batch's mean assignment cosine lands in the ``<name>_stats`` drift
+    ledger; :func:`ivf_index_drift` turns that into a retrain
+    recommendation.
+
+    ``batch_id`` adds the replay guard (same protocol as the LSH
+    index's ``_batches`` log): an already-applied batch id is a no-op
+    returning False — the contract ``streaming.embedding_index_stream``
+    relies on under foreachBatch's at-least-once replay.
+    """
+    if batch_id is not None and _batch_applied(spark, name, batch_id):
+        return False
+    cent = spark.table(f"{name}_centroids")
+    v = delta_vectors.select(
+        "vec_id", "embedding", _norm("embedding").alias("nrm")
+    )
+    # two consumers (lists insert + stats agg): scoped per index so
+    # repeated refreshes hold at most one cached delta frame
+    assigned = scoped_persist(
+        _assign_to_centroids(v, cent), ("ivf_append", name)
+    )
+    lists_cols = spark.table(f"{name}_lists").columns
+    assigned.select(*lists_cols).write.mode("append").insertInto(
+        f"{name}_lists"
+    )
+    _append_index_bookkeeping(spark, name, assigned, batch_id)
+    return True
+
+
+def append_to_ivfpq_index(
+    spark: SparkSession,
+    delta_vectors: DataFrame,
+    name: str,
+    batch_id: int | None = None,
+) -> bool:
+    """Append a DELTA of new vectors to a persisted
+    :func:`build_ivfpq_index`: quantize, assign to the EXISTING coarse
+    centroids, residual-encode against the EXISTING codebooks, and
+    insert into ``<name>_codes`` / ``<name>_quantized`` through their
+    bucket specs — the IVFADC twin of :func:`append_to_ivf_index`
+    (same O(delta) cost shape, same ``_stats`` drift ledger and
+    ``_batches`` replay guard, same compaction story via
+    ``maintenance.compact_ivfpq_index``).
+
+    Because scalar quantization uses a PER-VECTOR scale and encoding is
+    a pure argmin against the broadcast codebooks, an appended vector
+    gets bit-identical codes to what a full rebuild over the union
+    (with the same centroids/codebooks) would give it — asserted as
+    the append == rebuild round-trip in tests/test_index_append.py.
+    """
+    if batch_id is not None and _batch_applied(spark, name, batch_id):
+        return False
+    cent = spark.table(f"{name}_centroids")
+    cb = spark.table(f"{name}_codebooks")
+    qv = quantize_frame(delta_vectors)
+    assigned = scoped_persist(
+        _assign_to_centroids(qv, cent, vec_col="q"),
+        ("ivfpq_append", name),
+    )
+    res = assigned.join(
+        F.broadcast(cent.select("centroid_id", "c_emb")), "centroid_id"
+    ).select(
+        "vec_id",
+        "centroid_id",
+        "nrm",
+        F.expr("zip_with(q, c_emb, (x, y) -> CAST(x AS DOUBLE) - y)").alias(
+            "q"
+        ),
+    )
+    codes = (
+        _pq_encode(_pq_parts(res), cb)
+        .join(res.select("vec_id", "centroid_id", "nrm"), "vec_id")
+    )
+    codes.select(*spark.table(f"{name}_codes").columns).write.mode(
+        "append"
+    ).insertInto(f"{name}_codes")
+    qv.select(*spark.table(f"{name}_quantized").columns).write.mode(
+        "append"
+    ).insertInto(f"{name}_quantized")
+    _append_index_bookkeeping(spark, name, assigned, batch_id)
+    return True
+
+
+def ivf_index_drift(
+    spark: SparkSession, name: str, threshold: float = 0.05
+) -> dict:
+    """Read an index's ``<name>_stats`` drift ledger and decide whether
+    appended batches quantize badly enough that a retrain/rebuild pays:
+    compares the vector-weighted mean assignment cosine of the seed
+    build (batch_id −1) against all appended batches.  ``drift`` =
+    seed − appended mean sim; positive means new data sits farther
+    from the frozen centroids than the data they were trained on —
+    the distribution-shift signal.  Works for both index families
+    (IVF and IVFPQ write the same ledger).
+
+    Driver-side cost: one scan of a ledger with one row per
+    build/append — bytes, not data.  The caller acts on
+    ``retrain_recommended`` (e.g. ``embedding_index_stream``'s
+    ``on_retrain`` hook); acting means re-running the builder over the
+    compacted corpus, which also resets the ledger.
+    """
+    rows = spark.table(f"{name}_stats").collect()
+    seed_n = sum(r["n_vecs"] for r in rows if r["batch_id"] == -1)
+    seed_s = sum(
+        r["mean_sim"] * r["n_vecs"] for r in rows if r["batch_id"] == -1
+    )
+    app_n = sum(r["n_vecs"] for r in rows if r["batch_id"] != -1)
+    app_s = sum(
+        r["mean_sim"] * r["n_vecs"] for r in rows if r["batch_id"] != -1
+    )
+    seed_mean = seed_s / seed_n if seed_n else None
+    app_mean = app_s / app_n if app_n else None
+    drift = (
+        seed_mean - app_mean
+        if seed_mean is not None and app_mean is not None
+        else None
+    )
+    return {
+        "n_seed": seed_n,
+        "n_appended": app_n,
+        "seed_mean_sim": seed_mean,
+        "appended_mean_sim": app_mean,
+        "drift": drift,
+        "retrain_recommended": drift is not None and drift > threshold,
+    }
+
+
+def ann_ivf_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    nprobe: int = IVF_NPROBE,
+    centroid_modulus: int = IVF_CENTROID_MODULUS,
+) -> DataFrame:
+    """Registry/oracle twin of the incremental IVF lifecycle: the
+    standing index's centroids come from the SEED corpus only
+    (vec_id % 4 != 3, modulus subset — what :func:`build_ivf_index`
+    froze), the DELTA (vec_id % 4 == 3) is assigned to those frozen
+    centroids exactly as :func:`append_to_ivf_index` does, and each
+    delta query (vec_id % 20 == 3) probes the POST-APPEND index.
+    Same inline-vs-tables relationship as ``dedup_incremental_pairs``
+    to ``incremental_near_dups``: identical math minus the catalog
+    round-trip, which tests/test_index_append.py pins as bit-equal —
+    so this member's DuckDB value-hash gates the table path too.
+
+    Plan shape matches :func:`ann_ivf_topk`: broadcast centroids,
+    map-side ``max_by`` assignment, broadcast probes — no corpus
+    shuffle anywhere (the delta predicate changes selectivity, not the
+    plan).
+    """
+    v = _vectors(spark, sf_dir)
+    is_delta = F.col("vec_id") % INCR_SPLIT_MOD == INCR_DELTA_REM
+    cent = v.filter(~is_delta & (F.col("vec_id") % centroid_modulus == 0)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    assigned = _assign_to_centroids(v, cent)
+    queries = assigned.filter(
+        F.col("vec_id") % INCR_QUERY_MODULUS == INCR_DELTA_REM
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("centroid_id")
+    )
+    probes = (
+        F.broadcast(queries)
+        .join(F.broadcast(cent), how="cross")
+        .select(
+            "query_id", "q_emb", "q_nrm", "centroid_id",
+            (_dot("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm"))).alias("c_sim"),
+        )
+        .withColumn("p", F.row_number().over(probe_w))
+        .filter(F.col("p") <= nprobe)
+        .drop("p", "c_sim")
+    )
+    sim = F.round(_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm")), 4)
+    hits = (
+        F.broadcast(probes)
+        .join(assigned, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def ann_ivf_append_lifecycle(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    nprobe: int = IVF_NPROBE,
+    name: str | None = None,
+) -> DataFrame:
+    """End-to-end TABLE-BACKED incremental lifecycle — build the IVF
+    index over the seed corpus, :func:`append_to_ivf_index` the delta,
+    probe the delta queries against the post-append index — the
+    persisted twin of :func:`ann_ivf_incremental` (bit-equal output,
+    asserted in tests) and the shape a standing 100 TB index actually
+    runs on every refresh.  Bench LIBRARY_ONLY with phase sub-timings
+    ({"b": seed build, "a": delta append, "p": probe}) so append cost
+    trends separately from build cost.
+
+    Ephemeral-name hygiene matches :func:`ann_ivf_topk_kmeans`:
+    distributed localCheckpoint materialization, tables dropped before
+    returning; pass ``name`` to keep the index.
+    """
+    import uuid
+
+    v = _vectors(spark, sf_dir)
+    is_delta = F.col("vec_id") % INCR_SPLIT_MOD == INCR_DELTA_REM
+    ephemeral = name is None
+    if ephemeral:
+        name = "ivf_incr_" + uuid.uuid4().hex[:12]
+    t0 = time.monotonic()
+    build_ivf_index(
+        spark, v.filter(~is_delta).select("vec_id", "embedding"), name
+    )
+    t1 = time.monotonic()
+    append_to_ivf_index(
+        spark, v.filter(is_delta).select("vec_id", "embedding"), name
+    )
+    t2 = time.monotonic()
+    queries = v.filter(
+        F.col("vec_id") % INCR_QUERY_MODULUS == INCR_DELTA_REM
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ann_ivf_probe(spark, queries, name, k=k, nprobe=nprobe)
+    if not ephemeral:
+        LIFECYCLE_PHASES["ann_ivf_append"] = {"b": t1 - t0, "a": t2 - t1}
+        return out
+    out = out.localCheckpoint(eager=True)
+    LIFECYCLE_PHASES["ann_ivf_append"] = {
+        "b": t1 - t0, "a": t2 - t1, "p": time.monotonic() - t2,
+    }
+    for t in (
+        f"{name}_lists",
+        f"{name}_centroids",
+        f"{name}_batches",
+        f"{name}_stats",
+    ):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     return out
 
@@ -1762,28 +2170,19 @@ def build_ivfpq_index(
             iters=iters,
             metric="cosine",
         ).select("centroid_id", "c_emb", _norm("c_emb").alias("c_nrm"))
-    sim_vc = _dot("q", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
-    assigned = (
-        qv.join(F.broadcast(cent), how="cross")
-        .select("vec_id", "q", "nrm", "centroid_id", sim_vc.alias("c_sim"))
-        .groupBy("vec_id")
-        .agg(
-            F.first("q").alias("q_full"),
-            F.first("nrm").alias("nrm"),
-            F.expr("max_by(centroid_id, struct(c_sim, -centroid_id))").alias(
-                "centroid_id"
-            ),
-        )
-        .join(F.broadcast(cent.select("centroid_id", "c_emb")), "centroid_id")
+    assigned = _assign_to_centroids(qv, cent, vec_col="q").join(
+        F.broadcast(cent.select("centroid_id", "c_emb")), "centroid_id"
     )
     # residual carried as column "q" so _pq_parts / pq_codebooks_kmeans
-    # consume it unchanged
+    # consume it unchanged; c_sim rides along for the seed drift-ledger
+    # row (aggregated from this persisted frame — no extra corpus pass)
     res = assigned.select(
         "vec_id",
         "centroid_id",
         "nrm",
+        "c_sim",
         F.expr(
-            "zip_with(q_full, c_emb, (x, y) -> CAST(x AS DOUBLE) - y)"
+            "zip_with(q, c_emb, (x, y) -> CAST(x AS DOUBLE) - y)"
         ).alias("q"),
     ).persist()
     t1 = time.monotonic()
@@ -1813,6 +2212,9 @@ def build_ivfpq_index(
         else:
             clear_orphaned_table(spark, f"{name}_codes")
         cw.saveAsTable(f"{name}_codes")
+        seed_stats = res.agg(
+            F.count("*").alias("n"), F.avg("c_sim").alias("s")
+        ).collect()[0]
     finally:
         res.unpersist(blocking=False)
     qw = (
@@ -1833,6 +2235,7 @@ def build_ivfpq_index(
         else:
             clear_orphaned_table(spark, f"{name}{suffix}")
         w.saveAsTable(f"{name}{suffix}")
+    _write_index_aux(spark, name, path, seed_stats["n"], seed_stats["s"])
     # train = coarse k-means + residual-codebook training (the residual
     # materialization folds into the first pq training pass); build =
     # encode + the bucketed/tiny writes
@@ -2019,6 +2422,8 @@ def ann_ivfpq_topk(
         f"{name}_quantized",
         f"{name}_centroids",
         f"{name}_codebooks",
+        f"{name}_batches",
+        f"{name}_stats",
     ):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     return out

@@ -6,6 +6,8 @@ from hadoop_logfile_inputformat_spark.streaming.pipelines import (  # noqa: F401
     curate_stream,
     curate_stream_batch,
     dedup_stream,
+    embedding_index_stream,
+    embedding_index_stream_batch,
     enrich_stream_with_dim,
     events_hourly_stream,
     near_dup_stream,

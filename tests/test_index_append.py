@@ -1,0 +1,288 @@
+"""Incremental embedding-index lifecycle: append / drift / compaction.
+
+The IVF and IVFPQ indexes mirror the text-LSH incremental pattern
+(build once → O(delta) appends through the bucket specs → compaction →
+drift-triggered retrain).  The load-bearing property pinned here is
+append == rebuild: a delta appended to a standing index must probe
+BIT-EQUAL to a full rebuild over the union with the same frozen
+centroids/codebooks — that, plus the inline oracle twin equality, is
+what transfers the registry's DuckDB value-hash onto the table path.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from hadoop_logfile_inputformat_spark.operators import similarity as S
+from hadoop_logfile_inputformat_spark.operators.maintenance import (
+    compact_ivf_index,
+    compact_ivfpq_index,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _split(spark):
+    v = S._vectors(spark, SF)
+    is_delta = F.col("vec_id") % S.INCR_SPLIT_MOD == S.INCR_DELTA_REM
+    return (
+        v.filter(~is_delta).select("vec_id", "embedding"),
+        v.filter(is_delta).select("vec_id", "embedding"),
+        v.select("vec_id", "embedding"),
+        v.filter(F.col("vec_id") % S.INCR_QUERY_MODULUS == S.INCR_DELTA_REM)
+        .select(F.col("vec_id").alias("query_id"), "embedding"),
+    )
+
+
+def _drop(spark, name, suffixes):
+    for s in suffixes:
+        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+
+
+IVF_SUFFIXES = ("_lists", "_centroids", "_batches", "_stats")
+IVFPQ_SUFFIXES = (
+    "_codes", "_quantized", "_centroids", "_codebooks", "_batches", "_stats"
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_ivf_append_equals_rebuild_and_inline_twin(spark):
+    """build(seed) + append(delta) must probe bit-equal to (a) a full
+    rebuild over the union with the SAME frozen centroids and (b) the
+    inline registry twin ann_ivf_incremental — the equality that makes
+    the member's DuckDB value-hash gate the table path."""
+    seed, delta, union, queries = _split(spark)
+    try:
+        S.build_ivf_index(spark, seed, "tia_ivf_a")
+        assert S.append_to_ivf_index(spark, delta, "tia_ivf_a", batch_id=1)
+        appended = _rows(S.ann_ivf_probe(spark, queries, "tia_ivf_a"))
+        # rebuild over the union with the seed's frozen centroids
+        cents = spark.table("tia_ivf_a_centroids").select(
+            "centroid_id", "c_emb"
+        )
+        S.build_ivf_index(spark, union, "tia_ivf_b", centroids=cents)
+        rebuilt = _rows(S.ann_ivf_probe(spark, queries, "tia_ivf_b"))
+        assert appended == rebuilt and len(appended) > 0
+        inline = _rows(S.ann_ivf_incremental(spark, SF))
+        assert appended == inline
+    finally:
+        _drop(spark, "tia_ivf_a", IVF_SUFFIXES)
+        _drop(spark, "tia_ivf_b", IVF_SUFFIXES)
+
+
+def test_ivf_append_lifecycle_operator_matches_inline(spark):
+    """The bench-facing lifecycle operator (ephemeral tables) equals
+    the inline twin, records its phase walls, and leaves no tables."""
+    before = {t.name for t in spark.catalog.listTables()}
+    out = _rows(S.ann_ivf_append_lifecycle(spark, SF))
+    assert out == _rows(S.ann_ivf_incremental(spark, SF))
+    assert {t.name for t in spark.catalog.listTables()} == before
+    phases = S.LIFECYCLE_PHASES["ann_ivf_append"]
+    assert set(phases) == {"b", "a", "p"} and all(
+        v >= 0 for v in phases.values()
+    )
+
+
+def test_ivfpq_append_equals_rebuild(spark):
+    """IVFADC: per-vector quantization scale + pure-argmin encoding
+    against frozen codebooks make an appended vector's codes
+    bit-identical to a rebuild's — probe equality is exact."""
+    seed, delta, union, queries = _split(spark)
+    qseed = S.quantize_frame(seed)
+    cents = S.kmeans_centroids(
+        qseed.select("vec_id", F.col("q").alias("embedding")),
+        k=8, iters=2, metric="cosine",
+    )
+    cb = S.pq_codebooks_kmeans(qseed, n_entries=8, iters=2)
+    try:
+        S.build_ivfpq_index(
+            spark, seed, "tia_pq_a", centroids=cents, codebooks=cb
+        )
+        assert S.append_to_ivfpq_index(spark, delta, "tia_pq_a", batch_id=3)
+        appended = _rows(S.ann_ivfpq_probe(spark, queries, "tia_pq_a"))
+        S.build_ivfpq_index(
+            spark, union, "tia_pq_b", centroids=cents, codebooks=cb
+        )
+        rebuilt = _rows(S.ann_ivfpq_probe(spark, queries, "tia_pq_b"))
+        assert appended == rebuilt and len(appended) > 0
+    finally:
+        _drop(spark, "tia_pq_a", IVFPQ_SUFFIXES)
+        _drop(spark, "tia_pq_b", IVFPQ_SUFFIXES)
+
+
+def test_append_replay_guard_is_idempotent(spark):
+    """A replayed batch_id must be a no-op (False, no duplicate rows) —
+    the foreachBatch at-least-once contract; an UNGUARDED append (no
+    batch_id) records a NULL-id drift row and always applies."""
+    seed, delta, _, _ = _split(spark)
+    try:
+        S.build_ivf_index(spark, seed, "tia_guard")
+        n0 = spark.table("tia_guard_lists").count()
+        assert S.append_to_ivf_index(spark, delta, "tia_guard", batch_id=5)
+        n1 = spark.table("tia_guard_lists").count()
+        assert n1 > n0
+        assert not S.append_to_ivf_index(spark, delta, "tia_guard", batch_id=5)
+        assert spark.table("tia_guard_lists").count() == n1
+        # unguarded append: applies again, ledger row with NULL id
+        assert S.append_to_ivf_index(spark, delta, "tia_guard")
+        ledger = spark.table("tia_guard_stats").collect()
+        assert any(r["batch_id"] is None for r in ledger)
+        assert any(r["batch_id"] == -1 for r in ledger)  # seed row
+        assert any(r["batch_id"] == 5 for r in ledger)
+    finally:
+        _drop(spark, "tia_guard", IVF_SUFFIXES)
+
+
+def test_rebuild_resets_replay_log(spark):
+    """Rebuilding an index must reset the _batches log — a stale
+    applied-id would silently skip the first append after a rebuild."""
+    seed, delta, _, _ = _split(spark)
+    try:
+        S.build_ivf_index(spark, seed, "tia_reset")
+        S.append_to_ivf_index(spark, delta, "tia_reset", batch_id=1)
+        S.build_ivf_index(spark, seed, "tia_reset")
+        assert spark.table("tia_reset_batches").count() == 0
+        assert S.append_to_ivf_index(spark, delta, "tia_reset", batch_id=1)
+    finally:
+        _drop(spark, "tia_reset", IVF_SUFFIXES)
+
+
+def test_drift_ledger_flags_distribution_shift(spark):
+    """A delta drawn from the seed's own clusters must not trigger a
+    retrain; a delta from a NEW direction the frozen centroids never
+    saw must.  Synthetic clustered vectors (the fixture embeddings are
+    near-random — mean assignment sim ~0.25 either way — so they can't
+    express a clean shift)."""
+    import random
+
+    rnd = random.Random(7)
+    dim = 8
+
+    def _cluster(base_axis, ids):
+        rows = []
+        for i in ids:
+            v = [rnd.gauss(0, 0.05) for _ in range(dim)]
+            v[base_axis] += 1.0
+            rows.append((i, v))
+        return rows
+
+    seed_rows = _cluster(0, range(0, 60)) + _cluster(1, range(60, 120))
+    same_rows = _cluster(0, range(1000, 1040))
+    shifted_rows = _cluster(5, range(2000, 2040))  # unseen direction
+    schema = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    try:
+        S.build_ivf_index(
+            spark, spark.createDataFrame(seed_rows, schema), "tia_drift"
+        )
+        S.append_to_ivf_index(
+            spark, spark.createDataFrame(same_rows, schema), "tia_drift",
+            batch_id=1,
+        )
+        d = S.ivf_index_drift(spark, "tia_drift")
+        assert d["n_seed"] == 120 and d["n_appended"] == 40
+        assert not d["retrain_recommended"], d
+        S.append_to_ivf_index(
+            spark, spark.createDataFrame(shifted_rows, schema), "tia_drift",
+            batch_id=2,
+        )
+        d2 = S.ivf_index_drift(spark, "tia_drift")
+        assert d2["drift"] > d["drift"]
+        assert d2["retrain_recommended"], d2
+    finally:
+        _drop(spark, "tia_drift", IVF_SUFFIXES)
+
+
+def test_compaction_preserves_results_and_shrinks_files(spark, tmp_path):
+    """After several appends, compact_ivf_index must cut the lists
+    table's file count back to ~n_buckets while leaving probe results
+    bit-identical (bucket spec survives the rewrite)."""
+    import os
+
+    seed, delta, _, queries = _split(spark)
+    try:
+        S.build_ivf_index(spark, seed, "tia_cmp", n_buckets=4)
+        deltas = delta.collect()
+        third = len(deltas) // 3
+        for i in range(3):
+            chunk = spark.createDataFrame(
+                deltas[i * third : (i + 1) * third],
+                spark.table("tia_cmp_lists").select("vec_id", "embedding").schema,
+            )
+            S.append_to_ivf_index(spark, chunk, "tia_cmp", batch_id=i)
+        before = _rows(S.ann_ivf_probe(spark, queries, "tia_cmp"))
+        loc = (
+            spark.sql("DESCRIBE FORMATTED tia_cmp_lists")
+            .filter(F.col("col_name") == "Location")
+            .collect()[0]["data_type"]
+        ).replace("file:", "")
+        n_files_before = sum(
+            1 for f in os.listdir(loc) if f.endswith(".parquet")
+        )
+        compact_ivf_index(spark, "tia_cmp")
+        loc2 = (
+            spark.sql("DESCRIBE FORMATTED tia_cmp_lists")
+            .filter(F.col("col_name") == "Location")
+            .collect()[0]["data_type"]
+        ).replace("file:", "")
+        n_files_after = sum(
+            1 for f in os.listdir(loc2) if f.endswith(".parquet")
+        )
+        assert n_files_after < n_files_before
+        assert n_files_after <= 4
+        assert _rows(S.ann_ivf_probe(spark, queries, "tia_cmp")) == before
+    finally:
+        _drop(spark, "tia_cmp", IVF_SUFFIXES)
+
+
+def test_ivfpq_compaction_preserves_results(spark):
+    seed, delta, _, queries = _split(spark)
+    qseed = S.quantize_frame(seed)
+    cents = S.kmeans_centroids(
+        qseed.select("vec_id", F.col("q").alias("embedding")),
+        k=4, iters=2, metric="cosine",
+    )
+    cb = S.pq_codebooks_kmeans(qseed, n_entries=4, iters=2)
+    try:
+        S.build_ivfpq_index(
+            spark, seed, "tia_pqc", centroids=cents, codebooks=cb, n_buckets=4
+        )
+        S.append_to_ivfpq_index(spark, delta, "tia_pqc", batch_id=1)
+        before = _rows(S.ann_ivfpq_probe(spark, queries, "tia_pqc"))
+        compact_ivfpq_index(spark, "tia_pqc")
+        assert _rows(S.ann_ivfpq_probe(spark, queries, "tia_pqc")) == before
+    finally:
+        _drop(spark, "tia_pqc", IVFPQ_SUFFIXES)
+
+
+def test_append_probe_plan_has_no_index_side_shuffle(spark):
+    """The post-append probe must still read the lists through their
+    bucketing (appends go through insertInto, which applies the
+    catalog bucket spec) — asserted under the forced sort-merge shape
+    exactly like the seed-index plan test, so the no-index-side-
+    Exchange property provably survives appends."""
+    seed, delta, _, queries = _split(spark)
+    try:
+        S.build_ivf_index(spark, seed, "tia_plan")
+        S.append_to_ivf_index(spark, delta, "tia_plan", batch_id=1)
+        prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                S.ann_ivf_probe(spark, queries, "tia_plan")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            scans = [
+                line for line in plan.splitlines()
+                if "FileScan" in line and "tia_plan_lists" in line
+            ]
+            assert scans, plan
+            for line in scans:
+                assert "Bucketed: true" in line, line
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    finally:
+        _drop(spark, "tia_plan", IVF_SUFFIXES)

@@ -880,3 +880,123 @@ def test_sessionize_timeout_modes_are_mutually_exclusive(spark):
             watermark_delay="1 minute",
             idle_flush_ms=1000,
         )
+
+
+def test_embedding_index_stream_probes_appends_and_flags_drift(spark, tmp_path):
+    """Streaming incremental vector search (the embedding twin of
+    near_dup_stream): each micro-batch's vectors are top-k-probed
+    against the persisted IVF index, then appended through the bucket
+    spec — so batch 2 finds its nearest neighbor from batch 1.  Also
+    pins foreachBatch-replay idempotence (anti-join makes the replayed
+    match set identical; the append is skipped) and the drift ledger's
+    on_retrain hook firing once when a shifted batch crosses the
+    threshold."""
+    import random
+
+    from hadoop_logfile_inputformat_spark.operators import similarity
+    from hadoop_logfile_inputformat_spark.streaming import (
+        embedding_index_stream,
+        embedding_index_stream_batch,
+    )
+
+    name = "t_emb_idx"
+    for s in ("_lists", "_centroids", "_batches", "_stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+    rnd = random.Random(11)
+    dim = 8
+
+    def _vec(axis):
+        v = [rnd.gauss(0, 0.03) for _ in range(dim)]
+        v[axis] += 1.0
+        return v
+
+    schema = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    seed = [(i, _vec(0)) for i in range(20)] + [
+        (i, _vec(1)) for i in range(20, 40)
+    ]
+    similarity.build_ivf_index(
+        spark,
+        spark.createDataFrame(seed, schema),
+        name,
+        n_buckets=2,
+        path=str(tmp_path / "idx"),
+    )
+    src = tmp_path / "vecs_in"
+    src.mkdir()
+    # batch 0: 101 sits in the e1 seed cluster; 102 opens a NOVEL
+    # direction (e5) the index has never seen
+    spark.createDataFrame(
+        [(101, _vec(1)), (102, _vec(5))], schema
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    # batch 1: 201 is near 102 — its top-1 is findable only if batch 0
+    # was appended to the lists
+    spark.createDataFrame([(201, _vec(5))], schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    # batch 2: a shifted batch (all e6) that must cross the drift gate
+    b2_rows = [(300 + i, _vec(6)) for i in range(5)]
+    spark.createDataFrame(b2_rows, schema).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    sink = str(tmp_path / "matches")
+    retrains = []
+    q = embedding_index_stream(
+        stream,
+        name,
+        sink,
+        str(tmp_path / "ckpt"),
+        compact_every=2,
+        drift_threshold=0.15,
+        on_retrain=retrains.append,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.table(f"{name}_batches").count() == 3
+    matches = spark.read.parquet(sink)
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in matches.filter(F.col("rank") == 1).collect()
+    }
+    # 101's nearest standing neighbor is in the e1 seed cluster
+    assert 20 <= top1[101] < 40
+    # 102 arrived with batch 0: its matches exclude same-batch 101 and
+    # come from the seed corpus only
+    assert top1[102] < 40
+    # 201 (batch 1) finds 102 (batch 0) — proof the append landed
+    assert top1[201] == 102
+    # drift hook fired exactly once, with the ledger dict
+    assert len(retrains) == 1 and retrains[0]["retrain_recommended"]
+    assert similarity.ivf_index_drift(spark, name, threshold=0.15)[
+        "retrain_recommended"
+    ]
+
+    # replay of the NEWEST applied batch (the realistic foreachBatch
+    # crash-replay: the failure happens before newer data lands):
+    # identical matches — the anti-join keeps the batch's own now-
+    # indexed vectors out of its result — and no re-append.
+    # This session cached the lists relation before the STREAM's
+    # cloned session compacted it (files moved) — the per-session
+    # relation-cache caveat compact_bucketed_table documents:
+    spark.catalog.refreshTable(f"{name}_lists")
+    n_lists = spark.table(f"{name}_lists").count()
+    got_before = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in matches.collect()
+    }
+    b2 = spark.createDataFrame(b2_rows, schema)
+    embedding_index_stream_batch(b2, name, sink, batch_id=2)
+    assert spark.table(f"{name}_lists").count() == n_lists
+    got_after = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got_after == got_before
+    for s in ("_lists", "_centroids", "_batches", "_stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")

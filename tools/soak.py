@@ -248,13 +248,19 @@ def build_skewed(spark, src: str, out_dir: str) -> str:
     - ``documents``: ~5% of docs (``doc_id % 20 == 0``) become one
       shared boilerplate paragraph plus a short unique tail — one hot
       LSH bucket (minhash/simhash) and one hot paragraph-hash group,
-      while staying NON-identical (exact dedup untouched).
+      while staying NON-identical (exact dedup untouched);
+    - ``embeddings``: ~10% of vectors (``vec_id % 10 == 0``) collapse
+      into ONE dense semantic cluster (the min-vec_id vector plus a
+      tiny deterministic per-(id, position) jitter, cosine ≳0.999
+      within the cluster) — one mega-cluster for SemDeDup (its
+      ``max_cluster_size`` guard's hazard class) and one hot inverted
+      list for IVF.
 
     Everything else copies as-is.  All transforms are deterministic —
     rebuilds are bit-identical.
     """
     marker = os.path.join(out_dir, "_SKEW_OK")
-    stamp = f"skew-v1:{src}"
+    stamp = f"skew-v2:{src}"  # v2: + the hot embedding cluster
     if os.path.exists(marker) and open(marker).read().strip() == stamp:
         return out_dir
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -300,6 +306,31 @@ def build_skewed(spark, src: str, out_dir: str) -> str:
                         F.col("doc_id").cast("string"),
                     ),
                 ).otherwise(F.col("text")),
+            ).write.mode("overwrite").parquet(dp)
+        elif table == "embeddings":
+            e = spark.read.parquet(sp)
+            cid = e.agg(F.min("vec_id")).collect()[0][0]
+            center = (
+                e.filter(F.col("vec_id") == cid)
+                .select("embedding")
+                .collect()[0][0]
+            )
+            c_lit = (
+                "array(" + ",".join(f"{float(x)!r}D" for x in center) + ")"
+            )
+            # jitter ±0.01 per (vec_id, position): deterministic, keeps
+            # cluster members NON-identical (cos ≳0.999, so every pair
+            # crosses the 0.9 near-dup threshold and SemDeDup's tau)
+            hot = F.expr(
+                f"transform({c_lit}, (x, i) -> CAST(x"
+                " + (pmod(xxhash64(vec_id * 131 + i), 1000) / 1000.0"
+                " - 0.5) * 0.02 AS FLOAT))"
+            )
+            e.withColumn(
+                "embedding",
+                F.when(
+                    F.pmod(F.col("vec_id"), F.lit(10)) == 0, hot
+                ).otherwise(F.col("embedding")),
             ).write.mode("overwrite").parquet(dp)
         else:
             _copy_table(sp, dp)
@@ -363,7 +394,7 @@ def run_skew_suite(spark, base_dir: str, skew_dir: str, warm: int = 1) -> list:
     """Measure the skew hazard class and every shipped mitigation knob
     doing its job — emits one JSON line per case, returns the list."""
     import bench as _b
-    from hadoop_logfile_inputformat_spark.operators import dedup
+    from hadoop_logfile_inputformat_spark.operators import dedup, similarity
     from hadoop_logfile_inputformat_spark.operators.skew import salted_join
     from hadoop_logfile_inputformat_spark.operators.tables import load
 
@@ -426,6 +457,40 @@ def run_skew_suite(spark, base_dir: str, skew_dir: str, warm: int = 1) -> list:
         ("join_skew_aqe", lambda: plain_join(skew_dir), _SKEW_ON),
         ("join_skew_salted", lambda: salted(skew_dir), _SKEW_OFF),
         ("join_base_plain", lambda: plain_join(base_dir), _SKEW_OFF),
+        # hot embedding cluster (~10% of vectors in one cosine-0.999
+        # ball): SemDeDup's one-mega-cluster hazard is quadratic in
+        # cluster size uncapped; max_cluster_size (library default)
+        # skips the pairwise stage for oversized clusters.
+        # Hierarchical assignment throughout — the flat O(N·k) pass is
+        # the already-measured r7 finding, not the subject here.
+        (
+            "semdedup_skew_uncapped",
+            lambda: similarity.semantic_dedup(
+                spark, skew_dir, max_cluster_size=None,
+                assignment="hierarchical",
+            ),
+            None,
+        ),
+        (
+            "semdedup_skew_capped",
+            lambda: similarity.semantic_dedup(
+                spark, skew_dir, assignment="hierarchical"
+            ),
+            None,
+        ),
+        (
+            "semdedup_base_capped",
+            lambda: similarity.semantic_dedup(
+                spark, base_dir, assignment="hierarchical"
+            ),
+            None,
+        ),
+        # hot IVF inverted list: the cluster's centroid-modulus members
+        # all quantize to the same list, so probes routed there scan
+        # ~10% of the corpus instead of 1/|centroids| — measured as
+        # the top-k probe end to end (bounded output: |q| x k rows)
+        ("ann_ivf_skew", lambda: similarity.ann_ivf_topk(spark, skew_dir), None),
+        ("ann_ivf_base", lambda: similarity.ann_ivf_topk(spark, base_dir), None),
     ]
     out = []
     for name, fn, confs in cases:
