@@ -145,6 +145,7 @@ EXTRA = [
     "bpe_merges",
     "audio_features",
     "media_resize",
+    "video_frames",
     "corpus_report",
     "dedup_minhash_lsh_portable",
     "dedup_simhash_portable",

@@ -358,6 +358,34 @@ def resize_images(
     )
 
 
+def attach_fake_video(docs: DataFrame) -> DataFrame:
+    """Video twin of :func:`attach_fake_media`: a deterministic binary
+    payload per document standing in for an encoded video stream —
+    ``(pmod(doc_id, 8) + 1) * 640`` bytes, byte ``j`` =
+    ``pmod(j*13 + seed, 256)`` with ``seed = pmod(doc_id, 997)``.
+    Headerless (the frame-sampling stage slices by byte offset, so
+    unlike FAKEIMG/FAKEAUD there is no header to parse), assembled
+    JVM-side (hex + unhex, no Python UDF), and pure arithmetic on
+    doc_id — which is what lets :func:`sample_video_frames` over it be
+    value-hashed against a DuckDB replay (the ``video`` member of the
+    media_features pack)."""
+    seed = F.pmod(F.col("doc_id"), F.lit(997))
+    base = docs.select(
+        F.col("doc_id"),
+        seed.alias("seed"),
+        ((F.pmod(F.col("doc_id"), F.lit(8)) + 1) * 640).cast("int").alias("n"),
+    )
+    body_hex = F.expr(
+        "array_join(transform(sequence(0, n - 1),"
+        " j -> lpad(hex(pmod(j * 13 + seed, 256)), 2, '0')), '')"
+    )
+    return base.select(
+        "doc_id",
+        F.lit("video").alias("media_type"),
+        F.unhex(body_hex).alias("payload"),
+    )
+
+
 def sample_video_frames(media: DataFrame, every_nth: int = 10) -> DataFrame:
     """Frame-sampling plumbing: explode a video payload into frame
     rows.  Codec is stubbed — frames are synthesized indices with the

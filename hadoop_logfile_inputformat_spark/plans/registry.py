@@ -73,6 +73,30 @@ def _media_resize_query(spark, sf_dir):
         resize_images(attach_fake_media(load(spark, sf_dir, "documents")), 8, 8)
     )
 
+
+def _video_frames_query(spark, sf_dir):
+    """Frame-sampling fan-out over the deterministic FAKE video
+    payloads: every sampled frame's exact bytes surface as a hex
+    string, so the explode + byte-offset slice (the plumbing a real
+    ffmpeg-backed stage fills) is value-hashed end to end."""
+    from pyspark.sql import functions as F
+
+    from hadoop_logfile_inputformat_spark.multimodal.media import (
+        attach_fake_video,
+        sample_video_frames,
+    )
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    frames = sample_video_frames(
+        attach_fake_video(load(spark, sf_dir, "documents")), every_nth=2
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.hex("frame_payload").alias("frame_hex"),
+        F.length("frame_payload").cast("long").alias("n_bytes"),
+    )
+
 # ``QUERIES`` / ``ORACLES`` (the 50-key registry the driver consumes)
 # are assembled at the END of this module from:
 #   - the per-surface builders imported above,
@@ -1793,6 +1817,43 @@ _SQL["media_resize"] = """
     FROM g
 """
 
+# Frame sampling over the FAKE video payloads (attach_fake_video:
+# headerless, byte j = (j*13 + seed) % 256, seed = doc_id % 997,
+# length = (doc_id % 8 + 1) * 640).  The oracle rebuilds the payload
+# as a HEX STRING and slices it at 2x the byte offsets — bit-exact
+# parity with Spark's substring-on-binary + hex (both engines emit
+# uppercase two-digit hex), so every sampled frame's bytes are
+# value-hashed.  Frame indices: sequence(0, len/1024, step) inclusive
+# on both engines (Spark sequence == DuckDB range with explicit stop
+# + 1 below).
+_SQL["video_frames"] = """
+    WITH v AS (
+        SELECT doc_id,
+               doc_id % 997 AS seed,
+               CAST((doc_id % 8 + 1) * 640 AS INT) AS n
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, n,
+               array_to_string(list_transform(generate_series(0, n - 1),
+                   j -> lpad(hex((j * 13 + seed) % 256), 2, '0')), '')
+                   AS payload_hex
+        FROM v
+    ),
+    f AS (
+        SELECT doc_id, payload_hex,
+               unnest(range(0, n // 1024 + 1, 2)) AS frame_idx
+        FROM h
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           substring(payload_hex, frame_idx * 128 + 1, 128) AS frame_hex,
+           CAST(length(substring(payload_hex, frame_idx * 128 + 1, 128)) // 2
+                AS BIGINT) AS n_bytes
+    FROM f
+"""
+
+
 def _bpe_oracle_sql(n_merges: int, passes: int) -> str:
     """DuckDB recomputation of text.bpe_merges: the merge loop unrolls
     into chained CTEs — per round a pair-count aggregate, an argmax
@@ -2409,6 +2470,11 @@ _PACKS: Dict[str, list] = {
            k1="doc_id", k2="media_type", v1="n_bytes", v2="width",
            v3="height", v4="mean_luma",
            v5=("CAST(ok AS INT)", "CAST(ok AS INT)")),
+        # video frame sampling: every sampled frame's exact bytes (as
+        # hex) value-hashed — closes the one multimodal verb that had
+        # no gate (fan-out explode + byte-offset slice plumbing)
+        _m("video", _video_frames_query, "video_frames",
+           k1="doc_id", k2="frame_hex", v1="frame_idx", v2="n_bytes"),
     ],
     "tpch_scalar_pack": [
         _m("q6", relational_ext.q6_forecast_revenue, "q6_forecast_revenue",

@@ -297,6 +297,22 @@ def test_soak_build_skewed_produces_documented_hot_keys(spark, tmp_path):
     assert abs(boiler.count() / nd - 0.05) < 0.01
     # hot docs are near-dups, never exact dups (unique tail)
     assert boiler.select("text").distinct().count() == boiler.count()
+    # hot embedding ball: ~10% of vectors inside one tight cosine
+    # cluster, all DISTINCT (jittered), and — the property the SemDeDup
+    # mega-cluster hazard needs — no hot id is a modulus centroid
+    e = spark.read.parquet(os.path.join(out, "embeddings.parquet"))
+    ne = e.count()
+    hot = e.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 3)
+    nh = hot.count()
+    assert abs(nh / ne - 0.1) < 0.02, (nh, ne)
+    assert hot.filter(F.pmod(F.col("vec_id"), F.lit(25)) == 0).count() == 0
+    assert hot.select("embedding").distinct().count() == nh
+    two = hot.limit(2).collect()
+    a, b = two[0]["embedding"], two[1]["embedding"]
+    dot = sum(float(x) * float(y) for x, y in zip(a, b))
+    na = sum(float(x) ** 2 for x in a) ** 0.5
+    nb = sum(float(x) ** 2 for x in b) ** 0.5
+    assert dot / (na * nb) > 0.99, "hot ball not tight"
     # untouched tables byte-copied
     for t in ("customer", "nation", "region"):
         src = os.path.join(base, f"{t}.parquet")

@@ -187,3 +187,45 @@ def test_real_payload_without_pillow_reports_not_implemented():
     r = out.iloc[0]
     assert not bool(r.ok)
     assert "Pillow" in r.error
+
+
+def test_attach_fake_video_payload_formula_and_determinism(spark):
+    """attach_fake_video's payload must match the documented byte
+    formula exactly (the property the DuckDB video_frames oracle
+    replays) and be deterministic across invocations."""
+    from hadoop_logfile_inputformat_spark.multimodal.media import (
+        attach_fake_video,
+    )
+
+    docs = spark.createDataFrame([(3,), (8,), (997,)], "doc_id long")
+    rows = {r.doc_id: bytes(r.payload) for r in attach_fake_video(docs).collect()}
+    for doc_id, payload in rows.items():
+        seed = doc_id % 997
+        n = (doc_id % 8 + 1) * 640
+        assert len(payload) == n
+        assert payload == bytes((j * 13 + seed) % 256 for j in range(n))
+    again = {r.doc_id: bytes(r.payload) for r in attach_fake_video(docs).collect()}
+    assert again == rows
+
+
+def test_video_frames_member_slices_expected_bytes(spark):
+    """The gated video member: sampled frame hex must equal the exact
+    64-byte slice at frame_idx*64, and the fan-out count must follow
+    (len // 1024 + 1) stepped by every_nth=2."""
+    from hadoop_logfile_inputformat_spark.plans.registry import MEMBER_QUERIES
+
+    out = MEMBER_QUERIES["video_frames"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert out.columns == ["doc_id", "frame_idx", "frame_hex", "n_bytes"]
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, frs in by_doc.items():
+        seed, n = doc_id % 997, (doc_id % 8 + 1) * 640
+        want_idx = list(range(0, n // 1024 + 1, 2))
+        assert sorted(r.frame_idx for r in frs) == want_idx
+        for r in frs:
+            start = r.frame_idx * 64
+            want = bytes((j * 13 + seed) % 256 for j in range(start, start + 64))
+            assert r.frame_hex == want.hex().upper()
+            assert r.n_bytes == 64

@@ -249,18 +249,26 @@ def build_skewed(spark, src: str, out_dir: str) -> str:
       shared boilerplate paragraph plus a short unique tail — one hot
       LSH bucket (minhash/simhash) and one hot paragraph-hash group,
       while staying NON-identical (exact dedup untouched);
-    - ``embeddings``: ~10% of vectors (``vec_id % 10 == 0``) collapse
+    - ``embeddings``: ~10% of vectors (``vec_id % 10 == 3``) collapse
       into ONE dense semantic cluster (the min-vec_id vector plus a
       tiny deterministic per-(id, position) jitter, cosine ≳0.999
       within the cluster) — one mega-cluster for SemDeDup (its
       ``max_cluster_size`` guard's hazard class) and one hot inverted
-      list for IVF.
+      list for IVF.  The hot residue 3 is chosen so NO hot id is a
+      modulus centroid (ids ≡3 mod 10 are never ≡0 mod 25): with
+      centroids sampled from the corpus (the modulus subset), a dense
+      ball would otherwise contain ~|ball|/50 centroids and auto-split
+      across them — measured exactly that on the first cut (capped vs
+      uncapped within noise), which is itself a real finding:
+      density-proportional centroid sampling dilutes dense balls for
+      free; the mega-cluster hazard needs the ball to sit AWAY from
+      every centroid.
 
     Everything else copies as-is.  All transforms are deterministic —
     rebuilds are bit-identical.
     """
     marker = os.path.join(out_dir, "_SKEW_OK")
-    stamp = f"skew-v2:{src}"  # v2: + the hot embedding cluster
+    stamp = f"skew-v3:{src}"  # v3: hot embedding ball off-centroid
     if os.path.exists(marker) and open(marker).read().strip() == stamp:
         return out_dir
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -329,7 +337,7 @@ def build_skewed(spark, src: str, out_dir: str) -> str:
             e.withColumn(
                 "embedding",
                 F.when(
-                    F.pmod(F.col("vec_id"), F.lit(10)) == 0, hot
+                    F.pmod(F.col("vec_id"), F.lit(10)) == 3, hot
                 ).otherwise(F.col("embedding")),
             ).write.mode("overwrite").parquet(dp)
         else:
@@ -471,10 +479,13 @@ def run_skew_suite(spark, base_dir: str, skew_dir: str, warm: int = 1) -> list:
             ),
             None,
         ),
+        # explicit cap sized to engage at this volume (the 10k library
+        # default is production sizing; the x10 mega-cluster is ~2k)
         (
-            "semdedup_skew_capped",
+            "semdedup_skew_cap256",
             lambda: similarity.semantic_dedup(
-                spark, skew_dir, assignment="hierarchical"
+                spark, skew_dir, assignment="hierarchical",
+                max_cluster_size=256,
             ),
             None,
         ),
