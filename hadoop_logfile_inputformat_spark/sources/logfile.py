@@ -1169,46 +1169,153 @@ def register_logfile_source(spark) -> None:
     spark.dataSource.register(LogfileDataSource)
 
 
-def _stage_one(src: str, dst: str) -> int:
-    """Decompress ``src`` into ``dst`` as a chunked stream (constant
-    memory — a 'giant gzip' is the whole point).  Atomic: written to a
-    ``.inflight`` sibling and renamed, so a killed task never leaves a
-    half-staged file that a re-read would silently truncate.  Returns
-    staged bytes."""
-    tmp = dst + ".inflight"
-    n = 0
-    if _is_remote(dst):
+def _open_staged_out(path: str):
+    """Open ``path + '.inflight'`` for binary write (local or fsspec
+    remote), creating parent dirs.  Returns ``(fileobj, finalize,
+    discard)``: ``finalize()`` atomically renames into place,
+    ``discard()`` best-effort removes the inflight file."""
+    tmp = path + ".inflight"
+    if _is_remote(path):
         fs, p = _fsspec_fs(tmp)
         fs.makedirs(os.path.dirname(p), exist_ok=True)
         out = fs.open(p, "wb")
-    else:
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        out = open(tmp, "wb")
-    try:
-        with out, _open_stream(src) as inp:
-            while True:
-                chunk = inp.read(1 << 22)
-                if not chunk:
-                    break
-                out.write(chunk)
-                n += len(chunk)
-        if _is_remote(dst):
-            fs, p = _fsspec_fs(tmp)
-            _, pd = _fsspec_fs(dst)
+
+        def finalize():
+            _, pd = _fsspec_fs(path)
             fs.mv(p, pd)
-        else:
-            os.replace(tmp, dst)
-    except BaseException:
-        try:
-            if _is_remote(tmp):
-                fs, p = _fsspec_fs(tmp)
+
+        def discard():
+            try:
                 fs.rm(p)
-            else:
+            except OSError:
+                pass
+    else:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        out = open(tmp, "wb")
+
+        def finalize():
+            os.replace(tmp, path)
+
+        def discard():
+            try:
                 os.remove(tmp)
-        except OSError:
-            pass
+            except OSError:
+                pass
+
+    return out, finalize, discard
+
+
+def _read_staged_text(path: str) -> str:
+    if _is_remote(path):
+        fs, p = _fsspec_fs(path)
+        with fs.open(p, "rb") as fh:
+            return fh.read().decode("utf-8")
+    with open(path, "rb") as fh:
+        return fh.read().decode("utf-8")
+
+
+def _stage_one(
+    src: str,
+    dst: str,
+    chunk_bytes: int | None = None,
+    pattern: str | None = None,
+) -> List[str]:
+    """Decompress ``src`` into splittable plain staging as a streamed
+    pass (constant memory — a 'giant gzip' is the whole point) and
+    return the staged path(s).
+
+    ``chunk_bytes=None``: one plain file at ``dst`` (atomic: written to
+    a ``.inflight`` sibling and renamed, so a killed task never leaves
+    a half-staged file that a re-read would silently truncate).
+
+    With ``chunk_bytes``, the stream splits into ``dst.partNNNN`` files
+    of ≈``chunk_bytes`` during the SAME single pass, cutting ONLY where
+    the next line fullmatches ``pattern`` (the scanner's
+    Matcher.matches() parity rule) — so no multi-line record ever spans
+    two part files and a per-file read reassembles records identically.
+    Each part renames atomically; a ``dst.parts`` manifest (basenames,
+    one per line) lands LAST, so a crashed run is re-staged rather than
+    half-reused.  Chunking bounds BOTH hazards of whole-file staging:
+    no single staged file inherits the source's full decompressed size
+    (a 500 GB day-roll stages to ~4000 × 128 MB parts), and downstream
+    can delete parts as consumed instead of holding the whole blow-up
+    on disk.
+    """
+    if chunk_bytes is None:
+        out, finalize, discard = _open_staged_out(dst)
+        try:
+            with out, _open_stream(src) as inp:
+                while True:
+                    chunk = inp.read(1 << 22)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+            finalize()
+        except BaseException:
+            discard()
+            raise
+        return [dst]
+
+    first = re.compile(pattern)
+
+    def _is_first(raw: bytes) -> bool:
+        line = raw.decode("utf-8", errors="replace")
+        if line.endswith("\n"):
+            line = line[:-1]
+        if line.endswith("\r"):
+            line = line[:-1]
+        return first.fullmatch(line) is not None
+
+    parts: List[str] = []
+    cur = cur_fin = cur_disc = None
+    cur_n = 0
+    try:
+        with _open_stream(src) as inp:
+            for raw in inp:
+                if cur is not None and cur_n >= chunk_bytes and _is_first(raw):
+                    cur.close()
+                    cur_fin()
+                    cur = None
+                if cur is None:
+                    path = f"{dst}.part{len(parts):04d}"
+                    cur, cur_fin, cur_disc = _open_staged_out(path)
+                    parts.append(path)
+                    cur_n = 0
+                cur.write(raw)
+                cur_n += len(raw)
+        if cur is not None:
+            cur.close()
+            cur_fin()
+            cur = None
+    except BaseException:
+        if cur is not None:
+            cur.close()
+            cur_disc()
         raise
-    return n
+    mout, mfin, mdisc = _open_staged_out(dst + ".parts")
+    try:
+        with mout:
+            mout.write(
+                "\n".join(os.path.basename(p) for p in parts).encode("utf-8")
+            )
+        mfin()
+    except BaseException:
+        mdisc()
+        raise
+    return parts
+
+
+class StagedPaths(List[str]):
+    """What :func:`stage_decompress` returns: a plain list of the paths
+    to read (drop-in for any path list), plus ``sources`` — the
+    ``{source path: [staged path, ...]}`` mapping.  Staging strips the
+    compression suffix from the basename (``app.log.gz`` →
+    ``app.log``), so a per-path option registered under the COMPRESSED
+    name (``pattern.app.log.gz``) will not match the staged copy;
+    callers re-key such options from this mapping (or register them
+    under the decompressed basename / a glob to begin with)."""
+
+    sources: dict
 
 
 def stage_decompress(
@@ -1216,32 +1323,57 @@ def stage_decompress(
     path_spec: str,
     staging_dir: str,
     overwrite: bool = False,
-) -> List[str]:
+    chunk_bytes: int | None = None,
+    pattern: str | None = None,
+) -> StagedPaths:
     """Pre-pass for GIANT non-splittable compressed logs: decompress
     each matching ``.gz``/``.bz2``/``.xz``/… once into splittable
-    plain-text staging, returning the list of paths to read instead.
+    plain-text staging, returning the paths to read instead (a
+    :class:`StagedPaths` — a list, with the source→staged ``sources``
+    mapping attached for per-path pattern re-keying).
 
-    The source inherits the reference's hard contract
-    (LogfileInputFormat.java:112-119, isSplitable == false for any
-    compression codec): one 500 GB ``.gz`` day-roll is ONE task for
-    the whole job — the single most common real-world ingestion skew.
-    This helper is the documented mitigation: pay one linear
-    decompression pass (distributed one-task-per-file), then every
-    downstream read byte-range-splits the staged plain copy across the
-    cluster.  Worth it whenever the corpus is read more than once, or
-    read once by a job whose other inputs would otherwise idle behind
-    the gzip straggler.
+    The source treats EVERY compressed file as one split (stricter
+    than the reference: LogfileInputFormat.java:112-119 returns
+    isSplitable == false for non-splittable codecs like gzip, but true
+    for SplittableCompressionCodec implementations such as bzip2 —
+    this implementation pins one task per compressed file for all
+    codecs): one 500 GB ``.gz`` day-roll is ONE task for the whole job
+    — the single most common real-world ingestion skew.  This helper
+    is the documented mitigation: pay one linear decompression pass
+    (distributed one-task-per-file), then every downstream read
+    byte-range-splits the staged plain copy across the cluster.  Worth
+    it whenever the corpus is read more than once, or read once by a
+    job whose other inputs would otherwise idle behind the gzip
+    straggler.
+
+    **Storage shape**: plain text runs ~3-8× the compressed bytes (a
+    100 TB gzipped corpus stages to ~300-800 TB of plain text) — size
+    the staging filesystem for that blow-up, and prefer ``chunk_bytes``
+    so the cost can be bounded: with ``chunk_bytes`` set (e.g.
+    ``128 << 20``) each stream splits into ``≈chunk_bytes`` part files
+    DURING the same single pass, cutting only at record boundaries
+    (``pattern`` required: a cut is placed where the next line
+    fullmatches it, the scanner's own first-line rule — so no
+    multi-line record spans two parts and reads reassemble records
+    identically).  Chunking caps the per-file size (no staged file
+    inherits the source's full decompressed size) AND lets downstream
+    delete parts as consumed instead of holding the whole blow-up on
+    disk.
 
     Layout: each compressed file stages to
-    ``{staging_dir}/{md5(src)[:10]}/{basename-minus-suffix}`` — the
-    hash directory makes same-named files from different source dirs
-    collision-free while PRESERVING the basename, so per-path pattern
-    options (``pattern.<basename>``) keep matching the staged copy.
-    Already-splittable inputs pass through UNstaged (their original
-    path is returned), so a mixed plain+gz directory stages only what
-    needs it.  Idempotent: an existing staged copy is reused unless
-    ``overwrite=True`` (writes are atomic rename, so a crashed run
-    never leaves a truncated copy to reuse).  Unsupported codecs
+    ``{staging_dir}/{md5(src)[:10]}/{basename-minus-suffix}`` (plus
+    ``.partNNNN`` suffixes when chunked) — the hash directory makes
+    same-named files from different source dirs collision-free while
+    preserving the DECOMPRESSED basename.  Per-path pattern options
+    must therefore be keyed by the decompressed basename (or a glob
+    such as ``pattern.app.log*``, which also covers chunk parts); an
+    option registered under the compressed name stops matching — use
+    the returned ``sources`` mapping to re-key.  Already-splittable
+    inputs pass through UNstaged (their original path is returned), so
+    a mixed plain+gz directory stages only what needs it.  Idempotent:
+    an existing staged copy is reused unless ``overwrite=True`` (part
+    writes are atomic renames and the chunk manifest lands last, so a
+    crashed run is re-staged, never half-reused).  Unsupported codecs
     (``.zst`` without zstandard, ``.lz4``, …) fail hard on the driver
     — same contract as the read path.
 
@@ -1250,23 +1382,44 @@ def stage_decompress(
     linear in total compressed bytes, no shuffle), so on a real
     cluster the staging filesystem must be shared (HDFS/S3/NFS).
     """
+    if chunk_bytes is not None and pattern is None:
+        raise ValueError(
+            "chunk_bytes requires pattern: chunk cuts must land on "
+            "record boundaries (the first-line rule), or a multi-line "
+            "record spanning two parts would silently lose its tail"
+        )
     files = _expand_paths(path_spec)
-    out_paths: List[str] = []
+    mapping: dict = {}
     work: List[tuple] = []
     for src in files:
         if _compression_opener(src) is None:  # raises on unsupported
-            out_paths.append(src)
+            mapping[src] = [src]
             continue
         base = os.path.splitext(os.path.basename(src))[0]
         tag = hashlib.md5(src.encode("utf-8")).hexdigest()[:10]
         sep = "" if staging_dir.endswith("/") else "/"
         dst = f"{staging_dir}{sep}{tag}/{base}"
-        out_paths.append(dst)
-        if overwrite or not _file_exists(dst):
-            work.append((src, dst))
+        if chunk_bytes is None:
+            mapping[src] = [dst]
+            if overwrite or not _file_exists(dst):
+                work.append((src, dst, None, None))
+        else:
+            manifest = dst + ".parts"
+            if not overwrite and _file_exists(manifest):
+                names = _read_staged_text(manifest).splitlines()
+                mapping[src] = [
+                    f"{os.path.dirname(dst)}/{n}" for n in names if n
+                ]
+            else:
+                mapping[src] = None  # filled from the staging result
+                work.append((src, dst, chunk_bytes, pattern))
     if work:
         sc = spark.sparkContext
-        sc.parallelize(work, len(work)).map(
-            lambda sd: _stage_one(sd[0], sd[1])
+        staged = sc.parallelize(work, len(work)).map(
+            lambda sd: (sd[0], _stage_one(sd[0], sd[1], sd[2], sd[3]))
         ).collect()
-    return out_paths
+        for src, paths in staged:
+            mapping[src] = paths
+    out = StagedPaths(p for src in files for p in mapping[src])
+    out.sources = mapping
+    return out

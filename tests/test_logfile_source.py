@@ -634,3 +634,101 @@ def test_stage_decompress_identical_and_splittable(spark, corpus, tmp_path):
     bad.write_bytes(b"\x00")
     with pytest.raises(Exception, match="unsupported compression"):
         stage_decompress(spark, str(bad), staging)
+
+
+def test_stage_decompress_chunked_identity_and_bounds(spark, corpus, tmp_path):
+    """Chunked staging (the bounded-storage variant): each compressed
+    stream splits into ≈chunk_bytes part files DURING the one staging
+    pass, cut only at first-line boundaries — so direct, whole-file
+    staged, and chunk-staged reads yield the IDENTICAL record multiset,
+    no part starts mid-record, no staged file approaches the source's
+    full decompressed size, and the .parts manifest makes the pass
+    idempotent and crash-safe."""
+    import os
+
+    from hadoop_logfile_inputformat_spark.sources.logfile import (
+        stage_decompress,
+    )
+
+    out, summary, path_formats, paths = corpus
+    gz_paths = sorted(p for p in paths if p.endswith(".gz"))
+    # per-file patterns differ (FORMAT_A/B); chunk one known-format file
+    src = next(p for p in gz_paths if path_formats[p[: -len(".gz")]] == "A")
+    staging = str(tmp_path / "staged_chunks")
+    chunk = 4096
+    staged = stage_decompress(
+        spark, src, staging, chunk_bytes=chunk, pattern=FORMAT_A
+    )
+    assert len(staged) > 1, "fixture file must split into multiple parts"
+    assert staged.sources == {src: list(staged)}
+    # parts bounded: each ≤ chunk + one record (records are small here)
+    plain_size = sum(os.path.getsize(p) for p in staged)
+    assert all(os.path.getsize(p) < chunk * 2 for p in staged)
+    # every part STARTS with a first line (no mid-record cut)
+    import re as _re
+
+    first = _re.compile(FORMAT_A)
+    for p in staged:
+        with open(p, "rb") as fh:
+            head = fh.readline().decode("utf-8").rstrip("\r\n")
+        assert first.fullmatch(head), (p, head)
+    # identity: direct gz read == chunk-staged read (records, not
+    # offsets: offsets are per-file positions and parts restart at 0)
+    direct = (
+        spark.read.format("logfile").option("pattern", FORMAT_A).load(src)
+    )
+    via = (
+        spark.read.format("logfile")
+        .option("pattern", FORMAT_A)
+        .load(",".join(staged))
+    )
+    assert sorted(r["record"] for r in via.collect()) == sorted(
+        r["record"] for r in direct.collect()
+    )
+    # concatenated parts == the exact decompressed stream
+    import gzip
+
+    with gzip.open(src, "rb") as fh:
+        want = fh.read()
+    got = b"".join(open(p, "rb").read() for p in staged)
+    assert got == want and len(got) == plain_size
+    # idempotent: second call reuses the manifest, no rewrite
+    mtimes = {p: os.path.getmtime(p) for p in staged}
+    again = stage_decompress(
+        spark, src, staging, chunk_bytes=chunk, pattern=FORMAT_A
+    )
+    assert list(again) == list(staged)
+    assert {p: os.path.getmtime(p) for p in staged} == mtimes
+    # chunking without a pattern is a hard error (mid-record cuts
+    # would silently lose record tails)
+    with pytest.raises(ValueError, match="chunk_bytes requires pattern"):
+        stage_decompress(spark, src, staging, chunk_bytes=chunk)
+
+
+def test_stage_decompress_sources_mapping_rekeys_patterns(spark, corpus, tmp_path):
+    """ADVICE r9: staging strips the compression suffix, so an option
+    registered under the COMPRESSED basename stops matching the staged
+    copy.  The returned .sources mapping is the re-keying hook — using
+    it, a caller whose options were keyed by compressed names reads
+    the staged corpus with the right per-file patterns."""
+    import os
+
+    from hadoop_logfile_inputformat_spark.sources.logfile import (
+        stage_decompress,
+    )
+
+    out, summary, path_formats, paths = corpus
+    staging = str(tmp_path / "staged_map")
+    staged = stage_decompress(spark, f"{out}/*.log.gz", staging)
+    # mapping covers every source, with the compression suffix stripped
+    assert sorted(staged.sources) == sorted(
+        p for p in paths if p.endswith(".gz")
+    )
+    r = spark.read.format("logfile")
+    for src, staged_paths in staged.sources.items():
+        fmt = path_formats[src[: -len(".gz")]]
+        pat = FORMAT_A if fmt == "A" else FORMAT_B
+        for sp in staged_paths:
+            r = r.option(f"pattern.{os.path.basename(sp)}", pat)
+    got = r.load(",".join(staged))
+    assert got.count() == summary.total
