@@ -679,6 +679,7 @@ def ann_ivf_topk_kmeans(
     n_centroids: int | None = None,
     iters: int = 3,
     name: str | None = None,
+    materialize: str = "localCheckpoint",
 ) -> DataFrame:
     """End-to-end LEARNED-centroid IVF: k-means training pass →
     persisted index build → bucketed probe — the full lifecycle a
@@ -702,8 +703,12 @@ def ann_ivf_topk_kmeans(
     OOM at the 100 TB shape this operator documents.  Two
     concurrent sessions benching the same ``sf_dir`` therefore cannot
     clobber each other's ``_lists``/``_centroids`` mid-probe, and a
-    bench loop leaves no managed tables behind.  Pass an explicit
-    ``name`` to KEEP the persisted index under that name (the
+    bench loop leaves no managed tables behind.  localCheckpoint is
+    NOT fault-tolerant (see :func:`_materialize_ephemeral`): on a
+    real cluster with dynamic allocation pass
+    ``materialize="table"`` to land the result in a durable
+    ``<name>_result`` table instead.  Pass an explicit ``name`` to
+    KEEP the persisted index under that name (the
     train-once-probe-forever deployment: reuse it via
     :func:`ann_ivf_probe`) — the caller then owns the tables' cleanup.
 
@@ -742,9 +747,10 @@ def ann_ivf_topk_kmeans(
         return out
     # Distributed materialization: block-manager-pinned partitions on
     # the executors (NOT a driver collect — |queries| x k is O(N) in
-    # the corpus).  Eager, so the frame is independent of the index
-    # tables before they are dropped.
-    out = out.localCheckpoint(eager=True)
+    # the corpus), so the frame is independent of the index tables
+    # before they are dropped.  materialize="table" is the
+    # fault-tolerant variant for cluster use (_materialize_ephemeral).
+    out = _materialize_ephemeral(out, spark, name, materialize)
     LIFECYCLE_PHASES["ann_ivf_topk_kmeans"] = {
         "t": t1 - t0, "b": t2 - t1, "p": time.monotonic() - t2,
     }
@@ -780,6 +786,39 @@ INCR_DELTA_REM = 3
 #: (20 ≡ 0 mod 4, so every such id is a delta id) — the refresh question
 #: is "what does each NEW embedding match in the post-append index".
 INCR_QUERY_MODULUS = 20
+
+
+def _materialize_ephemeral(
+    out: DataFrame, spark: SparkSession, name: str, materialize: str
+) -> DataFrame:
+    """Materialize an ephemeral lifecycle's probe result BEFORE its
+    index tables are dropped.
+
+    ``"localCheckpoint"`` (default): eager executor-pinned blocks —
+    distributed, never a driver collect — but NOT fault-tolerant:
+    lineage is truncated and the source tables are deleted right
+    after, so losing ANY executor afterwards makes the returned frame
+    unrecoverable (Spark cannot recompute a localCheckpoint).  Right
+    for local mode and for results consumed promptly.
+
+    ``"table"``: durable managed table ``<name>_result`` (overwritten
+    if orphaned) — survives executor loss and dynamic allocation, the
+    shape a long-lived cluster job should use; the caller owns
+    dropping it.  Same write cost as the checkpoint, plus the catalog
+    entry.
+    """
+    if materialize == "table":
+        clear_orphaned_table(spark, f"{name}_result")
+        out.write.mode("overwrite").format("parquet").saveAsTable(
+            f"{name}_result"
+        )
+        return spark.table(f"{name}_result")
+    if materialize != "localCheckpoint":
+        raise ValueError(
+            "materialize must be 'localCheckpoint' or 'table',"
+            f" got {materialize!r}"
+        )
+    return out.localCheckpoint(eager=True)
 
 
 def append_to_ivf_index(
@@ -998,6 +1037,7 @@ def ann_ivf_append_lifecycle(
     k: int = TOP_K,
     nprobe: int = IVF_NPROBE,
     name: str | None = None,
+    materialize: str = "localCheckpoint",
 ) -> DataFrame:
     """End-to-end TABLE-BACKED incremental lifecycle — build the IVF
     index over the seed corpus, :func:`append_to_ivf_index` the delta,
@@ -1035,7 +1075,7 @@ def ann_ivf_append_lifecycle(
     if not ephemeral:
         LIFECYCLE_PHASES["ann_ivf_append"] = {"b": t1 - t0, "a": t2 - t1}
         return out
-    out = out.localCheckpoint(eager=True)
+    out = _materialize_ephemeral(out, spark, name, materialize)
     LIFECYCLE_PHASES["ann_ivf_append"] = {
         "b": t1 - t0, "a": t2 - t1, "p": time.monotonic() - t2,
     }
@@ -2363,6 +2403,7 @@ def ann_ivfpq_topk(
     n_entries: int | None = None,
     iters: int = 3,
     name: str | None = None,
+    materialize: str = "localCheckpoint",
 ) -> DataFrame:
     """End-to-end composite IVF-PQ lifecycle — train (coarse spherical
     k-means + residual PQ codebooks) → :func:`build_ivfpq_index` →
@@ -2414,7 +2455,7 @@ def ann_ivfpq_topk(
     if not ephemeral:
         LIFECYCLE_PHASES["ann_ivfpq_topk"] = phases  # probe lazy when kept
         return out
-    out = out.localCheckpoint(eager=True)
+    out = _materialize_ephemeral(out, spark, name, materialize)
     phases["p"] = time.monotonic() - t2
     LIFECYCLE_PHASES["ann_ivfpq_topk"] = phases
     for t in (

@@ -286,3 +286,31 @@ def test_append_probe_plan_has_no_index_side_shuffle(spark):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
     finally:
         _drop(spark, "tia_plan", IVF_SUFFIXES)
+
+
+def test_ephemeral_materialize_table_is_durable_and_equal(spark):
+    """materialize='table': the ephemeral lifecycle lands its result in
+    a durable <name>_result managed table (the fault-tolerant cluster
+    variant — localCheckpoint blocks die with their executor), equal to
+    the checkpoint variant, with the index tables still dropped and
+    only the result table left for the caller to own."""
+    before = {t.name for t in spark.catalog.listTables()}
+    ck = _rows(S.ann_ivf_append_lifecycle(spark, SF))
+    out = S.ann_ivf_append_lifecycle(spark, SF, materialize="table")
+    tbl = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name not in before
+    ]
+    try:
+        assert len(tbl) == 1 and tbl[0].endswith("_result"), tbl
+        assert _rows(out) == ck
+        # durable: re-read through the catalog, not the returned frame
+        assert _rows(spark.table(tbl[0])) == ck
+    finally:
+        for t in tbl:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="materialize"):
+        S.ann_ivf_append_lifecycle(spark, SF, materialize="nope")
