@@ -964,6 +964,58 @@ def ivf_index_drift(
     }
 
 
+def retrain_ivf_index(
+    spark: SparkSession,
+    name: str,
+    iters: int = 3,
+    n_centroids: int | None = None,
+) -> dict:
+    """Act on :func:`ivf_index_drift`'s ``retrain_recommended``:
+    re-learn centroids over EVERYTHING the index currently holds (seed
+    + all appended batches) and rebuild it under the same name — the
+    out-of-band retrain the streaming twin's ``on_retrain`` hook
+    schedules.  The inverted lists carry the full vectors, so the
+    retrain needs NO access to the original corpus — the index is
+    self-contained, exactly like the LSH triple.
+
+    Crash-safe staging: the current lists snapshot to a durable
+    ``<name>_retrain_tmp`` managed table FIRST (a localCheckpoint here
+    would lose the corpus if the rebuild died between dropping the old
+    lists and writing the new — see :func:`_materialize_ephemeral`'s
+    fault notes), the rebuild trains and writes from that snapshot,
+    and the snapshot drops last.  Rebuilding also resets the
+    ``_batches`` replay log and the ``_stats`` ledger (every held
+    vector becomes seed data — post-retrain drift starts clean, which
+    is what re-arms the stream's once-per-crossing hook).
+
+    Returns the post-retrain :func:`ivf_index_drift` dict (appended
+    side empty; ``retrain_recommended`` False by construction).
+
+    Scale shape: one lists scan into the snapshot, Lloyd's iterations
+    over it (inline-argmin projections — no corpus shuffle), one
+    assignment pass, two bucketed writes.  Cost ≈ the original build;
+    run it at the cadence drift actually crosses the threshold, not
+    per batch.
+    """
+    tmp = f"{name}_retrain_tmp"
+    clear_orphaned_table(spark, tmp)
+    spark.table(f"{name}_lists").select("vec_id", "embedding").write.mode(
+        "overwrite"
+    ).format("parquet").saveAsTable(tmp)
+    try:
+        held = spark.table(tmp)
+        if n_centroids is None:
+            n = held.count()
+            n_centroids = max(2, n // _effective_modulus(n))
+        cents = kmeans_centroids(
+            held, k=n_centroids, iters=iters, metric="cosine"
+        )
+        build_ivf_index(spark, held, name, centroids=cents)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    return ivf_index_drift(spark, name)
+
+
 def ann_ivf_incremental(
     spark: SparkSession,
     sf_dir: str,

@@ -474,10 +474,12 @@ def embedding_index_stream(
     (``similarity.ivf_index_drift`` — a bytes-sized driver read): when
     appended batches quantize against the frozen centroids worse than
     ``drift_threshold`` below the seed corpus, ``on_retrain(drift)``
-    fires (once per crossing) so the operator owner can schedule the
-    rebuild — the stream itself never retrains inline, because a
-    centroid swap mid-stream would make in-flight probe results
-    incomparable across one batch boundary.
+    fires (once per crossing) so the operator owner can schedule
+    ``similarity.retrain_ivf_index`` out-of-band — the stream itself
+    never retrains inline, because a centroid swap mid-stream would
+    make in-flight probe results incomparable across one batch
+    boundary.  A completed retrain resets the ledger, which re-arms
+    the hook for the next crossing.
     """
     from hadoop_logfile_inputformat_spark.operators import similarity
     from hadoop_logfile_inputformat_spark.operators.maintenance import (

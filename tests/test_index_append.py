@@ -314,3 +314,66 @@ def test_ephemeral_materialize_table_is_durable_and_equal(spark):
 
     with _pytest.raises(ValueError, match="materialize"):
         S.ann_ivf_append_lifecycle(spark, SF, materialize="nope")
+
+
+def test_retrain_resets_drift_and_covers_shifted_data(spark):
+    """The act-on-drift verb: after shifted appends cross the drift
+    gate, retrain_ivf_index re-learns centroids over everything the
+    index holds (no access to the original corpus), resets both
+    ledgers, clears the recommendation, and the previously-shifted
+    vectors now quantize well (their direction got centroids)."""
+    import random
+
+    rnd = random.Random(13)
+    dim = 8
+
+    def _cluster(axis, ids):
+        out = []
+        for i in ids:
+            v = [rnd.gauss(0, 0.05) for _ in range(dim)]
+            v[axis] += 1.0
+            out.append((i, v))
+        return out
+
+    schema = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    try:
+        S.build_ivf_index(
+            spark,
+            spark.createDataFrame(
+                _cluster(0, range(0, 60)) + _cluster(1, range(60, 120)),
+                schema,
+            ),
+            "tia_rt",
+        )
+        S.append_to_ivf_index(
+            spark,
+            spark.createDataFrame(_cluster(5, range(2000, 2060)), schema),
+            "tia_rt",
+            batch_id=1,
+        )
+        before = S.ivf_index_drift(spark, "tia_rt")
+        assert before["retrain_recommended"], before
+        after = S.retrain_ivf_index(spark, "tia_rt")
+        # ledgers reset: all 180 held vectors are seed data now
+        assert after["n_seed"] == 180 and after["n_appended"] == 0
+        assert not after["retrain_recommended"]
+        assert spark.table("tia_rt_batches").count() == 0
+        assert not spark.catalog.tableExists("tia_rt_retrain_tmp")
+        # the shifted direction got centroids: its vectors now sit close
+        # to their assignment (seed mean includes them and stays high)
+        assert after["seed_mean_sim"] > 0.95, after
+        # index remains fully usable: probes + further appends work
+        q = spark.createDataFrame(_cluster(5, [9000]), schema).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        hits = S.ann_ivf_probe(spark, q, "tia_rt", k=3).collect()
+        assert len(hits) == 3
+        assert all(2000 <= r["neighbor_id"] < 2060 for r in hits), hits
+        assert S.append_to_ivf_index(
+            spark,
+            spark.createDataFrame(_cluster(0, [9500]), schema),
+            "tia_rt",
+            batch_id=1,  # log was reset: old ids are appendable again
+        )
+    finally:
+        _drop(spark, "tia_rt", IVF_SUFFIXES)
