@@ -564,8 +564,16 @@ def build_ivf_index(
             F.col("embedding").alias("c_emb"),
             F.col("nrm").alias("c_nrm"),
         )
-    assigned = _assign_to_centroids(v, cent).select(
-        "vec_id", "embedding", "nrm", "centroid_id"
+    from pyspark.sql import Observation
+
+    # seed drift-ledger stats ride the WRITE job itself (observe on the
+    # assignment frame — the saveAsTable action populates the metrics),
+    # so the build pays zero extra passes for the ledger baseline
+    obs = Observation()
+    assigned = (
+        _assign_to_centroids(v, cent)
+        .observe(obs, F.count("*").alias("n"), F.avg("c_sim").alias("s"))
+        .select("vec_id", "embedding", "nrm", "centroid_id")
     )
     writer = (
         assigned.write.bucketBy(n_buckets, "centroid_id")
@@ -586,21 +594,7 @@ def build_ivf_index(
     else:
         clear_orphaned_table(spark, f"{name}_centroids")
     cw.saveAsTable(f"{name}_centroids")
-    # seed drift-ledger row, recomputed from the WRITTEN tables: one
-    # linear read-back pass (join against the tiny broadcast centroid
-    # table) instead of a second |corpus| x |centroids| assignment
-    lists = spark.table(f"{name}_lists")
-    ct = spark.table(f"{name}_centroids")
-    seed = (
-        lists.join(F.broadcast(ct), "centroid_id")
-        .select(
-            (
-                _dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
-            ).alias("c_sim")
-        )
-        .agg(F.count("*").alias("n"), F.avg("c_sim").alias("s"))
-        .collect()[0]
-    )
+    seed = obs.get
     _write_index_aux(spark, name, path, seed["n"], seed["s"])
 
 
