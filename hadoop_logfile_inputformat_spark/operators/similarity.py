@@ -900,9 +900,10 @@ def append_to_ivfpq_index(
             "q"
         ),
     )
-    codes = (
-        _pq_encode(_pq_parts(res), cb)
-        .join(res.select("vec_id", "centroid_id", "nrm"), "vec_id")
+    codes = _pq_encode(
+        _pq_parts(res, carry=("centroid_id", "nrm")),
+        cb,
+        carry=("centroid_id", "nrm"),
     )
     codes.select(*spark.table(f"{name}_codes").columns).write.mode(
         "append"
@@ -1670,8 +1671,12 @@ PQ_CODEBOOK_MODULUS = 25
 PQ_RERANK = 50
 
 
-def _pq_parts(v, id_col: str = "vec_id"):
-    """(id, m, sub): the PQ_M subvectors of each quantized vector."""
+def _pq_parts(v, id_col: str = "vec_id", carry: tuple = ()):
+    """(id, [carry...], m, sub): the PQ_M subvectors of each quantized
+    vector.  ``carry`` columns of ``v`` ride along per part row —
+    per-vector constants (centroid_id, nrm) that downstream encode can
+    then keep through its group-by instead of re-joining the corpus on
+    vec_id (see :func:`_pq_encode`)."""
     sub = F.explode(
         F.array(
             *[
@@ -1683,8 +1688,10 @@ def _pq_parts(v, id_col: str = "vec_id"):
             ]
         )
     )
-    return v.select(F.col("vec_id").alias(id_col), sub.alias("s")).select(
-        id_col, F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
+    return v.select(
+        F.col("vec_id").alias(id_col), *carry, sub.alias("s")
+    ).select(
+        id_col, *carry, F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
     )
 
 
@@ -1758,26 +1765,36 @@ def _pq_modulus_codebooks(v: DataFrame, eff_mod: int) -> DataFrame:
     )
 
 
-def _pq_encode(parts: DataFrame, cb: DataFrame) -> DataFrame:
-    """(vec_id, m, code, code_nrm2): encode PQ subvectors against a
-    broadcast codebook — argmin ||x − c||² per (vector, subspace); x·x
-    is constant per group, so score = |c|² − 2·x·c (exact integers
-    under the modulus codebook; double arithmetic under learned float
-    entries).  Map-side ``min_by`` partial — never a |corpus| ranking
-    window."""
+def _pq_encode(parts: DataFrame, cb: DataFrame, carry: tuple = ()) -> DataFrame:
+    """(vec_id, m, code, code_nrm2[, carry...]): encode PQ subvectors
+    against a broadcast codebook — argmin ||x − c||² per (vector,
+    subspace); x·x is constant per group, so score = |c|² − 2·x·c
+    (exact integers under the modulus codebook; double arithmetic
+    under learned float entries).  Map-side ``min_by`` partial — never
+    a |corpus| ranking window.  ``carry`` columns (per-vector
+    constants riding ``parts`` via :func:`_pq_parts`) pass through the
+    SAME group-by as ``first()`` aggregates, so callers that need
+    (centroid_id, nrm) next to the codes get them without a second
+    corpus-sized exchange — the IVFADC build/append used to re-join
+    the residual frame on vec_id here, shuffling the corpus twice."""
     score = F.col("c_nrm2") - 2 * _dot("sub", "c_sub")
     return (
         parts.join(F.broadcast(cb), "m")
-        .select("vec_id", "m", "entry_id", "c_nrm2", score.alias("score"))
+        .select(
+            "vec_id", *carry, "m", "entry_id", "c_nrm2",
+            score.alias("score"),
+        )
         .groupBy("vec_id", "m")
         .agg(
             F.expr("min_by(struct(entry_id, c_nrm2), struct(score, entry_id))")
-            .alias("ce")
+            .alias("ce"),
+            *[F.first(c).alias(c) for c in carry],
         )
         .select(
             "vec_id", "m",
             F.col("ce.entry_id").alias("code"),
             F.col("ce.c_nrm2").alias("code_nrm2"),
+            *carry,
         )
     )
 
@@ -2282,11 +2299,11 @@ def build_ivfpq_index(
                 )
             cb = pq_codebooks_kmeans(res, n_entries=n_entries, iters=iters)
         t2 = time.monotonic()
-        codes = (
-            _pq_encode(_pq_parts(res), cb)
-            .join(res.select("vec_id", "centroid_id", "nrm"), "vec_id")
-            .select("vec_id", "centroid_id", "m", "code", "nrm")
-        )
+        codes = _pq_encode(
+            _pq_parts(res, carry=("centroid_id", "nrm")),
+            cb,
+            carry=("centroid_id", "nrm"),
+        ).select("vec_id", "centroid_id", "m", "code", "nrm")
         cw = (
             codes.write.bucketBy(n_buckets, "centroid_id")
             .sortBy("centroid_id")
