@@ -209,3 +209,16 @@ def compact_ivfpq_index(
     bucket; codebooks/centroids/ledgers untouched."""
     compact_bucketed_table(spark, f"{name}_codes", ["centroid_id"], n_buckets)
     compact_bucketed_table(spark, f"{name}_quantized", ["vec_id"], n_buckets)
+
+
+def compact_pq_index(
+    spark: SparkSession,
+    name: str,
+    n_buckets: int | None = None,
+) -> None:
+    """Compact the flat-PQ index (``similarity.build_pq_index``) after
+    ``append_to_pq_index`` appends: both corpus-sized tables — the
+    codes and the re-rank quantized vectors, each bucketed by vec_id —
+    rewrite to one file per bucket; codebooks/ledgers untouched."""
+    compact_bucketed_table(spark, f"{name}_codes", ["vec_id"], n_buckets)
+    compact_bucketed_table(spark, f"{name}_quantized", ["vec_id"], n_buckets)

@@ -915,6 +915,67 @@ def append_to_ivfpq_index(
     return True
 
 
+def _pq_self_sim(codes: DataFrame) -> DataFrame:
+    """(vec_id, c_sim): per-vector ADC SELF-similarity — the cosine of
+    each vector against its own PQ reconstruction, assembled entirely
+    from the encode output (``code_dot``/``code_nrm2``/carried ``nrm``
+    — no re-scoring pass).  This is the flat-PQ family's
+    quantization-quality signal for the ``_stats`` drift ledger, the
+    analogue of the IVF families' nearest-centroid cosine: appended
+    data the frozen codebooks explain badly shows up as a lower mean
+    self-sim."""
+    per = codes.groupBy("vec_id").agg(
+        F.sum("code_dot").alias("rdot"),
+        F.sum("code_nrm2").alias("rnrm2"),
+        F.first("nrm").alias("nrm"),
+    )
+    return per.select(
+        "vec_id",
+        (
+            F.col("rdot") / (F.col("nrm") * F.sqrt("rnrm2") + F.lit(1e-12))
+        ).alias("c_sim"),
+    )
+
+
+def append_to_pq_index(
+    spark: SparkSession,
+    delta_vectors: DataFrame,
+    name: str,
+    batch_id: int | None = None,
+) -> bool:
+    """Append a DELTA of new vectors to a persisted
+    :func:`build_pq_index`: quantize and encode against the EXISTING
+    (frozen) codebooks, insert into ``<name>_codes`` /
+    ``<name>_quantized`` through their bucket specs — the flat-PQ
+    member of the append family (:func:`append_to_ivf_index` /
+    :func:`append_to_ivfpq_index`), completing it: every persisted
+    embedding-index tier now has the O(delta) refresh, the ``_batches``
+    replay guard, the ``_stats`` drift ledger
+    (mean ADC self-similarity here — :func:`_pq_self_sim`), and a
+    compaction (``maintenance.compact_pq_index``).
+
+    Per-vector quantization scale + pure-argmin encoding make an
+    appended vector's codes bit-identical to a rebuild-over-the-union
+    with the same codebooks (asserted in tests/test_index_append.py).
+    """
+    if batch_id is not None and _batch_applied(spark, name, batch_id):
+        return False
+    cb = spark.table(f"{name}_codebooks")
+    qv = quantize_frame(delta_vectors)
+    codes = scoped_persist(
+        _pq_encode(_pq_parts(qv, carry=("nrm",)), cb, carry=("nrm",)),
+        ("pq_append", name),
+    )
+    codes.select(*spark.table(f"{name}_codes").columns).write.mode(
+        "append"
+    ).insertInto(f"{name}_codes")
+    qv.select(*spark.table(f"{name}_quantized").columns).write.mode(
+        "append"
+    ).insertInto(f"{name}_quantized")
+    _append_index_bookkeeping(spark, name, _pq_self_sim(codes), batch_id)
+    return True
+
+
 def ivf_index_drift(
     spark: SparkSession, name: str, threshold: float = 0.05
 ) -> dict:
@@ -924,8 +985,9 @@ def ivf_index_drift(
     build (batch_id −1) against all appended batches.  ``drift`` =
     seed − appended mean sim; positive means new data sits farther
     from the frozen centroids than the data they were trained on —
-    the distribution-shift signal.  Works for both index families
-    (IVF and IVFPQ write the same ledger).
+    the distribution-shift signal.  Works for all three index families
+    (IVF/IVFPQ write nearest-centroid cosine, flat PQ writes ADC
+    self-similarity — same ledger schema, same comparison).
 
     Driver-side cost: one scan of a ledger with one row per
     build/append — bytes, not data.  The caller acts on
@@ -1786,14 +1848,22 @@ def _pq_encode(parts: DataFrame, cb: DataFrame, carry: tuple = ()) -> DataFrame:
         )
         .groupBy("vec_id", "m")
         .agg(
-            F.expr("min_by(struct(entry_id, c_nrm2), struct(score, entry_id))")
-            .alias("ce"),
+            F.expr(
+                "min_by(struct(entry_id, c_nrm2, score),"
+                " struct(score, entry_id))"
+            ).alias("ce"),
             *[F.first(c).alias(c) for c in carry],
         )
         .select(
             "vec_id", "m",
             F.col("ce.entry_id").alias("code"),
             F.col("ce.c_nrm2").alias("code_nrm2"),
+            # dot of the subvector with its CHOSEN entry, recovered from
+            # the argmin's own score (score = |c|² − 2·x·c): summing it
+            # over m gives the ADC self-similarity numerator — the
+            # quantization-quality signal the PQ drift ledger uses, at
+            # zero extra scoring
+            ((F.col("ce.c_nrm2") - F.col("ce.score")) / 2).alias("code_dot"),
             *carry,
         )
     )
@@ -2090,12 +2160,17 @@ def build_pq_index(
     ``(vec_id, embedding)`` DataFrame): quantize + encode the corpus
     ONCE instead of per query.  Three tables:
 
-    - ``<name>_codes`` (vec_id, m, code, code_nrm2) — M small ints per
-      vector, the resident ADC tier;
+    - ``<name>_codes`` (vec_id, m, code, code_nrm2), bucketed by
+      vec_id — M small ints per vector, the resident ADC tier
+      (bucketing lets :func:`append_to_pq_index` insert through the
+      spec and compaction keep it);
     - ``<name>_quantized`` (vec_id, q, nrm), bucketed by vec_id — the
       re-rank fetch side, read through its bucketing;
     - ``<name>_codebooks`` (m, entry_id, c_sub, c_nrm2) — tiny, one
-      file, broadcast at probe time.
+      file, broadcast at probe time;
+    - the ``_batches`` replay log + ``_stats`` drift ledger (seed row:
+      mean ADC self-similarity — see :func:`_pq_self_sim`), same
+      append-lifecycle pair as the IVF/IVFPQ builders.
 
     Pass ``codebooks`` (``(m, entry_id, c_sub, c_nrm2)``, e.g. from
     :func:`pq_codebooks_kmeans` over the quantized corpus) to build
@@ -2111,13 +2186,32 @@ def build_pq_index(
     else:
         eff_mod = _effective_modulus(qv.count(), PQ_CODEBOOK_MODULUS)
         cb = _pq_modulus_codebooks(qv, eff_mod)
-    codes = _pq_encode(_pq_parts(qv), cb)
-    cw = codes.write.mode("overwrite").format("parquet")
-    if path is not None:
-        cw = cw.option("path", f"{path}/{name}_codes")
-    else:
-        clear_orphaned_table(spark, f"{name}_codes")
-    cw.saveAsTable(f"{name}_codes")
+    # codes feed two consumers (the table write + the seed self-sim
+    # agg); narrow rows (M ints + one double per vector), so the
+    # persist is the resident-index footprint by construction
+    codes = _pq_encode(
+        _pq_parts(qv, carry=("nrm",)), cb, carry=("nrm",)
+    ).persist()
+    try:
+        cw = (
+            codes.select("vec_id", "m", "code", "code_nrm2")
+            .write.bucketBy(n_buckets, "vec_id")
+            .sortBy("vec_id")
+            .mode("overwrite")
+            .format("parquet")
+        )
+        if path is not None:
+            cw = cw.option("path", f"{path}/{name}_codes")
+        else:
+            clear_orphaned_table(spark, f"{name}_codes")
+        cw.saveAsTable(f"{name}_codes")
+        seed = (
+            _pq_self_sim(codes)
+            .agg(F.count("*").alias("n"), F.avg("c_sim").alias("s"))
+            .collect()[0]
+        )
+    finally:
+        codes.unpersist(blocking=False)
     qw = (
         qv.write.bucketBy(n_buckets, "vec_id")
         .sortBy("vec_id")
@@ -2135,6 +2229,7 @@ def build_pq_index(
     else:
         clear_orphaned_table(spark, f"{name}_codebooks")
     bw.saveAsTable(f"{name}_codebooks")
+    _write_index_aux(spark, name, path, seed["n"], seed["s"])
 
 
 def ann_pq_probe(

@@ -377,3 +377,41 @@ def test_retrain_resets_drift_and_covers_shifted_data(spark):
         )
     finally:
         _drop(spark, "tia_rt", IVF_SUFFIXES)
+
+
+PQ_SUFFIXES = ("_codes", "_quantized", "_codebooks", "_batches", "_stats")
+
+
+def test_pq_append_equals_rebuild_with_replay_and_ledger(spark):
+    """Flat-PQ append (completing the family): append == rebuild over
+    the union with the same frozen codebooks, replay-guarded, and the
+    drift ledger carries ADC self-similarity rows for seed + batch."""
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        compact_pq_index,
+    )
+
+    seed, delta, union, queries = _split(spark)
+    try:
+        S.build_pq_index(spark, seed, "tia_fpq_a")
+        # frozen codebooks come from the SEED build; rebuild reuses them
+        cb = spark.table("tia_fpq_a_codebooks")
+        assert S.append_to_pq_index(spark, delta, "tia_fpq_a", batch_id=2)
+        assert not S.append_to_pq_index(spark, delta, "tia_fpq_a", batch_id=2)
+        appended = _rows(S.ann_pq_probe(spark, queries, "tia_fpq_a"))
+        S.build_pq_index(spark, union, "tia_fpq_b", codebooks=cb)
+        rebuilt = _rows(S.ann_pq_probe(spark, queries, "tia_fpq_b"))
+        assert appended == rebuilt and len(appended) > 0
+        # ledger: seed row + batch row, self-sim in a sane range
+        ledger = {r["batch_id"]: r for r in
+                  spark.table("tia_fpq_a_stats").collect()}
+        assert set(ledger) == {-1, 2}
+        for r in ledger.values():
+            assert 0.0 < r["mean_sim"] <= 1.0 + 1e-9, r
+        d = S.ivf_index_drift(spark, "tia_fpq_a")
+        assert d["n_appended"] == 125 and d["drift"] is not None
+        # compaction preserves probe results
+        compact_pq_index(spark, "tia_fpq_a")
+        assert _rows(S.ann_pq_probe(spark, queries, "tia_fpq_a")) == appended
+    finally:
+        _drop(spark, "tia_fpq_a", PQ_SUFFIXES)
+        _drop(spark, "tia_fpq_b", PQ_SUFFIXES)

@@ -1635,7 +1635,8 @@ def test_pq_index_probe_matches_inline_search(spark, tmp_path):
     for the same query set."""
     from hadoop_logfile_inputformat_spark.operators.tables import load
 
-    for t in ("t_pq_codes", "t_pq_quantized", "t_pq_codebooks"):
+    for t in ("t_pq_codes", "t_pq_quantized", "t_pq_codebooks",
+              "t_pq_batches", "t_pq_stats"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     vectors = load(spark, SF, "embeddings").select("vec_id", "embedding")
     similarity.build_pq_index(
@@ -1654,7 +1655,8 @@ def test_pq_index_probe_matches_inline_search(spark, tmp_path):
         }
         assert probe == inline and probe
     finally:
-        for t in ("t_pq_codes", "t_pq_quantized", "t_pq_codebooks"):
+        for t in ("t_pq_codes", "t_pq_quantized", "t_pq_codebooks",
+              "t_pq_batches", "t_pq_stats"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
