@@ -1073,6 +1073,104 @@ def retrain_ivf_index(
     return ivf_index_drift(spark, name)
 
 
+def _quantized_snapshot(spark: SparkSession, name: str) -> str:
+    """Durable ``<name>_retrain_tmp`` snapshot of a PQ-family index's
+    ``<name>_quantized`` table — the crash-safe staging step shared by
+    the PQ/IVFPQ retrains (same rationale as :func:`retrain_ivf_index`:
+    a localCheckpoint would lose the held corpus if the rebuild died
+    between dropping the old tables and writing the new).  The caller
+    drops the snapshot after the rebuild lands."""
+    tmp = f"{name}_retrain_tmp"
+    clear_orphaned_table(spark, tmp)
+    spark.table(f"{name}_quantized").select("vec_id", "q").write.mode(
+        "overwrite"
+    ).format("parquet").saveAsTable(tmp)
+    return tmp
+
+
+def retrain_ivfpq_index(
+    spark: SparkSession,
+    name: str,
+    iters: int = 3,
+    n_centroids: int | None = None,
+    n_entries: int | None = None,
+) -> dict:
+    """IVFADC member of the act-on-drift family (see
+    :func:`retrain_ivf_index` for the contract): re-learn BOTH tiers —
+    coarse centroids and residual codebooks — over everything the
+    index currently holds and rebuild it under the same name.  The
+    held corpus comes from ``<name>_quantized`` (the exact re-rank
+    side stores every vector), so the retrain needs no access to the
+    original corpus; and because :func:`quantize_frame` is idempotent
+    on already-quantized vectors (every stored vector has a ±127
+    component, so the re-quantization scale is exactly 1), the rebuild
+    encodes bit-identical inputs to what the index held — the only
+    thing that changes is what the drift said should: the learned
+    centroids/codebooks.
+
+    Rebuilding resets the ``_batches`` replay log and the ``_stats``
+    ledger (all held vectors become seed data), which re-arms the
+    streaming twin's once-per-crossing ``on_retrain`` hook.  Returns
+    the post-retrain :func:`ivf_index_drift` dict.
+
+    Scale shape: one quantized-table scan into the snapshot, the
+    :func:`build_ivfpq_index` training/encode passes over it (inline
+    argmin — no corpus shuffle), bucketed writes.  Cost ≈ the original
+    build; run at the cadence drift crosses the threshold.
+    """
+    tmp = _quantized_snapshot(spark, name)
+    try:
+        held = spark.table(tmp).select(
+            "vec_id", F.col("q").alias("embedding")
+        )
+        build_ivfpq_index(
+            spark,
+            held,
+            name,
+            n_centroids=n_centroids,
+            n_entries=n_entries,
+            iters=iters,
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    return ivf_index_drift(spark, name)
+
+
+def retrain_pq_index(
+    spark: SparkSession,
+    name: str,
+    iters: int = 3,
+    n_entries: int | None = None,
+) -> dict:
+    """Flat-PQ member of the act-on-drift family: re-LEARN per-subspace
+    codebooks (:func:`pq_codebooks_kmeans` — acting on drift means
+    training on what the index now holds, so the retrain always
+    produces learned codebooks even if the seed build used the
+    SQL-expressible modulus stand-in) over everything in
+    ``<name>_quantized`` and rebuild under the same name.  Same
+    snapshot staging, ledger-reset, and idempotent-requantization
+    guarantees as :func:`retrain_ivfpq_index`; returns the
+    post-retrain :func:`ivf_index_drift` dict (the PQ ledger rows are
+    ADC self-similarity, compared by the same seed-vs-appended rule).
+    """
+    tmp = _quantized_snapshot(spark, name)
+    try:
+        held = spark.table(tmp).select(
+            "vec_id", F.col("q").alias("embedding")
+        )
+        qv = quantize_frame(held)  # idempotent: bit-equal to stored q
+        if n_entries is None:
+            n = qv.count()
+            n_entries = max(
+                2, n // _effective_modulus(n, PQ_CODEBOOK_MODULUS)
+            )
+        cb = pq_codebooks_kmeans(qv, n_entries=n_entries, iters=iters)
+        build_pq_index(spark, held, name, codebooks=cb)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    return ivf_index_drift(spark, name)
+
+
 def ann_ivf_incremental(
     spark: SparkSession,
     sf_dir: str,

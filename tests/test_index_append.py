@@ -379,6 +379,37 @@ def test_retrain_resets_drift_and_covers_shifted_data(spark):
         _drop(spark, "tia_rt", IVF_SUFFIXES)
 
 
+def test_ivfpq_retrain_resets_ledgers_and_stays_usable(spark):
+    """IVFADC act-on-drift: retrain_ivfpq_index re-learns centroids AND
+    residual codebooks from the index's own _quantized table (no
+    corpus access), resets both ledgers, and — because quantize_frame
+    is idempotent on already-quantized vectors — holds the exact same
+    vectors afterwards (bit-equal _quantized)."""
+    seed, delta, union, queries = _split(spark)
+    try:
+        S.build_ivfpq_index(
+            spark, seed, "tia_pqrt", n_centroids=8, n_entries=8, iters=2
+        )
+        S.append_to_ivfpq_index(spark, delta, "tia_pqrt", batch_id=1)
+        held_before = _rows(spark.table("tia_pqrt_quantized"))
+        after = S.retrain_ivfpq_index(
+            spark, "tia_pqrt", iters=2, n_centroids=8, n_entries=8
+        )
+        assert after["n_seed"] == len(held_before)
+        assert after["n_appended"] == 0
+        assert not after["retrain_recommended"]
+        assert spark.table("tia_pqrt_batches").count() == 0
+        assert not spark.catalog.tableExists("tia_pqrt_retrain_tmp")
+        # idempotent re-quantization: the held corpus is unchanged
+        assert _rows(spark.table("tia_pqrt_quantized")) == held_before
+        # index fully usable: probes return k rows, replay log re-armed
+        hits = S.ann_ivfpq_probe(spark, queries, "tia_pqrt")
+        assert hits.groupBy("query_id").count().count() > 0
+        assert S.append_to_ivfpq_index(spark, delta, "tia_pqrt", batch_id=1)
+    finally:
+        _drop(spark, "tia_pqrt", IVFPQ_SUFFIXES)
+
+
 PQ_SUFFIXES = ("_codes", "_quantized", "_codebooks", "_batches", "_stats")
 
 
@@ -415,3 +446,32 @@ def test_pq_append_equals_rebuild_with_replay_and_ledger(spark):
     finally:
         _drop(spark, "tia_fpq_a", PQ_SUFFIXES)
         _drop(spark, "tia_fpq_b", PQ_SUFFIXES)
+
+
+def test_pq_retrain_learns_codebooks_and_resets(spark):
+    """Flat-PQ act-on-drift: a seed built on the modulus codebook
+    retrains into LEARNED k-means codebooks over everything held,
+    with the same ledger-reset / bit-equal-corpus contract as the
+    IVF/IVFPQ retrains and the requested entry budget visible in
+    the rebuilt _codebooks table."""
+    seed, delta, _, queries = _split(spark)
+    try:
+        S.build_pq_index(spark, seed, "tia_fprt")
+        S.append_to_pq_index(spark, delta, "tia_fprt", batch_id=1)
+        held_before = _rows(spark.table("tia_fprt_quantized"))
+        after = S.retrain_pq_index(spark, "tia_fprt", iters=2, n_entries=8)
+        assert after["n_seed"] == len(held_before)
+        assert after["n_appended"] == 0
+        assert not after["retrain_recommended"]
+        assert spark.table("tia_fprt_batches").count() == 0
+        assert not spark.catalog.tableExists("tia_fprt_retrain_tmp")
+        assert _rows(spark.table("tia_fprt_quantized")) == held_before
+        # learned codebooks at the requested budget replaced the
+        # modulus seed codebooks (float means, 8 entries per subspace)
+        cb = spark.table("tia_fprt_codebooks")
+        assert cb.count() == S.PQ_M * 8
+        hits = S.ann_pq_probe(spark, queries, "tia_fprt")
+        assert hits.groupBy("query_id").count().count() > 0
+        assert S.append_to_pq_index(spark, delta, "tia_fprt", batch_id=1)
+    finally:
+        _drop(spark, "tia_fprt", PQ_SUFFIXES)
