@@ -181,6 +181,8 @@ EXTRA = [
     # the table-backed append lifecycle it is pinned bit-equal to
     "ann_ivf_incremental",
     "ann_ivf_append",
+    # filtered search (pre-filter semantics, label pushed to the scan)
+    "ann_filtered_topk",
     # reference-parity surface (fixture corpus; mostly measures the
     # Python-DataSource fixed overhead at this size — the MB/s scan
     # numbers come from the source_throughput measurement below)
@@ -210,6 +212,17 @@ def summary_lines(timings, cold_timings, extra, n_errors, source_mb_s, sf,
     def _fmt(v):
         return round(v, 2) if v < 1 else round(v, 1)
 
+    # The steady-extras map is the tail's dominant cost and the list
+    # keeps growing: one more precision tier there (1 decimal in
+    # [0.1, 10), integer seconds above) buys ~1 char/key — enough to
+    # keep EVERY trended key in the artifact instead of shedding into
+    # them.  ±0.05 s quantization is far below box noise; the headline
+    # metric line keeps the finer _fmt for round-over-round parity.
+    def _fmt_x(v):
+        if v < 0.1:
+            return round(v, 2)
+        return round(v, 1) if v < 10 else int(round(v))
+
     # Least-interesting keys first (fixed-overhead logfile fixtures,
     # portable oracle twins): if box noise ever pushes the two tail
     # lines past the cap, the adaptive guard below (and, failing that,
@@ -223,9 +236,9 @@ def summary_lines(timings, cold_timings, extra, n_errors, source_mb_s, sf,
         k for k, short in LIFECYCLE_KEYS.items() if short in lifecycle
     }
     low = [k for k in extra if k.startswith("logfile_") or k.endswith("_portable")]
-    ordered = {k: _fmt(extra[k]) for k in low if k not in in_lc}
+    ordered = {k: _fmt_x(extra[k]) for k in low if k not in in_lc}
     ordered.update(
-        {k: _fmt(v) for k, v in extra.items()
+        {k: _fmt_x(v) for k, v in extra.items()
          if k not in ordered and k not in in_lc}
     )
     metric_line = json.dumps(

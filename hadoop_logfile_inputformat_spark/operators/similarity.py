@@ -29,6 +29,7 @@ from hadoop_logfile_inputformat_spark.operators.tables import (
 
 QUERY_MODULUS = 50  # vec_id % 50 == 0 → deterministic query subset
 TOP_K = 5
+FILTER_LABEL = 7  # the filtered-search demo predicate (embeddings.label)
 IVF_CENTROID_MODULUS = 25  # 1/25 of vectors act as IVF centroids
 IVF_NPROBE = 3
 #: Cap on the deterministic centroid/codebook cardinality: a FIXED
@@ -423,24 +424,36 @@ def kmeans_centroids(
     )
 
 
-def _assign_to_centroids(v: DataFrame, cent: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """(vec_id, <vec_col>, nrm, centroid_id, c_sim): nearest-centroid
-    assignment of ``v`` (``(vec_id, <vec_col>, nrm)``) against the
-    BROADCAST ``cent`` (``(centroid_id, c_emb, c_nrm)``) — one corpus
-    pass with a map-side ``max_by`` partial (never a |corpus| x k
-    shuffle); ties break to the lowest centroid_id.  ``c_sim`` is the
-    winning cosine — the quantization-quality signal the ``_stats``
-    drift ledger aggregates.  Shared by the index builders and the
-    incremental appends so a delta assigns bit-identically to how the
-    seed corpus did."""
+def _assign_to_centroids(
+    v: DataFrame,
+    cent: DataFrame,
+    vec_col: str = "embedding",
+    carry: tuple = (),
+) -> DataFrame:
+    """(vec_id, <vec_col>, nrm, *carry, centroid_id, c_sim):
+    nearest-centroid assignment of ``v`` (``(vec_id, <vec_col>, nrm,
+    *carry)``) against the BROADCAST ``cent`` (``(centroid_id, c_emb,
+    c_nrm)``) — one corpus pass with a map-side ``max_by`` partial
+    (never a |corpus| x k shuffle); ties break to the lowest
+    centroid_id.  ``c_sim`` is the winning cosine — the
+    quantization-quality signal the ``_stats`` drift ledger
+    aggregates.  ``carry`` names metadata columns of ``v`` that ride
+    through the assignment unchanged (the filtered-search payload an
+    index stores next to each vector).  Shared by the index builders
+    and the incremental appends so a delta assigns bit-identically to
+    how the seed corpus did."""
     sim_vc = _dot(vec_col, "c_emb") / (F.col("nrm") * F.col("c_nrm"))
     return (
         v.join(F.broadcast(cent), how="cross")
-        .select("vec_id", vec_col, "nrm", "centroid_id", sim_vc.alias("c_sim"))
+        .select(
+            "vec_id", vec_col, "nrm", *carry, "centroid_id",
+            sim_vc.alias("c_sim"),
+        )
         .groupBy("vec_id")
         .agg(
             F.first(vec_col).alias(vec_col),
             F.first("nrm").alias("nrm"),
+            *[F.first(c).alias(c) for c in carry],
             F.expr("max_by(centroid_id, struct(c_sim, -centroid_id))").alias(
                 "centroid_id"
             ),
@@ -527,6 +540,7 @@ def build_ivf_index(
     n_buckets: int = 32,
     path: str | None = None,
     centroids: DataFrame | None = None,
+    carry: tuple = (),
 ) -> None:
     """Materialize the IVF search structure of ``vectors`` (any
     ``(vec_id, embedding)`` DataFrame) as persisted tables — the vector
@@ -548,9 +562,17 @@ def build_ivf_index(
     adaptive :func:`_effective_modulus`, keeping the build pass linear
     in the corpus); swap in learned centroids by overwriting
     ``<name>_centroids`` — the probe path only needs the two tables.
+
+    ``carry`` names metadata columns of ``vectors`` (e.g. a label /
+    language / license tag) stored IN the list rows — what makes
+    :func:`ann_ivf_probe`'s ``member_filter`` a pushed-down scan
+    predicate instead of a join (the production filtered-search
+    layout: metadata lives next to the vector, the way a vector DB
+    stores filterable attributes inline).  Appends pick the carry set
+    up from the table schema automatically.
     """
     v = vectors.select(
-        "vec_id", "embedding", _norm("embedding").alias("nrm")
+        "vec_id", "embedding", _norm("embedding").alias("nrm"), *carry
     )
     if centroids is not None:
         cent = centroids.select(
@@ -571,9 +593,9 @@ def build_ivf_index(
     # so the build pays zero extra passes for the ledger baseline
     obs = Observation()
     assigned = (
-        _assign_to_centroids(v, cent)
+        _assign_to_centroids(v, cent, carry=carry)
         .observe(obs, F.count("*").alias("n"), F.avg("c_sim").alias("s"))
-        .select("vec_id", "embedding", "nrm", "centroid_id")
+        .select("vec_id", "embedding", "nrm", *carry, "centroid_id")
     )
     writer = (
         assigned.write.bucketBy(n_buckets, "centroid_id")
@@ -605,6 +627,7 @@ def ann_ivf_probe(
     k: int = TOP_K,
     nprobe: int = IVF_NPROBE,
     exclude_ids: DataFrame | None = None,
+    member_filter=None,
 ) -> DataFrame:
     """Search a persisted :func:`build_ivf_index`: each query ranks
     only the vectors of its ``nprobe`` nearest centroids.
@@ -623,6 +646,18 @@ def ann_ivf_probe(
     micro-batch (whose own vectors already landed in the lists) ranks
     against exactly the pre-batch corpus and reproduces its original
     match set.
+
+    ``member_filter`` (a SQL string or Column over the list rows,
+    e.g. ``"label = 7"`` against a column the build ``carry``-stored)
+    is PRE-filter semantics: candidates are restricted BEFORE ranking,
+    so the top-k comes entirely from the filtered subset — a
+    post-filter (rank then drop) would return < k rows whenever the
+    filter is selective.  Because the metadata lives in the list rows,
+    the predicate is a pushed-down parquet scan filter on the bucketed
+    lists — no join, no shuffle, and scan cost SHRINKS with
+    selectivity (plan-asserted in tests).  The probed-lists coverage
+    caveat is the same as unfiltered IVF: recall comes from ``nprobe``
+    lists, filtered or not.
     """
     cent = spark.table(f"{name}_centroids")
     q = queries.select(
@@ -646,6 +681,8 @@ def ann_ivf_probe(
         .drop("p", "c_sim")
     )
     lists = spark.table(f"{name}_lists")
+    if member_filter is not None:
+        lists = lists.filter(member_filter)
     if exclude_ids is not None:
         lists = lists.join(
             F.broadcast(exclude_ids.select("vec_id")), "vec_id", "left_anti"
@@ -844,15 +881,22 @@ def append_to_ivf_index(
     if batch_id is not None and _batch_applied(spark, name, batch_id):
         return False
     cent = spark.table(f"{name}_centroids")
+    lists_cols = spark.table(f"{name}_lists").columns
+    # metadata the seed build stored in the list rows (build's `carry`)
+    # must ride every append too — recovered from the table schema so
+    # callers never have to repeat the carry set
+    carry = tuple(
+        c for c in lists_cols
+        if c not in ("vec_id", "embedding", "nrm", "centroid_id")
+    )
     v = delta_vectors.select(
-        "vec_id", "embedding", _norm("embedding").alias("nrm")
+        "vec_id", "embedding", _norm("embedding").alias("nrm"), *carry
     )
     # two consumers (lists insert + stats agg): scoped per index so
     # repeated refreshes hold at most one cached delta frame
     assigned = scoped_persist(
-        _assign_to_centroids(v, cent), ("ivf_append", name)
+        _assign_to_centroids(v, cent, carry=carry), ("ivf_append", name)
     )
-    lists_cols = spark.table(f"{name}_lists").columns
     assigned.select(*lists_cols).write.mode("append").insertInto(
         f"{name}_lists"
     )
@@ -1056,18 +1100,26 @@ def retrain_ivf_index(
     """
     tmp = f"{name}_retrain_tmp"
     clear_orphaned_table(spark, tmp)
-    spark.table(f"{name}_lists").select("vec_id", "embedding").write.mode(
-        "overwrite"
-    ).format("parquet").saveAsTable(tmp)
+    # carried metadata columns (the build's `carry`) survive the
+    # retrain: snapshot them next to the vectors and rebuild with the
+    # same carry set, so member_filter keeps working afterwards
+    carry = tuple(
+        c for c in spark.table(f"{name}_lists").columns
+        if c not in ("vec_id", "embedding", "nrm", "centroid_id")
+    )
+    spark.table(f"{name}_lists").select(
+        "vec_id", "embedding", *carry
+    ).write.mode("overwrite").format("parquet").saveAsTable(tmp)
     try:
         held = spark.table(tmp)
         if n_centroids is None:
             n = held.count()
             n_centroids = max(2, n // _effective_modulus(n))
         cents = kmeans_centroids(
-            held, k=n_centroids, iters=iters, metric="cosine"
+            held.select("vec_id", "embedding"),
+            k=n_centroids, iters=iters, metric="cosine",
         )
-        build_ivf_index(spark, held, name, centroids=cents)
+        build_ivf_index(spark, held, name, centroids=cents, carry=carry)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     return ivf_index_drift(spark, name)
@@ -1317,15 +1369,18 @@ def quantized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_frame(load(spark, sf_dir, "embeddings"))
 
 
-def quantize_frame(e: DataFrame) -> DataFrame:
+def quantize_frame(e: DataFrame, carry: tuple = ()) -> DataFrame:
     """Frame-level int8 scalar quantization (see
     :func:`quantized_vectors`): any ``(vec_id, embedding)`` DataFrame →
-    ``(vec_id, q, nrm)``.  Per-vector scale, so quantizing a query
-    frame separately yields bit-identical values to quantizing it as
-    part of a corpus."""
+    ``(vec_id, q, nrm, *carry)``.  Per-vector scale, so quantizing a
+    query frame separately yields bit-identical values to quantizing
+    it as part of a corpus.  ``carry`` names metadata columns riding
+    through unchanged (filters on them still push below these
+    projections to the scan)."""
     staged = e.select(
         "vec_id",
         "embedding",
+        *carry,
         F.expr(
             "greatest(aggregate(embedding, CAST(0.0 AS DOUBLE),"
             " (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))),"
@@ -1334,11 +1389,12 @@ def quantize_frame(e: DataFrame) -> DataFrame:
     )
     qv = staged.select(
         "vec_id",
+        *carry,
         F.expr(
             "transform(embedding, x -> floor(CAST(x AS DOUBLE) / s + 0.5))"
         ).alias("q"),
     )
-    return qv.select("vec_id", "q", _norm("q").alias("nrm"))
+    return qv.select("vec_id", "q", _norm("q").alias("nrm"), *carry)
 
 
 def ann_cosine_topk_quantized(
@@ -1370,6 +1426,59 @@ def ann_cosine_topk_quantized(
         .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def ann_filtered_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    query_modulus: int = QUERY_MODULUS,
+    label: int = FILTER_LABEL,
+) -> DataFrame:
+    """Filtered similarity search — the vector-DB "WHERE lang = 'en'"
+    shape a curation pipeline runs constantly (dedup within a language
+    slice, neighbors restricted to a licensed source, ...): cosine
+    top-k over the int8-quantized corpus where the NEIGHBOR set is
+    restricted to ``label = <label>`` BEFORE ranking.  Pre-filter
+    semantics: every query gets ``k`` results drawn entirely from the
+    filtered subset; a post-filter (rank globally, then drop) would
+    starve below ``k`` whenever the filter is selective — the
+    difference is the classic filtered-ANN trap.
+
+    Plan shape matches :func:`ann_cosine_topk_quantized` (broadcast
+    queries, no corpus shuffle) with one addition that is the point:
+    the label predicate sits below the quantization projections, so
+    Catalyst pushes it into the parquet scan (``PushedFilters``,
+    plan-asserted) and corpus scan cost SHRINKS with filter
+    selectivity.  Queries are the usual modulus subset, unrestricted —
+    a query needn't satisfy the filter it searches under.  The
+    index-backed twin is :func:`ann_ivf_probe` ``member_filter`` over
+    a ``carry``-built :func:`build_ivf_index`.
+    """
+    v = quantize_frame(load(spark, sf_dir, "embeddings"), carry=("label",))
+    q = v.filter(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = v.filter(F.col("label") == label)  # pre-filter, pushed to scan
+    sim = F.round(_dot("q_emb", "q") / (F.col("q_nrm") * F.col("nrm")), 4)
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            sim.alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)

@@ -1119,6 +1119,42 @@ _SQL: Dict[str, str] = {
         )
         SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {similarity.TOP_K}
     """,
+    # filtered ANN: same quantized arithmetic, neighbor set restricted
+    # to one label BEFORE ranking (pre-filter semantics — every query's
+    # top-k comes entirely from the filtered subset)
+    "ann_filtered_topk": f"""
+        WITH sv AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+                   greatest(list_max(list_transform(embedding,
+                                                    x -> abs(CAST(x AS DOUBLE)))),
+                            1e-30) / 127.0 AS s
+            FROM embeddings
+        ),
+        qv AS (
+            SELECT vec_id, label,
+                   list_transform(e, x -> floor(x / s + 0.5)) AS q
+            FROM sv
+        ),
+        n AS (
+            SELECT vec_id, label, q,
+                   sqrt(list_sum(list_transform(q, x -> x * x))) AS nrm
+            FROM qv
+        ),
+        qq AS (SELECT * FROM n WHERE vec_id % {similarity.QUERY_MODULUS} = 0),
+        sims AS (
+            SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_dot_product(qq.q, c.q) / (qq.nrm * c.nrm), 4) AS sim
+            FROM qq JOIN n c
+              ON c.vec_id <> qq.vec_id
+             AND c.label = {similarity.FILTER_LABEL}
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM sims
+        )
+        SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {similarity.TOP_K}
+    """,
     # PQ ADC shortlist + exact re-rank over the int8-quantized vectors:
     # encoding scores, ADC dots, and reconstructed norms are all
     # integer-valued, so argmin and the grouped sums are exact and
@@ -2423,6 +2459,13 @@ _PACKS: Dict[str, list] = {
            k1="query_id", k2="neighbor_id", v1="sim", v2="rank"),
         _m("quant", similarity.ann_cosine_topk_quantized,
            "ann_cosine_topk_quantized",
+           k1="query_id", k2="neighbor_id", v1="sim", v2="rank"),
+        # filtered search (neighbors restricted to one label BEFORE
+        # ranking — pre-filter semantics; the label predicate pushes
+        # into the parquet scan).  Index-backed twin: ann_ivf_probe's
+        # member_filter over a carry-built lists table, pinned
+        # equivalent in tests/test_operators.py.
+        _m("filtered", similarity.ann_filtered_topk, "ann_filtered_topk",
            k1="query_id", k2="neighbor_id", v1="sim", v2="rank"),
         # PQ ADC shortlist + exact re-rank (codes are M small ints per
         # vector — the memory-floor index tier).  Portable binding pins

@@ -1629,6 +1629,93 @@ def test_ivf_index_probe_matches_inline_search(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_ann_filtered_topk_prefilter_semantics(spark):
+    """Every neighbor satisfies the filter and every query still gets
+    its full k (pre-filter ranks WITHIN the subset — a post-filter
+    would starve); values themselves are DuckDB-gated via the
+    `filtered` pack member."""
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    out = similarity.ann_filtered_topk(spark, SF)
+    labels = load(spark, SF, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), "label"
+    )
+    rows = out.join(labels, "neighbor_id").collect()
+    assert rows
+    assert all(r["label"] == similarity.FILTER_LABEL for r in rows)
+    per_q = {r["query_id"] for r in rows}
+    counts = out.groupBy("query_id").count().collect()
+    assert {r["query_id"] for r in counts} == per_q
+    assert all(r["count"] == similarity.TOP_K for r in counts)
+
+
+def test_ivf_member_filter_equals_filtered_subindex(spark):
+    """member_filter pre-filters list rows BEFORE ranking: probing the
+    full carry-built index under `label = 7` must equal probing an
+    index built from ONLY the label-7 vectors with the same frozen
+    centroids — and the predicate must reach the lists scan as a
+    pushed parquet filter with the bucketing intact.  Carried metadata
+    must also survive appends (schema-recovered) and retrains."""
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    emb = load(spark, SF, "embeddings").select("vec_id", "embedding", "label")
+    is_delta = F.col("vec_id") % similarity.INCR_SPLIT_MOD == similarity.INCR_DELTA_REM
+    seed, delta = emb.filter(~is_delta), emb.filter(is_delta)
+    queries = emb.filter(
+        F.col("vec_id") % similarity.QUERY_MODULUS == 0
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    flt = F.col("label") == similarity.FILTER_LABEL
+    tables = [f"tf_all{s}" for s in
+              ("_lists", "_centroids", "_batches", "_stats")] + [
+              f"tf_sub{s}" for s in
+              ("_lists", "_centroids", "_batches", "_stats")]
+    try:
+        similarity.build_ivf_index(
+            spark, seed, "tf_all", n_buckets=4, carry=("label",)
+        )
+        # append picks the carry set up from the table schema
+        assert similarity.append_to_ivf_index(spark, delta, "tf_all", batch_id=1)
+        assert "label" in spark.table("tf_all_lists").columns
+        cents = spark.table("tf_all_centroids").select("centroid_id", "c_emb")
+        similarity.build_ivf_index(
+            spark, emb.filter(flt), "tf_sub", n_buckets=4, centroids=cents
+        )
+        a = sorted(tuple(r) for r in similarity.ann_ivf_probe(
+            spark, queries, "tf_all", member_filter=flt).collect())
+        b = sorted(tuple(r) for r in similarity.ann_ivf_probe(
+            spark, queries, "tf_sub").collect())
+        assert a == b and a
+        # plan: pushed label filter + bucketed lists scan
+        prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                similarity.ann_ivf_probe(
+                    spark, queries, "tf_all", member_filter=flt
+                )._jdf.queryExecution().executedPlan().toString()
+            )
+            scans = [l for l in plan.splitlines()
+                     if "FileScan" in l and "tf_all_lists" in l]
+            assert scans, plan
+            for line in scans:
+                assert "Bucketed: true" in line, line
+                assert f"EqualTo(label,{similarity.FILTER_LABEL})" in line, line
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        # retrain keeps the carry column (snapshot includes it)
+        similarity.retrain_ivf_index(spark, "tf_all", iters=1, n_centroids=4)
+        assert "label" in spark.table("tf_all_lists").columns
+        post = similarity.ann_ivf_probe(
+            spark, queries, "tf_all", member_filter=flt
+        ).collect()
+        assert post and all(
+            r["rank"] <= similarity.TOP_K for r in post
+        )
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_pq_index_probe_matches_inline_search(spark, tmp_path):
     """The persisted PQ index (codes + quantized + codebooks) must
     return exactly what the inline build-per-query operator returns
