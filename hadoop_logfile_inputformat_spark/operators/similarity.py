@@ -929,9 +929,15 @@ def append_to_ivfpq_index(
         return False
     cent = spark.table(f"{name}_centroids")
     cb = spark.table(f"{name}_codebooks")
-    qv = quantize_frame(delta_vectors)
+    # metadata the seed build carry-stored in the codes rows rides
+    # every append too (schema-recovered, like append_to_ivf_index)
+    carry = tuple(
+        c for c in spark.table(f"{name}_codes").columns
+        if c not in ("vec_id", "centroid_id", "m", "code", "nrm")
+    )
+    qv = quantize_frame(delta_vectors, carry=carry)
     assigned = scoped_persist(
-        _assign_to_centroids(qv, cent, vec_col="q"),
+        _assign_to_centroids(qv, cent, vec_col="q", carry=carry),
         ("ivfpq_append", name),
     )
     res = assigned.join(
@@ -940,14 +946,15 @@ def append_to_ivfpq_index(
         "vec_id",
         "centroid_id",
         "nrm",
+        *carry,
         F.expr("zip_with(q, c_emb, (x, y) -> CAST(x AS DOUBLE) - y)").alias(
             "q"
         ),
     )
     codes = _pq_encode(
-        _pq_parts(res, carry=("centroid_id", "nrm")),
+        _pq_parts(res, carry=("centroid_id", "nrm", *carry)),
         cb,
-        carry=("centroid_id", "nrm"),
+        carry=("centroid_id", "nrm", *carry),
     )
     codes.select(*spark.table(f"{name}_codes").columns).write.mode(
         "append"
@@ -1005,9 +1012,15 @@ def append_to_pq_index(
     if batch_id is not None and _batch_applied(spark, name, batch_id):
         return False
     cb = spark.table(f"{name}_codebooks")
-    qv = quantize_frame(delta_vectors)
+    carry = tuple(
+        c for c in spark.table(f"{name}_codes").columns
+        if c not in ("vec_id", "m", "code", "code_nrm2", "nrm")
+    )
+    qv = quantize_frame(delta_vectors, carry=carry)
     codes = scoped_persist(
-        _pq_encode(_pq_parts(qv, carry=("nrm",)), cb, carry=("nrm",)),
+        _pq_encode(
+            _pq_parts(qv, carry=("nrm", *carry)), cb, carry=("nrm", *carry)
+        ),
         ("pq_append", name),
     )
     codes.select(*spark.table(f"{name}_codes").columns).write.mode(
@@ -1125,19 +1138,25 @@ def retrain_ivf_index(
     return ivf_index_drift(spark, name)
 
 
-def _quantized_snapshot(spark: SparkSession, name: str) -> str:
+def _quantized_snapshot(spark: SparkSession, name: str) -> tuple:
     """Durable ``<name>_retrain_tmp`` snapshot of a PQ-family index's
     ``<name>_quantized`` table — the crash-safe staging step shared by
     the PQ/IVFPQ retrains (same rationale as :func:`retrain_ivf_index`:
     a localCheckpoint would lose the held corpus if the rebuild died
-    between dropping the old tables and writing the new).  The caller
-    drops the snapshot after the rebuild lands."""
+    between dropping the old tables and writing the new).  Carry-stored
+    metadata columns snapshot too, so ``member_filter`` keeps working
+    after the retrain.  Returns ``(tmp_table_name, carry)``; the
+    caller drops the snapshot after the rebuild lands."""
     tmp = f"{name}_retrain_tmp"
     clear_orphaned_table(spark, tmp)
-    spark.table(f"{name}_quantized").select("vec_id", "q").write.mode(
-        "overwrite"
-    ).format("parquet").saveAsTable(tmp)
-    return tmp
+    carry = tuple(
+        c for c in spark.table(f"{name}_quantized").columns
+        if c not in ("vec_id", "q", "nrm")
+    )
+    spark.table(f"{name}_quantized").select(
+        "vec_id", "q", *carry
+    ).write.mode("overwrite").format("parquet").saveAsTable(tmp)
+    return tmp, carry
 
 
 def retrain_ivfpq_index(
@@ -1170,10 +1189,10 @@ def retrain_ivfpq_index(
     argmin — no corpus shuffle), bucketed writes.  Cost ≈ the original
     build; run at the cadence drift crosses the threshold.
     """
-    tmp = _quantized_snapshot(spark, name)
+    tmp, carry = _quantized_snapshot(spark, name)
     try:
         held = spark.table(tmp).select(
-            "vec_id", F.col("q").alias("embedding")
+            "vec_id", F.col("q").alias("embedding"), *carry
         )
         build_ivfpq_index(
             spark,
@@ -1182,6 +1201,7 @@ def retrain_ivfpq_index(
             n_centroids=n_centroids,
             n_entries=n_entries,
             iters=iters,
+            carry=carry,
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
@@ -1205,10 +1225,10 @@ def retrain_pq_index(
     post-retrain :func:`ivf_index_drift` dict (the PQ ledger rows are
     ADC self-similarity, compared by the same seed-vs-appended rule).
     """
-    tmp = _quantized_snapshot(spark, name)
+    tmp, carry = _quantized_snapshot(spark, name)
     try:
         held = spark.table(tmp).select(
-            "vec_id", F.col("q").alias("embedding")
+            "vec_id", F.col("q").alias("embedding"), *carry
         )
         qv = quantize_frame(held)  # idempotent: bit-equal to stored q
         if n_entries is None:
@@ -1217,7 +1237,7 @@ def retrain_pq_index(
                 2, n // _effective_modulus(n, PQ_CODEBOOK_MODULUS)
             )
         cb = pq_codebooks_kmeans(qv, n_entries=n_entries, iters=iters)
-        build_pq_index(spark, held, name, codebooks=cb)
+        build_pq_index(spark, held, name, codebooks=cb, carry=carry)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     return ivf_index_drift(spark, name)
@@ -2362,6 +2382,7 @@ def build_pq_index(
     n_buckets: int = 32,
     path: str | None = None,
     codebooks: DataFrame | None = None,
+    carry: tuple = (),
 ) -> None:
     """Materialize the PQ search structure of ``vectors`` (any
     ``(vec_id, embedding)`` DataFrame): quantize + encode the corpus
@@ -2386,8 +2407,12 @@ def build_pq_index(
     :func:`build_ivf_index`'s ``centroids``).  Default is the
     deterministic modulus codebook (same as :func:`ann_pq_topk`,
     including its adaptive :func:`_effective_modulus` cap).
+
+    ``carry`` names metadata columns stored in the codes rows AND the
+    quantized table — see :func:`build_ivfpq_index`; enables
+    :func:`ann_pq_probe`'s ``member_filter`` pre-filter.
     """
-    qv = quantize_frame(vectors)
+    qv = quantize_frame(vectors, carry=carry)
     if codebooks is not None:
         cb = codebooks.select("m", "entry_id", "c_sub", "c_nrm2")
     else:
@@ -2397,11 +2422,11 @@ def build_pq_index(
     # agg); narrow rows (M ints + one double per vector), so the
     # persist is the resident-index footprint by construction
     codes = _pq_encode(
-        _pq_parts(qv, carry=("nrm",)), cb, carry=("nrm",)
+        _pq_parts(qv, carry=("nrm", *carry)), cb, carry=("nrm", *carry)
     ).persist()
     try:
         cw = (
-            codes.select("vec_id", "m", "code", "code_nrm2")
+            codes.select("vec_id", "m", "code", "code_nrm2", *carry)
             .write.bucketBy(n_buckets, "vec_id")
             .sortBy("vec_id")
             .mode("overwrite")
@@ -2445,6 +2470,7 @@ def ann_pq_probe(
     name: str,
     k: int = TOP_K,
     rerank: int = PQ_RERANK,
+    member_filter=None,
 ) -> DataFrame:
     """Search a persisted :func:`build_pq_index`: ADC shortlist against
     the codes table, exact re-rank against the bucketed quantized
@@ -2453,9 +2479,17 @@ def ann_pq_probe(
     results are bit-identical to the inline :func:`ann_pq_topk` for
     the same query set.  Per probe: |queries| x M x |codebook| LUT
     rows (broadcast), one scan of codes, and |queries| x rerank
-    re-rank fetches — never a corpus re-encode."""
+    re-rank fetches — never a corpus re-encode.
+
+    ``member_filter`` (SQL string or Column over carry-stored codes
+    metadata) restricts candidates BEFORE the ADC shortlist — same
+    pre-filter contract and pushed-scan-predicate shape as
+    :func:`ann_ivf_probe`; the shortlist, and therefore the re-rank,
+    sees only filtered vectors."""
     cb = spark.table(f"{name}_codebooks")
     codes = spark.table(f"{name}_codes")
+    if member_filter is not None:
+        codes = codes.filter(member_filter)
     qv = quantize_frame(
         queries.select(F.col("query_id").alias("vec_id"), "embedding")
     )
@@ -2513,6 +2547,7 @@ def build_ivfpq_index(
     path: str | None = None,
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
+    carry: tuple = (),
 ) -> None:
     """Materialize the composite IVF-PQ (IVFADC) search structure of
     ``vectors`` (any ``(vec_id, embedding)`` DataFrame) — the canonical
@@ -2556,8 +2591,14 @@ def build_ivfpq_index(
     it once per Lloyd iteration) and released before returning.  The
     driver only ever holds k×dim and M×n_entries×subdim training
     means — never the corpus.
+
+    ``carry`` names metadata columns of ``vectors`` stored in BOTH the
+    codes rows (what makes :func:`ann_ivfpq_probe`'s ``member_filter``
+    a pushed-down pre-filter on the resident tier) and the quantized
+    re-rank table (what lets :func:`retrain_ivfpq_index` keep them);
+    appends recover the carry set from the codes schema.
     """
-    qv = quantize_frame(vectors)
+    qv = quantize_frame(vectors, carry=carry)
     n = None
     if centroids is None or (codebooks is None and n_entries is None):
         n = qv.count()
@@ -2575,7 +2616,7 @@ def build_ivfpq_index(
             iters=iters,
             metric="cosine",
         ).select("centroid_id", "c_emb", _norm("c_emb").alias("c_nrm"))
-    assigned = _assign_to_centroids(qv, cent, vec_col="q").join(
+    assigned = _assign_to_centroids(qv, cent, vec_col="q", carry=carry).join(
         F.broadcast(cent.select("centroid_id", "c_emb")), "centroid_id"
     )
     # residual carried as column "q" so _pq_parts / pq_codebooks_kmeans
@@ -2585,6 +2626,7 @@ def build_ivfpq_index(
         "vec_id",
         "centroid_id",
         "nrm",
+        *carry,
         "c_sim",
         F.expr(
             "zip_with(q, c_emb, (x, y) -> CAST(x AS DOUBLE) - y)"
@@ -2602,10 +2644,10 @@ def build_ivfpq_index(
             cb = pq_codebooks_kmeans(res, n_entries=n_entries, iters=iters)
         t2 = time.monotonic()
         codes = _pq_encode(
-            _pq_parts(res, carry=("centroid_id", "nrm")),
+            _pq_parts(res, carry=("centroid_id", "nrm", *carry)),
             cb,
-            carry=("centroid_id", "nrm"),
-        ).select("vec_id", "centroid_id", "m", "code", "nrm")
+            carry=("centroid_id", "nrm", *carry),
+        ).select("vec_id", "centroid_id", "m", "code", "nrm", *carry)
         cw = (
             codes.write.bucketBy(n_buckets, "centroid_id")
             .sortBy("centroid_id")
@@ -2656,6 +2698,7 @@ def ann_ivfpq_probe(
     k: int = TOP_K,
     nprobe: int = IVF_NPROBE,
     rerank: int = PQ_RERANK,
+    member_filter=None,
 ) -> DataFrame:
     """Search a persisted :func:`build_ivfpq_index` — coarse routing,
     residual-ADC shortlist inside the probed lists only, exact re-rank.
@@ -2676,10 +2719,17 @@ def ann_ivfpq_probe(
     lists' members survive — never a full-corpus ADC), and |queries| ×
     rerank exact fetches through the quantized table's vec_id
     bucketing.  Never a corpus re-encode.
+
+    ``member_filter`` (SQL string or Column over carry-stored codes
+    metadata) restricts list members BEFORE the ADC shortlist — the
+    same pre-filter contract as :func:`ann_ivf_probe`: a pushed-down
+    scan predicate on the bucketed codes, never a join.
     """
     cent = spark.table(f"{name}_centroids")
     cb = spark.table(f"{name}_codebooks")
     codes = spark.table(f"{name}_codes")
+    if member_filter is not None:
+        codes = codes.filter(member_filter)
     qv = quantize_frame(
         queries.select(F.col("query_id").alias("vec_id"), "embedding")
     )

@@ -1716,6 +1716,94 @@ def test_ivf_member_filter_equals_filtered_subindex(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_pq_family_member_filter_equals_filtered_subindex(spark):
+    """member_filter on the PQ-tier probes (flat PQ and IVFADC):
+    because encoding is a pure argmin with per-vector scales, probing
+    the full carry-built index under the filter must be BIT-equal to
+    probing an index built from only the filtered vectors with the
+    same frozen codebooks (+ centroids for IVFPQ) — appends included
+    (carry recovered from the codes schema).  The predicate reaches
+    the bucketed codes scan pushed."""
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    emb = load(spark, SF, "embeddings").select("vec_id", "embedding", "label")
+    is_delta = (
+        F.col("vec_id") % similarity.INCR_SPLIT_MOD == similarity.INCR_DELTA_REM
+    )
+    seed, delta = emb.filter(~is_delta), emb.filter(is_delta)
+    flt = F.col("label") == similarity.FILTER_LABEL
+    queries = emb.filter(
+        F.col("vec_id") % similarity.QUERY_MODULUS == 0
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    sfx = ("_codes", "_quantized", "_centroids", "_codebooks",
+           "_batches", "_stats")
+    names = ["tfq_all", "tfq_sub", "tfv_all", "tfv_sub"]
+    try:
+        # flat PQ: modulus codebooks from the seed build, reused by the
+        # filtered sub-index so both encode identically
+        similarity.build_pq_index(spark, seed, "tfq_all", carry=("label",))
+        assert similarity.append_to_pq_index(spark, delta, "tfq_all", batch_id=1)
+        assert "label" in spark.table("tfq_all_codes").columns
+        cb = spark.table("tfq_all_codebooks")
+        similarity.build_pq_index(
+            spark, emb.filter(flt), "tfq_sub", codebooks=cb
+        )
+        a = sorted(tuple(r) for r in similarity.ann_pq_probe(
+            spark, queries, "tfq_all", member_filter=flt).collect())
+        b = sorted(tuple(r) for r in similarity.ann_pq_probe(
+            spark, queries, "tfq_sub").collect())
+        assert a == b and a
+        # IVFADC: shared frozen centroids + codebooks
+        qseed = similarity.quantize_frame(seed.select("vec_id", "embedding"))
+        cents = similarity.kmeans_centroids(
+            qseed.select("vec_id", F.col("q").alias("embedding")),
+            k=4, iters=2, metric="cosine",
+        )
+        cb2 = similarity.pq_codebooks_kmeans(qseed, n_entries=4, iters=2)
+        similarity.build_ivfpq_index(
+            spark, seed, "tfv_all", centroids=cents, codebooks=cb2,
+            carry=("label",),
+        )
+        assert similarity.append_to_ivfpq_index(
+            spark, delta, "tfv_all", batch_id=1
+        )
+        assert "label" in spark.table("tfv_all_codes").columns
+        similarity.build_ivfpq_index(
+            spark, emb.filter(flt), "tfv_sub", centroids=cents, codebooks=cb2
+        )
+        a2 = sorted(tuple(r) for r in similarity.ann_ivfpq_probe(
+            spark, queries, "tfv_all", member_filter=flt).collect())
+        b2 = sorted(tuple(r) for r in similarity.ann_ivfpq_probe(
+            spark, queries, "tfv_sub").collect())
+        assert a2 == b2 and a2
+        # pushed predicate + bucketing intact on the codes scan
+        plan = (
+            similarity.ann_ivfpq_probe(
+                spark, queries, "tfv_all", member_filter=flt
+            )._jdf.queryExecution().executedPlan().toString()
+        )
+        scans = [l for l in plan.splitlines()
+                 if "FileScan" in l and "tfv_all_codes" in l]
+        assert scans, plan
+        for line in scans:
+            assert f"EqualTo(label,{similarity.FILTER_LABEL})" in line, line
+            assert "Bucketed: true" in line, line
+        # retrain keeps the carry column on the PQ family too
+        similarity.retrain_ivfpq_index(
+            spark, "tfv_all", iters=1, n_centroids=4, n_entries=4
+        )
+        assert "label" in spark.table("tfv_all_codes").columns
+        assert "label" in spark.table("tfv_all_quantized").columns
+        post = similarity.ann_ivfpq_probe(
+            spark, queries, "tfv_all", member_filter=flt
+        ).limit(5).collect()
+        assert post
+    finally:
+        for n in names:
+            for s in sfx:
+                spark.sql(f"DROP TABLE IF EXISTS {n}{s}")
+
+
 def test_pq_index_probe_matches_inline_search(spark, tmp_path):
     """The persisted PQ index (codes + quantized + codebooks) must
     return exactly what the inline build-per-query operator returns
