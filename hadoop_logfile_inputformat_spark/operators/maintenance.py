@@ -14,6 +14,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from hadoop_logfile_inputformat_spark.operators.tables import _table_sizes
 
@@ -71,6 +72,7 @@ def compact_bucketed_table(
     table: str,
     keys: list,
     n_buckets: int | None = None,
+    minus_vec_ids=None,
 ) -> None:
     """Rewrite ONE bucketed catalog table to one file per bucket while
     KEEPING its bucket spec, so whatever no-shuffle join property the
@@ -86,6 +88,16 @@ def compact_bucketed_table(
 
     ``n_buckets`` defaults to the existing bucket count (no-shuffle
     rewrite); changing it pays the one repartition the change requires.
+
+    ``minus_vec_ids`` (a ``(vec_id)`` DataFrame) drops those rows
+    during the rewrite — how the index compactions fold pending
+    tombstones (``similarity.delete_from_index``) into the pass they
+    were already making.  The anti-join is broadcast (tombstone sets
+    are bounded by compaction cadence) and joins on ``vec_id``
+    regardless of the bucket keys: removing rows never perturbs the
+    surviving rows' bucket assignment, and with the bucketed scan
+    pinned each task still holds exactly one bucket, so the
+    one-file-per-bucket output shape is unchanged.
     """
     detail = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
 
@@ -112,6 +124,10 @@ def compact_bucketed_table(
         # so the explicit repartition onto the new bucket hash is
         # not elided) and pay the one shuffle the change requires
         frame = spark.read.parquet(location).repartition(nb, *keys)
+    if minus_vec_ids is not None:
+        frame = frame.join(
+            F.broadcast(minus_vec_ids.select("vec_id")), "vec_id", "left_anti"
+        )
     writer = (
         frame.write.bucketBy(nb, *keys)
         .sortBy(*keys)
@@ -182,6 +198,14 @@ def compact_exact_index(
 
 
 
+def _pending_tombstones(spark: SparkSession, name: str):
+    """The index's logical-delete set, if any deletes are pending —
+    folding it into the compaction rewrite is what reclaims the rows
+    (``similarity.delete_from_index`` only ever appends ids)."""
+    t = f"{name}_tombstones"
+    return spark.table(t).select("vec_id") if spark.catalog.tableExists(t) else None
+
+
 def compact_ivf_index(
     spark: SparkSession,
     name: str,
@@ -193,8 +217,18 @@ def compact_ivf_index(
     the LSH triple.  Centroids and the batch/stats ledgers are tiny and
     append-bounded — left untouched.  See :func:`compact_bucketed_table`
     (the bucket spec, and with it the probe's no-index-side-shuffle
-    property, survives the rewrite)."""
-    compact_bucketed_table(spark, f"{name}_lists", ["centroid_id"], n_buckets)
+    property, survives the rewrite).
+
+    Pending tombstones fold into the rewrite (the logical deletes
+    become physical) and the tombstone table drops LAST — a crash
+    mid-compaction leaves them pending, and re-folding an
+    already-folded id is a no-op, so the sequence is idempotent."""
+    ts = _pending_tombstones(spark, name)
+    compact_bucketed_table(
+        spark, f"{name}_lists", ["centroid_id"], n_buckets, minus_vec_ids=ts
+    )
+    if ts is not None:
+        spark.sql(f"DROP TABLE IF EXISTS {name}_tombstones")
 
 
 def compact_ivfpq_index(
@@ -206,9 +240,18 @@ def compact_ivfpq_index(
     ``append_to_ivfpq_index`` appends: both corpus-sized tables — the
     residual codes (bucketed by centroid_id) and the re-rank quantized
     vectors (bucketed by vec_id) — are rewritten back to one file per
-    bucket; codebooks/centroids/ledgers untouched."""
-    compact_bucketed_table(spark, f"{name}_codes", ["centroid_id"], n_buckets)
-    compact_bucketed_table(spark, f"{name}_quantized", ["vec_id"], n_buckets)
+    bucket; codebooks/centroids/ledgers untouched.  Pending tombstones
+    fold into both rewrites and drop last (idempotent — see
+    :func:`compact_ivf_index`)."""
+    ts = _pending_tombstones(spark, name)
+    compact_bucketed_table(
+        spark, f"{name}_codes", ["centroid_id"], n_buckets, minus_vec_ids=ts
+    )
+    compact_bucketed_table(
+        spark, f"{name}_quantized", ["vec_id"], n_buckets, minus_vec_ids=ts
+    )
+    if ts is not None:
+        spark.sql(f"DROP TABLE IF EXISTS {name}_tombstones")
 
 
 def compact_pq_index(
@@ -219,6 +262,15 @@ def compact_pq_index(
     """Compact the flat-PQ index (``similarity.build_pq_index``) after
     ``append_to_pq_index`` appends: both corpus-sized tables — the
     codes and the re-rank quantized vectors, each bucketed by vec_id —
-    rewrite to one file per bucket; codebooks/ledgers untouched."""
-    compact_bucketed_table(spark, f"{name}_codes", ["vec_id"], n_buckets)
-    compact_bucketed_table(spark, f"{name}_quantized", ["vec_id"], n_buckets)
+    rewrite to one file per bucket; codebooks/ledgers untouched.
+    Pending tombstones fold into both rewrites and drop last
+    (idempotent — see :func:`compact_ivf_index`)."""
+    ts = _pending_tombstones(spark, name)
+    compact_bucketed_table(
+        spark, f"{name}_codes", ["vec_id"], n_buckets, minus_vec_ids=ts
+    )
+    compact_bucketed_table(
+        spark, f"{name}_quantized", ["vec_id"], n_buckets, minus_vec_ids=ts
+    )
+    if ts is not None:
+        spark.sql(f"DROP TABLE IF EXISTS {name}_tombstones")

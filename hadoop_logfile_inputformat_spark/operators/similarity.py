@@ -478,7 +478,15 @@ def _write_index_aux(
       with the batch's vector count and mean assignment cosine
       (batch_id −1 = the seed build).  :func:`ivf_index_drift` compares
       seed vs appended quality to decide when a retrain pays.
+
+    Pending ``<name>_tombstones`` (see :func:`delete_from_index`) are
+    dropped too: a rebuild defines a new index generation, and the
+    retrains subtract tombstones from their corpus snapshot BEFORE
+    rebuilding — so the logical deletes became physical, and keeping
+    the set would wrongly hide any same-id vector a caller seeds the
+    new generation with.
     """
+    spark.sql(f"DROP TABLE IF EXISTS {name}_tombstones")
     logw = spark.createDataFrame([], "batch_id BIGINT").write.mode(
         "overwrite"
     ).format("parquet")
@@ -687,6 +695,9 @@ def ann_ivf_probe(
         lists = lists.join(
             F.broadcast(exclude_ids.select("vec_id")), "vec_id", "left_anti"
         )
+    tombs = _tombstone_ids(spark, name)
+    if tombs is not None:
+        lists = lists.join(F.broadcast(tombs), "vec_id", "left_anti")
     sim = F.round(_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm")), 4)
     hits = (
         probes.join(lists, "centroid_id")
@@ -1120,9 +1131,14 @@ def retrain_ivf_index(
         c for c in spark.table(f"{name}_lists").columns
         if c not in ("vec_id", "embedding", "nrm", "centroid_id")
     )
-    spark.table(f"{name}_lists").select(
-        "vec_id", "embedding", *carry
-    ).write.mode("overwrite").format("parquet").saveAsTable(tmp)
+    held = spark.table(f"{name}_lists").select("vec_id", "embedding", *carry)
+    # pending logical deletes become physical here: the rebuild trains
+    # on and re-holds only the live vectors (tombstones drop with the
+    # rebuild's ledger reset)
+    tombs = _tombstone_ids(spark, name)
+    if tombs is not None:
+        held = held.join(F.broadcast(tombs), "vec_id", "left_anti")
+    held.write.mode("overwrite").format("parquet").saveAsTable(tmp)
     try:
         held = spark.table(tmp)
         if n_centroids is None:
@@ -1153,9 +1169,13 @@ def _quantized_snapshot(spark: SparkSession, name: str) -> tuple:
         c for c in spark.table(f"{name}_quantized").columns
         if c not in ("vec_id", "q", "nrm")
     )
-    spark.table(f"{name}_quantized").select(
-        "vec_id", "q", *carry
-    ).write.mode("overwrite").format("parquet").saveAsTable(tmp)
+    held = spark.table(f"{name}_quantized").select("vec_id", "q", *carry)
+    # pending logical deletes become physical here (see
+    # :func:`retrain_ivf_index`'s snapshot note)
+    tombs = _tombstone_ids(spark, name)
+    if tombs is not None:
+        held = held.join(F.broadcast(tombs), "vec_id", "left_anti")
+    held.write.mode("overwrite").format("parquet").saveAsTable(tmp)
     return tmp, carry
 
 
@@ -1241,6 +1261,89 @@ def retrain_pq_index(
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     return ivf_index_drift(spark, name)
+
+
+def _tombstone_ids(spark: SparkSession, name: str) -> DataFrame | None:
+    """The index's logical-delete set (``<name>_tombstones``), or None
+    when no deletes are pending.  Every probe anti-joins this BEFORE
+    ranking (broadcast — the set is bounded by the compaction cadence,
+    the same contract as the ``_batches`` replay log), so deleted
+    vectors can never appear in a top-k even though their rows still
+    sit in the corpus tables until the next fold."""
+    t = f"{name}_tombstones"
+    return (
+        spark.table(t).select("vec_id")
+        if spark.catalog.tableExists(t)
+        else None
+    )
+
+
+def delete_from_index(
+    spark: SparkSession,
+    name: str,
+    ids: DataFrame | None = None,
+    delete_filter=None,
+) -> int:
+    """Logically delete vectors from ANY persisted embedding index
+    (IVF / flat PQ / IVFPQ — the verb completing the lifecycle family:
+    build → append → delete → compact → retrain).  Mirrors the
+    tombstone design every LSM-shaped store uses: deletion is an O(
+    |delete set|) append to a ``<name>_tombstones`` table, probes
+    exclude tombstoned ids BEFORE ranking (so results equal an index
+    that never held them), and the physical rows are reclaimed by the
+    next ``maintenance.compact_*_index`` (which folds the tombstones
+    into the bucketed rewrite it was already doing) or retrain (whose
+    corpus snapshot subtracts them).  A rebuild under the same name
+    clears the set — logical deletes never outlive the index
+    generation they were issued against.
+
+    ``ids`` is any ``(vec_id)`` DataFrame; ``delete_filter`` instead
+    selects victims by predicate over what the index holds (carry
+    metadata columns included — e.g. ``"label = 7"`` for a
+    takedown-by-attribute), evaluated against ``<name>_quantized``
+    (PQ family) or ``<name>_lists`` (IVF) with the predicate pushed to
+    the scan.  Returns the number of NEWLY tombstoned ids (re-deletes
+    are idempotent no-ops).  Re-appending a previously deleted vec_id
+    is outside the lifecycle contract — appends assume globally new
+    ids (an append of an EXISTING live id already double-counts, with
+    or without deletes).
+
+    Scale shape: one pushed-predicate scan (delete_filter form only),
+    one anti-join of the delete set against pending tombstones, one
+    delta-sized write.  The standing corpus tables are never rewritten
+    here — that cost stays where it belongs, in compaction.
+    """
+    if (ids is None) == (delete_filter is None):
+        raise ValueError("pass exactly one of ids / delete_filter")
+    if delete_filter is not None:
+        members = (
+            spark.table(f"{name}_quantized")
+            if spark.catalog.tableExists(f"{name}_quantized")
+            else spark.table(f"{name}_lists")
+        )
+        ids = members.filter(delete_filter)
+    new = ids.select("vec_id").distinct()
+    pending = _tombstone_ids(spark, name)
+    if pending is not None:
+        new = new.join(F.broadcast(pending), "vec_id", "left_anti")
+    # pin the delete set before writing: breaks lineage to the
+    # tombstones table itself (no read-while-append hazard) and makes
+    # the count + append one computation.  Delete sets are
+    # delta-sized; a crash here leaves the index unchanged.
+    new = new.localCheckpoint(eager=True)
+    n = new.count()
+    if n == 0:
+        return 0
+    if pending is None:
+        clear_orphaned_table(spark, f"{name}_tombstones")
+        new.write.mode("overwrite").format("parquet").saveAsTable(
+            f"{name}_tombstones"
+        )
+    else:
+        new.write.mode("append").format("parquet").saveAsTable(
+            f"{name}_tombstones"
+        )
+    return n
 
 
 def ann_ivf_incremental(
@@ -2490,6 +2593,9 @@ def ann_pq_probe(
     codes = spark.table(f"{name}_codes")
     if member_filter is not None:
         codes = codes.filter(member_filter)
+    tombs = _tombstone_ids(spark, name)
+    if tombs is not None:
+        codes = codes.join(F.broadcast(tombs), "vec_id", "left_anti")
     qv = quantize_frame(
         queries.select(F.col("query_id").alias("vec_id"), "embedding")
     )
@@ -2730,6 +2836,9 @@ def ann_ivfpq_probe(
     codes = spark.table(f"{name}_codes")
     if member_filter is not None:
         codes = codes.filter(member_filter)
+    tombs = _tombstone_ids(spark, name)
+    if tombs is not None:
+        codes = codes.join(F.broadcast(tombs), "vec_id", "left_anti")
     qv = quantize_frame(
         queries.select(F.col("query_id").alias("vec_id"), "embedding")
     )

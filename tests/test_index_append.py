@@ -475,3 +475,95 @@ def test_pq_retrain_learns_codebooks_and_resets(spark):
         assert S.append_to_pq_index(spark, delta, "tia_fprt", batch_id=1)
     finally:
         _drop(spark, "tia_fprt", PQ_SUFFIXES)
+
+
+def test_delete_from_ivf_index_equals_never_held(spark):
+    """delete_from_index == never-held: probing an index that held the
+    union and then deleted the delta must be BIT-equal to probing an
+    index built from the seed only under the same frozen centroids —
+    the tombstone anti-join excludes candidates BEFORE ranking.  Also
+    pins re-delete idempotence (returns 0) and compaction folding:
+    physical rows reclaimed, tombstone table dropped, probe unchanged."""
+    seed, delta, union, queries = _split(spark)
+    tomb = ("_tombstones",)
+    try:
+        S.build_ivf_index(spark, union, "tdl_a")
+        cents = spark.table("tdl_a_centroids").select("centroid_id", "c_emb")
+        n_delta = delta.count()
+        assert S.delete_from_index(spark, "tdl_a", ids=delta) == n_delta
+        assert S.delete_from_index(spark, "tdl_a", ids=delta) == 0
+        after = _rows(S.ann_ivf_probe(spark, queries, "tdl_a"))
+        S.build_ivf_index(spark, seed, "tdl_b", centroids=cents)
+        never_held = _rows(S.ann_ivf_probe(spark, queries, "tdl_b"))
+        assert after == never_held and after
+        pre = spark.table("tdl_a_lists").count()
+        compact_ivf_index(spark, "tdl_a")
+        assert not spark.catalog.tableExists("tdl_a_tombstones")
+        assert spark.table("tdl_a_lists").count() == pre - n_delta
+        assert _rows(S.ann_ivf_probe(spark, queries, "tdl_a")) == after
+        # a rebuild under the same name starts a fresh generation: a
+        # new delete set is empty (no stale tombstones resurrected)
+        S.delete_from_index(spark, "tdl_a", ids=delta.limit(1))
+        S.build_ivf_index(spark, union, "tdl_a")
+        assert not spark.catalog.tableExists("tdl_a_tombstones")
+    finally:
+        _drop(spark, "tdl_a", IVF_SUFFIXES + tomb)
+        _drop(spark, "tdl_b", IVF_SUFFIXES + tomb)
+
+
+def test_delete_filter_pq_family_and_retrain_folds(spark):
+    """The predicate form (delete_filter over carry metadata) on the
+    PQ tiers: deleting ``label = 7`` must probe BIT-equal to a twin
+    index probed under ``member_filter="label != 7"`` (both are
+    pre-ranking exclusions of the same candidate set).  Compaction
+    reclaims the codes/quantized rows; a retrain's corpus snapshot
+    subtracts the tombstones, so the rebuilt generation never holds
+    the deleted vectors and starts with an empty delete set."""
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        compact_pq_index,
+    )
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    v = load(spark, SF, "embeddings").select("vec_id", "embedding", "label")
+    queries = v.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n7 = v.filter("label = 7").count()
+    tomb = ("_tombstones",)
+    try:
+        S.build_pq_index(spark, v, "tdl_pq", carry=("label",))
+        S.build_pq_index(spark, v, "tdl_pq2", carry=("label",))
+        assert S.delete_from_index(
+            spark, "tdl_pq", delete_filter="label = 7"
+        ) == n7
+        after = _rows(S.ann_pq_probe(spark, queries, "tdl_pq"))
+        twin = _rows(S.ann_pq_probe(
+            spark, queries, "tdl_pq2", member_filter="label != 7"
+        ))
+        assert after == twin and after
+        # compaction fold: codes (M rows per vector) and quantized
+        # (one) both shrink; probe identical; tombstones gone
+        compact_pq_index(spark, "tdl_pq")
+        assert not spark.catalog.tableExists("tdl_pq_tombstones")
+        assert spark.table("tdl_pq_quantized").filter("label = 7").count() == 0
+        assert spark.table("tdl_pq_codes").filter("label = 7").count() == 0
+        assert _rows(S.ann_pq_probe(spark, queries, "tdl_pq")) == after
+        # retrain path folds too: delete on the twin, retrain, and the
+        # new generation holds only live vectors with no tombstones
+        assert S.delete_from_index(
+            spark, "tdl_pq2", delete_filter="label = 7"
+        ) == n7
+        S.retrain_pq_index(spark, "tdl_pq2", iters=1, n_entries=4)
+        assert not spark.catalog.tableExists("tdl_pq2_tombstones")
+        assert spark.table("tdl_pq2_quantized").filter("label = 7").count() == 0
+        hits = S.ann_pq_probe(spark, queries, "tdl_pq2")
+        bad = hits.join(
+            v.filter("label = 7").select(
+                F.col("vec_id").alias("neighbor_id")
+            ),
+            "neighbor_id",
+        ).count()
+        assert bad == 0 and hits.count() > 0
+    finally:
+        _drop(spark, "tdl_pq", PQ_SUFFIXES + tomb)
+        _drop(spark, "tdl_pq2", PQ_SUFFIXES + tomb)
