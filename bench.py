@@ -183,6 +183,8 @@ EXTRA = [
     "ann_ivf_append",
     # filtered search (pre-filter semantics, label pushed to the scan)
     "ann_filtered_topk",
+    # delete lifecycle: tombstoned victims excluded pre-ranking
+    "ann_ivf_deleted",
     # reference-parity surface (fixture corpus; mostly measures the
     # Python-DataSource fixed overhead at this size — the MB/s scan
     # numbers come from the source_throughput measurement below)
@@ -254,18 +256,22 @@ def summary_lines(timings, cold_timings, extra, n_errors, source_mb_s, sf,
     )
 
     def _extra_line(steady_map, dropped):
+        # byte diet (the two tail lines share a hard 2000-char driver
+        # window): n_extra is gone (derivable: len(steady) + n_dropped
+        # + the lc keys), and the two totals carry 1 decimal only
+        # under 100 s — each key the map keeps is worth more than a
+        # decimal on an aggregate
         payload = {
             "detail": "extra_steady",
-            "cold_total": round(sum(cold_timings.values()), 1),
-            "extra_total": round(sum(extra.values()), 1),
-            "n_extra": len(extra),
+            "cold_total": _fmt_x(sum(cold_timings.values())),
+            "extra_total": _fmt_x(sum(extra.values())),
             "n_errors": n_errors,
             "source_mb_s": source_mb_s,
             "steady": steady_map,
         }
         if lifecycle:
             payload["lc"] = {
-                short: {ph: _fmt(v) for ph, v in phases.items()}
+                short: {ph: _fmt_x(v) for ph, v in phases.items()}
                 for short, phases in lifecycle.items()
             }
         if dropped:

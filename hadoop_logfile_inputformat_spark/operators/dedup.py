@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from hadoop_logfile_inputformat_spark.operators.tables import (
     cached_count,
+    clear_orphaned_table,
     load,
     register_aux_cache,
     scoped_persist,
@@ -788,6 +789,10 @@ def build_minhash_index(
         # streaming index appends replay-safe (near_dup_stream_batch).
         # Written as an (empty) overwrite so REBUILDING an index also
         # resets the log — stale ids would silently skip appends.
+        # Pending tombstones drop with it: a rebuild starts a fresh
+        # generation (logical deletes never outlive the generation
+        # they were issued against — see delete_from_dedup_index).
+        spark.sql(f"DROP TABLE IF EXISTS {name}_tombstones")
         logw = spark.createDataFrame([], "batch_id BIGINT").write.mode(
             "overwrite"
         ).format("parquet")
@@ -831,12 +836,120 @@ def build_exact_index(
     if path is not None:
         writer = writer.option("path", f"{path}/{name}_hashes")
     writer.saveAsTable(f"{name}_hashes")
+    # a rebuild starts a fresh generation: pending tombstones drop
+    # with the ledger reset (see delete_from_dedup_index)
+    spark.sql(f"DROP TABLE IF EXISTS {name}_tombstones")
     logw = spark.createDataFrame([], "batch_id BIGINT").write.mode(
         "overwrite"
     ).format("parquet")
     if path is not None:
         logw = logw.option("path", f"{path}/{name}_batches")
     logw.saveAsTable(f"{name}_batches")
+
+
+def _doc_tombstones(spark: SparkSession, name: str) -> DataFrame | None:
+    """The text index's logical-delete set (``<name>_tombstones``), or
+    None when no takedowns are pending.  Probes anti-join this BEFORE
+    candidate generation (broadcast — bounded by compaction cadence,
+    the same contract as the ``_batches`` replay log), so deleted
+    documents neither surface as near-dup partners nor block
+    re-ingestion of their content."""
+    t = f"{name}_tombstones"
+    return (
+        spark.table(t).select("doc_id")
+        if spark.catalog.tableExists(t)
+        else None
+    )
+
+
+def _reject_tombstoned_docs(
+    spark: SparkSession, name: str, docs: DataFrame
+) -> None:
+    """Fail fast on re-appending a doc_id whose takedown tombstone is
+    still pending (the twin of ``similarity._reject_tombstoned_delta``):
+    probes exclude the pending set on the banding side, so the
+    re-appended document would be silently invisible as an index-side
+    partner until the next compaction fold.  Cost: only when deletes
+    are pending, one broadcast semi-join count against a batch-sized
+    frame."""
+    tombs = _doc_tombstones(spark, name)
+    if tombs is None:
+        return
+    n = docs.select("doc_id").join(
+        F.broadcast(tombs), "doc_id", "left_semi"
+    ).count()
+    if n:
+        raise ValueError(
+            f"append to dedup index '{name}' contains {n} doc_id(s) "
+            "with PENDING tombstones: probes would silently hide these "
+            "rows until the next compaction. Appends assume "
+            "globally-new ids; rebuild the index (fresh generation) to "
+            "reuse ids."
+        )
+
+
+def delete_from_dedup_index(
+    spark: SparkSession,
+    name: str,
+    ids: DataFrame | None = None,
+    delete_filter=None,
+) -> int:
+    """Logically delete documents from a persisted dedup index — the
+    takedown verb for BOTH text index families (:func:`build_minhash_index`
+    LSH triple and :func:`build_exact_index` hash table), mirroring
+    ``similarity.delete_from_index``'s LSM tombstone design: an
+    O(|delete set|) append to ``<name>_tombstones``, probe-side
+    exclusion BEFORE candidate generation, physical reclaim in the
+    next ``maintenance.compact_minhash_index`` /
+    ``compact_exact_index`` (which fold the set into the bucketed
+    rewrite they were already doing).  A rebuild under the same name
+    starts a fresh generation with an empty set.
+
+    Semantics after a delete: the victims stop appearing as ``doc_a``
+    index-side partners in :func:`incremental_near_dups`, and their
+    content hash stops blocking re-ingestion in ``curate_stream`` —
+    i.e. results equal an index that never held them (test-pinned
+    against a never-held twin).  This is the takedown shape a real
+    corpus pipeline needs: remove a revoked/flagged document so future
+    crawls of the same content are admitted and future dedup decisions
+    stop referencing it.
+
+    ``ids`` is any ``(doc_id)`` DataFrame; ``delete_filter`` instead
+    selects victims by predicate over what the index holds —
+    ``<name>_hashes`` when it exists (so ``"text_hash = '<sha256>'"``
+    expresses delete-by-content), else ``<name>_sets``.  Returns the
+    number of NEWLY tombstoned ids (re-deletes are idempotent no-ops).
+    """
+    if (ids is None) == (delete_filter is None):
+        raise ValueError("pass exactly one of ids / delete_filter")
+    if delete_filter is not None:
+        members = (
+            spark.table(f"{name}_hashes")
+            if spark.catalog.tableExists(f"{name}_hashes")
+            else spark.table(f"{name}_sets")
+        )
+        ids = members.filter(delete_filter)
+    new = ids.select("doc_id").distinct()
+    pending = _doc_tombstones(spark, name)
+    if pending is not None:
+        new = new.join(F.broadcast(pending), "doc_id", "left_anti")
+    # pin the delete set before writing (breaks lineage to the
+    # tombstones table itself, making count + append one computation);
+    # delete sets are delta-sized, a crash here changes nothing
+    new = new.localCheckpoint(eager=True)
+    n = new.count()
+    if n == 0:
+        return 0
+    if pending is None:
+        clear_orphaned_table(spark, f"{name}_tombstones")
+        new.write.mode("overwrite").format("parquet").saveAsTable(
+            f"{name}_tombstones"
+        )
+    else:
+        new.write.mode("append").format("parquet").saveAsTable(
+            f"{name}_tombstones"
+        )
+    return n
 
 
 def incremental_near_dups(
@@ -862,10 +975,21 @@ def incremental_near_dups(
     delta_sets = scoped_persist(
         _shingle_sets(delta_docs), ("incr_delta_sets", index_name)
     )
+    # pending takedowns (delete_from_dedup_index) leave the corpus
+    # tables untouched until compaction — exclude tombstoned docs from
+    # the BANDING side, so their candidates never form (cheaper than
+    # filtering verification, and equal to an index that never held
+    # them).  Broadcast: the set is bounded by compaction cadence.
+    corpus_buckets = spark.table(f"{index_name}_buckets")
+    tombs = _doc_tombstones(spark, index_name)
+    if tombs is not None:
+        corpus_buckets = corpus_buckets.join(
+            F.broadcast(tombs), "doc_id", "left_anti"
+        )
     return _incremental_pairs_from_sets(
         corpus_sets=spark.table(f"{index_name}_sets"),
         delta_sets=delta_sets,
-        corpus_buckets=spark.table(f"{index_name}_buckets"),
+        corpus_buckets=corpus_buckets,
         threshold=threshold,
         hash_fn=hash_fn,
         max_bucket_size=max_bucket_size,

@@ -72,7 +72,7 @@ def compact_bucketed_table(
     table: str,
     keys: list,
     n_buckets: int | None = None,
-    minus_vec_ids=None,
+    minus=None,
 ) -> None:
     """Rewrite ONE bucketed catalog table to one file per bucket while
     KEEPING its bucket spec, so whatever no-shuffle join property the
@@ -89,15 +89,17 @@ def compact_bucketed_table(
     ``n_buckets`` defaults to the existing bucket count (no-shuffle
     rewrite); changing it pays the one repartition the change requires.
 
-    ``minus_vec_ids`` (a ``(vec_id)`` DataFrame) drops those rows
-    during the rewrite — how the index compactions fold pending
-    tombstones (``similarity.delete_from_index``) into the pass they
-    were already making.  The anti-join is broadcast (tombstone sets
-    are bounded by compaction cadence) and joins on ``vec_id``
-    regardless of the bucket keys: removing rows never perturbs the
-    surviving rows' bucket assignment, and with the bucketed scan
-    pinned each task still holds exactly one bucket, so the
-    one-file-per-bucket output shape is unchanged.
+    ``minus`` (a DataFrame of id columns, e.g. ``(vec_id)`` or
+    ``(doc_id)``) drops matching rows during the rewrite — how the
+    index compactions fold pending tombstones
+    (``similarity.delete_from_index`` / ``dedup.delete_from_dedup_index``)
+    into the pass they were already making.  The anti-join is broadcast
+    (tombstone sets are bounded by compaction cadence) and joins on
+    the ``minus`` frame's own columns regardless of the bucket keys:
+    removing rows never perturbs the surviving rows' bucket
+    assignment, and with the bucketed scan pinned each task still
+    holds exactly one bucket, so the one-file-per-bucket output shape
+    is unchanged.
     """
     detail = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
 
@@ -124,10 +126,8 @@ def compact_bucketed_table(
         # so the explicit repartition onto the new bucket hash is
         # not elided) and pay the one shuffle the change requires
         frame = spark.read.parquet(location).repartition(nb, *keys)
-    if minus_vec_ids is not None:
-        frame = frame.join(
-            F.broadcast(minus_vec_ids.select("vec_id")), "vec_id", "left_anti"
-        )
+    if minus is not None:
+        frame = frame.join(F.broadcast(minus), list(minus.columns), "left_anti")
     writer = (
         frame.write.bucketBy(nb, *keys)
         .sortBy(*keys)
@@ -181,9 +181,18 @@ def compact_minhash_index(
     ``n_buckets`` files per table, and a long-running ``near_dup_stream``
     turns every probe into a many-file scan.  The applied-batch log is
     left untouched.  See :func:`compact_bucketed_table`.
-    """
+
+    Pending document tombstones (``dedup.delete_from_dedup_index``)
+    fold into both rewrites — the banding rows AND the shingle sets of
+    deleted docs go — and the tombstone table drops LAST (a crash
+    mid-fold leaves deletes pending; re-folding is a no-op)."""
+    ts = _pending_tombstones(spark, name, "doc_id")
     for suffix, keys in (("buckets", ["band", "bucket"]), ("sets", ["doc_id"])):
-        compact_bucketed_table(spark, f"{name}_{suffix}", keys, n_buckets)
+        compact_bucketed_table(
+            spark, f"{name}_{suffix}", keys, n_buckets, minus=ts
+        )
+    if ts is not None:
+        spark.sql(f"DROP TABLE IF EXISTS {name}_tombstones")
 
 
 def compact_exact_index(
@@ -193,17 +202,26 @@ def compact_exact_index(
 ) -> None:
     """Compact the exact-dedup hash index (``dedup.build_exact_index``)
     after ``curate_stream`` appends — same accretion pattern as the LSH
-    triple, one table.  The applied-batch log is left untouched."""
-    compact_bucketed_table(spark, f"{name}_hashes", ["text_hash"], n_buckets)
+    triple, one table.  The applied-batch log is left untouched.
+    Pending document tombstones fold into the rewrite and drop last
+    (idempotent — see :func:`compact_minhash_index`)."""
+    ts = _pending_tombstones(spark, name, "doc_id")
+    compact_bucketed_table(
+        spark, f"{name}_hashes", ["text_hash"], n_buckets, minus=ts
+    )
+    if ts is not None:
+        spark.sql(f"DROP TABLE IF EXISTS {name}_tombstones")
 
 
-
-def _pending_tombstones(spark: SparkSession, name: str):
+def _pending_tombstones(spark: SparkSession, name: str, col: str = "vec_id"):
     """The index's logical-delete set, if any deletes are pending —
     folding it into the compaction rewrite is what reclaims the rows
-    (``similarity.delete_from_index`` only ever appends ids)."""
+    (``similarity.delete_from_index`` / ``dedup.delete_from_dedup_index``
+    only ever append ids).  ``col`` is the index family's id column
+    (``vec_id`` for the embedding tiers, ``doc_id`` for the text
+    indexes)."""
     t = f"{name}_tombstones"
-    return spark.table(t).select("vec_id") if spark.catalog.tableExists(t) else None
+    return spark.table(t).select(col) if spark.catalog.tableExists(t) else None
 
 
 def compact_ivf_index(
@@ -225,7 +243,7 @@ def compact_ivf_index(
     already-folded id is a no-op, so the sequence is idempotent."""
     ts = _pending_tombstones(spark, name)
     compact_bucketed_table(
-        spark, f"{name}_lists", ["centroid_id"], n_buckets, minus_vec_ids=ts
+        spark, f"{name}_lists", ["centroid_id"], n_buckets, minus=ts
     )
     if ts is not None:
         spark.sql(f"DROP TABLE IF EXISTS {name}_tombstones")
@@ -245,10 +263,10 @@ def compact_ivfpq_index(
     :func:`compact_ivf_index`)."""
     ts = _pending_tombstones(spark, name)
     compact_bucketed_table(
-        spark, f"{name}_codes", ["centroid_id"], n_buckets, minus_vec_ids=ts
+        spark, f"{name}_codes", ["centroid_id"], n_buckets, minus=ts
     )
     compact_bucketed_table(
-        spark, f"{name}_quantized", ["vec_id"], n_buckets, minus_vec_ids=ts
+        spark, f"{name}_quantized", ["vec_id"], n_buckets, minus=ts
     )
     if ts is not None:
         spark.sql(f"DROP TABLE IF EXISTS {name}_tombstones")
@@ -267,10 +285,10 @@ def compact_pq_index(
     (idempotent — see :func:`compact_ivf_index`)."""
     ts = _pending_tombstones(spark, name)
     compact_bucketed_table(
-        spark, f"{name}_codes", ["vec_id"], n_buckets, minus_vec_ids=ts
+        spark, f"{name}_codes", ["vec_id"], n_buckets, minus=ts
     )
     compact_bucketed_table(
-        spark, f"{name}_quantized", ["vec_id"], n_buckets, minus_vec_ids=ts
+        spark, f"{name}_quantized", ["vec_id"], n_buckets, minus=ts
     )
     if ts is not None:
         spark.sql(f"DROP TABLE IF EXISTS {name}_tombstones")

@@ -514,6 +514,34 @@ def _batch_applied(spark: SparkSession, name: str, batch_id: int) -> bool:
     )
 
 
+def _reject_tombstoned_delta(
+    spark: SparkSession, name: str, delta: DataFrame
+) -> None:
+    """Fail fast on the one append the lifecycle contract excludes:
+    a vec_id that was :func:`delete_from_index`-tombstoned and is now
+    being re-appended.  Probes anti-join the PENDING tombstone set by
+    vec_id, so the re-appended row would be silently invisible until
+    the next compaction folds the set — a hidden-write trap worth a
+    hard error over.  (Re-appending after the fold is equally outside
+    the contract — appends assume globally-new ids — but is no longer
+    detectable here; the guard closes the silent window.)  Cost: only
+    when deletes are pending, one broadcast semi-join count against a
+    delta-sized frame."""
+    tombs = _tombstone_ids(spark, name)
+    if tombs is None:
+        return
+    n = delta.select("vec_id").join(
+        F.broadcast(tombs), "vec_id", "left_semi"
+    ).count()
+    if n:
+        raise ValueError(
+            f"append to index '{name}' contains {n} vec_id(s) with "
+            "PENDING tombstones: probes would silently hide these rows "
+            "until the next compaction. Appends assume globally-new "
+            "ids; rebuild the index (fresh generation) to reuse ids."
+        )
+
+
 def _append_index_bookkeeping(
     spark: SparkSession,
     name: str,
@@ -891,6 +919,7 @@ def append_to_ivf_index(
     """
     if batch_id is not None and _batch_applied(spark, name, batch_id):
         return False
+    _reject_tombstoned_delta(spark, name, delta_vectors)
     cent = spark.table(f"{name}_centroids")
     lists_cols = spark.table(f"{name}_lists").columns
     # metadata the seed build stored in the list rows (build's `carry`)
@@ -938,6 +967,7 @@ def append_to_ivfpq_index(
     """
     if batch_id is not None and _batch_applied(spark, name, batch_id):
         return False
+    _reject_tombstoned_delta(spark, name, delta_vectors)
     cent = spark.table(f"{name}_centroids")
     cb = spark.table(f"{name}_codebooks")
     # metadata the seed build carry-stored in the codes rows rides
@@ -1022,6 +1052,7 @@ def append_to_pq_index(
     """
     if batch_id is not None and _batch_applied(spark, name, batch_id):
         return False
+    _reject_tombstoned_delta(spark, name, delta_vectors)
     cb = spark.table(f"{name}_codebooks")
     carry = tuple(
         c for c in spark.table(f"{name}_codes").columns
@@ -1306,7 +1337,10 @@ def delete_from_index(
     are idempotent no-ops).  Re-appending a previously deleted vec_id
     is outside the lifecycle contract — appends assume globally new
     ids (an append of an EXISTING live id already double-counts, with
-    or without deletes).
+    or without deletes) — and the append verbs raise while the
+    tombstone is pending (:func:`_reject_tombstoned_delta`), closing
+    the window where the re-appended row would be silently hidden by
+    its own tombstone.
 
     Scale shape: one pushed-predicate scan (delete_filter form only),
     one anti-join of the delete set against pending tombstones, one
@@ -1402,6 +1436,77 @@ def ann_ivf_incremental(
     hits = (
         F.broadcast(probes)
         .join(assigned, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def ann_ivf_deleted(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    nprobe: int = IVF_NPROBE,
+    centroid_modulus: int = IVF_CENTROID_MODULUS,
+) -> DataFrame:
+    """Registry/oracle twin of the DELETE lifecycle: the index was
+    built over the FULL corpus (centroids = the plain modulus subset,
+    frozen — deleting members never moves centroids), then the victims
+    (vec_id % 4 == 3, the same deterministic split the incremental
+    twin uses for its delta) were tombstoned via
+    :func:`delete_from_index`, and the standing queries
+    (vec_id % 50 == 0 — never victims, since 50 ≡ 2 mod 4) probe the
+    post-delete index.  The tombstone anti-join excludes victims from
+    the candidate lists BEFORE ranking, so this is exactly
+    :func:`ann_ivf_topk` with the members (not the centroids, not the
+    queries) filtered — which is also what makes it DuckDB-expressible.
+    tests/test_index_append.py pins the table path (build over the
+    union → ``delete_from_index`` → ``ann_ivf_probe``) bit-equal to
+    this inline twin, so the member's value-hash gates the tombstone
+    exclusion semantics end to end.
+
+    Plan shape matches :func:`ann_ivf_topk`: broadcast centroids,
+    map-side assignment, broadcast probes — the delete predicate is a
+    filter on the corpus-side scan, no extra shuffle.
+    """
+    v = _vectors(spark, sf_dir)
+    cent = v.filter(F.col("vec_id") % centroid_modulus == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    assigned = _assign_to_centroids(v, cent)
+    queries = assigned.filter(F.col("vec_id") % QUERY_MODULUS == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    live = assigned.filter(
+        F.col("vec_id") % INCR_SPLIT_MOD != INCR_DELTA_REM
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("centroid_id")
+    )
+    probes = (
+        F.broadcast(queries)
+        .join(F.broadcast(cent), how="cross")
+        .select(
+            "query_id", "q_emb", "q_nrm", "centroid_id",
+            (_dot("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm"))).alias("c_sim"),
+        )
+        .withColumn("p", F.row_number().over(probe_w))
+        .filter(F.col("p") <= nprobe)
+        .drop("p", "c_sim")
+    )
+    sim = F.round(_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm")), 4)
+    hits = (
+        F.broadcast(probes)
+        .join(live, "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
     )

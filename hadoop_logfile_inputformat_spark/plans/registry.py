@@ -1351,6 +1351,71 @@ _SQL: Dict[str, str] = {
             FROM hits
         ) WHERE rank <= {similarity.TOP_K}
     """,
+    # Delete-lifecycle twin (the tombstone semantics of
+    # similarity.delete_from_index inline): index built over the FULL
+    # corpus (centroids = the plain modulus subset, frozen — deletes
+    # never move centroids), victims (vec_id % 4 = 3, the incremental
+    # twin's split reused) excluded from the CANDIDATE lists before
+    # ranking, standing queries (vec_id % 50 = 0, never victims since
+    # 50 ≡ 2 mod 4) probing the post-delete index.  The table-backed
+    # path (build → delete_from_index → ann_ivf_probe) is pinned
+    # bit-equal to this inline twin in tests/test_index_append.py, so
+    # the value-hash gates the tombstone exclusion end to end.
+    "ann_ivf_deleted": f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, e,
+                   sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+            FROM v
+        ),
+        cent AS (
+            SELECT vec_id AS centroid_id, e AS c_e, nrm AS c_nrm
+            FROM n WHERE vec_id % {similarity.IVF_CENTROID_MODULUS} = 0
+        ),
+        assigned AS (
+            SELECT vec_id, e, nrm, centroid_id FROM (
+                SELECT n.vec_id, n.e, n.nrm, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY n.vec_id
+                           ORDER BY list_dot_product(n.e, c.c_e)
+                                    / (n.nrm * c.c_nrm) DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM n CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        queries AS (
+            SELECT vec_id AS query_id, e AS q_e, nrm AS q_nrm
+            FROM assigned WHERE vec_id % {similarity.QUERY_MODULUS} = 0
+        ),
+        probes AS (
+            SELECT query_id, q_e, q_nrm, centroid_id FROM (
+                SELECT q.query_id, q.q_e, q.q_nrm, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_dot_product(q.q_e, c.c_e)
+                                    / (q.q_nrm * c.c_nrm) DESC,
+                                    c.centroid_id ASC) AS p
+                FROM queries q CROSS JOIN cent c
+            ) WHERE p <= {similarity.IVF_NPROBE}
+        ),
+        hits AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   round(list_dot_product(p.q_e, a.e) / (p.q_nrm * a.nrm), 4)
+                       AS sim
+            FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id
+            WHERE a.vec_id <> p.query_id
+              AND a.vec_id % {similarity.INCR_SPLIT_MOD}
+                  <> {similarity.INCR_DELTA_REM}
+        )
+        SELECT query_id, neighbor_id, sim, rank FROM (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM hits
+        ) WHERE rank <= {similarity.TOP_K}
+    """,
     "embedding_near_dup": """
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -2479,6 +2544,12 @@ _PACKS: Dict[str, list] = {
         # oracle gate (table path pinned bit-equal in tests)
         _m("ivfincr", similarity.ann_ivf_incremental,
            "ann_ivf_incremental",
+           k1="query_id", k2="neighbor_id", v1="sim", v2="rank"),
+        # delete lifecycle: victims (vec_id % 4 == 3) tombstoned out of
+        # the candidate lists BEFORE ranking, centroids/queries frozen
+        # — the delete_from_index semantics inline (table path pinned
+        # bit-equal in tests/test_index_append.py)
+        _m("ivfdel", similarity.ann_ivf_deleted, "ann_ivf_deleted",
            k1="query_id", k2="neighbor_id", v1="sim", v2="rank"),
         # SemDeDup cluster-then-prune (tau=0.5: the fixture embeddings
         # are near-random, see _SQL["semantic_dedup"]).  The oracle

@@ -162,6 +162,10 @@ def near_dup_stream_batch(
     log = f"{index_name}_batches"  # part of the index triple (build_minhash_index)
     if spark.table(log).filter(F.col("batch_id") == batch_id).count() > 0:
         return  # replayed batch: index rows already applied
+    # re-appending a doc_id with a PENDING takedown tombstone is the
+    # one append the lifecycle contract excludes — fail the batch fast
+    # rather than write rows the probes silently hide
+    dedup._reject_tombstoned_docs(spark, index_name, batch_docs)
     from hadoop_logfile_inputformat_spark.operators.tables import scoped_persist
 
     # same key as incremental_near_dups uses internally, so the probe
@@ -311,8 +315,19 @@ def curate_stream_batch(
     seen = (
         spark.table(f"{index_name}_hashes")
         .filter(F.col("batch_id") != batch_id)
-        .select("text_hash")
     )
+    # pending takedowns (dedup.delete_from_dedup_index): a deleted
+    # document's content hash must stop blocking re-ingestion — the
+    # probe sees the index as if it never held the victims (broadcast;
+    # the set is bounded by compaction cadence)
+    from hadoop_logfile_inputformat_spark.operators.dedup import (
+        _doc_tombstones,
+    )
+
+    tombs = _doc_tombstones(spark, index_name)
+    if tombs is not None:
+        seen = seen.join(F.broadcast(tombs), "doc_id", "left_anti")
+    seen = seen.select("text_hash")
     fresh = gated.join(seen, "text_hash", "left_anti")
     fresh.drop("text_hash").write.mode("overwrite").parquet(
         f"{corpus_sink}/batch_id={batch_id}"
@@ -320,6 +335,14 @@ def curate_stream_batch(
     log = f"{index_name}_batches"
     if spark.table(log).filter(F.col("batch_id") == batch_id).count() > 0:
         return  # replayed batch: hashes already applied
+    # doc_id reuse under a PENDING tombstone would append a hash row
+    # the probes exclude AND the next compaction fold deletes — fail
+    # fast instead (same contract as the LSH/embedding appends)
+    from hadoop_logfile_inputformat_spark.operators.dedup import (
+        _reject_tombstoned_docs,
+    )
+
+    _reject_tombstoned_docs(spark, index_name, fresh)
     fresh.select(
         "text_hash", "doc_id", F.lit(batch_id).cast("long").alias("batch_id")
     ).write.mode("append").insertInto(f"{index_name}_hashes")

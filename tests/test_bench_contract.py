@@ -79,7 +79,12 @@ def test_tail_truncation_replay_preserves_metric_line():
         assert metric["metric"] == "headline_queries_total_wall"
         payload = json.loads(tail_lines[-2])
         assert payload["detail"] == "extra_steady"
-        assert payload["n_extra"] == len(bench.EXTRA)
+        # n_extra left the payload (byte diet); the count stays
+        # derivable: kept + dropped covers every extra key
+        assert (
+            len(payload["steady"]) + payload.get("n_dropped", 0)
+            == len(bench.EXTRA)
+        )
 
 
 def test_progressive_drop_converges_under_pathological_widths():
@@ -92,9 +97,6 @@ def test_progressive_drop_converges_under_pathological_widths():
     payload = json.loads(lines[0])
     dropped = payload.get("n_dropped", 0)
     assert dropped + len(payload["steady"]) == len(bench.EXTRA)
-    # the shed order sacrifices low-value keys before trended ones:
-    # any surviving key set must contain the LAST trended entries
-    assert payload["n_extra"] == len(bench.EXTRA)
 
 
 def test_realistic_mix_keeps_all_trended_extras():
@@ -118,7 +120,6 @@ def test_realistic_mix_keeps_all_trended_extras():
     dropped_keys = set(bench.EXTRA) - set(payload["steady"])
     assert dropped_keys <= set(bench.EXTRA) - trended
     assert payload.get("n_dropped", 0) == len(dropped_keys)
-    assert payload["n_extra"] == len(bench.EXTRA)
     assert sum(len(l) for l in lines) + len(lines) <= bench.TAIL_BUDGET
 
 
@@ -169,12 +170,24 @@ def test_lifecycle_submap_fits_and_replaces_totals():
     lines = bench.summary_lines(t, t, e, 0, 248.6, 0.1, lifecycle=lc)
     assert sum(len(l) for l in lines) + len(lines) <= bench.TAIL_BUDGET
     payload = json.loads(lines[0])
-    assert payload["lc"] == lc
+    # lc phases carry the coarser extras formatter (byte diet):
+    # 1 decimal under 10 s, integer seconds above
+    def _fx(v):
+        if v < 0.1:
+            return round(v, 2)
+        return round(v, 1) if v < 10 else int(round(v))
+
+    assert payload["lc"] == {
+        s: {p: _fx(v) for p, v in ph.items()} for s, ph in lc.items()
+    }
     for long_key in bench.LIFECYCLE_KEYS:
         assert long_key not in payload["steady"]
     assert trended <= set(payload["steady"])
-    # n_extra still counts ALL extras (lifecycle keys included)
-    assert payload["n_extra"] == len(bench.EXTRA)
+    # every extra is accounted for: kept + dropped + carried-in-lc
+    assert (
+        len(payload["steady"]) + payload.get("n_dropped", 0)
+        + len(payload["lc"]) == len(bench.EXTRA)
+    )
     # pathological widths: the guard must still converge under budget
     # (shedding is allowed there — the drop is counted, never silent)
     wide = bench.summary_lines(
@@ -185,7 +198,9 @@ def test_lifecycle_submap_fits_and_replaces_totals():
     )
     assert sum(len(l) for l in wide) + len(wide) <= bench.TAIL_BUDGET
     wp = json.loads(wide[0])
-    assert wp["lc"] == lc
+    assert wp["lc"] == {
+        s: {p: _fx(v) for p, v in ph.items()} for s, ph in lc.items()
+    }
     assert wp.get("n_dropped", 0) + len(wp["steady"]) + len(lc) == len(
         bench.EXTRA
     )

@@ -157,3 +157,163 @@ def test_index_corpus_side_reads_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
         spark.sql("DROP TABLE IF EXISTS t_incr_plan_buckets")
         spark.sql("DROP TABLE IF EXISTS t_incr_plan_sets")
+
+
+def _lsh_drop(spark, name):
+    for s in ("_buckets", "_sets", "_batches", "_tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+
+
+def test_delete_from_minhash_index_equals_never_held(spark, tmp_path):
+    """Takedown semantics on the LSH index: after delete_from_dedup_index
+    the probe must equal an index that NEVER held the victims (banding
+    is a per-doc property, so never-held == filtered exactly).  Pins
+    re-delete idempotence, compaction folding (banding AND shingle-set
+    rows reclaimed, tombstones dropped, probe unchanged) and the
+    fresh-generation contract of a rebuild."""
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        compact_minhash_index,
+    )
+
+    corpus, delta = _split(spark)
+    base_pairs = dedup.dedup_incremental_pairs(spark, SF).collect()
+    victims_ids = sorted({r.doc_a for r in base_pairs})[0::2]
+    assert victims_ids, "fixture must produce index-side partners"
+    victims = corpus.filter(F.col("doc_id").isin(victims_ids))
+    n_victims = victims.count()
+    try:
+        dedup.build_minhash_index(
+            spark, corpus, "t_del_lsh", n_buckets=4,
+            path=str(tmp_path / "a"),
+        )
+        assert dedup.delete_from_dedup_index(
+            spark, "t_del_lsh", ids=victims
+        ) == n_victims
+        assert dedup.delete_from_dedup_index(
+            spark, "t_del_lsh", ids=victims
+        ) == 0
+        after = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.incremental_near_dups(
+                spark, delta, "t_del_lsh"
+            ).collect()
+        }
+        assert not any(a in victims_ids for a, _, _ in after)
+        dedup.build_minhash_index(
+            spark,
+            corpus.join(victims.select("doc_id"), "doc_id", "left_anti"),
+            "t_del_lsh2", n_buckets=4, path=str(tmp_path / "b"),
+        )
+        never_held = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.incremental_near_dups(
+                spark, delta, "t_del_lsh2"
+            ).collect()
+        }
+        assert after == never_held and after
+        pre_b = spark.table("t_del_lsh_buckets").count()
+        pre_s = spark.table("t_del_lsh_sets").count()
+        compact_minhash_index(spark, "t_del_lsh")
+        assert not spark.catalog.tableExists("t_del_lsh_tombstones")
+        assert spark.table("t_del_lsh_sets").count() == pre_s - n_victims
+        assert spark.table("t_del_lsh_buckets").count() < pre_b
+        assert spark.table("t_del_lsh_buckets").filter(
+            F.col("doc_id").isin(victims_ids)
+        ).count() == 0
+        post = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.incremental_near_dups(
+                spark, delta, "t_del_lsh"
+            ).collect()
+        }
+        assert post == after
+        # rebuild under the same name: fresh generation, empty set
+        dedup.delete_from_dedup_index(spark, "t_del_lsh", ids=victims)
+        dedup.build_minhash_index(
+            spark, corpus, "t_del_lsh", n_buckets=4,
+            path=str(tmp_path / "c"),
+        )
+        assert not spark.catalog.tableExists("t_del_lsh_tombstones")
+    finally:
+        _lsh_drop(spark, "t_del_lsh")
+        _lsh_drop(spark, "t_del_lsh2")
+
+
+def test_lsh_append_of_pending_tombstoned_doc_fails_fast(spark, tmp_path):
+    """Re-appending a doc_id with a pending takedown tombstone must
+    fail the batch (the banding rows would be silently hidden until
+    the next fold); unrelated batches still append fine with deletes
+    pending."""
+    import pytest
+
+    from hadoop_logfile_inputformat_spark.streaming import (
+        near_dup_stream_batch,
+    )
+
+    corpus, delta = _split(spark)
+    victims = corpus.limit(2)
+    try:
+        dedup.build_minhash_index(
+            spark, corpus, "t_del_gd", n_buckets=4, path=str(tmp_path / "i")
+        )
+        assert dedup.delete_from_dedup_index(
+            spark, "t_del_gd", ids=victims
+        ) == 2
+        with pytest.raises(ValueError, match="PENDING tombstones"):
+            near_dup_stream_batch(
+                victims, "t_del_gd", str(tmp_path / "p"), batch_id=1
+            )
+        near_dup_stream_batch(
+            delta, "t_del_gd", str(tmp_path / "p"), batch_id=2
+        )
+    finally:
+        _lsh_drop(spark, "t_del_gd")
+
+
+def test_delete_from_exact_index_unblocks_reingestion(spark, tmp_path):
+    """Takedown on the exact-hash index: a deleted document's content
+    hash must stop blocking re-ingestion (the curate_stream probe sees
+    the index as if it never held the victim), the delete_filter form
+    expresses delete-by-content, and compaction reclaims the rows."""
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        compact_exact_index,
+    )
+    from hadoop_logfile_inputformat_spark.streaming import curate_stream_batch
+
+    good = (
+        "the quick brown fox jumps over the lazy dog beside the calm river"
+    )
+    schema = "doc_id long, text string"
+    seed = spark.createDataFrame([(1, good)], schema)
+    sink = str(tmp_path / "corpus")
+    try:
+        dedup.build_exact_index(
+            spark, seed, "t_del_ex", n_buckets=2, path=str(tmp_path / "idx")
+        )
+        # blocked while the seed doc is live
+        curate_stream_batch(
+            spark.createDataFrame([(101, good)], schema),
+            "t_del_ex", sink, batch_id=0,
+        )
+        assert {r.doc_id for r in spark.read.parquet(sink).collect()} == set()
+        # delete-by-content (predicate over what the index holds)
+        import hashlib
+
+        h = hashlib.sha256(good.encode()).hexdigest()
+        assert dedup.delete_from_dedup_index(
+            spark, "t_del_ex", delete_filter=f"text_hash = '{h}'"
+        ) == 1
+        # the same content is now admissible again
+        curate_stream_batch(
+            spark.createDataFrame([(201, good)], schema),
+            "t_del_ex", sink, batch_id=1,
+        )
+        assert {r.doc_id for r in spark.read.parquet(sink).collect()} == {201}
+        # compaction reclaims the tombstoned row (201's re-insert stays)
+        compact_exact_index(spark, "t_del_ex")
+        assert not spark.catalog.tableExists("t_del_ex_tombstones")
+        held = spark.table("t_del_ex_hashes").collect()
+        assert {r.doc_id for r in held} == {201}
+    finally:
+        for s in ("_hashes", "_batches", "_tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS t_del_ex{s}")

@@ -511,6 +511,52 @@ def test_delete_from_ivf_index_equals_never_held(spark):
         _drop(spark, "tdl_b", IVF_SUFFIXES + tomb)
 
 
+def test_delete_table_path_matches_inline_twin(spark):
+    """The oracle gate's equality: build the IVF index over the FULL
+    corpus, delete_from_index the victims (vec_id % 4 == 3), probe the
+    standing queries (vec_id % 50 == 0) — bit-equal to the inline
+    registry twin ann_ivf_deleted, so the `ivfdel` member's DuckDB
+    value-hash gates the tombstone exclusion semantics of the table
+    path too."""
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    v = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    victims = v.filter(
+        F.col("vec_id") % S.INCR_SPLIT_MOD == S.INCR_DELTA_REM
+    )
+    queries = v.filter(F.col("vec_id") % S.QUERY_MODULUS == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tomb = ("_tombstones",)
+    try:
+        S.build_ivf_index(spark, v, "tdl_tw")
+        assert S.delete_from_index(spark, "tdl_tw", ids=victims) > 0
+        table_path = _rows(S.ann_ivf_probe(spark, queries, "tdl_tw"))
+        inline = _rows(S.ann_ivf_deleted(spark, SF))
+        assert table_path == inline and table_path
+    finally:
+        _drop(spark, "tdl_tw", IVF_SUFFIXES + tomb)
+
+
+def test_append_of_pending_tombstoned_id_fails_fast(spark):
+    """Re-appending a vec_id whose tombstone is still pending must
+    raise (the row would be silently hidden by its own tombstone until
+    the next compaction fold) — while an append of genuinely-new ids
+    with unrelated deletes pending still succeeds."""
+    seed, delta, union, queries = _split(spark)
+    victims = seed.limit(3)
+    tomb = ("_tombstones",)
+    try:
+        S.build_ivf_index(spark, seed, "tdl_g")
+        assert S.delete_from_index(spark, "tdl_g", ids=victims) == 3
+        with pytest.raises(ValueError, match="PENDING tombstones"):
+            S.append_to_ivf_index(spark, victims, "tdl_g", batch_id=1)
+        # unaffected ids append fine with deletes pending
+        assert S.append_to_ivf_index(spark, delta, "tdl_g", batch_id=1)
+    finally:
+        _drop(spark, "tdl_g", IVF_SUFFIXES + tomb)
+
+
 def test_delete_filter_pq_family_and_retrain_folds(spark):
     """The predicate form (delete_filter over carry metadata) on the
     PQ tiers: deleting ``label = 7`` must probe BIT-equal to a twin
