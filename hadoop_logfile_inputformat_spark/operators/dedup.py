@@ -1024,6 +1024,43 @@ def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Deterministic victim split for the oracle-checked TAKEDOWN twin:
+#: among the standing-corpus docs (doc_id % 4 != 3), those with
+#: doc_id % 3 == 2 were delete_from_dedup_index-tombstoned.
+DEL_SPLIT_MOD = 3
+DEL_REM = 2
+
+
+def dedup_deleted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry twin of the takedown lifecycle
+    (:func:`delete_from_dedup_index`): the standing index holds the
+    corpus (doc_id % 4 != 3), the victims (corpus docs with
+    doc_id % 3 == 2) were tombstoned, and the delta (doc_id % 4 == 3)
+    probes the post-delete index — exclusion on the BANDING side before
+    candidates form, exactly what the tombstone anti-join in
+    :func:`incremental_near_dups` does.  Identical math to
+    :func:`dedup_incremental_pairs` with one victim predicate, minus
+    the table round-trip, which tests/test_dedup_incremental.py pins
+    as equal — so this member's DuckDB value-hash gates the table-path
+    takedown semantics too."""
+    sets = scoped_persist(
+        _shingle_sets(load(spark, sf_dir, "documents")), ("shingle_sets", sf_dir)
+    )
+    is_delta = F.col("doc_id") % INCR_SPLIT_MOD == INCR_DELTA_REM
+    corpus_sets = sets.filter(~is_delta)
+    delta_sets = sets.filter(is_delta)
+    live_buckets = _band_buckets(
+        _signatures_from_sets(corpus_sets, "md5"), "md5"
+    ).filter(F.col("doc_id") % DEL_SPLIT_MOD != DEL_REM)
+    return _incremental_pairs_from_sets(
+        corpus_sets=corpus_sets,
+        delta_sets=delta_sets,
+        corpus_buckets=live_buckets,
+        threshold=JACCARD_THRESHOLD,
+        hash_fn="md5",
+    )
+
+
 def curate_documents_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path twin of :func:`curate_documents`: identical
     composition, but near-dup edges come from MinHash+LSH instead of

@@ -1002,6 +1002,37 @@ _SQL: Dict[str, str] = {
         WHERE CAST((inter * 20000 + uni) // (2 * uni) AS DOUBLE) / 10000
               >= {dedup.JACCARD_THRESHOLD}
     """,
+    # Takedown twin (delete_from_dedup_index inline): the incremental
+    # probe with the victims (corpus docs, doc_id % 3 = 2) excluded
+    # from the corpus BANDING before candidates form — exactly the
+    # tombstone anti-join's placement.  Table path pinned equal in
+    # tests/test_dedup_incremental.py.
+    "dedup_deleted": f"""
+        WITH {_MINHASH_BANDS_CTE},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+            WHERE a.doc_id % {dedup.INCR_SPLIT_MOD} != {dedup.INCR_DELTA_REM}
+              AND a.doc_id % {dedup.DEL_SPLIT_MOD} != {dedup.DEL_REM}
+              AND b.doc_id % {dedup.INCR_SPLIT_MOD} = {dedup.INCR_DELTA_REM}
+        ),
+        incr_sc AS (
+            SELECT doc_a, doc_b,
+                   len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+                   len(sa.shingles) + len(sb.shingles)
+                       - len(list_intersect(sa.shingles, sb.shingles)) AS uni
+            FROM cand
+            JOIN sets sa ON sa.doc_id = doc_a
+            JOIN sets sb ON sb.doc_id = doc_b
+        )
+        SELECT doc_a, doc_b,
+               CAST((inter * 20000 + uni) // (2 * uni) AS DOUBLE) / 10000
+                   AS jaccard
+        FROM incr_sc
+        WHERE CAST((inter * 20000 + uni) // (2 * uni) AS DOUBLE) / 10000
+              >= {dedup.JACCARD_THRESHOLD}
+    """,
     "dedup_simhash": f"""
         WITH {_SHINGLE_SETS_CTE},
         hx AS (
@@ -2765,6 +2796,11 @@ _PACKS: Dict[str, list] = {
         # corpus-refresh probe: delta docs (doc_id%4==3) deduped against
         # the standing corpus with delta-only signature computation
         _m("incremental", dedup.dedup_incremental_pairs, "dedup_incremental",
+           k1="doc_a", k2="doc_b", v1="jaccard"),
+        # takedown lifecycle: victims tombstoned out of the corpus
+        # banding before candidates form (delete_from_dedup_index
+        # semantics inline; table path pinned equal in tests)
+        _m("deleted", dedup.dedup_deleted_pairs, "dedup_deleted",
            k1="doc_a", k2="doc_b", v1="jaccard"),
         # per-(language, source) data card: volumes + per-gate keep
         # counts — the summary table a corpus run publishes

@@ -317,3 +317,43 @@ def test_delete_from_exact_index_unblocks_reingestion(spark, tmp_path):
     finally:
         for s in ("_hashes", "_batches", "_tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS t_del_ex{s}")
+
+
+def test_deleted_table_path_matches_inline_twin(spark, tmp_path):
+    """The takedown oracle gate's equality: build the md5-family index
+    over the standing corpus, delete_from_dedup_index the victim split
+    (corpus docs with doc_id % 3 == 2), probe the delta — equal to the
+    inline registry twin dedup_deleted_pairs, so the `deleted` member's
+    DuckDB value-hash gates the tombstone exclusion of the table path."""
+    corpus, delta = _split(spark)
+    victims = corpus.filter(
+        F.col("doc_id") % dedup.DEL_SPLIT_MOD == dedup.DEL_REM
+    )
+    try:
+        dedup.build_minhash_index(
+            spark, corpus, "t_del_tw", hash_fn="md5", n_buckets=4,
+            path=str(tmp_path),
+        )
+        assert dedup.delete_from_dedup_index(
+            spark, "t_del_tw", ids=victims
+        ) == victims.count()
+        table_path = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.incremental_near_dups(
+                spark, delta, "t_del_tw", hash_fn="md5"
+            ).collect()
+        }
+        inline = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.dedup_deleted_pairs(spark, SF).collect()
+        }
+        assert table_path == inline and inline
+        # and the twin differs from the no-delete incremental member
+        # (the victim split removes at least one index-side partner)
+        base = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.dedup_incremental_pairs(spark, SF).collect()
+        }
+        assert inline < base
+    finally:
+        _lsh_drop(spark, "t_del_tw")
