@@ -557,6 +557,34 @@ def test_append_of_pending_tombstoned_id_fails_fast(spark):
         _drop(spark, "tdl_g", IVF_SUFFIXES + tomb)
 
 
+def test_tombstone_exclusion_is_broadcast_anti_join(spark):
+    """Scale shape of the delete path: the probe's tombstone exclusion
+    must be a BROADCAST anti-join (the set is bounded by compaction
+    cadence), never a corpus-side shuffle — asserted with
+    auto-broadcast disabled so the explicit hint, not the size
+    estimate, is what carries the property."""
+    seed, delta, union, queries = _split(spark)
+    tomb = ("_tombstones",)
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        S.build_ivf_index(spark, union, "tdl_pl")
+        S.delete_from_index(spark, "tdl_pl", ids=delta.limit(5))
+        plan = (
+            S.ann_ivf_probe(spark, queries, "tdl_pl")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        anti = [
+            ln for ln in plan.splitlines()
+            if "LeftAnti" in ln or "left_anti" in ln
+        ]
+        assert anti, plan
+        assert all("Broadcast" in ln for ln in anti), "\n".join(anti)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        _drop(spark, "tdl_pl", IVF_SUFFIXES + tomb)
+
+
 def test_delete_filter_pq_family_and_retrain_folds(spark):
     """The predicate form (delete_filter over carry metadata) on the
     PQ tiers: deleting ``label = 7`` must probe BIT-equal to a twin

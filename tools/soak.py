@@ -515,6 +515,54 @@ def run_skew_suite(spark, base_dir: str, skew_dir: str, warm: int = 1) -> list:
     return out
 
 
+def run_delete_suite(spark, src: str, warm: int = 1) -> dict:
+    """Measure the tombstone-delete lifecycle end to end on the IVF
+    index at soak volume: clean-probe latency, the delete cost itself,
+    the pending-tombstone probe overhead (the broadcast anti-join the
+    'bounded by compaction cadence' claim rests on — here at a WORST
+    CASE 10% of the corpus pending, far past any sane compaction
+    cadence), the compaction fold's wall, and the post-fold probe.
+    Emits one JSON line, returns the dict for SCALING.md's measured
+    table."""
+    from hadoop_logfile_inputformat_spark.operators import similarity as S
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        compact_ivf_index,
+    )
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    v = load(spark, src, "embeddings").select("vec_id", "embedding")
+    n_corpus = v.count()
+    queries = v.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    name = "soak_del_idx"
+    for s in ("_lists", "_centroids", "_batches", "_stats", "_tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+    t0 = time.monotonic()
+    S.build_ivf_index(spark, v, name)
+    build_wall = round(time.monotonic() - t0, 2)
+
+    def probe():
+        return S.ann_ivf_probe(spark, queries, name)
+
+    out = {"detail": "delete_soak", "n_corpus": n_corpus,
+           "build_s": build_wall}
+    out["probe_clean"] = _timed(spark, probe, warm=warm)
+    victims = v.filter(F.col("vec_id") % 10 == 3)
+    t0 = time.monotonic()
+    out["n_deleted"] = S.delete_from_index(spark, name, ids=victims)
+    out["delete_s"] = round(time.monotonic() - t0, 2)
+    out["probe_pending"] = _timed(spark, probe, warm=warm)
+    t0 = time.monotonic()
+    compact_ivf_index(spark, name)
+    out["compact_s"] = round(time.monotonic() - t0, 2)
+    out["probe_folded"] = _timed(spark, probe, warm=warm)
+    for s in ("_lists", "_centroids", "_batches", "_stats", "_tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+    print(json.dumps(out))
+    return out
+
+
 def _stages(spark) -> dict:
     """stageId -> StageData from the UI REST API (local-mode UI)."""
     ui = spark.sparkContext.uiWebUrl
@@ -618,6 +666,12 @@ def main() -> None:
         help="build a skewed variant of the LARGEST scale dir and run "
         "the skew mitigation suite instead of the uniform key sweep",
     )
+    ap.add_argument(
+        "--deletes",
+        action="store_true",
+        help="run the tombstone-delete lifecycle measurement on the "
+        "LARGEST scale dir instead of the uniform key sweep",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="spark-graft-soak")
@@ -631,6 +685,14 @@ def main() -> None:
             f"# built x{t} in {time.monotonic() - b0:.1f}s", file=sys.stderr
         )
         dirs.append((t, d))
+
+    if args.deletes:
+        scale, src = dirs[-1]
+        out = run_delete_suite(spark, src, warm=args.warm)
+        out["scale"] = scale
+        print(json.dumps({"detail": "delete_soak_summary", **out}))
+        spark.stop()
+        return
 
     if args.skew:
         scale, src = dirs[-1]
