@@ -14,6 +14,8 @@ from hadoop_logfile_inputformat_spark.streaming.pipelines import (  # noqa: F401
     near_dup_stream_batch,
     purchases_joined_to_clicks_stream,
     sessionize_stream,
+    takedown_stream,
+    takedown_stream_batch,
 )
 from hadoop_logfile_inputformat_spark.streaming.stateful import (  # noqa: F401
     ROCKSDB_STATE_CONFS,

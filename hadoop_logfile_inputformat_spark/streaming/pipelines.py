@@ -542,3 +542,106 @@ def embedding_index_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def _index_kind(spark, name: str) -> tuple:
+    """Resolve which index family ``name`` is, returning
+    ``(id_col, delete_fn, compact_fn)`` — so the takedown stream works
+    unchanged against every persisted index this package builds.
+    Detection is by the family's table signature (each build writes a
+    distinct set of suffixes)."""
+    from hadoop_logfile_inputformat_spark.operators import dedup, similarity
+    from hadoop_logfile_inputformat_spark.operators import maintenance as M
+
+    def has(suffix: str) -> bool:
+        return spark.catalog.tableExists(f"{name}{suffix}")
+
+    if has("_buckets") and has("_sets"):
+        return "doc_id", dedup.delete_from_dedup_index, M.compact_minhash_index
+    if has("_hashes"):
+        return "doc_id", dedup.delete_from_dedup_index, M.compact_exact_index
+    if has("_lists"):
+        return "vec_id", similarity.delete_from_index, M.compact_ivf_index
+    if has("_codes") and has("_centroids"):
+        return "vec_id", similarity.delete_from_index, M.compact_ivfpq_index
+    if has("_codes"):
+        return "vec_id", similarity.delete_from_index, M.compact_pq_index
+    raise ValueError(f"no persisted index named '{name}' found in the catalog")
+
+
+def takedown_stream_batch(
+    batch_ids: DataFrame,
+    index_name: str,
+    batch_id: int,
+    compact_at: int | None = None,
+) -> int:
+    """Apply ONE micro-batch of takedown requests (a frame carrying the
+    index family's id column — ``doc_id`` for the text indexes,
+    ``vec_id`` for the embedding tiers) to the persisted index:
+    tombstone the ids, then fold when the pending set has grown past
+    ``compact_at``.  Returns the number of newly tombstoned ids.
+
+    Replay safety needs NO bookkeeping table here: a re-delivered
+    batch re-deletes ids that are already tombstoned (or already
+    folded), which is an idempotent no-op by the delete verbs'
+    contract — the one lifecycle verb where at-least-once is free.
+    """
+    spark = batch_ids.sparkSession
+    id_col, delete_fn, compact_fn = _index_kind(spark, index_name)
+    n = delete_fn(spark, index_name, ids=batch_ids.select(id_col))
+    if compact_at:
+        t = f"{index_name}_tombstones"
+        if (
+            spark.catalog.tableExists(t)
+            and spark.table(t).count() >= compact_at
+        ):
+            # the fold reclaims the rows and drops the tombstone table;
+            # crash-safe (tmp-table swap) and idempotent (re-folding an
+            # already-folded id removes nothing)
+            compact_fn(spark, index_name)
+    return n
+
+
+def takedown_stream(
+    requests: DataFrame,
+    index_name: str,
+    checkpoint: str,
+    compact_at: int | None = 10_000,
+):
+    """Continuous takedown: deletion requests (GDPR erasure, DMCA,
+    policy flags) arrive as a stream of ids and are tombstoned out of
+    the persisted index as they land — the delete-side counterpart of
+    :func:`near_dup_stream` / :func:`curate_stream` /
+    :func:`embedding_index_stream`, completing the streaming lifecycle
+    (ingest, search, takedown).  Works against EVERY index family this
+    package persists (LSH triple, exact-hash, IVF, flat PQ, IVFPQ —
+    resolved from the catalog signature).  Returns the started
+    ``StreamingQuery``.
+
+    Per batch the work is O(batch): a semi-join against pending
+    tombstones plus a delta-sized append — probes begin excluding the
+    victims at the NEXT query with no index rewrite on the takedown
+    path.  ``compact_at`` bounds the pending set: when it exceeds this
+    many ids the batch folds it into the index's compaction (physical
+    reclaim), keeping the probe-side broadcast anti-join permanently
+    small.  The measured worst case (SCALING.md, 10% of corpus
+    pending) bounds any sane setting from far above.
+
+    Session caveat (shared with every in-stream compaction here): the
+    fold runs in the stream's CLONED session, and Spark's relation
+    cache is per-session — any OTHER session that read the index
+    tables before a fold must ``spark.catalog.refreshTable`` them
+    before its next probe, or its cached file listing points at the
+    pre-fold files (see ``maintenance.compact_bucketed_table``).
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        takedown_stream_batch(
+            batch_df, index_name, batch_id, compact_at=compact_at
+        )
+
+    return (
+        requests.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

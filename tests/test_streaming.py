@@ -1000,3 +1000,109 @@ def test_embedding_index_stream_probes_appends_and_flags_drift(spark, tmp_path):
     assert got_after == got_before
     for s in ("_lists", "_centroids", "_batches", "_stats"):
         spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+
+
+def test_takedown_stream_tombstones_and_folds(spark, tmp_path):
+    """Continuous takedown against the LSH index: streamed doc_ids stop
+    surfacing as index-side partners at the next probe, a replayed
+    batch is an idempotent no-op (no bookkeeping table needed), and
+    crossing compact_at folds the pending set into the index."""
+    from hadoop_logfile_inputformat_spark.operators import dedup
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+    from hadoop_logfile_inputformat_spark.streaming import (
+        takedown_stream,
+        takedown_stream_batch,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    is_delta = F.col("doc_id") % dedup.INCR_SPLIT_MOD == dedup.INCR_DELTA_REM
+    corpus, delta = docs.filter(~is_delta), docs.filter(is_delta)
+    name = "t_takedown"
+    try:
+        dedup.build_minhash_index(
+            spark, corpus, name, n_buckets=4, path=str(tmp_path / "idx")
+        )
+        base = dedup.incremental_near_dups(spark, delta, name).collect()
+        victims = sorted({r.doc_a for r in base})[:2]
+        assert victims
+        src = tmp_path / "req_in"
+        src.mkdir()
+        spark.createDataFrame(
+            [(v,) for v in victims], "doc_id long"
+        ).coalesce(1).write.parquet(str(src / "b0"))
+        stream = spark.readStream.schema("doc_id long").parquet(
+            str(src / "*")
+        )
+        q = takedown_stream(
+            stream, name, str(tmp_path / "ckpt"), compact_at=None
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        after = dedup.incremental_near_dups(spark, delta, name).collect()
+        assert not any(r.doc_a in victims for r in after)
+        assert spark.catalog.tableExists(f"{name}_tombstones")
+        # replay of the same request batch: idempotent no-op
+        assert takedown_stream_batch(
+            spark.createDataFrame([(v,) for v in victims], "doc_id long"),
+            name, batch_id=0,
+        ) == 0
+        # a batch crossing compact_at folds: tombstones gone, rows
+        # physically reclaimed, probe unchanged
+        more = [
+            r.doc_id
+            for r in corpus.select("doc_id").limit(5).collect()
+            if r.doc_id not in victims
+        ][:2]
+        n = takedown_stream_batch(
+            spark.createDataFrame([(v,) for v in more], "doc_id long"),
+            name, batch_id=1, compact_at=2,
+        )
+        assert n == len(more)
+        assert not spark.catalog.tableExists(f"{name}_tombstones")
+        assert spark.table(f"{name}_sets").filter(
+            F.col("doc_id").isin(victims + more)
+        ).count() == 0
+        post = dedup.incremental_near_dups(spark, delta, name).collect()
+        assert {(r.doc_a, r.doc_b) for r in post} <= {
+            (r.doc_a, r.doc_b) for r in after
+        }
+    finally:
+        for s in ("_buckets", "_sets", "_batches", "_tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+
+
+def test_takedown_batch_dispatches_to_embedding_index(spark):
+    """The same takedown verb resolves the IVF family from the catalog
+    signature: streamed vec_ids are tombstoned out of a built
+    embedding index and its probes."""
+    from hadoop_logfile_inputformat_spark.operators import similarity as S
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+    from hadoop_logfile_inputformat_spark.streaming import (
+        takedown_stream_batch,
+    )
+
+    v = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = v.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    name = "t_takedown_ivf"
+    try:
+        S.build_ivf_index(spark, v, name)
+        hits = S.ann_ivf_probe(spark, queries, name)
+        victim = hits.select(
+            F.col("neighbor_id").alias("vec_id")
+        ).limit(1)
+        vid = victim.collect()[0].vec_id
+        assert takedown_stream_batch(victim, name, batch_id=0) == 1
+        still = S.ann_ivf_probe(spark, queries, name).filter(
+            F.col("neighbor_id") == vid
+        ).count()
+        assert still == 0
+    finally:
+        for s in ("_lists", "_centroids", "_batches", "_stats",
+                  "_tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
