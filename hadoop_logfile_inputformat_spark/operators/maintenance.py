@@ -292,3 +292,97 @@ def compact_pq_index(
     )
     if ts is not None:
         spark.sql(f"DROP TABLE IF EXISTS {name}_tombstones")
+
+
+#: Table suffixes per persisted index family, split into the
+#: corpus-sized tables (compacted, tombstone-foldable) and the small
+#: aux tables (centroids/codebooks/ledgers — append-bounded).
+INDEX_FAMILIES = {
+    "minhash_lsh": (("_buckets", "_sets"), ("_batches",)),
+    "exact_hash": (("_hashes",), ("_batches",)),
+    "ivf": (("_lists",), ("_centroids", "_batches", "_stats")),
+    "ivfpq": (
+        ("_codes", "_quantized"),
+        ("_centroids", "_codebooks", "_batches", "_stats"),
+    ),
+    "pq": (("_codes", "_quantized"), ("_codebooks", "_batches", "_stats")),
+}
+
+
+def index_family(spark: SparkSession, name: str) -> str:
+    """Which persisted index family ``name`` is, resolved from its
+    catalog table signature (each build writes a distinct suffix set).
+    Raises if no family's signature matches."""
+    def has(suffix: str) -> bool:
+        return spark.catalog.tableExists(f"{name}{suffix}")
+
+    if has("_buckets") and has("_sets"):
+        return "minhash_lsh"
+    if has("_hashes"):
+        return "exact_hash"
+    if has("_lists"):
+        return "ivf"
+    if has("_codes") and has("_centroids"):
+        return "ivfpq"
+    if has("_codes"):
+        return "pq"
+    raise ValueError(f"no persisted index named '{name}' found in the catalog")
+
+
+def _table_location(spark: SparkSession, table: str) -> str | None:
+    detail = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    row = next((r for r in detail if r.col_name == "Location"), None)
+    return None if row is None else row.data_type
+
+
+def index_info(spark: SparkSession, name: str) -> dict:
+    """DESCRIBE INDEX — the one operational read an index owner runs
+    before deciding on maintenance: per-table row/file/byte footprint
+    (file fan-in is what compaction bounds — at 100 TB a probe's cost
+    is dominated by file count long before byte count), pending
+    tombstones (what the next compaction folds; probes pay a broadcast
+    anti-join this size until then), applied append batches, and the
+    drift ledger's retrain verdict for the embedding tiers
+    (``similarity.ivf_index_drift``).
+
+    Driver-side cost: catalog lookups, one count per table (parquet
+    footer statistics — no row materialization), one bytes-sized
+    ledger read.  Never scans vector/shingle payloads.
+    """
+    family = index_family(spark, name)
+    corpus, aux = INDEX_FAMILIES[family]
+    out = {"name": name, "family": family, "tables": {}}
+    for suffix in corpus + aux:
+        t = f"{name}{suffix}"
+        if not spark.catalog.tableExists(t):
+            continue
+        loc = _table_location(spark, t)
+        n_files, n_bytes = (None, None)
+        if loc:
+            try:
+                n_files, n_bytes = _table_sizes(
+                    spark, loc.removeprefix("file:")
+                )
+            except OSError:
+                pass
+        out["tables"][t] = {
+            "rows": spark.table(t).count(),
+            "corpus_sized": suffix in corpus,
+            "files": n_files,
+            "bytes": n_bytes,
+        }
+    t = f"{name}_tombstones"
+    out["pending_tombstones"] = (
+        spark.table(t).count() if spark.catalog.tableExists(t) else 0
+    )
+    b = f"{name}_batches"
+    out["applied_batches"] = (
+        spark.table(b).count() if spark.catalog.tableExists(b) else None
+    )
+    if spark.catalog.tableExists(f"{name}_stats"):
+        from hadoop_logfile_inputformat_spark.operators.similarity import (
+            ivf_index_drift,
+        )
+
+        out["drift"] = ivf_index_drift(spark, name)
+    return out

@@ -1095,6 +1095,10 @@ def ivf_index_drift(
     compacted corpus, which also resets the ledger.
     """
     rows = spark.table(f"{name}_stats").collect()
+    # an EMPTY append batch (streams deliver those) records n_vecs=0
+    # with a NULL mean_sim — weight-0 rows contribute nothing and must
+    # not poison the weighted means
+    rows = [r for r in rows if r["n_vecs"]]
     seed_n = sum(r["n_vecs"] for r in rows if r["batch_id"] == -1)
     seed_s = sum(
         r["mean_sim"] * r["n_vecs"] for r in rows if r["batch_id"] == -1

@@ -548,25 +548,25 @@ def _index_kind(spark, name: str) -> tuple:
     """Resolve which index family ``name`` is, returning
     ``(id_col, delete_fn, compact_fn)`` — so the takedown stream works
     unchanged against every persisted index this package builds.
-    Detection is by the family's table signature (each build writes a
-    distinct set of suffixes)."""
+    Detection is ``maintenance.index_family`` (catalog table
+    signature)."""
     from hadoop_logfile_inputformat_spark.operators import dedup, similarity
     from hadoop_logfile_inputformat_spark.operators import maintenance as M
 
-    def has(suffix: str) -> bool:
-        return spark.catalog.tableExists(f"{name}{suffix}")
-
-    if has("_buckets") and has("_sets"):
-        return "doc_id", dedup.delete_from_dedup_index, M.compact_minhash_index
-    if has("_hashes"):
-        return "doc_id", dedup.delete_from_dedup_index, M.compact_exact_index
-    if has("_lists"):
-        return "vec_id", similarity.delete_from_index, M.compact_ivf_index
-    if has("_codes") and has("_centroids"):
-        return "vec_id", similarity.delete_from_index, M.compact_ivfpq_index
-    if has("_codes"):
-        return "vec_id", similarity.delete_from_index, M.compact_pq_index
-    raise ValueError(f"no persisted index named '{name}' found in the catalog")
+    fam = M.index_family(spark, name)
+    if fam in ("minhash_lsh", "exact_hash"):
+        compact = (
+            M.compact_minhash_index
+            if fam == "minhash_lsh"
+            else M.compact_exact_index
+        )
+        return "doc_id", dedup.delete_from_dedup_index, compact
+    compact = {
+        "ivf": M.compact_ivf_index,
+        "ivfpq": M.compact_ivfpq_index,
+        "pq": M.compact_pq_index,
+    }[fam]
+    return "vec_id", similarity.delete_from_index, compact
 
 
 def takedown_stream_batch(

@@ -322,3 +322,60 @@ def test_soak_build_skewed_produces_documented_hot_keys(spark, tmp_path):
     m0 = os.path.getmtime(os.path.join(out, "orders.parquet"))
     soak.build_skewed(spark, base, out)
     assert os.path.getmtime(os.path.join(out, "orders.parquet")) == m0
+
+
+def test_index_info_describes_every_family(spark, tmp_path):
+    """index_info resolves the family from the catalog signature and
+    reports footprint + lifecycle state without scanning payloads:
+    corpus tables flagged, pending tombstones counted (and zeroed by a
+    fold), applied batches and the drift verdict surfaced for the
+    embedding tiers.  The limit(0) append also pins the empty-batch
+    ledger row (n_vecs=0, NULL mean_sim — streams deliver empty
+    micro-batches) being weight-0-skipped by ivf_index_drift instead
+    of poisoning the weighted means."""
+    from hadoop_logfile_inputformat_spark.operators import dedup
+    from hadoop_logfile_inputformat_spark.operators import similarity as S
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        compact_ivf_index,
+        index_family,
+        index_info,
+    )
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    v = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    try:
+        dedup.build_minhash_index(
+            spark, docs, "t_info_lsh", n_buckets=4, path=str(tmp_path)
+        )
+        info = index_info(spark, "t_info_lsh")
+        assert info["family"] == "minhash_lsh"
+        assert info["tables"]["t_info_lsh_buckets"]["corpus_sized"]
+        assert info["tables"]["t_info_lsh_sets"]["rows"] > 0
+        assert info["tables"]["t_info_lsh_sets"]["files"] >= 1
+        assert info["pending_tombstones"] == 0
+        assert info["applied_batches"] == 0
+
+        S.build_ivf_index(spark, v, "t_info_ivf")
+        S.append_to_ivf_index(spark, v.limit(0), "t_info_ivf", batch_id=1)
+        n = S.delete_from_index(spark, "t_info_ivf", ids=v.limit(3))
+        info = index_info(spark, "t_info_ivf")
+        assert info["family"] == "ivf"
+        assert info["pending_tombstones"] == n == 3
+        assert info["applied_batches"] == 1
+        assert "retrain_recommended" in info["drift"]
+        compact_ivf_index(spark, "t_info_ivf")
+        assert index_info(spark, "t_info_ivf")["pending_tombstones"] == 0
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="no persisted index"):
+            index_family(spark, "t_info_nothere")
+    finally:
+        for s in ("_buckets", "_sets", "_batches", "_tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS t_info_lsh{s}")
+        for s in ("_lists", "_centroids", "_batches", "_stats",
+                  "_tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS t_info_ivf{s}")
