@@ -799,6 +799,15 @@ def build_minhash_index(
         if path is not None:
             logw = logw.option("path", f"{path}/{name}_batches")
         logw.saveAsTable(f"{name}_batches")
+        if path is not None:
+            # EXTERNAL index: persist the bucket count so
+            # maintenance.register_index can resurrect the catalog
+            # entries in a fresh session
+            from hadoop_logfile_inputformat_spark.operators.maintenance import (
+                write_index_spec,
+            )
+
+            write_index_spec(spark, name, path, "minhash_lsh", n_buckets)
     finally:
         sets.unpersist()
 
@@ -845,6 +854,12 @@ def build_exact_index(
     if path is not None:
         logw = logw.option("path", f"{path}/{name}_batches")
     logw.saveAsTable(f"{name}_batches")
+    if path is not None:
+        from hadoop_logfile_inputformat_spark.operators.maintenance import (
+            write_index_spec,
+        )
+
+        write_index_spec(spark, name, path, "exact_hash", n_buckets)
 
 
 def _doc_tombstones(spark: SparkSession, name: str) -> DataFrame | None:

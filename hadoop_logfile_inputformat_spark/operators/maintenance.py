@@ -386,3 +386,94 @@ def index_info(spark: SparkSession, name: str) -> dict:
 
         out["drift"] = ivf_index_drift(spark, name)
     return out
+
+
+#: Bucket spec per (family, corpus table suffix): the keys each build
+#: bucketBy+sortBy's on.  Aux tables (ledgers, centroids, codebooks,
+#: tombstones) are plain parquet.
+INDEX_BUCKET_KEYS = {
+    "minhash_lsh": {"_buckets": ["band", "bucket"], "_sets": ["doc_id"]},
+    "exact_hash": {"_hashes": ["text_hash"]},
+    "ivf": {"_lists": ["centroid_id"]},
+    "ivfpq": {"_codes": ["centroid_id"], "_quantized": ["vec_id"]},
+    "pq": {"_codes": ["vec_id"], "_quantized": ["vec_id"]},
+}
+
+
+def write_index_spec(
+    spark: SparkSession, name: str, path: str, family: str, n_buckets: int
+) -> None:
+    """Persist the one fact about an EXTERNAL index that its parquet
+    files cannot carry: the bucket COUNT (keys are family-determined,
+    schemas are in the footers, but an empty bucket writes no file —
+    the count is unrecoverable from a listing).  Every ``path=`` build
+    writes this 1-row ``<name>_spec`` dir so :func:`register_index`
+    can resurrect the catalog entries in a fresh session/metastore."""
+    spark.createDataFrame(
+        [(family, n_buckets)], "family STRING, n_buckets INT"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{name}_spec")
+
+
+def register_index(spark: SparkSession, name: str, path: str) -> str:
+    """Re-attach an EXTERNAL index (any family built with ``path=``) to
+    THIS session's catalog — the restart story for a standing index.
+
+    The metastore here is session-scoped (and on a real cluster an
+    index may move warehouses, or a disaster-recovery site may attach
+    a replicated bucket): the parquet files under ``path`` outlive any
+    catalog, but the catalog entry is what carries the BUCKET SPEC,
+    and with it every probe's no-index-side-shuffle property.  This
+    reads the ``<name>_spec`` manifest the build wrote (family +
+    bucket count — the one fact not recoverable from the files), then
+    issues ``CREATE TABLE ... USING parquet CLUSTERED BY ... SORTED BY
+    ... INTO n BUCKETS LOCATION ...`` for each corpus table and a
+    plain external table for each aux table present.  Schemas are
+    inferred from the parquet footers, so carry columns ride along
+    unchanged.  Returns the family.  Probes, appends (``insertInto``
+    applies the re-declared bucketing), deletes, and compactions all
+    work against the re-registered index — pinned in
+    tests/test_maintenance.py including bit-equal probe results and a
+    still-bucketed scan under sort-merge joins.
+    """
+    spec = spark.read.parquet(f"{path}/{name}_spec").collect()[0]
+    family, nb = spec["family"], spec["n_buckets"]
+    bucketed = INDEX_BUCKET_KEYS[family]
+    corpus, aux = INDEX_FAMILIES[family]
+    fs, jvm = _hadoop_fs(spark, path)
+
+    def _exists(p: str) -> bool:
+        return fs.exists(jvm.org.apache.hadoop.fs.Path(p))
+
+    for suffix in corpus + aux + ("_tombstones",):
+        # compact_bucketed_table alternates EXTERNAL locations between
+        # <dir> and <dir>__compact (deleting the other after the swap)
+        # — resolve whichever sibling is live.  Both present means a
+        # crash mid-swap: refuse to guess, the recovery artifacts need
+        # a human eye.
+        base = f"{path}/{name}{suffix}"
+        candidates = [p for p in (base, f"{base}__compact") if _exists(p)]
+        if not candidates:
+            continue
+        if len(candidates) == 2:
+            raise ValueError(
+                f"both {base} and {base}__compact exist (crashed "
+                "compaction swap) — remove the stale one before "
+                "re-registering"
+            )
+        loc = candidates[0]
+        schema = spark.read.parquet(loc).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        keys = bucketed.get(suffix)
+        clause = (
+            f"CLUSTERED BY ({', '.join(keys)}) "
+            f"SORTED BY ({', '.join(keys)}) INTO {nb} BUCKETS "
+            if keys
+            else ""
+        )
+        spark.sql(
+            f"CREATE TABLE {name}{suffix} ({cols}) USING parquet "
+            f"{clause}LOCATION '{loc}'"
+        )
+    return family

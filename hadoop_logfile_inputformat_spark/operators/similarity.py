@@ -654,6 +654,14 @@ def build_ivf_index(
     cw.saveAsTable(f"{name}_centroids")
     seed = obs.get
     _write_index_aux(spark, name, path, seed["n"], seed["s"])
+    if path is not None:
+        # EXTERNAL index: persist the bucket count so register_index
+        # can resurrect the catalog entries in a fresh session
+        from hadoop_logfile_inputformat_spark.operators.maintenance import (
+            write_index_spec,
+        )
+
+        write_index_spec(spark, name, path, "ivf", n_buckets)
 
 
 def ann_ivf_probe(
@@ -2674,6 +2682,12 @@ def build_pq_index(
         clear_orphaned_table(spark, f"{name}_codebooks")
     bw.saveAsTable(f"{name}_codebooks")
     _write_index_aux(spark, name, path, seed["n"], seed["s"])
+    if path is not None:
+        from hadoop_logfile_inputformat_spark.operators.maintenance import (
+            write_index_spec,
+        )
+
+        write_index_spec(spark, name, path, "pq", n_buckets)
 
 
 def ann_pq_probe(
@@ -2898,6 +2912,12 @@ def build_ivfpq_index(
             clear_orphaned_table(spark, f"{name}{suffix}")
         w.saveAsTable(f"{name}{suffix}")
     _write_index_aux(spark, name, path, seed_stats["n"], seed_stats["s"])
+    if path is not None:
+        from hadoop_logfile_inputformat_spark.operators.maintenance import (
+            write_index_spec,
+        )
+
+        write_index_spec(spark, name, path, "ivfpq", n_buckets)
     # train = coarse k-means + residual-codebook training (the residual
     # materialization folds into the first pq training pass); build =
     # encode + the bucketed/tiny writes

@@ -379,3 +379,141 @@ def test_index_info_describes_every_family(spark, tmp_path):
         for s in ("_lists", "_centroids", "_batches", "_stats",
                   "_tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS t_info_ivf{s}")
+
+
+def test_register_index_resurrects_catalog_entries(spark, tmp_path):
+    """The restart story: an EXTERNAL index's parquet files outlive the
+    session-scoped metastore; register_index must recreate the catalog
+    entries FROM the files + the _spec manifest — probe results
+    bit-equal, the re-declared bucket spec still carrying the
+    no-index-side-shuffle property, and the full lifecycle (append,
+    delete, compact) working against the re-registered index."""
+    from hadoop_logfile_inputformat_spark.operators import similarity as S
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        compact_ivf_index,
+        register_index,
+    )
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    v = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    seed = v.filter(F.col("vec_id") % 4 != 3)
+    delta = v.filter(F.col("vec_id") % 4 == 3)
+    queries = v.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    name, root = "t_reg_ivf", str(tmp_path / "idx")
+    suffixes = ("_lists", "_centroids", "_batches", "_stats", "_tombstones")
+    try:
+        S.build_ivf_index(spark, seed, name, path=root)
+        before = sorted(
+            tuple(r) for r in S.ann_ivf_probe(spark, queries, name).collect()
+        )
+        # simulate a fresh session: catalog entries gone, files remain
+        # (EXTERNAL tables — DROP leaves the location intact)
+        for s in suffixes:
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+        assert register_index(spark, name, root) == "ivf"
+        after = sorted(
+            tuple(r) for r in S.ann_ivf_probe(spark, queries, name).collect()
+        )
+        assert after == before and after
+        # bucket spec survived re-registration: probe scan bucketed
+        # under sort-merge joins
+        prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                S.ann_ivf_probe(spark, queries, name)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        scans = [
+            ln for ln in plan.splitlines()
+            if "FileScan" in ln and f"{name}_lists" in ln
+        ]
+        assert scans and all("Bucketed: true" in ln for ln in scans)
+        # the whole lifecycle works against the re-registered index:
+        # append (insertInto applies the re-declared bucketing),
+        # delete, compact-fold
+        assert S.append_to_ivf_index(spark, delta, name, batch_id=1)
+        n = S.delete_from_index(spark, name, ids=delta.limit(2))
+        assert n == 2
+        compact_ivf_index(spark, name)
+        assert not spark.catalog.tableExists(f"{name}_tombstones")
+        assert S.ann_ivf_probe(spark, queries, name).count() > 0
+    finally:
+        for s in suffixes:
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+
+
+def test_register_index_minhash_family(spark, tmp_path):
+    """register_index on the LSH triple: probe parity through a
+    catalog wipe, incremental probe still bucketed-scan-backed."""
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        register_index,
+    )
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    is_delta = F.col("doc_id") % dedup.INCR_SPLIT_MOD == dedup.INCR_DELTA_REM
+    corpus, delta = docs.filter(~is_delta), docs.filter(is_delta)
+    name, root = "t_reg_lsh", str(tmp_path / "idx")
+    suffixes = ("_buckets", "_sets", "_batches", "_tombstones")
+    try:
+        dedup.build_minhash_index(spark, corpus, name, n_buckets=4, path=root)
+        want = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.incremental_near_dups(spark, delta, name).collect()
+        }
+        for s in suffixes:
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+        assert register_index(spark, name, root) == "minhash_lsh"
+        got = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.incremental_near_dups(spark, delta, name).collect()
+        }
+        assert got == want and got
+    finally:
+        for s in suffixes:
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+
+
+def test_register_index_follows_compaction_alternation(spark, tmp_path):
+    """compact_bucketed_table alternates EXTERNAL locations between
+    <dir> and <dir>__compact; register_index must resolve the live
+    sibling after a compaction (and still probe identically)."""
+    from hadoop_logfile_inputformat_spark.operators import similarity as S
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        compact_ivf_index,
+        register_index,
+    )
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    v = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = v.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    name, root = "t_reg_alt", str(tmp_path / "idx")
+    suffixes = ("_lists", "_centroids", "_batches", "_stats", "_tombstones")
+    try:
+        S.build_ivf_index(spark, v, name, path=root)
+        compact_ivf_index(spark, name)  # lists now at _lists__compact
+        assert os.path.isdir(os.path.join(root, f"{name}_lists__compact"))
+        want = sorted(
+            tuple(r) for r in S.ann_ivf_probe(spark, queries, name).collect()
+        )
+        for s in suffixes:
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+        assert register_index(spark, name, root) == "ivf"
+        got = sorted(
+            tuple(r) for r in S.ann_ivf_probe(spark, queries, name).collect()
+        )
+        assert got == want and got
+    finally:
+        for s in suffixes:
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")

@@ -28,6 +28,10 @@ CASES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    # the two delete twins: tombstone-exclusion semantics must be
+    # shuffle-width-invariant like the probes they gate
+    "ann_ivf_deleted",
+    "dedup_deleted",
     "shard_corpus",
     "user_retention_cohorts",
     "corpus_snapshot_diff",
