@@ -517,3 +517,76 @@ def test_register_index_follows_compaction_alternation(spark, tmp_path):
     finally:
         for s in suffixes:
             spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+
+
+def test_register_index_exact_family_keeps_stream_decisions(spark, tmp_path):
+    """register_index on the exact-hash index: after a catalog wipe
+    and re-registration, curate_stream_batch still rejects
+    already-ingested content (the probe anti-join reads through the
+    re-declared text_hash bucketing)."""
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        register_index,
+    )
+    from hadoop_logfile_inputformat_spark.streaming import curate_stream_batch
+
+    good = (
+        "a small boat drifted slowly into the quiet harbor before the storm"
+    )
+    schema = "doc_id long, text string"
+    name, root = "t_reg_ex", str(tmp_path / "idx")
+    sink = str(tmp_path / "corpus")
+    try:
+        dedup.build_exact_index(
+            spark, spark.createDataFrame([(1, good)], schema),
+            name, n_buckets=2, path=root,
+        )
+        for s in ("_hashes", "_batches", "_tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+        assert register_index(spark, name, root) == "exact_hash"
+        curate_stream_batch(
+            spark.createDataFrame([(101, good)], schema),
+            name, sink, batch_id=0,
+        )
+        assert {r.doc_id for r in spark.read.parquet(sink).collect()} == set()
+    finally:
+        for s in ("_hashes", "_batches", "_tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+
+
+def test_register_index_ivfpq_two_bucket_specs(spark, tmp_path):
+    """IVFPQ is the one family with TWO different bucket keys (codes by
+    centroid_id, quantized by vec_id): registration must re-declare
+    each correctly — pinned by bit-equal probes through a catalog
+    wipe."""
+    from hadoop_logfile_inputformat_spark.operators import similarity as S
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        register_index,
+    )
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    v = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = v.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    name, root = "t_reg_ivfpq", str(tmp_path / "idx")
+    suffixes = ("_codes", "_quantized", "_centroids", "_codebooks",
+                "_batches", "_stats", "_tombstones")
+    try:
+        S.build_ivfpq_index(spark, v, name, path=root)
+        want = sorted(
+            tuple(r)
+            for r in S.ann_ivfpq_probe(spark, queries, name).collect()
+        )
+        for s in suffixes:
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+        assert register_index(spark, name, root) == "ivfpq"
+        got = sorted(
+            tuple(r)
+            for r in S.ann_ivfpq_probe(spark, queries, name).collect()
+        )
+        assert got == want and got
+    finally:
+        for s in suffixes:
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
