@@ -477,3 +477,45 @@ def register_index(spark: SparkSession, name: str, path: str) -> str:
             f"{clause}LOCATION '{loc}'"
         )
     return family
+
+
+def drop_index(spark: SparkSession, name: str, delete_files: bool = False) -> list:
+    """Drop every catalog entry of a persisted index (the inverse of
+    the builders and of :func:`register_index`) and return the dropped
+    table names.  ``delete_files=False`` (default) leaves EXTERNAL
+    files on disk — the index stays re-attachable via
+    :func:`register_index`; ``delete_files=True`` also removes each
+    table's location AND the ``_spec`` manifest (managed tables delete
+    their files on DROP either way).
+
+    Resolves the family from the catalog signature, so the caller
+    never enumerates suffixes; unknown names raise (nothing to drop is
+    a caller bug worth hearing about)."""
+    family = index_family(spark, name)
+    corpus, aux = INDEX_FAMILIES[family]
+    dropped = []
+    spec_loc = None
+    for suffix in corpus + aux + ("_tombstones",):
+        t = f"{name}{suffix}"
+        if not spark.catalog.tableExists(t):
+            continue
+        loc = _table_location(spark, t)
+        external = any(
+            r.data_type.strip().upper() == "EXTERNAL"
+            for r in spark.sql(f"DESCRIBE FORMATTED {t}").collect()
+            if r.col_name == "Type"
+        )
+        spark.sql(f"DROP TABLE {t}")
+        dropped.append(t)
+        if delete_files and external and loc:
+            fs, jvm = _hadoop_fs(spark, loc)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(loc), True)
+            if spec_loc is None:
+                # the _spec manifest sits next to the tables
+                spec_loc = loc.rsplit("/", 1)[0] + f"/{name}_spec"
+    if delete_files and spec_loc is not None:
+        fs, jvm = _hadoop_fs(spark, spec_loc)
+        p = jvm.org.apache.hadoop.fs.Path(spec_loc)
+        if fs.exists(p):
+            fs.delete(p, True)
+    return dropped

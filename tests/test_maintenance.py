@@ -590,3 +590,39 @@ def test_register_index_ivfpq_two_bucket_specs(spark, tmp_path):
     finally:
         for s in suffixes:
             spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+
+
+def test_drop_index_keep_vs_delete_files(spark, tmp_path):
+    """drop_index removes every catalog entry of the family without
+    suffix enumeration; with delete_files=False the external files
+    stay re-attachable (register_index round-trip), with True the
+    locations and the _spec manifest go too."""
+    from hadoop_logfile_inputformat_spark.operators import similarity as S
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        drop_index,
+        register_index,
+    )
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    v = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    name, root = "t_drop_ix", str(tmp_path / "idx")
+    S.build_ivf_index(spark, v, name, path=root)
+    S.delete_from_index(spark, name, ids=v.limit(1))
+    dropped = drop_index(spark, name)
+    assert f"{name}_lists" in dropped and f"{name}_tombstones" in dropped
+    assert not any(
+        t.name.startswith(name) for t in spark.catalog.listTables()
+    )
+    # files intact: re-attachable
+    assert register_index(spark, name, root) == "ivf"
+    # destructive path: catalog AND files AND manifest gone
+    dropped = drop_index(spark, name, delete_files=True)
+    assert f"{name}_lists" in dropped
+    assert not os.path.isdir(os.path.join(root, f"{name}_lists"))
+    assert not os.path.isdir(os.path.join(root, f"{name}_spec"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no persisted index"):
+        drop_index(spark, name)
