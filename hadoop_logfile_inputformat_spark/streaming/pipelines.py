@@ -574,6 +574,7 @@ def takedown_stream_batch(
     index_name: str,
     batch_id: int,
     compact_at: int | None = None,
+    audit_sink: str | None = None,
 ) -> int:
     """Apply ONE micro-batch of takedown requests (a frame carrying the
     index family's id column — ``doc_id`` for the text indexes,
@@ -585,10 +586,53 @@ def takedown_stream_batch(
     batch re-deletes ids that are already tombstoned (or already
     folded), which is an idempotent no-op by the delete verbs'
     contract — the one lifecycle verb where at-least-once is free.
+
+    ``audit_sink`` writes the erasure trail a takedown pipeline owes
+    its compliance owner: every REQUESTED id of the batch with its
+    disposition — ``tombstoned`` (appended to the pending set this
+    batch: hidden from probes from the next query on; a re-request
+    whose earlier tombstone was already folded re-lands here, which is
+    harmless and still truthful) or ``already_deleted`` (the id was
+    already pending — an idempotent re-request) — to
+    ``<audit_sink>/batch_id=<id>`` with OVERWRITE, so a replayed batch
+    rewrites its own partition and the trail stays exactly-once even
+    though a replay's dispositions differ from the original's.  The
+    audit rides the same delta-sized frames the delete touched; no
+    corpus read.
     """
     spark = batch_ids.sparkSession
     id_col, delete_fn, compact_fn = _index_kind(spark, index_name)
-    n = delete_fn(spark, index_name, ids=batch_ids.select(id_col))
+    requested = batch_ids.select(id_col).distinct()
+    pending_before = None
+    if audit_sink is not None:
+        t = f"{index_name}_tombstones"
+        pending_before = (
+            spark.table(t).select(id_col).localCheckpoint(eager=True)
+            if spark.catalog.tableExists(t)
+            else None
+        )
+    n = delete_fn(spark, index_name, ids=requested)
+    if audit_sink is not None:
+        # newly tombstoned = requested minus what was already pending;
+        # everything else in the request is an idempotent re-request
+        new_ids = requested
+        if pending_before is not None:
+            new_ids = requested.join(
+                F.broadcast(pending_before), id_col, "left_anti"
+            )
+        audit = requested.join(
+            F.broadcast(new_ids.withColumn("_new", F.lit(True))),
+            id_col,
+            "left",
+        ).select(
+            F.col(id_col).alias("id"),
+            F.when(F.col("_new"), F.lit("tombstoned"))
+            .otherwise(F.lit("already_deleted"))
+            .alias("disposition"),
+        )
+        audit.write.mode("overwrite").parquet(
+            f"{audit_sink}/batch_id={batch_id}"
+        )
     if compact_at:
         t = f"{index_name}_tombstones"
         if (
@@ -607,6 +651,7 @@ def takedown_stream(
     index_name: str,
     checkpoint: str,
     compact_at: int | None = 10_000,
+    audit_sink: str | None = None,
 ):
     """Continuous takedown: deletion requests (GDPR erasure, DMCA,
     policy flags) arrive as a stream of ids and are tombstoned out of
@@ -625,7 +670,9 @@ def takedown_stream(
     many ids the batch folds it into the index's compaction (physical
     reclaim), keeping the probe-side broadcast anti-join permanently
     small.  The measured worst case (SCALING.md, 10% of corpus
-    pending) bounds any sane setting from far above.
+    pending) bounds any sane setting from far above.  ``audit_sink``
+    adds the per-batch erasure trail (requested id → disposition) a
+    compliance owner needs — see :func:`takedown_stream_batch`.
 
     Session caveat (shared with every in-stream compaction here): the
     fold runs in the stream's CLONED session, and Spark's relation
@@ -637,7 +684,8 @@ def takedown_stream(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         takedown_stream_batch(
-            batch_df, index_name, batch_id, compact_at=compact_at
+            batch_df, index_name, batch_id,
+            compact_at=compact_at, audit_sink=audit_sink,
         )
 
     return (

@@ -1106,3 +1106,63 @@ def test_takedown_batch_dispatches_to_embedding_index(spark):
         for s in ("_lists", "_centroids", "_batches", "_stats",
                   "_tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+
+
+def test_takedown_audit_sink_dispositions(spark, tmp_path):
+    """The erasure trail: every requested id lands in the batch's audit
+    partition with its disposition — tombstoned on first request,
+    already_deleted on an idempotent re-request — and a replayed batch
+    overwrites its own partition (exactly-once trail)."""
+    from hadoop_logfile_inputformat_spark.operators import dedup
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+    from hadoop_logfile_inputformat_spark.streaming import (
+        takedown_stream_batch,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(
+        F.col("doc_id") % dedup.INCR_SPLIT_MOD != dedup.INCR_DELTA_REM
+    )
+    ids = [r.doc_id for r in corpus.select("doc_id").limit(3).collect()]
+    name, sink = "t_td_audit", str(tmp_path / "audit")
+    try:
+        dedup.build_minhash_index(
+            spark, corpus, name, n_buckets=4, path=str(tmp_path / "idx")
+        )
+        req = lambda xs: spark.createDataFrame(
+            [(x,) for x in xs], "doc_id long"
+        )
+        assert takedown_stream_batch(
+            req(ids[:2]), name, batch_id=0, audit_sink=sink
+        ) == 2
+        a0 = {
+            (r.id, r.disposition)
+            for r in spark.read.parquet(f"{sink}/batch_id=0").collect()
+        }
+        assert a0 == {(ids[0], "tombstoned"), (ids[1], "tombstoned")}
+        # batch 1: one re-request + one new id
+        assert takedown_stream_batch(
+            req(ids[1:]), name, batch_id=1, audit_sink=sink
+        ) == 1
+        a1 = {
+            (r.id, r.disposition)
+            for r in spark.read.parquet(f"{sink}/batch_id=1").collect()
+        }
+        assert a1 == {
+            (ids[1], "already_deleted"),
+            (ids[2], "tombstoned"),
+        }
+        # replay of batch 0: partition overwritten, one row per id,
+        # dispositions now reflect the replay (documented)
+        takedown_stream_batch(req(ids[:2]), name, batch_id=0, audit_sink=sink)
+        a0r = {
+            (r.id, r.disposition)
+            for r in spark.read.parquet(f"{sink}/batch_id=0").collect()
+        }
+        assert a0r == {
+            (ids[0], "already_deleted"),
+            (ids[1], "already_deleted"),
+        }
+    finally:
+        for s in ("_buckets", "_sets", "_batches", "_tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
