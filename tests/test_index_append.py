@@ -641,3 +641,45 @@ def test_delete_filter_pq_family_and_retrain_folds(spark):
     finally:
         _drop(spark, "tdl_pq", PQ_SUFFIXES + tomb)
         _drop(spark, "tdl_pq2", PQ_SUFFIXES + tomb)
+
+
+def test_delete_ivfpq_probe_and_compaction_fold(spark):
+    """IVFPQ is the remaining delete combination: tombstones must
+    exclude victims from the ADC candidate codes BEFORE the shortlist
+    (pinned bit-equal to the member_filter complement, as on flat PQ),
+    and compact_ivfpq_index folds BOTH corpus tables — the
+    centroid_id-bucketed codes (M rows per vector) and the
+    vec_id-bucketed re-rank vectors — then drops the set."""
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        compact_ivfpq_index,
+    )
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    v = load(spark, SF, "embeddings").select("vec_id", "embedding", "label")
+    queries = v.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n5 = v.filter("label = 5").count()
+    tomb = ("_tombstones",)
+    try:
+        S.build_ivfpq_index(spark, v, "tdl_iq", carry=("label",))
+        S.build_ivfpq_index(spark, v, "tdl_iq2", carry=("label",))
+        assert S.delete_from_index(
+            spark, "tdl_iq", delete_filter="label = 5"
+        ) == n5
+        after = _rows(S.ann_ivfpq_probe(spark, queries, "tdl_iq"))
+        twin = _rows(S.ann_ivfpq_probe(
+            spark, queries, "tdl_iq2", member_filter="label != 5"
+        ))
+        assert after == twin and after
+        pre_c = spark.table("tdl_iq_codes").count()
+        pre_q = spark.table("tdl_iq_quantized").count()
+        compact_ivfpq_index(spark, "tdl_iq")
+        assert not spark.catalog.tableExists("tdl_iq_tombstones")
+        assert spark.table("tdl_iq_codes").count() < pre_c
+        assert spark.table("tdl_iq_codes").filter("label = 5").count() == 0
+        assert spark.table("tdl_iq_quantized").count() == pre_q - n5
+        assert _rows(S.ann_ivfpq_probe(spark, queries, "tdl_iq")) == after
+    finally:
+        _drop(spark, "tdl_iq", IVFPQ_SUFFIXES + tomb)
+        _drop(spark, "tdl_iq2", IVFPQ_SUFFIXES + tomb)
