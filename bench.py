@@ -258,9 +258,9 @@ def summary_lines(timings, cold_timings, extra, n_errors, source_mb_s, sf,
     def _extra_line(steady_map, dropped):
         # byte diet (the two tail lines share a hard 2000-char driver
         # window): n_extra is gone (derivable: len(steady) + n_dropped
-        # + the lc keys), and the two totals carry 1 decimal only
-        # under 100 s — each key the map keeps is worth more than a
-        # decimal on an aggregate
+        # + the lc keys), and the two totals use _fmt_x (1 decimal
+        # under 10 s, integer seconds above) — each key the map keeps
+        # is worth more than a decimal on an aggregate
         payload = {
             "detail": "extra_steady",
             "cold_total": _fmt_x(sum(cold_timings.values())),

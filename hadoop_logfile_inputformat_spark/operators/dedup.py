@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 
 from hadoop_logfile_inputformat_spark.operators.tables import (
     cached_count,
-    clear_orphaned_table,
     load,
     register_aux_cache,
     scoped_persist,
@@ -789,10 +788,15 @@ def build_minhash_index(
         # streaming index appends replay-safe (near_dup_stream_batch).
         # Written as an (empty) overwrite so REBUILDING an index also
         # resets the log — stale ids would silently skip appends.
-        # Pending tombstones drop with it: a rebuild starts a fresh
-        # generation (logical deletes never outlive the generation
-        # they were issued against — see delete_from_dedup_index).
-        spark.sql(f"DROP TABLE IF EXISTS {name}_tombstones")
+        # Pending tombstones drop with it — files too, for external
+        # indexes (a rebuild starts a fresh generation; a stale
+        # tombstone dir at the root would be resurrected by
+        # register_index — see maintenance.drop_tombstones).
+        from hadoop_logfile_inputformat_spark.operators.maintenance import (
+            drop_tombstones,
+        )
+
+        drop_tombstones(spark, name)
         logw = spark.createDataFrame([], "batch_id BIGINT").write.mode(
             "overwrite"
         ).format("parquet")
@@ -846,8 +850,12 @@ def build_exact_index(
         writer = writer.option("path", f"{path}/{name}_hashes")
     writer.saveAsTable(f"{name}_hashes")
     # a rebuild starts a fresh generation: pending tombstones drop
-    # with the ledger reset (see delete_from_dedup_index)
-    spark.sql(f"DROP TABLE IF EXISTS {name}_tombstones")
+    # with the ledger reset — files too, for external indexes
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        drop_tombstones,
+    )
+
+    drop_tombstones(spark, name)
     logw = spark.createDataFrame([], "batch_id BIGINT").write.mode(
         "overwrite"
     ).format("parquet")
@@ -869,12 +877,11 @@ def _doc_tombstones(spark: SparkSession, name: str) -> DataFrame | None:
     the same contract as the ``_batches`` replay log), so deleted
     documents neither surface as near-dup partners nor block
     re-ingestion of their content."""
-    t = f"{name}_tombstones"
-    return (
-        spark.table(t).select("doc_id")
-        if spark.catalog.tableExists(t)
-        else None
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        _pending_tombstones,
     )
+
+    return _pending_tombstones(spark, name, "doc_id")
 
 
 def _reject_tombstoned_docs(
@@ -935,36 +942,27 @@ def delete_from_dedup_index(
     expresses delete-by-content), else ``<name>_sets``.  Returns the
     number of NEWLY tombstoned ids (re-deletes are idempotent no-ops).
     """
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        append_tombstones,
+    )
+
     if (ids is None) == (delete_filter is None):
         raise ValueError("pass exactly one of ids / delete_filter")
+    member_table = (
+        f"{name}_hashes"
+        if spark.catalog.tableExists(f"{name}_hashes")
+        else f"{name}_sets"
+    )
     if delete_filter is not None:
-        members = (
-            spark.table(f"{name}_hashes")
-            if spark.catalog.tableExists(f"{name}_hashes")
-            else spark.table(f"{name}_sets")
-        )
-        ids = members.filter(delete_filter)
+        ids = spark.table(member_table).filter(delete_filter)
     new = ids.select("doc_id").distinct()
     pending = _doc_tombstones(spark, name)
     if pending is not None:
         new = new.join(F.broadcast(pending), "doc_id", "left_anti")
-    # pin the delete set before writing (breaks lineage to the
-    # tombstones table itself, making count + append one computation);
-    # delete sets are delta-sized, a crash here changes nothing
-    new = new.localCheckpoint(eager=True)
-    n = new.count()
-    if n == 0:
-        return 0
-    if pending is None:
-        clear_orphaned_table(spark, f"{name}_tombstones")
-        new.write.mode("overwrite").format("parquet").saveAsTable(
-            f"{name}_tombstones"
-        )
-    else:
-        new.write.mode("append").format("parquet").saveAsTable(
-            f"{name}_tombstones"
-        )
-    return n
+    # shared writer (maintenance.append_tombstones): pins the delta,
+    # and for external (path=) indexes creates the tombstone table at
+    # the index root so pending takedowns survive a metastore loss
+    return append_tombstones(spark, name, new, pending, member_table)
 
 
 def incremental_near_dups(

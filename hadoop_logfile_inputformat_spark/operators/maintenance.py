@@ -171,6 +171,30 @@ def compact_bucketed_table(
     spark.catalog.refreshTable(table)
 
 
+def _refresh_spec_buckets(
+    spark: SparkSession, name: str, anchor_table: str, n_buckets: int | None
+) -> None:
+    """Keep the ``_spec`` restart manifest truthful after a compaction
+    that CHANGED the bucket count: a stale count would make a later
+    :func:`register_index` declare ``INTO <old> BUCKETS`` over files
+    physically bucketed into the new count — and Spark trusts declared
+    bucketing, so bucketed joins would silently misroute rows.  No-op
+    for managed indexes (no spec) or count-preserving compactions."""
+    if n_buckets is None:
+        return
+    root = _external_root(spark, anchor_table)
+    if root is None:
+        return
+    spec_path = f"{root}/{name}_spec"
+    fs, jvm = _hadoop_fs(spark, spec_path)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(spec_path)):
+        return
+    family = spark.read.parquet(spec_path).collect()[0]["family"]
+    write_index_spec(
+        spark, name, root, family, n_buckets, clean_compact_siblings=False
+    )
+
+
 def compact_minhash_index(
     spark: SparkSession,
     name: str,
@@ -192,7 +216,8 @@ def compact_minhash_index(
             spark, f"{name}_{suffix}", keys, n_buckets, minus=ts
         )
     if ts is not None:
-        spark.sql(f"DROP TABLE IF EXISTS {name}_tombstones")
+        drop_tombstones(spark, name)
+    _refresh_spec_buckets(spark, name, f"{name}_buckets", n_buckets)
 
 
 def compact_exact_index(
@@ -210,7 +235,8 @@ def compact_exact_index(
         spark, f"{name}_hashes", ["text_hash"], n_buckets, minus=ts
     )
     if ts is not None:
-        spark.sql(f"DROP TABLE IF EXISTS {name}_tombstones")
+        drop_tombstones(spark, name)
+    _refresh_spec_buckets(spark, name, f"{name}_hashes", n_buckets)
 
 
 def _pending_tombstones(spark: SparkSession, name: str, col: str = "vec_id"):
@@ -246,7 +272,8 @@ def compact_ivf_index(
         spark, f"{name}_lists", ["centroid_id"], n_buckets, minus=ts
     )
     if ts is not None:
-        spark.sql(f"DROP TABLE IF EXISTS {name}_tombstones")
+        drop_tombstones(spark, name)
+    _refresh_spec_buckets(spark, name, f"{name}_lists", n_buckets)
 
 
 def compact_ivfpq_index(
@@ -269,7 +296,8 @@ def compact_ivfpq_index(
         spark, f"{name}_quantized", ["vec_id"], n_buckets, minus=ts
     )
     if ts is not None:
-        spark.sql(f"DROP TABLE IF EXISTS {name}_tombstones")
+        drop_tombstones(spark, name)
+    _refresh_spec_buckets(spark, name, f"{name}_codes", n_buckets)
 
 
 def compact_pq_index(
@@ -291,7 +319,8 @@ def compact_pq_index(
         spark, f"{name}_quantized", ["vec_id"], n_buckets, minus=ts
     )
     if ts is not None:
-        spark.sql(f"DROP TABLE IF EXISTS {name}_tombstones")
+        drop_tombstones(spark, name)
+    _refresh_spec_buckets(spark, name, f"{name}_codes", n_buckets)
 
 
 #: Table suffixes per persisted index family, split into the
@@ -333,6 +362,79 @@ def _table_location(spark: SparkSession, table: str) -> str | None:
     detail = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
     row = next((r for r in detail if r.col_name == "Location"), None)
     return None if row is None else row.data_type
+
+
+def _external_root(spark: SparkSession, table: str) -> str | None:
+    """Parent directory of ``table``'s location when it is EXTERNAL —
+    i.e. the index root a ``path=`` build used (location basename may
+    carry the compaction ``__compact`` suffix; the parent is the root
+    either way) — else None (managed table)."""
+    if not spark.catalog.tableExists(table):
+        return None
+    detail = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    typ = next((r.data_type for r in detail if r.col_name == "Type"), "")
+    if typ.strip().upper() != "EXTERNAL":
+        return None
+    loc = next((r.data_type for r in detail if r.col_name == "Location"), None)
+    return None if loc is None else loc.rsplit("/", 1)[0]
+
+
+def append_tombstones(
+    spark: SparkSession,
+    name: str,
+    new_ids,
+    pending,
+    member_table: str,
+) -> int:
+    """Shared tombstone writer behind ``similarity.delete_from_index``
+    and ``dedup.delete_from_dedup_index`` (one sequence, fixed once):
+    pin the delta (breaks lineage to the tombstones table — no
+    read-while-append hazard; a crash here changes nothing), count it,
+    and create-or-append ``<name>_tombstones``.  For an EXTERNAL index
+    (``member_table`` lives under a ``path=`` root) the tombstone
+    table is created AT THAT ROOT, so the pending delete set survives
+    a metastore loss and :func:`register_index` re-attaches it —
+    without this, a restart would silently resurrect deleted rows in
+    every probe."""
+    from hadoop_logfile_inputformat_spark.operators.tables import (
+        clear_orphaned_table,
+    )
+
+    new_ids = new_ids.localCheckpoint(eager=True)
+    n = new_ids.count()
+    if n == 0:
+        return 0
+    t = f"{name}_tombstones"
+    if pending is None:
+        w = new_ids.write.mode("overwrite").format("parquet")
+        root = _external_root(spark, member_table)
+        if root is not None:
+            w = w.option("path", f"{root}/{name}_tombstones")
+        else:
+            clear_orphaned_table(spark, t)
+        w.saveAsTable(t)
+    else:
+        new_ids.write.mode("append").format("parquet").saveAsTable(t)
+    return n
+
+
+def drop_tombstones(spark: SparkSession, name: str) -> None:
+    """Remove ``<name>_tombstones`` — catalog entry AND files.  Every
+    site that retires a delete set (compaction folds, retrain resets,
+    rebuilds starting a fresh generation) must go through this: a bare
+    ``DROP TABLE`` on an EXTERNAL tombstone table leaves its files at
+    the index root, and the next :func:`register_index` would
+    resurrect a stale delete set into the new generation — hiding
+    live rows."""
+    t = f"{name}_tombstones"
+    if not spark.catalog.tableExists(t):
+        return
+    loc = _table_location(spark, t)
+    external = _external_root(spark, t) is not None
+    spark.sql(f"DROP TABLE {t}")
+    if external and loc:
+        fs, jvm = _hadoop_fs(spark, loc)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(loc), True)
 
 
 def index_info(spark: SparkSession, name: str) -> dict:
@@ -401,14 +503,36 @@ INDEX_BUCKET_KEYS = {
 
 
 def write_index_spec(
-    spark: SparkSession, name: str, path: str, family: str, n_buckets: int
+    spark: SparkSession,
+    name: str,
+    path: str,
+    family: str,
+    n_buckets: int,
+    clean_compact_siblings: bool = True,
 ) -> None:
     """Persist the one fact about an EXTERNAL index that its parquet
     files cannot carry: the bucket COUNT (keys are family-determined,
     schemas are in the footers, but an empty bucket writes no file —
     the count is unrecoverable from a listing).  Every ``path=`` build
     writes this 1-row ``<name>_spec`` dir so :func:`register_index`
-    can resurrect the catalog entries in a fresh session/metastore."""
+    can resurrect the catalog entries in a fresh session/metastore.
+
+    A FULL build also lands every table at its BASE location, so any
+    ``__compact`` sibling a pre-rebuild compaction left behind is now
+    stale — removed when ``clean_compact_siblings`` (the builders'
+    default), or a later :func:`register_index` would see both
+    siblings and refuse (its crashed-swap guard).  A spec REFRESH
+    after a re-bucketing compaction (:func:`_refresh_spec_buckets`)
+    must pass False: there the ``__compact`` sibling IS the live
+    data."""
+    if clean_compact_siblings:
+        fs, jvm = _hadoop_fs(spark, path)
+        P = jvm.org.apache.hadoop.fs.Path
+        if fs.exists(P(path)):
+            for st in fs.listStatus(P(path)):
+                nm = st.getPath().getName()
+                if nm.startswith(f"{name}_") and nm.endswith("__compact"):
+                    fs.delete(st.getPath(), True)
     spark.createDataFrame(
         [(family, n_buckets)], "family STRING, n_buckets INT"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{name}_spec")

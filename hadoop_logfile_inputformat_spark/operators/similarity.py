@@ -486,7 +486,11 @@ def _write_index_aux(
     the set would wrongly hide any same-id vector a caller seeds the
     new generation with.
     """
-    spark.sql(f"DROP TABLE IF EXISTS {name}_tombstones")
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        drop_tombstones,
+    )
+
+    drop_tombstones(spark, name)
     logw = spark.createDataFrame([], "batch_id BIGINT").write.mode(
         "overwrite"
     ).format("parquet")
@@ -1132,6 +1136,33 @@ def ivf_index_drift(
     }
 
 
+def _index_build_site(spark: SparkSession, name: str, member_table: str):
+    """Where a retrain must REBUILD the index so it stays what it was:
+    ``{"path": root, "n_buckets": n}`` (from the ``_spec`` restart
+    manifest) for an EXTERNAL ``path=`` index, ``{}`` for a managed
+    one.  Without this a retrain would silently convert an external
+    index to managed tables, stranding the pre-retrain generation at
+    the root for a later ``register_index`` to resurrect — deleted
+    vectors included."""
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        _external_root,
+    )
+
+    root = _external_root(spark, member_table)
+    if root is None:
+        return {}
+    kwargs = {"path": root}
+    try:
+        kwargs["n_buckets"] = int(
+            spark.read.parquet(f"{root}/{name}_spec").collect()[0][
+                "n_buckets"
+            ]
+        )
+    except Exception:
+        pass  # pre-manifest index: keep the builder default
+    return kwargs
+
+
 def retrain_ivf_index(
     spark: SparkSession,
     name: str,
@@ -1167,6 +1198,11 @@ def retrain_ivf_index(
     """
     tmp = f"{name}_retrain_tmp"
     clear_orphaned_table(spark, tmp)
+    # resolve WHERE to rebuild BEFORE touching anything: an external
+    # index rebuilds at its own root with its spec'd bucket count
+    # (converting it to managed would strand the old generation for a
+    # later register_index to resurrect)
+    site = _index_build_site(spark, name, f"{name}_lists")
     # carried metadata columns (the build's `carry`) survive the
     # retrain: snapshot them next to the vectors and rebuild with the
     # same carry set, so member_filter keeps working afterwards
@@ -1191,7 +1227,9 @@ def retrain_ivf_index(
             held.select("vec_id", "embedding"),
             k=n_centroids, iters=iters, metric="cosine",
         )
-        build_ivf_index(spark, held, name, centroids=cents, carry=carry)
+        build_ivf_index(
+            spark, held, name, centroids=cents, carry=carry, **site
+        )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     return ivf_index_drift(spark, name)
@@ -1252,6 +1290,7 @@ def retrain_ivfpq_index(
     argmin — no corpus shuffle), bucketed writes.  Cost ≈ the original
     build; run at the cadence drift crosses the threshold.
     """
+    site = _index_build_site(spark, name, f"{name}_quantized")
     tmp, carry = _quantized_snapshot(spark, name)
     try:
         held = spark.table(tmp).select(
@@ -1265,6 +1304,7 @@ def retrain_ivfpq_index(
             n_entries=n_entries,
             iters=iters,
             carry=carry,
+            **site,
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
@@ -1288,6 +1328,7 @@ def retrain_pq_index(
     post-retrain :func:`ivf_index_drift` dict (the PQ ledger rows are
     ADC self-similarity, compared by the same seed-vs-appended rule).
     """
+    site = _index_build_site(spark, name, f"{name}_quantized")
     tmp, carry = _quantized_snapshot(spark, name)
     try:
         held = spark.table(tmp).select(
@@ -1300,7 +1341,9 @@ def retrain_pq_index(
                 2, n // _effective_modulus(n, PQ_CODEBOOK_MODULUS)
             )
         cb = pq_codebooks_kmeans(qv, n_entries=n_entries, iters=iters)
-        build_pq_index(spark, held, name, codebooks=cb, carry=carry)
+        build_pq_index(
+            spark, held, name, codebooks=cb, carry=carry, **site
+        )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     return ivf_index_drift(spark, name)
@@ -1313,12 +1356,11 @@ def _tombstone_ids(spark: SparkSession, name: str) -> DataFrame | None:
     the same contract as the ``_batches`` replay log), so deleted
     vectors can never appear in a top-k even though their rows still
     sit in the corpus tables until the next fold."""
-    t = f"{name}_tombstones"
-    return (
-        spark.table(t).select("vec_id")
-        if spark.catalog.tableExists(t)
-        else None
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        _pending_tombstones,
     )
+
+    return _pending_tombstones(spark, name, "vec_id")
 
 
 def delete_from_index(
@@ -1359,37 +1401,28 @@ def delete_from_index(
     delta-sized write.  The standing corpus tables are never rewritten
     here — that cost stays where it belongs, in compaction.
     """
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        append_tombstones,
+    )
+
     if (ids is None) == (delete_filter is None):
         raise ValueError("pass exactly one of ids / delete_filter")
+    member_table = (
+        f"{name}_quantized"
+        if spark.catalog.tableExists(f"{name}_quantized")
+        else f"{name}_lists"
+    )
     if delete_filter is not None:
-        members = (
-            spark.table(f"{name}_quantized")
-            if spark.catalog.tableExists(f"{name}_quantized")
-            else spark.table(f"{name}_lists")
-        )
-        ids = members.filter(delete_filter)
+        ids = spark.table(member_table).filter(delete_filter)
     new = ids.select("vec_id").distinct()
     pending = _tombstone_ids(spark, name)
     if pending is not None:
         new = new.join(F.broadcast(pending), "vec_id", "left_anti")
-    # pin the delete set before writing: breaks lineage to the
-    # tombstones table itself (no read-while-append hazard) and makes
-    # the count + append one computation.  Delete sets are
-    # delta-sized; a crash here leaves the index unchanged.
-    new = new.localCheckpoint(eager=True)
-    n = new.count()
-    if n == 0:
-        return 0
-    if pending is None:
-        clear_orphaned_table(spark, f"{name}_tombstones")
-        new.write.mode("overwrite").format("parquet").saveAsTable(
-            f"{name}_tombstones"
-        )
-    else:
-        new.write.mode("append").format("parquet").saveAsTable(
-            f"{name}_tombstones"
-        )
-    return n
+    # the shared writer pins the delta, creates the table AT THE INDEX
+    # ROOT for external (path=) indexes — so pending deletes survive a
+    # metastore loss and register_index re-attaches them — and appends
+    # otherwise
+    return append_tombstones(spark, name, new, pending, member_table)
 
 
 def ann_ivf_incremental(

@@ -626,3 +626,82 @@ def test_drop_index_keep_vs_delete_files(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no persisted index"):
         drop_index(spark, name)
+
+
+def test_restart_story_pending_deletes_and_respec_and_retrain(spark, tmp_path):
+    """The three restart-story hazards, each pinned through a catalog
+    wipe + register_index round-trip on an EXTERNAL index:
+
+    1. PENDING tombstones survive a metastore loss (written at the
+       index root) — a re-registered probe still excludes the victims;
+    2. a bucket-count-changing compaction refreshes the _spec manifest,
+       so re-registration declares the NEW count;
+    3. a retrain rebuilds AT THE ROOT (stays external, spec'd count),
+       so re-registration resurrects the live post-retrain generation
+       — not a stranded pre-retrain one — with the folded deletes gone.
+    """
+    from hadoop_logfile_inputformat_spark.operators import similarity as S
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        compact_ivf_index,
+        register_index,
+    )
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    v = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = v.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    name, root = "t_rst", str(tmp_path / "idx")
+    suffixes = ("_lists", "_centroids", "_batches", "_stats", "_tombstones")
+
+    def _wipe_and_register():
+        for s in suffixes:
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+        return register_index(spark, name, root)
+
+    try:
+        S.build_ivf_index(spark, v, name, path=root, n_buckets=4)
+        # pin victim ids BEFORE deleting (limit() without order is not
+        # deterministic across invocations)
+        vids = {r.vec_id for r in v.limit(3).collect()}
+        victims = v.filter(F.col("vec_id").isin(list(vids)))
+        assert S.delete_from_index(spark, name, ids=victims) == 3
+        # (1) pending deletes live AT THE ROOT and survive the wipe
+        assert os.path.isdir(os.path.join(root, f"{name}_tombstones"))
+        want = _probe_rows(S, spark, queries, name)
+        assert _wipe_and_register() == "ivf"
+        got = _probe_rows(S, spark, queries, name)
+        assert got == want and got
+        assert not any(r[1] in vids for r in got)
+        # (2) re-bucketing compaction (also folds the deletes) must
+        # refresh the spec: re-registration declares the new count
+        compact_ivf_index(spark, name, n_buckets=2)
+        want = _probe_rows(S, spark, queries, name)
+        assert _wipe_and_register() == "ivf"
+        detail = spark.sql(f"DESCRIBE FORMATTED {name}_lists").collect()
+        nb = next(r.data_type for r in detail if r.col_name == "Num Buckets")
+        assert int(nb) == 2
+        assert _probe_rows(S, spark, queries, name) == want
+        # (3) retrain stays external at the root with the spec'd count;
+        # re-registration resurrects the LIVE generation
+        S.delete_from_index(spark, name, ids=v.limit(5))
+        S.retrain_ivf_index(spark, name, iters=1)
+        assert os.path.isdir(os.path.join(root, f"{name}_lists"))
+        want = _probe_rows(S, spark, queries, name)
+        assert _wipe_and_register() == "ivf"
+        assert _probe_rows(S, spark, queries, name) == want and want
+        assert not spark.catalog.tableExists(f"{name}_tombstones")
+        detail = spark.sql(f"DESCRIBE FORMATTED {name}_lists").collect()
+        nb = next(r.data_type for r in detail if r.col_name == "Num Buckets")
+        assert int(nb) == 2  # the compaction's re-bucketed count stuck
+    finally:
+        for s in suffixes:
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+
+
+def _probe_rows(S, spark, queries, name):
+    return sorted(
+        tuple(r) for r in S.ann_ivf_probe(spark, queries, name).collect()
+    )

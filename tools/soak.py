@@ -690,7 +690,7 @@ def main() -> None:
         scale, src = dirs[-1]
         out = run_delete_suite(spark, src, warm=args.warm)
         out["scale"] = scale
-        print(json.dumps({"detail": "delete_soak_summary", **out}))
+        print(json.dumps({**out, "detail": "delete_soak_summary"}))
         spark.stop()
         return
 
