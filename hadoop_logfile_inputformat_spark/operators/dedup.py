@@ -797,6 +797,7 @@ def build_minhash_index(
         )
 
         drop_tombstones(spark, name)
+        drop_tombstones(spark, name, suffix="_deferred")
         logw = spark.createDataFrame([], "batch_id BIGINT").write.mode(
             "overwrite"
         ).format("parquet")
@@ -856,6 +857,7 @@ def build_exact_index(
     )
 
     drop_tombstones(spark, name)
+    drop_tombstones(spark, name, suffix="_deferred")
     logw = spark.createDataFrame([], "batch_id BIGINT").write.mode(
         "overwrite"
     ).format("parquet")
@@ -882,6 +884,19 @@ def _doc_tombstones(spark: SparkSession, name: str) -> DataFrame | None:
     )
 
     return _pending_tombstones(spark, name, "doc_id")
+
+
+def _deferred_docs(spark: SparkSession, name: str) -> DataFrame | None:
+    """The text index's OUT-OF-ORDER takedown set (``<name>_deferred``)
+    — doc_ids a :func:`delete_from_dedup_index` requested before the
+    index ever ingested them; the streaming appends consume these
+    (``maintenance.consume_deferred``) so the doc never lands.  None
+    when empty."""
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        _pending_tombstones,
+    )
+
+    return _pending_tombstones(spark, name, "doc_id", suffix="_deferred")
 
 
 def _reject_tombstoned_docs(
@@ -959,6 +974,30 @@ def delete_from_dedup_index(
     pending = _doc_tombstones(spark, name)
     if pending is not None:
         new = new.join(F.broadcast(pending), "doc_id", "left_anti")
+    if delete_filter is None:
+        # out-of-order takedowns (ids the index never ingested — a
+        # takedown stream racing ahead of curate/near-dup ingestion)
+        # defer instead of tombstone: a pending tombstone would fail
+        # the very batch that finally delivers the doc
+        # (_reject_tombstoned_docs) and the next fold would silently
+        # retire the intent.  The stream appends consume the deferred
+        # set (maintenance.consume_deferred) — the doc never lands.
+        new = new.localCheckpoint(eager=True)
+        seen = (
+            spark.table(member_table)
+            .select("doc_id")
+            .join(F.broadcast(new), "doc_id", "left_semi")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        unseen = new.join(F.broadcast(seen), "doc_id", "left_anti")
+        dpending = _deferred_docs(spark, name)
+        if dpending is not None:
+            unseen = unseen.join(F.broadcast(dpending), "doc_id", "left_anti")
+        append_tombstones(
+            spark, name, unseen, dpending, member_table, suffix="_deferred"
+        )
+        new = seen
     # shared writer (maintenance.append_tombstones): pins the delta,
     # and for external (path=) indexes creates the tombstone table at
     # the index root so pending takedowns survive a metastore loss

@@ -239,14 +239,21 @@ def compact_exact_index(
     _refresh_spec_buckets(spark, name, f"{name}_hashes", n_buckets)
 
 
-def _pending_tombstones(spark: SparkSession, name: str, col: str = "vec_id"):
+def _pending_tombstones(
+    spark: SparkSession,
+    name: str,
+    col: str = "vec_id",
+    suffix: str = "_tombstones",
+):
     """The index's logical-delete set, if any deletes are pending —
     folding it into the compaction rewrite is what reclaims the rows
     (``similarity.delete_from_index`` / ``dedup.delete_from_dedup_index``
     only ever append ids).  ``col`` is the index family's id column
     (``vec_id`` for the embedding tiers, ``doc_id`` for the text
-    indexes)."""
-    t = f"{name}_tombstones"
+    indexes).  ``suffix="_deferred"`` reads the out-of-order takedown
+    set instead (ids deleted BEFORE ever being ingested — consumed by
+    the append verbs, never by compaction)."""
+    t = f"{name}{suffix}"
     return spark.table(t).select(col) if spark.catalog.tableExists(t) else None
 
 
@@ -385,6 +392,7 @@ def append_tombstones(
     new_ids,
     pending,
     member_table: str,
+    suffix: str = "_tombstones",
 ) -> int:
     """Shared tombstone writer behind ``similarity.delete_from_index``
     and ``dedup.delete_from_dedup_index`` (one sequence, fixed once):
@@ -395,7 +403,8 @@ def append_tombstones(
     table is created AT THAT ROOT, so the pending delete set survives
     a metastore loss and :func:`register_index` re-attaches it —
     without this, a restart would silently resurrect deleted rows in
-    every probe."""
+    every probe.  ``suffix="_deferred"`` writes the out-of-order
+    takedown set (same sites, same restart story) instead."""
     from hadoop_logfile_inputformat_spark.operators.tables import (
         clear_orphaned_table,
     )
@@ -404,12 +413,12 @@ def append_tombstones(
     n = new_ids.count()
     if n == 0:
         return 0
-    t = f"{name}_tombstones"
+    t = f"{name}{suffix}"
     if pending is None:
         w = new_ids.write.mode("overwrite").format("parquet")
         root = _external_root(spark, member_table)
         if root is not None:
-            w = w.option("path", f"{root}/{name}_tombstones")
+            w = w.option("path", f"{root}/{name}{suffix}")
         else:
             clear_orphaned_table(spark, t)
         w.saveAsTable(t)
@@ -418,15 +427,81 @@ def append_tombstones(
     return n
 
 
-def drop_tombstones(spark: SparkSession, name: str) -> None:
+def deferred_split(
+    spark: SparkSession,
+    name: str,
+    delta,
+    id_col: str = "vec_id",
+):
+    """Phase 1 of applying pending OUT-OF-ORDER takedowns
+    (``<name>_deferred`` — written by the delete verbs for ids the
+    index had never ingested) to an arriving append delta: returns
+    ``(filtered_delta, hit)`` where the hit rows (a pinned id frame,
+    or None) are dropped from the delta before they ever become
+    probe-visible — the same end state as delete-after-ingest plus
+    fold.  READ-ONLY: the deferred table is untouched, so a crash
+    anywhere in the append replays with the intent intact.  Call
+    :func:`retire_deferred` with the hit AFTER the append's
+    bookkeeping lands (retiring earlier opens a window where a crash
+    between retire and bookkeeping makes the replay re-admit the
+    victim).  Cost: one broadcast semi-join against a bounded set."""
+    dfd = _pending_tombstones(spark, name, id_col, suffix="_deferred")
+    if dfd is None:
+        return delta, None
+    hit = (
+        delta.select(id_col)
+        .join(F.broadcast(dfd), id_col, "left_semi")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if hit.count() == 0:
+        return delta, None
+    return delta.join(F.broadcast(hit), id_col, "left_anti"), hit
+
+
+def retire_deferred(
+    spark: SparkSession,
+    name: str,
+    hit,
+    id_col: str = "vec_id",
+) -> None:
+    """Phase 2: remove consumed entries from ``<name>_deferred`` (drop
+    the table when it empties).  Idempotent — retiring an id twice, or
+    after another writer already folded it, removes nothing extra.  A
+    crash BEFORE this (append + bookkeeping already landed) leaves the
+    entry pending forever for an id that will never arrive again —
+    harmless (it can never match) and retired by the next rebuild."""
+    if hit is None:
+        return
+    dfd = _pending_tombstones(spark, name, id_col, suffix="_deferred")
+    if dfd is None:
+        return
+    # pin before the rewrite: `remaining` must not lazily re-read the
+    # files the overwrite below replaces
+    dfd = dfd.localCheckpoint(eager=True)
+    remaining = dfd.join(F.broadcast(hit), id_col, "left_anti")
+    if remaining.count() == 0:
+        drop_tombstones(spark, name, suffix="_deferred")
+    else:
+        # insertInto keeps the table definition (and an external
+        # table's location) — a saveAsTable overwrite would not
+        remaining.write.mode("overwrite").insertInto(f"{name}_deferred")
+
+
+def drop_tombstones(
+    spark: SparkSession, name: str, suffix: str = "_tombstones"
+) -> None:
     """Remove ``<name>_tombstones`` — catalog entry AND files.  Every
     site that retires a delete set (compaction folds, retrain resets,
     rebuilds starting a fresh generation) must go through this: a bare
     ``DROP TABLE`` on an EXTERNAL tombstone table leaves its files at
     the index root, and the next :func:`register_index` would
     resurrect a stale delete set into the new generation — hiding
-    live rows."""
-    t = f"{name}_tombstones"
+    live rows.  ``suffix="_deferred"`` retires the out-of-order
+    takedown set instead — REBUILD sites only (compaction folds must
+    leave it: its ids are not in the corpus, so a fold cannot consume
+    them)."""
+    t = f"{name}{suffix}"
     if not spark.catalog.tableExists(t):
         return
     loc = _table_location(spark, t)
@@ -477,6 +552,10 @@ def index_info(spark: SparkSession, name: str) -> dict:
     out["pending_tombstones"] = (
         spark.table(t).count() if spark.catalog.tableExists(t) else 0
     )
+    d = f"{name}_deferred"
+    out["deferred_deletes"] = (
+        spark.table(d).count() if spark.catalog.tableExists(d) else 0
+    )
     b = f"{name}_batches"
     out["applied_batches"] = (
         spark.table(b).count() if spark.catalog.tableExists(b) else None
@@ -526,13 +605,17 @@ def write_index_spec(
     must pass False: there the ``__compact`` sibling IS the live
     data."""
     if clean_compact_siblings:
+        # Match only THIS index's exact table suffixes: a broad
+        # "{name}_*__compact" prefix match would also hit a sibling
+        # index whose name is prefix-nested (building 'idx' must not
+        # delete 'idx_v2's live 'idx_v2_lists__compact' location).
+        corpus, aux = INDEX_FAMILIES[family]
         fs, jvm = _hadoop_fs(spark, path)
         P = jvm.org.apache.hadoop.fs.Path
-        if fs.exists(P(path)):
-            for st in fs.listStatus(P(path)):
-                nm = st.getPath().getName()
-                if nm.startswith(f"{name}_") and nm.endswith("__compact"):
-                    fs.delete(st.getPath(), True)
+        for suffix in corpus + aux + ("_tombstones", "_deferred"):
+            sib = P(f"{path}/{name}{suffix}__compact")
+            if fs.exists(sib):
+                fs.delete(sib, True)
     spark.createDataFrame(
         [(family, n_buckets)], "family STRING, n_buckets INT"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{name}_spec")
@@ -568,7 +651,7 @@ def register_index(spark: SparkSession, name: str, path: str) -> str:
     def _exists(p: str) -> bool:
         return fs.exists(jvm.org.apache.hadoop.fs.Path(p))
 
-    for suffix in corpus + aux + ("_tombstones",):
+    for suffix in corpus + aux + ("_tombstones", "_deferred"):
         # compact_bucketed_table alternates EXTERNAL locations between
         # <dir> and <dir>__compact (deleting the other after the swap)
         # — resolve whichever sibling is live.  Both present means a
@@ -619,7 +702,7 @@ def drop_index(spark: SparkSession, name: str, delete_files: bool = False) -> li
     corpus, aux = INDEX_FAMILIES[family]
     dropped = []
     spec_loc = None
-    for suffix in corpus + aux + ("_tombstones",):
+    for suffix in corpus + aux + ("_tombstones", "_deferred"):
         t = f"{name}{suffix}"
         if not spark.catalog.tableExists(t):
             continue

@@ -424,25 +424,55 @@ def kmeans_centroids(
     )
 
 
+def _l2sq(a: str, b: str) -> Column:
+    """Squared L2 distance between two array columns — the same
+    element order and CAST discipline as :func:`_dot`, so an inline
+    twin reproduces it bit-exactly."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) ->"
+        f" (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _metric_score(metric: str, vec: str, nrm: str, q_vec: str, q_nrm: str) -> Column:
+    """HIGHER-IS-BETTER score of ``q`` against ``vec`` under the three
+    serving metrics: cosine (dot over norms), ``ip`` (raw inner
+    product), ``l2`` (NEGATED squared distance — negation keeps one
+    ordering convention everywhere: ``max_by`` assignment, descending
+    rank windows, and a drift ledger where a falling mean always means
+    worse quantization)."""
+    if metric == "cosine":
+        return _dot(q_vec, vec) / (F.col(q_nrm) * F.col(nrm))
+    if metric == "ip":
+        return _dot(q_vec, vec)
+    if metric == "l2":
+        return -_l2sq(q_vec, vec)
+    raise ValueError(f"metric must be cosine/l2/ip, got {metric!r}")
+
+
 def _assign_to_centroids(
     v: DataFrame,
     cent: DataFrame,
     vec_col: str = "embedding",
     carry: tuple = (),
+    metric: str = "cosine",
 ) -> DataFrame:
     """(vec_id, <vec_col>, nrm, *carry, centroid_id, c_sim):
     nearest-centroid assignment of ``v`` (``(vec_id, <vec_col>, nrm,
     *carry)``) against the BROADCAST ``cent`` (``(centroid_id, c_emb,
     c_nrm)``) — one corpus pass with a map-side ``max_by`` partial
     (never a |corpus| x k shuffle); ties break to the lowest
-    centroid_id.  ``c_sim`` is the winning cosine — the
-    quantization-quality signal the ``_stats`` drift ledger
-    aggregates.  ``carry`` names metadata columns of ``v`` that ride
-    through the assignment unchanged (the filtered-search payload an
-    index stores next to each vector).  Shared by the index builders
-    and the incremental appends so a delta assigns bit-identically to
-    how the seed corpus did."""
-    sim_vc = _dot(vec_col, "c_emb") / (F.col("nrm") * F.col("c_nrm"))
+    centroid_id.  ``c_sim`` is the winning score under ``metric``
+    (:func:`_metric_score` — cosine by default, higher-is-better for
+    all three) — the quantization-quality signal the ``_stats`` drift
+    ledger aggregates.  ``carry`` names metadata columns of ``v`` that
+    ride through the assignment unchanged (the filtered-search payload
+    an index stores next to each vector).  Shared by the index
+    builders and the incremental appends so a delta assigns
+    bit-identically to how the seed corpus did."""
+    sim_vc = _metric_score(metric, "c_emb", "c_nrm", vec_col, "nrm")
     return (
         v.join(F.broadcast(cent), how="cross")
         .select(
@@ -491,6 +521,9 @@ def _write_index_aux(
     )
 
     drop_tombstones(spark, name)
+    # the out-of-order takedown set is generation-scoped too: a delete
+    # issued against the old generation does not reach into the new one
+    drop_tombstones(spark, name, suffix="_deferred")
     logw = spark.createDataFrame([], "batch_id BIGINT").write.mode(
         "overwrite"
     ).format("parquet")
@@ -581,6 +614,7 @@ def build_ivf_index(
     path: str | None = None,
     centroids: DataFrame | None = None,
     carry: tuple = (),
+    metric: str = "cosine",
 ) -> None:
     """Materialize the IVF search structure of ``vectors`` (any
     ``(vec_id, embedding)`` DataFrame) as persisted tables — the vector
@@ -596,6 +630,18 @@ def build_ivf_index(
       no Exchange;
     - ``<name>_centroids`` (centroid_id, c_emb, c_nrm) — tiny, one
       file, broadcast at probe time.
+
+    ``metric`` ("cosine" default, "l2", "ip") fixes the index's
+    SERVING metric: list assignment here, every
+    :func:`append_to_ivf_index` delta, and every
+    :func:`ann_ivf_probe` routing/ranking all score with it
+    (:func:`_metric_score` — L2 stored negated so one higher-is-better
+    convention serves assignment, ranking, and the drift ledger).  The
+    metric rides as a column on the centroids table, so probes,
+    appends, and a re-registered session resolve it without the caller
+    repeating it.  Train learned centroids to match (``kmeans_centroids
+    (metric="l2")`` for an L2 index; inner-product serving typically
+    trains spherical/cosine).
 
     Centroids are the deterministic modulus subset (parity with
     :func:`ann_ivf_topk`; ``centroid_modulus=None`` selects the same
@@ -633,7 +679,7 @@ def build_ivf_index(
     # so the build pays zero extra passes for the ledger baseline
     obs = Observation()
     assigned = (
-        _assign_to_centroids(v, cent, carry=carry)
+        _assign_to_centroids(v, cent, carry=carry, metric=metric)
         .observe(obs, F.count("*").alias("n"), F.avg("c_sim").alias("s"))
         .select("vec_id", "embedding", "nrm", *carry, "centroid_id")
     )
@@ -650,6 +696,12 @@ def build_ivf_index(
         # gone) would fail the overwrite with LOCATION_ALREADY_EXISTS
         clear_orphaned_table(spark, f"{name}_lists")
     writer.saveAsTable(f"{name}_lists")
+    # the serving metric is an INDEX property (appends must assign,
+    # and probes route/rank, the same way the build did) — stored on
+    # the centroids rows so register_index carries it across sessions
+    # for free; absent column (pre-metric indexes) reads as cosine
+    if metric != "cosine":
+        cent = cent.withColumn("metric", F.lit(metric))
     cw = cent.coalesce(1).write.mode("overwrite").format("parquet")
     if path is not None:
         cw = cw.option("path", f"{path}/{name}_centroids")
@@ -668,6 +720,17 @@ def build_ivf_index(
         write_index_spec(spark, name, path, "ivf", n_buckets)
 
 
+def _index_metric(spark: SparkSession, name: str) -> str:
+    """The serving metric an IVF index was built with — read from the
+    ``metric`` column :func:`build_ivf_index` stores on the (tiny)
+    centroids table; absent column (every pre-metric or cosine index)
+    means cosine.  One-row read of a one-file table."""
+    cent = spark.table(f"{name}_centroids")
+    if "metric" in cent.columns:
+        return cent.select("metric").first()["metric"]
+    return "cosine"
+
+
 def ann_ivf_probe(
     spark: SparkSession,
     queries: DataFrame,
@@ -676,6 +739,7 @@ def ann_ivf_probe(
     nprobe: int = IVF_NPROBE,
     exclude_ids: DataFrame | None = None,
     member_filter=None,
+    metric: str | None = None,
 ) -> DataFrame:
     """Search a persisted :func:`build_ivf_index`: each query ranks
     only the vectors of its ``nprobe`` nearest centroids.
@@ -706,8 +770,19 @@ def ann_ivf_probe(
     selectivity (plan-asserted in tests).  The probed-lists coverage
     caveat is the same as unfiltered IVF: recall comes from ``nprobe``
     lists, filtered or not.
+
+    ``metric`` defaults to the INDEX's own serving metric (what the
+    build assigned lists with — :func:`_index_metric`); pass
+    "cosine"/"l2"/"ip" to override ranking only.  ``sim`` is always
+    higher-is-better (L2 reported as the NEGATED squared distance), so
+    rank 1 is the nearest neighbor under every metric.  Routing and
+    ranking share the metric — probing an index whose lists were
+    assigned under a different metric costs recall, not correctness
+    (the recall gate in tests measures both).
     """
     cent = spark.table(f"{name}_centroids")
+    if metric is None:
+        metric = _index_metric(spark, name)
     q = queries.select(
         F.col("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -720,7 +795,7 @@ def ann_ivf_probe(
         q.join(F.broadcast(cent), how="cross")
         .select(
             "query_id", "q_emb", "q_nrm", "centroid_id",
-            (_dot("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm"))).alias(
+            _metric_score(metric, "c_emb", "c_nrm", "q_emb", "q_nrm").alias(
                 "c_sim"
             ),
         )
@@ -738,7 +813,9 @@ def ann_ivf_probe(
     tombs = _tombstone_ids(spark, name)
     if tombs is not None:
         lists = lists.join(F.broadcast(tombs), "vec_id", "left_anti")
-    sim = F.round(_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm")), 4)
+    sim = F.round(
+        _metric_score(metric, "embedding", "nrm", "q_emb", "q_nrm"), 4
+    )
     hits = (
         probes.join(lists, "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -832,7 +909,9 @@ def ann_ivf_topk_kmeans(
     # the corpus), so the frame is independent of the index tables
     # before they are dropped.  materialize="table" is the
     # fault-tolerant variant for cluster use (_materialize_ephemeral).
-    out = _materialize_ephemeral(out, spark, name, materialize)
+    out = _materialize_ephemeral(
+        out, spark, name, materialize, result_name="ann_ivf_topk_kmeans"
+    )
     LIFECYCLE_PHASES["ann_ivf_topk_kmeans"] = {
         "t": t1 - t0, "b": t2 - t1, "p": time.monotonic() - t2,
     }
@@ -871,7 +950,11 @@ INCR_QUERY_MODULUS = 20
 
 
 def _materialize_ephemeral(
-    out: DataFrame, spark: SparkSession, name: str, materialize: str
+    out: DataFrame,
+    spark: SparkSession,
+    name: str,
+    materialize: str,
+    result_name: str | None = None,
 ) -> DataFrame:
     """Materialize an ephemeral lifecycle's probe result BEFORE its
     index tables are dropped.
@@ -883,18 +966,22 @@ def _materialize_ephemeral(
     unrecoverable (Spark cannot recompute a localCheckpoint).  Right
     for local mode and for results consumed promptly.
 
-    ``"table"``: durable managed table ``<name>_result`` (overwritten
-    if orphaned) — survives executor loss and dynamic allocation, the
-    shape a long-lived cluster job should use; the caller owns
-    dropping it.  Same write cost as the checkpoint, plus the catalog
-    entry.
+    ``"table"``: durable managed table ``<result_name or name>_result``
+    — survives executor loss and dynamic allocation, the shape a
+    long-lived cluster job should use.  Ephemeral lifecycles pass a
+    STABLE per-operator ``result_name`` (e.g.
+    ``ann_ivfpq_topk_result``) so each run overwrites the previous
+    run's table instead of leaking one undiscoverable
+    ``<uuid>_result`` per invocation; the latest result stays
+    readable from the catalog until the next run (or the caller drops
+    it).  Concurrent runs of the SAME ephemeral operator would race on
+    that one table — use explicit ``name=`` lifecycles for that.
     """
     if materialize == "table":
-        clear_orphaned_table(spark, f"{name}_result")
-        out.write.mode("overwrite").format("parquet").saveAsTable(
-            f"{name}_result"
-        )
-        return spark.table(f"{name}_result")
+        t = f"{result_name or name}_result"
+        clear_orphaned_table(spark, t)
+        out.write.mode("overwrite").format("parquet").saveAsTable(t)
+        return spark.table(t)
     if materialize != "localCheckpoint":
         raise ValueError(
             "materialize must be 'localCheckpoint' or 'table',"
@@ -932,6 +1019,10 @@ def append_to_ivf_index(
     if batch_id is not None and _batch_applied(spark, name, batch_id):
         return False
     _reject_tombstoned_delta(spark, name, delta_vectors)
+    # out-of-order takedowns (delete issued before this id was ever
+    # ingested) consume here: the victim rows never land; the hit
+    # retires after bookkeeping (crash-safe replay keeps the intent)
+    delta_vectors, _dhit = _consume_deferred(spark, name, delta_vectors)
     cent = spark.table(f"{name}_centroids")
     lists_cols = spark.table(f"{name}_lists").columns
     # metadata the seed build stored in the list rows (build's `carry`)
@@ -945,14 +1036,23 @@ def append_to_ivf_index(
         "vec_id", "embedding", _norm("embedding").alias("nrm"), *carry
     )
     # two consumers (lists insert + stats agg): scoped per index so
-    # repeated refreshes hold at most one cached delta frame
+    # repeated refreshes hold at most one cached delta frame; the delta
+    # assigns under the INDEX's serving metric, exactly as the seed did
     assigned = scoped_persist(
-        _assign_to_centroids(v, cent, carry=carry), ("ivf_append", name)
+        _assign_to_centroids(
+            v, cent, carry=carry, metric=_index_metric(spark, name)
+        ),
+        ("ivf_append", name),
     )
     assigned.select(*lists_cols).write.mode("append").insertInto(
         f"{name}_lists"
     )
     _append_index_bookkeeping(spark, name, assigned, batch_id)
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        retire_deferred,
+    )
+
+    retire_deferred(spark, name, _dhit)
     return True
 
 
@@ -980,6 +1080,10 @@ def append_to_ivfpq_index(
     if batch_id is not None and _batch_applied(spark, name, batch_id):
         return False
     _reject_tombstoned_delta(spark, name, delta_vectors)
+    # out-of-order takedowns (delete issued before this id was ever
+    # ingested) consume here: the victim rows never land; the hit
+    # retires after bookkeeping (crash-safe replay keeps the intent)
+    delta_vectors, _dhit = _consume_deferred(spark, name, delta_vectors)
     cent = spark.table(f"{name}_centroids")
     cb = spark.table(f"{name}_codebooks")
     # metadata the seed build carry-stored in the codes rows rides
@@ -1004,10 +1108,8 @@ def append_to_ivfpq_index(
             "q"
         ),
     )
-    codes = _pq_encode(
-        _pq_parts(res, carry=("centroid_id", "nrm", *carry)),
-        cb,
-        carry=("centroid_id", "nrm", *carry),
+    codes = _pq_encode_fused(
+        res, cb, carry=("centroid_id", "nrm", *carry)
     )
     codes.select(*spark.table(f"{name}_codes").columns).write.mode(
         "append"
@@ -1016,6 +1118,11 @@ def append_to_ivfpq_index(
         "append"
     ).insertInto(f"{name}_quantized")
     _append_index_bookkeeping(spark, name, assigned, batch_id)
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        retire_deferred,
+    )
+
+    retire_deferred(spark, name, _dhit)
     return True
 
 
@@ -1065,6 +1172,10 @@ def append_to_pq_index(
     if batch_id is not None and _batch_applied(spark, name, batch_id):
         return False
     _reject_tombstoned_delta(spark, name, delta_vectors)
+    # out-of-order takedowns (delete issued before this id was ever
+    # ingested) consume here: the victim rows never land; the hit
+    # retires after bookkeeping (crash-safe replay keeps the intent)
+    delta_vectors, _dhit = _consume_deferred(spark, name, delta_vectors)
     cb = spark.table(f"{name}_codebooks")
     carry = tuple(
         c for c in spark.table(f"{name}_codes").columns
@@ -1072,9 +1183,7 @@ def append_to_pq_index(
     )
     qv = quantize_frame(delta_vectors, carry=carry)
     codes = scoped_persist(
-        _pq_encode(
-            _pq_parts(qv, carry=("nrm", *carry)), cb, carry=("nrm", *carry)
-        ),
+        _pq_encode_fused(qv, cb, carry=("nrm", *carry)),
         ("pq_append", name),
     )
     codes.select(*spark.table(f"{name}_codes").columns).write.mode(
@@ -1084,6 +1193,11 @@ def append_to_pq_index(
         "append"
     ).insertInto(f"{name}_quantized")
     _append_index_bookkeeping(spark, name, _pq_self_sim(codes), batch_id)
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        retire_deferred,
+    )
+
+    retire_deferred(spark, name, _dhit)
     return True
 
 
@@ -1109,8 +1223,11 @@ def ivf_index_drift(
     rows = spark.table(f"{name}_stats").collect()
     # an EMPTY append batch (streams deliver those) records n_vecs=0
     # with a NULL mean_sim — weight-0 rows contribute nothing and must
-    # not poison the weighted means
-    rows = [r for r in rows if r["n_vecs"]]
+    # not poison the weighted means.  A NON-empty batch can also carry
+    # a NULL mean_sim: every c_sim NULL when all embeddings are
+    # zero-norm (dot/(0*c_nrm) under non-ANSI Spark) — skip those rows
+    # too rather than TypeError in the weighted sum
+    rows = [r for r in rows if r["n_vecs"] and r["mean_sim"] is not None]
     seed_n = sum(r["n_vecs"] for r in rows if r["batch_id"] == -1)
     seed_s = sum(
         r["mean_sim"] * r["n_vecs"] for r in rows if r["batch_id"] == -1
@@ -1223,13 +1340,22 @@ def retrain_ivf_index(
         if n_centroids is None:
             n = held.count()
             n_centroids = max(2, n // _effective_modulus(n))
+        # retrain under the index's own serving metric (ip serves from
+        # spherical/cosine-trained centroids, same as its build)
+        idx_metric = _index_metric(spark, name)
         cents = kmeans_centroids(
             held.select("vec_id", "embedding"),
-            k=n_centroids, iters=iters, metric="cosine",
+            k=n_centroids, iters=iters,
+            metric="l2" if idx_metric == "l2" else "cosine",
         )
+        # a retrain keeps the id space, so pending out-of-order
+        # takedowns survive the rebuild's generation reset
+        dsnap = _preserve_deferred(spark, name)
         build_ivf_index(
-            spark, held, name, centroids=cents, carry=carry, **site
+            spark, held, name, centroids=cents, carry=carry,
+            metric=idx_metric, **site
         )
+        _restore_deferred(spark, name, dsnap, f"{name}_lists")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     return ivf_index_drift(spark, name)
@@ -1296,6 +1422,7 @@ def retrain_ivfpq_index(
         held = spark.table(tmp).select(
             "vec_id", F.col("q").alias("embedding"), *carry
         )
+        dsnap = _preserve_deferred(spark, name)
         build_ivfpq_index(
             spark,
             held,
@@ -1306,6 +1433,7 @@ def retrain_ivfpq_index(
             carry=carry,
             **site,
         )
+        _restore_deferred(spark, name, dsnap, f"{name}_quantized")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     return ivf_index_drift(spark, name)
@@ -1341,9 +1469,11 @@ def retrain_pq_index(
                 2, n // _effective_modulus(n, PQ_CODEBOOK_MODULUS)
             )
         cb = pq_codebooks_kmeans(qv, n_entries=n_entries, iters=iters)
+        dsnap = _preserve_deferred(spark, name)
         build_pq_index(
             spark, held, name, codebooks=cb, carry=carry, **site
         )
+        _restore_deferred(spark, name, dsnap, f"{name}_quantized")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     return ivf_index_drift(spark, name)
@@ -1361,6 +1491,64 @@ def _tombstone_ids(spark: SparkSession, name: str) -> DataFrame | None:
     )
 
     return _pending_tombstones(spark, name, "vec_id")
+
+
+def _deferred_ids(spark: SparkSession, name: str) -> DataFrame | None:
+    """The index's OUT-OF-ORDER takedown set (``<name>_deferred``), or
+    None when empty: vec_ids a :func:`delete_from_index` requested that
+    the index had never ingested (a takedown stream racing ahead of the
+    ingest stream).  Tombstoning them instead would wedge every append
+    containing the id (:func:`_reject_tombstoned_delta`) until a fold
+    silently dropped the intent; deferring records it where the append
+    verbs consume it — the matching rows are filtered OUT of the delta
+    before they ever land, and the entry retires with them."""
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        _pending_tombstones,
+    )
+
+    return _pending_tombstones(spark, name, "vec_id", suffix="_deferred")
+
+
+def _consume_deferred(
+    spark: SparkSession, name: str, delta: DataFrame
+) -> tuple:
+    """Apply pending out-of-order takedowns to an arriving append
+    delta: rows whose vec_id sits in ``<name>_deferred`` are dropped
+    from the delta (the vector is erased BEFORE it ever becomes probe-
+    visible — the same end state as delete-after-ingest plus fold).
+    Returns ``(filtered_delta, hit)``; the caller retires the hit via
+    :func:`maintenance.retire_deferred` AFTER its bookkeeping lands
+    (two-phase so a crash mid-append replays with the intent intact).
+    Thin vec_id binding over ``maintenance.deferred_split``."""
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        deferred_split,
+    )
+
+    return deferred_split(spark, name, delta, "vec_id")
+
+
+def _preserve_deferred(spark: SparkSession, name: str) -> DataFrame | None:
+    """Snapshot ``<name>_deferred`` before a RETRAIN's in-place rebuild
+    (which resets generation state): unlike a user rebuild — a new
+    generation with a fresh id space — a retrain keeps the index's id
+    space, so a deferred takedown must still consume the append it is
+    waiting for.  Restore with :func:`_restore_deferred` after the
+    rebuild lands."""
+    d = _deferred_ids(spark, name)
+    return d.localCheckpoint(eager=True) if d is not None else None
+
+
+def _restore_deferred(
+    spark: SparkSession, name: str, snap: DataFrame | None, member_table: str
+) -> None:
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        append_tombstones,
+    )
+
+    if snap is not None:
+        append_tombstones(
+            spark, name, snap, None, member_table, suffix="_deferred"
+        )
 
 
 def delete_from_index(
@@ -1388,7 +1576,19 @@ def delete_from_index(
     takedown-by-attribute), evaluated against ``<name>_quantized``
     (PQ family) or ``<name>_lists`` (IVF) with the predicate pushed to
     the scan.  Returns the number of NEWLY tombstoned ids (re-deletes
-    are idempotent no-ops).  Re-appending a previously deleted vec_id
+    are idempotent no-ops).
+
+    Out-of-order takedowns (``ids`` naming vectors the index never
+    ingested — a takedown stream racing ahead of the ingest stream)
+    are NOT tombstoned: a pending tombstone for a never-seen id would
+    hard-fail the very append that finally delivers it, and the next
+    fold would silently retire the intent.  They are recorded in
+    ``<name>_deferred`` instead, and the append verbs consume them —
+    the victim rows are dropped from the arriving delta before they
+    ever become probe-visible (:func:`_consume_deferred`).  Deferred
+    intents survive restarts (:func:`maintenance.register_index`) and
+    retrains, and reset with a rebuild's new generation like every
+    other lifecycle table.  Re-appending a previously deleted vec_id
     is outside the lifecycle contract — appends assume globally new
     ids (an append of an EXISTING live id already double-counts, with
     or without deletes) — and the append verbs raise while the
@@ -1418,6 +1618,31 @@ def delete_from_index(
     pending = _tombstone_ids(spark, name)
     if pending is not None:
         new = new.join(F.broadcast(pending), "vec_id", "left_anti")
+    if delete_filter is None:
+        # `ids` may name vectors the index never ingested (a takedown
+        # stream racing ahead of the ingest stream).  Tombstoning those
+        # would wedge every later append carrying the id
+        # (_reject_tombstoned_delta) until a fold silently dropped the
+        # intent — so only MEMBER ids are tombstoned; never-seen ids go
+        # to ``<name>_deferred``, where the append verbs consume them
+        # (:func:`_consume_deferred`).  One column-pruned corpus scan
+        # with the delete set broadcast resolves membership.
+        new = new.localCheckpoint(eager=True)
+        seen = (
+            spark.table(member_table)
+            .select("vec_id")
+            .join(F.broadcast(new), "vec_id", "left_semi")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        unseen = new.join(F.broadcast(seen), "vec_id", "left_anti")
+        dpending = _deferred_ids(spark, name)
+        if dpending is not None:
+            unseen = unseen.join(F.broadcast(dpending), "vec_id", "left_anti")
+        append_tombstones(
+            spark, name, unseen, dpending, member_table, suffix="_deferred"
+        )
+        new = seen
     # the shared writer pins the delta, creates the table AT THE INDEX
     # ROOT for external (path=) indexes — so pending deletes survive a
     # metastore loss and register_index re-attaches them — and appends
@@ -1607,7 +1832,9 @@ def ann_ivf_append_lifecycle(
     if not ephemeral:
         LIFECYCLE_PHASES["ann_ivf_append"] = {"b": t1 - t0, "a": t2 - t1}
         return out
-    out = _materialize_ephemeral(out, spark, name, materialize)
+    out = _materialize_ephemeral(
+        out, spark, name, materialize, result_name="ann_ivf_append"
+    )
     LIFECYCLE_PHASES["ann_ivf_append"] = {
         "b": t1 - t0, "a": t2 - t1, "p": time.monotonic() - t2,
     }
@@ -2349,6 +2576,84 @@ def _pq_encode(parts: DataFrame, cb: DataFrame, carry: tuple = ()) -> DataFrame:
     )
 
 
+def _pq_encode_fused(v: DataFrame, cb: DataFrame, carry: tuple = ()) -> DataFrame:
+    """One-pass PQ encode: same output as :func:`_pq_encode` —
+    ``(vec_id, m, code, code_nrm2, code_dot[, carry...])`` — computed
+    as a pure PROJECTION over the vector frame ``v`` (column ``q``)
+    instead of explode → broadcast-join → ``groupBy(vec_id, m)``.  The
+    codebook rides inside the expression tree as one nested SQL
+    literal (the :func:`_sql_centroid_array` technique that made
+    Lloyd's training shuffle-free), so the only corpus exchange left
+    in an index build is the bucketed write's own clustering — the
+    "fuse assign+encode before the write" shape the build docstrings
+    promise.  Bit-equal to :func:`_pq_encode` by construction: the
+    per-entry score is the identical ``|c|² − 2·x·c`` double
+    arithmetic (same ``zip_with``/``aggregate`` element order, same
+    CASTs) and ``array_min`` over ``struct(score, entry_id)`` is the
+    same tie-break as ``min_by`` — pinned in
+    tests/test_index_append.py's append == rebuild and
+    table-vs-inline-twin equalities, which run one side through this
+    and compare value-exactly.
+
+    Used by the index BUILD/APPEND paths (model-sized learned or
+    modulus codebooks — the literal is the broadcast in another
+    coat); the inline registry operators keep :func:`_pq_encode`
+    untouched so gated plans don't move."""
+    rows = cb.select("m", "entry_id", "c_sub", "c_nrm2").collect()
+    eid_type = dict(cb.dtypes)["entry_id"]
+    per_m: dict = {}
+    for r in rows:
+        per_m.setdefault(r["m"], []).append(r)
+    groups = []
+    for m in range(PQ_M):
+        entries = sorted(per_m.get(m, []), key=lambda r: r["entry_id"])
+        if not entries:
+            raise ValueError(f"codebook has no entries for subspace m={m}")
+        groups.append(
+            "array("
+            + ",".join(
+                "named_struct('eid', CAST({eid} AS {t}), 'n2', {n2!r}D,"
+                " 'c', array({c}))".format(
+                    eid=r["entry_id"],
+                    t=eid_type,
+                    n2=float(r["c_nrm2"]),
+                    c=",".join(f"{float(x)!r}D" for x in r["c_sub"]),
+                )
+                for r in entries
+            )
+            + ")"
+        )
+    cb_sql = "array(" + ",".join(groups) + ")"
+    # same double arithmetic as _pq_encode's `c_nrm2 - 2 * _dot(...)`:
+    # zip_with multiplies CAST-to-double pairs, aggregate sums in order
+    score = (
+        f"e.n2 - 2 * aggregate(zip_with("
+        f"slice(q, mm * {PQ_SUBDIM} + 1, {PQ_SUBDIM}), e.c,"
+        f" (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    best = (
+        f"transform(sequence(0, {PQ_M - 1}), mm ->"
+        f" array_min(transform(element_at({cb_sql}, mm + 1), e ->"
+        f" struct({score} AS s, e.eid AS eid, e.n2 AS n2))))"
+    )
+    # the argmin array gets its OWN projection BELOW the posexplode —
+    # collapsing them would hoist the whole M-argmin above the Generate
+    # and recompute it per exploded element (the Lloyd's-training trap,
+    # plan-pinned there in test_plan_quality.py)
+    enc = v.select("vec_id", *carry, F.expr(best).alias("_enc")).select(
+        "vec_id", *carry, F.posexplode("_enc").alias("m", "ce")
+    )
+    return enc.select(
+        "vec_id",
+        "m",
+        F.col("ce.eid").alias("code"),
+        F.col("ce.n2").alias("code_nrm2"),
+        ((F.col("ce.n2") - F.col("ce.s")) / 2).alias("code_dot"),
+        *carry,
+    )
+
+
 def _exact_rerank(
     shortlist: DataFrame, qs: DataFrame, ns: DataFrame, k: int
 ) -> DataFrame:
@@ -2674,9 +2979,7 @@ def build_pq_index(
     # codes feed two consumers (the table write + the seed self-sim
     # agg); narrow rows (M ints + one double per vector), so the
     # persist is the resident-index footprint by construction
-    codes = _pq_encode(
-        _pq_parts(qv, carry=("nrm", *carry)), cb, carry=("nrm", *carry)
-    ).persist()
+    codes = _pq_encode_fused(qv, cb, carry=("nrm", *carry)).persist()
     try:
         cw = (
             codes.select("vec_id", "m", "code", "code_nrm2", *carry)
@@ -2905,10 +3208,8 @@ def build_ivfpq_index(
                 )
             cb = pq_codebooks_kmeans(res, n_entries=n_entries, iters=iters)
         t2 = time.monotonic()
-        codes = _pq_encode(
-            _pq_parts(res, carry=("centroid_id", "nrm", *carry)),
-            cb,
-            carry=("centroid_id", "nrm", *carry),
+        codes = _pq_encode_fused(
+            res, cb, carry=("centroid_id", "nrm", *carry)
         ).select("vec_id", "centroid_id", "m", "code", "nrm", *carry)
         cw = (
             codes.write.bucketBy(n_buckets, "centroid_id")
@@ -3141,7 +3442,9 @@ def ann_ivfpq_topk(
     if not ephemeral:
         LIFECYCLE_PHASES["ann_ivfpq_topk"] = phases  # probe lazy when kept
         return out
-    out = _materialize_ephemeral(out, spark, name, materialize)
+    out = _materialize_ephemeral(
+        out, spark, name, materialize, result_name="ann_ivfpq_topk"
+    )
     phases["p"] = time.monotonic() - t2
     LIFECYCLE_PHASES["ann_ivfpq_topk"] = phases
     for t in (

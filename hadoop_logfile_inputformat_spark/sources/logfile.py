@@ -65,6 +65,7 @@ import glob as _glob
 import gzip
 import hashlib
 import io
+import json
 import logging
 import lzma
 import os
@@ -1214,6 +1215,41 @@ def _read_staged_text(path: str) -> str:
         return fh.read().decode("utf-8")
 
 
+def _validate_parts_manifest(
+    manifest: str,
+    dst: str,
+    chunk_bytes: int,
+    pattern: str,
+) -> List[str] | None:
+    """Decide whether an existing ``.parts`` manifest may be REUSED:
+    returns the part paths when (a) its header records the same
+    ``chunk_bytes``/``pattern`` this call asked for (a different
+    layout must re-cut, not silently keep the old one — headerless
+    manifests from older runs fail this too) and (b) every listed part
+    still exists (the docstring invites downstream to delete parts as
+    consumed; handing back paths to deleted files would be worse than
+    re-staging).  None means re-stage.  Cost: one manifest read plus
+    one existence probe per part — driver-side metadata, cheap next to
+    the decompression pass it might save."""
+    lines = _read_staged_text(manifest).splitlines()
+    if not lines:
+        return None
+    try:
+        header = json.loads(lines[0])
+    except ValueError:
+        return None  # legacy headerless manifest: parameters unknown
+    if not isinstance(header, dict):
+        return None
+    if header.get("chunk_bytes") != chunk_bytes or header.get(
+        "pattern"
+    ) != pattern:
+        return None
+    paths = [f"{os.path.dirname(dst)}/{n}" for n in lines[1:] if n]
+    if not paths or not all(_file_exists(p) for p in paths):
+        return None
+    return paths
+
+
 def _stage_one(
     src: str,
     dst: str,
@@ -1295,9 +1331,14 @@ def _stage_one(
     mout, mfin, mdisc = _open_staged_out(dst + ".parts")
     try:
         with mout:
-            mout.write(
-                "\n".join(os.path.basename(p) for p in parts).encode("utf-8")
+            # header records the parameters this layout was cut with:
+            # a reuse under different chunk_bytes/pattern must re-stage,
+            # not silently keep the old cuts (see stage_decompress)
+            header = json.dumps(
+                {"chunk_bytes": chunk_bytes, "pattern": pattern}
             )
+            body = "\n".join(os.path.basename(p) for p in parts)
+            mout.write(f"{header}\n{body}".encode("utf-8"))
         mfin()
     except BaseException:
         mdisc()
@@ -1373,7 +1414,11 @@ def stage_decompress(
     a mixed plain+gz directory stages only what needs it.  Idempotent:
     an existing staged copy is reused unless ``overwrite=True`` (part
     writes are atomic renames and the chunk manifest lands last, so a
-    crashed run is re-staged, never half-reused).  Unsupported codecs
+    crashed run is re-staged, never half-reused; chunked reuse also
+    verifies the manifest was cut with the SAME chunk_bytes/pattern
+    and that every listed part still exists — a changed layout or a
+    part deleted by a consumer re-stages instead of returning stale
+    or dangling paths).  Unsupported codecs
     (``.zst`` without zstandard, ``.lz4``, …) fail hard on the driver
     — same contract as the read path.
 
@@ -1405,11 +1450,13 @@ def stage_decompress(
                 work.append((src, dst, None, None))
         else:
             manifest = dst + ".parts"
+            reuse = None
             if not overwrite and _file_exists(manifest):
-                names = _read_staged_text(manifest).splitlines()
-                mapping[src] = [
-                    f"{os.path.dirname(dst)}/{n}" for n in names if n
-                ]
+                reuse = _validate_parts_manifest(
+                    manifest, dst, chunk_bytes, pattern
+                )
+            if reuse is not None:
+                mapping[src] = reuse
             else:
                 mapping[src] = None  # filled from the staging result
                 work.append((src, dst, chunk_bytes, pattern))

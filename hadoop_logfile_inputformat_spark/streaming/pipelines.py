@@ -166,6 +166,19 @@ def near_dup_stream_batch(
     # one append the lifecycle contract excludes — fail the batch fast
     # rather than write rows the probes silently hide
     dedup._reject_tombstoned_docs(spark, index_name, batch_docs)
+    # out-of-order takedowns (a takedown stream racing ahead of this
+    # ingest) consume here: the victim doc never joins the INDEX (the
+    # pairs sink above is the caller's batch output and is unaffected).
+    # The hit retires only after the bookkeeping row lands, so a crash
+    # mid-append replays with the delete intent intact.
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        deferred_split,
+        retire_deferred,
+    )
+
+    batch_docs, _dhit = deferred_split(
+        spark, index_name, batch_docs, "doc_id"
+    )
     from hadoop_logfile_inputformat_spark.operators.tables import scoped_persist
 
     # same key as incremental_near_dups uses internally, so the probe
@@ -183,6 +196,7 @@ def near_dup_stream_batch(
     spark.createDataFrame([(batch_id,)], "batch_id BIGINT").write.mode(
         "append"
     ).insertInto(log)
+    retire_deferred(spark, index_name, _dhit, "doc_id")
 
 
 #: Default compaction cadence for the streaming index pipelines: every
@@ -343,12 +357,23 @@ def curate_stream_batch(
     )
 
     _reject_tombstoned_docs(spark, index_name, fresh)
+    # out-of-order takedowns: the victim's hash never joins the index
+    # (so identical future content stays admissible — "the index never
+    # held it"); the corpus sink above is the caller's batch output.
+    # Retire after bookkeeping (crash-safe replay keeps the intent).
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        deferred_split,
+        retire_deferred,
+    )
+
+    fresh, _dhit = deferred_split(spark, index_name, fresh, "doc_id")
     fresh.select(
         "text_hash", "doc_id", F.lit(batch_id).cast("long").alias("batch_id")
     ).write.mode("append").insertInto(f"{index_name}_hashes")
     spark.createDataFrame([(batch_id,)], "batch_id BIGINT").write.mode(
         "append"
     ).insertInto(log)
+    retire_deferred(spark, index_name, _dhit, "doc_id")
 
 
 def curate_stream(
@@ -575,6 +600,7 @@ def takedown_stream_batch(
     batch_id: int,
     compact_at: int | None = None,
     audit_sink: str | None = None,
+    state: dict | None = None,
 ) -> int:
     """Apply ONE micro-batch of takedown requests (a frame carrying the
     index family's id column — ``doc_id`` for the text indexes,
@@ -596,9 +622,17 @@ def takedown_stream_batch(
     already pending — an idempotent re-request) — to
     ``<audit_sink>/batch_id=<id>`` with OVERWRITE, so a replayed batch
     rewrites its own partition and the trail stays exactly-once even
-    though a replay's dispositions differ from the original's.  The
-    audit rides the same delta-sized frames the delete touched; no
-    corpus read.
+    though a replay's dispositions differ from the original's.  A
+    request for an id the index never ingested (takedown racing ahead
+    of ingest) audits as ``deferred``: the intent is recorded in
+    ``<name>_deferred`` and the matching append will drop the victim
+    before it ever lands (see the delete verbs).
+
+    ``state`` (a mutable dict the stream owns) carries the pending-
+    tombstone count across batches so ``compact_at`` needs no per-batch
+    ``count()`` job: seeded from one table count on the first batch,
+    advanced by the delete verb's return, reset to 0 by a fold.
+    Without it (bare batch-API calls) the count runs per call.
     """
     spark = batch_ids.sparkSession
     id_col, delete_fn, compact_fn = _index_kind(spark, index_name)
@@ -614,6 +648,8 @@ def takedown_stream_batch(
     n = delete_fn(spark, index_name, ids=requested)
     if audit_sink is not None:
         # newly tombstoned = requested minus what was already pending;
+        # ids sitting in the deferred set were never ingested (the
+        # delete verb recorded the intent for the append to consume);
         # everything else in the request is an idempotent re-request
         new_ids = requested
         if pending_before is not None:
@@ -624,9 +660,24 @@ def takedown_stream_batch(
             F.broadcast(new_ids.withColumn("_new", F.lit(True))),
             id_col,
             "left",
-        ).select(
+        )
+        dt = f"{index_name}_deferred"
+        if spark.catalog.tableExists(dt):
+            audit = audit.join(
+                F.broadcast(
+                    spark.table(dt)
+                    .select(id_col)
+                    .withColumn("_dfd", F.lit(True))
+                ),
+                id_col,
+                "left",
+            )
+        else:
+            audit = audit.withColumn("_dfd", F.lit(None).cast("boolean"))
+        audit = audit.select(
             F.col(id_col).alias("id"),
-            F.when(F.col("_new"), F.lit("tombstoned"))
+            F.when(F.col("_dfd"), F.lit("deferred"))
+            .when(F.col("_new"), F.lit("tombstoned"))
             .otherwise(F.lit("already_deleted"))
             .alias("disposition"),
         )
@@ -635,14 +686,31 @@ def takedown_stream_batch(
         )
     if compact_at:
         t = f"{index_name}_tombstones"
-        if (
-            spark.catalog.tableExists(t)
-            and spark.table(t).count() >= compact_at
-        ):
+        if state is not None:
+            # running counter: one seed count on the first batch, then
+            # the delete verb's return advances it — no per-batch job
+            if state.get("pending") is None:
+                state["pending"] = (
+                    spark.table(t).count()
+                    if spark.catalog.tableExists(t)
+                    else 0
+                )
+            else:
+                state["pending"] += n
+            pending = state["pending"]
+        else:
+            pending = (
+                spark.table(t).count()
+                if spark.catalog.tableExists(t)
+                else 0
+            )
+        if pending >= compact_at and spark.catalog.tableExists(t):
             # the fold reclaims the rows and drops the tombstone table;
             # crash-safe (tmp-table swap) and idempotent (re-folding an
             # already-folded id removes nothing)
             compact_fn(spark, index_name)
+            if state is not None:
+                state["pending"] = 0
     return n
 
 
@@ -682,10 +750,14 @@ def takedown_stream(
     pre-fold files (see ``maintenance.compact_bucketed_table``).
     """
 
+    # stream-lifetime pending counter (seeded once, advanced by each
+    # batch's return) — replaces a per-batch tombstone count() job
+    state: dict = {"pending": None}
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         takedown_stream_batch(
             batch_df, index_name, batch_id,
-            compact_at=compact_at, audit_sink=audit_sink,
+            compact_at=compact_at, audit_sink=audit_sink, state=state,
         )
 
     return (

@@ -732,3 +732,50 @@ def test_stage_decompress_sources_mapping_rekeys_patterns(spark, corpus, tmp_pat
             r = r.option(f"pattern.{os.path.basename(sp)}", pat)
     got = r.load(",".join(staged))
     assert got.count() == summary.total
+
+
+def test_stage_decompress_manifest_reuse_is_validated(spark, corpus, tmp_path):
+    """ADVICE r10: chunked manifest reuse must be VALIDATED, not
+    assumed — (a) a later call with a different chunk_bytes (or
+    pattern) re-stages under the new layout instead of silently
+    keeping the old cuts, and (b) a part file a consumer deleted (the
+    docstring invites delete-as-consumed) forces a re-stage rather
+    than returning dangling paths."""
+    import os
+
+    from hadoop_logfile_inputformat_spark.sources.logfile import (
+        stage_decompress,
+    )
+
+    out, summary, path_formats, paths = corpus
+    src = next(
+        p for p in sorted(paths)
+        if p.endswith(".gz") and path_formats[p[: -len(".gz")]] == "A"
+    )
+    staging = str(tmp_path / "staged_validate")
+    first = stage_decompress(
+        spark, src, staging, chunk_bytes=4096, pattern=FORMAT_A
+    )
+    assert len(first) > 1
+    # (a) different chunk_bytes → new layout, not the old part list
+    bigger = stage_decompress(
+        spark, src, staging, chunk_bytes=1 << 20, pattern=FORMAT_A
+    )
+    assert len(bigger) == 1 and list(bigger) != list(first)
+    # bytes identical either way
+    import gzip
+
+    with gzip.open(src, "rb") as fh:
+        want = fh.read()
+    assert b"".join(open(p, "rb").read() for p in bigger) == want
+    # (b) delete one part the manifest lists → reuse refused, re-staged
+    third = stage_decompress(
+        spark, src, staging, chunk_bytes=1 << 20, pattern=FORMAT_A
+    )
+    assert list(third) == list(bigger)  # intact manifest reuses
+    os.remove(bigger[0])
+    fourth = stage_decompress(
+        spark, src, staging, chunk_bytes=1 << 20, pattern=FORMAT_A
+    )
+    assert all(os.path.exists(p) for p in fourth)
+    assert b"".join(open(p, "rb").read() for p in fourth) == want

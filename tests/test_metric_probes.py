@@ -1,0 +1,206 @@
+"""L2 / inner-product serving metrics for the IVF index family.
+
+The probe's `sim` is higher-is-better under every metric (L2 is the
+NEGATED squared distance), the metric is an INDEX property stored on
+the centroids table (build fixes it; appends assign and probes
+route/rank with it automatically), and recall against brute-force
+ground truth gates that the routing actually works — the twin
+expressions here are written in raw SQL strings, independent of the
+library helpers, so they pin the arithmetic, not just the plumbing.
+"""
+
+import pyspark.sql.functions as F
+
+from hadoop_logfile_inputformat_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+SUFFIXES = ("_lists", "_centroids", "_batches", "_stats", "_tombstones")
+
+L2SQ = (
+    "aggregate(zip_with({a}, {b}, (x, y) ->"
+    " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) ->"
+    " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _drop(spark, name):
+    for s in SUFFIXES:
+        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+
+
+def _queries(v):
+    return v.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _brute_topk(v, queries, score_sql, k):
+    """Ground truth: exact top-k of every query against the FULL
+    corpus under a raw-SQL score expression (higher is better)."""
+    from pyspark.sql import Window
+
+    pairs = (
+        queries.select("query_id", F.col("embedding").alias("q"))
+        .crossJoin(v.select("vec_id", F.col("embedding").alias("e")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(score_sql.format(a="q", b="e")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return pairs.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= k
+    )
+
+
+def _recall(probe_rows, truth_rows, k):
+    got, want = {}, {}
+    for r in probe_rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in truth_rows:
+        want.setdefault(r["query_id"], set()).add(r["vec_id"])
+    per = [len(got.get(q, set()) & w) / len(w) for q, w in want.items()]
+    return sum(per) / len(per)
+
+
+def test_l2_index_recall_and_raw_sql_twin(spark):
+    """An L2-metric IVF index routes AND ranks by (negated) squared
+    distance: recall@10 vs brute-force L2 ground truth clears the same
+    gate the cosine index does, and the probe's sim values equal the
+    raw-SQL negated-L2 expression bit-exactly for the pairs it
+    returns."""
+    v = S._vectors(spark, SF).select("vec_id", "embedding")
+    try:
+        S.build_ivf_index(spark, v, "tmp_l2", metric="l2")
+        assert S._index_metric(spark, "tmp_l2") == "l2"
+        q = _queries(v)
+        probe = S.ann_ivf_probe(spark, q, "tmp_l2", k=10).collect()
+        truth = _brute_topk(v, q, "-" + L2SQ, 10).collect()
+        assert _recall(probe, truth, 10) >= 0.8
+        # sims strictly non-positive (negated distance), rank 1 nearest
+        assert all(r["sim"] <= 0 for r in probe)
+        # raw-SQL twin: recompute -L2 for every returned pair
+        emb = {r["vec_id"]: r["embedding"] for r in v.collect()}
+        twin = {
+            (r["query_id"], r["vec_id"]): r["score"]
+            for r in _brute_topk(v, q, "-" + L2SQ, 10**6).collect()
+        }
+        for r in probe:
+            assert r["sim"] == round(
+                twin[(r["query_id"], r["neighbor_id"])], 4
+            )
+    finally:
+        _drop(spark, "tmp_l2")
+
+
+def test_ip_index_recall(spark):
+    """Inner-product serving: ranking by the raw dot product, gated by
+    recall against brute-force IP ground truth."""
+    v = S._vectors(spark, SF).select("vec_id", "embedding")
+    try:
+        S.build_ivf_index(spark, v, "tmp_ip", metric="ip")
+        q = _queries(v)
+        probe = S.ann_ivf_probe(spark, q, "tmp_ip", k=10).collect()
+        truth = _brute_topk(v, q, DOT, 10).collect()
+        assert _recall(probe, truth, 10) >= 0.8
+    finally:
+        _drop(spark, "tmp_ip")
+
+
+def test_l2_append_equals_rebuild_bit_exact(spark):
+    """The metric rides appends: a delta appended to an L2 index
+    assigns by L2 against the frozen centroids (not cosine), so the
+    post-append probe is BIT-equal to a full L2 rebuild over the union
+    with the same centroids — the metric twin of the append == rebuild
+    pin that transfers correctness onto the table path."""
+    v = S._vectors(spark, SF).select("vec_id", "embedding")
+    is_delta = F.col("vec_id") % S.INCR_SPLIT_MOD == S.INCR_DELTA_REM
+    seed, delta = v.filter(~is_delta), v.filter(is_delta)
+    q = _queries(v)
+    try:
+        S.build_ivf_index(spark, seed, "tmp_l2a", metric="l2")
+        assert S.append_to_ivf_index(spark, delta, "tmp_l2a", batch_id=1)
+        cents = spark.table("tmp_l2a_centroids").select(
+            "centroid_id", "c_emb"
+        )
+        S.build_ivf_index(
+            spark, v, "tmp_l2b", centroids=cents, metric="l2"
+        )
+        a = sorted(
+            tuple(r) for r in S.ann_ivf_probe(spark, q, "tmp_l2a").collect()
+        )
+        b = sorted(
+            tuple(r) for r in S.ann_ivf_probe(spark, q, "tmp_l2b").collect()
+        )
+        assert a == b and a
+        # drift ledger stays coherent under the negated-L2 convention
+        d = S.ivf_index_drift(spark, "tmp_l2a")
+        assert d["seed_mean_sim"] is not None
+        assert d["appended_mean_sim"] is not None
+    finally:
+        _drop(spark, "tmp_l2a")
+        _drop(spark, "tmp_l2b")
+
+
+def test_metric_probe_keeps_bucketed_no_shuffle_plan(spark):
+    """Plan parity: the L2 probe reads the lists through their
+    bucketing exactly like the cosine probe (no index-side Exchange
+    under forced sort-merge) — the metric changes expressions, never
+    the distribution shape."""
+    v = S._vectors(spark, SF).select("vec_id", "embedding")
+    q = _queries(v)
+    try:
+        S.build_ivf_index(spark, v, "tmp_pl", metric="l2")
+        prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                S.ann_ivf_probe(spark, q, "tmp_pl")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            scans = [
+                line for line in plan.splitlines()
+                if "FileScan" in line and "tmp_pl_lists" in line
+            ]
+            assert scans, plan
+            for line in scans:
+                assert "Bucketed: true" in line, line
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    finally:
+        _drop(spark, "tmp_pl")
+
+
+def test_cosine_default_is_unchanged(spark):
+    """A metric-less build serves cosine and its probe output is
+    byte-identical to an explicit metric='cosine' build — the new
+    parameter cannot move any gated plan."""
+    v = S._vectors(spark, SF).select("vec_id", "embedding")
+    q = _queries(v)
+    try:
+        S.build_ivf_index(spark, v, "tmp_c0")
+        S.build_ivf_index(spark, v, "tmp_c1", metric="cosine")
+        assert S._index_metric(spark, "tmp_c0") == "cosine"
+        assert "metric" not in spark.table("tmp_c1_centroids").columns
+        a = sorted(
+            tuple(r) for r in S.ann_ivf_probe(spark, q, "tmp_c0").collect()
+        )
+        b = sorted(
+            tuple(r) for r in S.ann_ivf_probe(spark, q, "tmp_c1").collect()
+        )
+        assert a == b and a
+    finally:
+        _drop(spark, "tmp_c0")
+        _drop(spark, "tmp_c1")
