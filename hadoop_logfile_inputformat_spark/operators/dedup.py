@@ -765,6 +765,11 @@ def build_minhash_index(
     the session warehouse; bucketing metadata lives in the catalog
     either way.
     """
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        check_index_lease,
+    )
+
+    check_index_lease(spark, name, path)
     sets = _shingle_sets(docs).persist()
     try:
         for suffix, frame, keys in (
@@ -836,6 +841,11 @@ def build_exact_index(
     contribution from the probe, so it reproduces the identical
     survivor set instead of seeing itself as already-ingested
     (curate_stream_batch's effectively-once guarantee)."""
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        check_index_lease,
+    )
+
+    check_index_lease(spark, name, path)
     hashes = docs.select(
         F.sha2(F.col("text"), 256).alias("text_hash"),
         "doc_id",
@@ -983,6 +993,8 @@ def delete_from_dedup_index(
         # retire the intent.  The stream appends consume the deferred
         # set (maintenance.consume_deferred) — the doc never lands.
         new = new.localCheckpoint(eager=True)
+        # cross-session staleness: see similarity.delete_from_index
+        spark.catalog.refreshTable(member_table)
         seen = (
             spark.table(member_table)
             .select("doc_id")

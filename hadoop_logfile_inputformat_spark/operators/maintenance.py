@@ -11,7 +11,9 @@ without changing its logical content, and are safe to re-run.
 
 from __future__ import annotations
 
+import json
 import math
+import time
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -101,6 +103,9 @@ def compact_bucketed_table(
     holds exactly one bucket, so the one-file-per-bucket output shape
     is unchanged.
     """
+    # the table may have been rewritten by another session's fold
+    # since this session last read it (per-session relation cache)
+    spark.catalog.refreshTable(table)
     detail = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
 
     def _field(col, detail=detail):
@@ -210,6 +215,7 @@ def compact_minhash_index(
     fold into both rewrites — the banding rows AND the shingle sets of
     deleted docs go — and the tombstone table drops LAST (a crash
     mid-fold leaves deletes pending; re-folding is a no-op)."""
+    check_index_lease(spark, name)
     ts = _pending_tombstones(spark, name, "doc_id")
     for suffix, keys in (("buckets", ["band", "bucket"]), ("sets", ["doc_id"])):
         compact_bucketed_table(
@@ -230,6 +236,7 @@ def compact_exact_index(
     triple, one table.  The applied-batch log is left untouched.
     Pending document tombstones fold into the rewrite and drop last
     (idempotent — see :func:`compact_minhash_index`)."""
+    check_index_lease(spark, name)
     ts = _pending_tombstones(spark, name, "doc_id")
     compact_bucketed_table(
         spark, f"{name}_hashes", ["text_hash"], n_buckets, minus=ts
@@ -252,9 +259,21 @@ def _pending_tombstones(
     (``vec_id`` for the embedding tiers, ``doc_id`` for the text
     indexes).  ``suffix="_deferred"`` reads the out-of-order takedown
     set instead (ids deleted BEFORE ever being ingested — consumed by
-    the append verbs, never by compaction)."""
+    the append verbs, never by compaction).
+
+    Always re-resolved through a ``refreshTable``: these tables are
+    rewritten by OTHER sessions (an ingest stream retiring deferred
+    entries, a fold dropping tombstones in a stream's cloned session),
+    and Spark's relation cache is per-session — without the refresh, a
+    takedown stream reading after the ingest stream's maintenance sees
+    a deleted file listing (surfaced by the mixed-lifecycle soak as
+    FILE_NOT_EXIST).  The tables are tiny (bounded by compaction
+    cadence), so the re-listing is noise."""
     t = f"{name}{suffix}"
-    return spark.table(t).select(col) if spark.catalog.tableExists(t) else None
+    if not spark.catalog.tableExists(t):
+        return None
+    spark.catalog.refreshTable(t)
+    return spark.table(t).select(col)
 
 
 def compact_ivf_index(
@@ -274,6 +293,7 @@ def compact_ivf_index(
     become physical) and the tombstone table drops LAST — a crash
     mid-compaction leaves them pending, and re-folding an
     already-folded id is a no-op, so the sequence is idempotent."""
+    check_index_lease(spark, name)
     ts = _pending_tombstones(spark, name)
     compact_bucketed_table(
         spark, f"{name}_lists", ["centroid_id"], n_buckets, minus=ts
@@ -295,6 +315,7 @@ def compact_ivfpq_index(
     bucket; codebooks/centroids/ledgers untouched.  Pending tombstones
     fold into both rewrites and drop last (idempotent — see
     :func:`compact_ivf_index`)."""
+    check_index_lease(spark, name)
     ts = _pending_tombstones(spark, name)
     compact_bucketed_table(
         spark, f"{name}_codes", ["centroid_id"], n_buckets, minus=ts
@@ -318,6 +339,7 @@ def compact_pq_index(
     rewrite to one file per bucket; codebooks/ledgers untouched.
     Pending tombstones fold into both rewrites and drop last
     (idempotent — see :func:`compact_ivf_index`)."""
+    check_index_lease(spark, name)
     ts = _pending_tombstones(spark, name)
     compact_bucketed_table(
         spark, f"{name}_codes", ["vec_id"], n_buckets, minus=ts
@@ -365,6 +387,141 @@ def index_family(spark: SparkSession, name: str) -> str:
     raise ValueError(f"no persisted index named '{name}' found in the catalog")
 
 
+class IndexLeaseHeld(RuntimeError):
+    """Another live session holds the index's writer lease."""
+
+
+def _lease_site(spark: SparkSession, name: str, path: str | None = None) -> str:
+    """Where the index's ``<name>_lock`` manifest lives: next to the
+    tables — the EXTERNAL root for ``path=`` indexes (so the lease is
+    visible to every session that can see the index), the warehouse
+    dir for managed ones."""
+    if path is not None:
+        sep = "" if path.endswith("/") else "/"
+        return f"{path}{sep}{name}_lock"
+    for suffix in ("_lists", "_codes", "_quantized", "_hashes",
+                   "_buckets", "_sets"):
+        t = f"{name}{suffix}"
+        if spark.catalog.tableExists(t):
+            root = _external_root(spark, t)
+            if root is not None:
+                return f"{root}/{name}_lock"
+            loc = _table_location(spark, t)
+            if loc:
+                return loc.rsplit("/", 1)[0] + f"/{name}_lock"
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    sep = "" if wh.endswith("/") else "/"
+    return f"{wh}{sep}{name}_lock"
+
+
+def _read_lease(spark: SparkSession, site: str) -> dict | None:
+    fs, jvm = _hadoop_fs(spark, site)
+    p = jvm.org.apache.hadoop.fs.Path(site)
+    if not fs.exists(p):
+        return None
+    try:
+        raw = jvm.org.apache.commons.io.IOUtils.toString(
+            fs.open(p), "UTF-8"
+        )
+        return json.loads(raw)
+    except Exception:
+        return None  # torn write mid-acquire: treat as absent
+
+
+def _lease_owner(spark: SparkSession) -> str:
+    # per-APPLICATION identity: a stream's cloned session shares the
+    # driver's applicationId, so in-app maintenance never self-blocks
+    return spark.sparkContext.applicationId
+
+
+def acquire_index_lease(
+    spark: SparkSession,
+    name: str,
+    ttl_s: int = 3600,
+    path: str | None = None,
+) -> dict:
+    """Take the SINGLE-WRITER lease on an index: writes the
+    ``<name>_lock`` manifest (owner = this Spark application, epoch,
+    TTL) that every mutation verb checks (:func:`check_index_lease`) —
+    a second application touching the index while the lease is live
+    gets a hard :class:`IndexLeaseHeld` instead of silently
+    interleaving with the replay log / drift ledger / tombstone
+    writes.  Re-acquiring refreshes the epoch; a lease whose TTL
+    elapsed is treated as a CRASHED writer and stolen (set ``ttl_s``
+    comfortably above the longest maintenance job, and re-acquire
+    periodically from long-lived writers).
+
+    This is fail-fast protection, not a distributed lock: the create
+    is atomic (``FileSystem.create(overwrite=false)``), but two
+    applications racing through the read-check-steal of an EXPIRED
+    lease in the same instant can both win, and expiry compares wall
+    clocks across machines.  What it guarantees is that a healthy
+    writer's lifetime is protected and a second writer fails before
+    its first mutation lands — the enforcement SCALING.md's
+    single-writer assumption needs.  Release with
+    :func:`release_index_lease`."""
+    site = _lease_site(spark, name, path)
+    me = _lease_owner(spark)
+    existing = _read_lease(spark, site)
+    fs, jvm = _hadoop_fs(spark, site)
+    p = jvm.org.apache.hadoop.fs.Path(site)
+    if existing is not None:
+        held = existing.get("owner") != me and time.time() <= (
+            existing.get("epoch", 0) + existing.get("ttl_s", 0)
+        )
+        if held:
+            raise IndexLeaseHeld(
+                f"index '{name}' writer lease is held by "
+                f"{existing['owner']!r} (expires in "
+                f"{existing['epoch'] + existing['ttl_s'] - time.time():.0f}s)"
+            )
+        fs.delete(p, False)  # own refresh, or expired crashed writer
+    lease = {"owner": me, "epoch": time.time(), "ttl_s": ttl_s}
+    out = fs.create(p, False)  # atomic create-if-absent
+    try:
+        out.write(bytearray(json.dumps(lease).encode("utf-8")))
+    finally:
+        out.close()
+    return lease
+
+
+def release_index_lease(
+    spark: SparkSession, name: str, path: str | None = None
+) -> None:
+    """Drop this application's lease (no-op if absent or foreign —
+    releasing never steals)."""
+    site = _lease_site(spark, name, path)
+    lease = _read_lease(spark, site)
+    if lease is not None and lease.get("owner") == _lease_owner(spark):
+        fs, jvm = _hadoop_fs(spark, site)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(site), False)
+
+
+def check_index_lease(
+    spark: SparkSession, name: str, path: str | None = None
+) -> None:
+    """The guard every index MUTATION verb runs first (builds, appends,
+    deletes, compactions, retrains): raise :class:`IndexLeaseHeld` if
+    ANOTHER application holds an unexpired ``<name>_lock`` lease.  An
+    absent lease passes (locking is opt-in — a solo batch job needn't
+    acquire), as does an expired one (crashed writer).  Cost: one
+    existence probe, plus one tiny read only when a lock exists."""
+    site = _lease_site(spark, name, path)
+    lease = _read_lease(spark, site)
+    if lease is None:
+        return
+    if lease.get("owner") == _lease_owner(spark):
+        return
+    if time.time() > lease.get("epoch", 0) + lease.get("ttl_s", 0):
+        return  # expired: crashed writer, safe to proceed
+    raise IndexLeaseHeld(
+        f"index '{name}' writer lease is held by {lease['owner']!r} — "
+        "a second concurrent writer would corrupt the replay log / "
+        "drift ledger / tombstone semantics. Wait for the lease to "
+        "expire or release it from the owning application."
+    )
+
+
 def _table_location(spark: SparkSession, table: str) -> str | None:
     detail = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
     row = next((r for r in detail if r.col_name == "Location"), None)
@@ -409,6 +566,7 @@ def append_tombstones(
         clear_orphaned_table,
     )
 
+    check_index_lease(spark, name)
     new_ids = new_ids.localCheckpoint(eager=True)
     n = new_ids.count()
     if n == 0:
@@ -533,6 +691,7 @@ def index_info(spark: SparkSession, name: str) -> dict:
         t = f"{name}{suffix}"
         if not spark.catalog.tableExists(t):
             continue
+        spark.catalog.refreshTable(t)  # per-session relation cache
         loc = _table_location(spark, t)
         n_files, n_bytes = (None, None)
         if loc:

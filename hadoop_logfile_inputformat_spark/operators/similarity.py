@@ -543,6 +543,43 @@ def _write_index_aux(
     sw.saveAsTable(f"{name}_stats")
 
 
+def _bucket_aligned(spark: SparkSession, df: DataFrame, table: str, *keys):
+    """Repartition a DELTA onto ``table``'s exact bucket hash before an
+    ``insertInto``, so the append writes ONE file per non-empty bucket
+    instead of one per (shuffle partition x touched bucket).  Measured
+    in the mixed-lifecycle soak: a 320-row append was writing ~260
+    files (32 partitions each holding rows of ~8 buckets); aligned, it
+    writes ≤ n_buckets.  Correct alignment needs the SAME partition
+    count as the bucket count — `HashPartitioning(n_buckets, keys)` is
+    exactly the bucketing function, so partition i holds precisely
+    bucket i.  Cost: one delta-sized shuffle (micro-batch scale by the
+    append contract), bought back many times over in probe listing /
+    compaction pressure."""
+    detail = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    raw = next((r.data_type for r in detail if r.col_name == "Num Buckets"), None)
+    if raw is None:
+        return df
+    return df.repartition(int(raw), *[F.col(k) for k in keys])
+
+
+def _refresh_index_relations(spark: SparkSession, name: str, *suffixes) -> None:
+    """Invalidate this session's cached relations for an index's tables
+    before reading them.  Spark's relation cache is PER SESSION, and a
+    standing index is mutated from several: an ingest stream's cloned
+    session compacts (files move), a driver session retrains (files
+    move AND the centroid schema can change — learned means are
+    doubles where modulus centroids were corpus floats).  Without the
+    refresh, the next cross-session read fails with FILE_NOT_EXIST or
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH — both surfaced by the
+    mixed-lifecycle soak (tools/soak.py --mixed-stream).  Cost per
+    call: a catalog invalidation + one directory re-listing on next
+    read, noise next to the query itself."""
+    for suf in suffixes:
+        t = f"{name}{suf}"
+        if spark.catalog.tableExists(t):
+            spark.catalog.refreshTable(t)
+
+
 def _batch_applied(spark: SparkSession, name: str, batch_id: int) -> bool:
     log = f"{name}_batches"
     return (
@@ -657,6 +694,11 @@ def build_ivf_index(
     stores filterable attributes inline).  Appends pick the carry set
     up from the table schema automatically.
     """
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        check_index_lease,
+    )
+
+    check_index_lease(spark, name, path)
     v = vectors.select(
         "vec_id", "embedding", _norm("embedding").alias("nrm"), *carry
     )
@@ -780,6 +822,7 @@ def ann_ivf_probe(
     assigned under a different metric costs recall, not correctness
     (the recall gate in tests measures both).
     """
+    _refresh_index_relations(spark, name, "_centroids", "_lists")
     cent = spark.table(f"{name}_centroids")
     if metric is None:
         metric = _index_metric(spark, name)
@@ -1016,8 +1059,16 @@ def append_to_ivf_index(
     returning False — the contract ``streaming.embedding_index_stream``
     relies on under foreachBatch's at-least-once replay.
     """
+    _refresh_index_relations(
+        spark, name, "_centroids", "_lists", "_batches", "_stats"
+    )
     if batch_id is not None and _batch_applied(spark, name, batch_id):
         return False
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        check_index_lease,
+    )
+
+    check_index_lease(spark, name)
     _reject_tombstoned_delta(spark, name, delta_vectors)
     # out-of-order takedowns (delete issued before this id was ever
     # ingested) consume here: the victim rows never land; the hit
@@ -1044,9 +1095,9 @@ def append_to_ivf_index(
         ),
         ("ivf_append", name),
     )
-    assigned.select(*lists_cols).write.mode("append").insertInto(
-        f"{name}_lists"
-    )
+    _bucket_aligned(
+        spark, assigned.select(*lists_cols), f"{name}_lists", "centroid_id"
+    ).write.mode("append").insertInto(f"{name}_lists")
     _append_index_bookkeeping(spark, name, assigned, batch_id)
     from hadoop_logfile_inputformat_spark.operators.maintenance import (
         retire_deferred,
@@ -1077,8 +1128,17 @@ def append_to_ivfpq_index(
     (with the same centroids/codebooks) would give it — asserted as
     the append == rebuild round-trip in tests/test_index_append.py.
     """
+    _refresh_index_relations(
+        spark, name, "_centroids", "_codebooks", "_codes", "_quantized",
+        "_batches", "_stats"
+    )
     if batch_id is not None and _batch_applied(spark, name, batch_id):
         return False
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        check_index_lease,
+    )
+
+    check_index_lease(spark, name)
     _reject_tombstoned_delta(spark, name, delta_vectors)
     # out-of-order takedowns (delete issued before this id was ever
     # ingested) consume here: the victim rows never land; the hit
@@ -1111,12 +1171,14 @@ def append_to_ivfpq_index(
     codes = _pq_encode_fused(
         res, cb, carry=("centroid_id", "nrm", *carry)
     )
-    codes.select(*spark.table(f"{name}_codes").columns).write.mode(
-        "append"
-    ).insertInto(f"{name}_codes")
-    qv.select(*spark.table(f"{name}_quantized").columns).write.mode(
-        "append"
-    ).insertInto(f"{name}_quantized")
+    _bucket_aligned(
+        spark, codes.select(*spark.table(f"{name}_codes").columns),
+        f"{name}_codes", "centroid_id"
+    ).write.mode("append").insertInto(f"{name}_codes")
+    _bucket_aligned(
+        spark, qv.select(*spark.table(f"{name}_quantized").columns),
+        f"{name}_quantized", "vec_id"
+    ).write.mode("append").insertInto(f"{name}_quantized")
     _append_index_bookkeeping(spark, name, assigned, batch_id)
     from hadoop_logfile_inputformat_spark.operators.maintenance import (
         retire_deferred,
@@ -1169,8 +1231,17 @@ def append_to_pq_index(
     appended vector's codes bit-identical to a rebuild-over-the-union
     with the same codebooks (asserted in tests/test_index_append.py).
     """
+    _refresh_index_relations(
+        spark, name, "_codebooks", "_codes", "_quantized", "_batches",
+        "_stats"
+    )
     if batch_id is not None and _batch_applied(spark, name, batch_id):
         return False
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        check_index_lease,
+    )
+
+    check_index_lease(spark, name)
     _reject_tombstoned_delta(spark, name, delta_vectors)
     # out-of-order takedowns (delete issued before this id was ever
     # ingested) consume here: the victim rows never land; the hit
@@ -1186,12 +1257,14 @@ def append_to_pq_index(
         _pq_encode_fused(qv, cb, carry=("nrm", *carry)),
         ("pq_append", name),
     )
-    codes.select(*spark.table(f"{name}_codes").columns).write.mode(
-        "append"
-    ).insertInto(f"{name}_codes")
-    qv.select(*spark.table(f"{name}_quantized").columns).write.mode(
-        "append"
-    ).insertInto(f"{name}_quantized")
+    _bucket_aligned(
+        spark, codes.select(*spark.table(f"{name}_codes").columns),
+        f"{name}_codes", "vec_id"
+    ).write.mode("append").insertInto(f"{name}_codes")
+    _bucket_aligned(
+        spark, qv.select(*spark.table(f"{name}_quantized").columns),
+        f"{name}_quantized", "vec_id"
+    ).write.mode("append").insertInto(f"{name}_quantized")
     _append_index_bookkeeping(spark, name, _pq_self_sim(codes), batch_id)
     from hadoop_logfile_inputformat_spark.operators.maintenance import (
         retire_deferred,
@@ -1220,6 +1293,9 @@ def ivf_index_drift(
     ``on_retrain`` hook); acting means re-running the builder over the
     compacted corpus, which also resets the ledger.
     """
+    # _stats is appended by other sessions (stream appends): refresh
+    # so the ledger read sees the newest rows, not a cached listing
+    spark.catalog.refreshTable(f"{name}_stats")
     rows = spark.table(f"{name}_stats").collect()
     # an EMPTY append batch (streams deliver those) records n_vecs=0
     # with a NULL mean_sim — weight-0 rows contribute nothing and must
@@ -1243,13 +1319,35 @@ def ivf_index_drift(
         if seed_mean is not None and app_mean is not None
         else None
     )
+    # the aggregate DILUTES when a long append history mixes mild and
+    # severe batches (measured in the x10 drift→recall soak: an α=1.0
+    # reflection batch landing after three milder ones moved the
+    # aggregate only 0.013 while its own row sat far past threshold) —
+    # so the verdict also watches the NEWEST batch alone, which is the
+    # row a streaming ingest's per-batch check actually just wrote
+    # unguarded batch-API appends record batch_id NULL — no order to
+    # recover, so "newest" is defined only over the guarded rows
+    app_rows = [
+        r for r in rows
+        if r["batch_id"] is not None and r["batch_id"] != -1
+    ]
+    last = max(app_rows, key=lambda r: r["batch_id"]) if app_rows else None
+    last_drift = (
+        seed_mean - last["mean_sim"]
+        if seed_mean is not None and last is not None
+        else None
+    )
+    flagged = (drift is not None and drift > threshold) or (
+        last_drift is not None and last_drift > threshold
+    )
     return {
         "n_seed": seed_n,
         "n_appended": app_n,
         "seed_mean_sim": seed_mean,
         "appended_mean_sim": app_mean,
         "drift": drift,
-        "retrain_recommended": drift is not None and drift > threshold,
+        "last_batch_drift": last_drift,
+        "retrain_recommended": flagged,
     }
 
 
@@ -1313,6 +1411,11 @@ def retrain_ivf_index(
     run it at the cadence drift actually crosses the threshold, not
     per batch.
     """
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        check_index_lease,
+    )
+
+    check_index_lease(spark, name)
     tmp = f"{name}_retrain_tmp"
     clear_orphaned_table(spark, tmp)
     # resolve WHERE to rebuild BEFORE touching anything: an external
@@ -1323,6 +1426,10 @@ def retrain_ivf_index(
     # carried metadata columns (the build's `carry`) survive the
     # retrain: snapshot them next to the vectors and rebuild with the
     # same carry set, so member_filter keeps working afterwards
+    # the lists may have been compacted by ANOTHER session (an ingest
+    # stream's in-stream fold) since this session last read them — the
+    # snapshot must not plan against a deleted file listing
+    spark.catalog.refreshTable(f"{name}_lists")
     carry = tuple(
         c for c in spark.table(f"{name}_lists").columns
         if c not in ("vec_id", "embedding", "nrm", "centroid_id")
@@ -1372,6 +1479,8 @@ def _quantized_snapshot(spark: SparkSession, name: str) -> tuple:
     caller drops the snapshot after the rebuild lands."""
     tmp = f"{name}_retrain_tmp"
     clear_orphaned_table(spark, tmp)
+    # cross-session staleness: see retrain_ivf_index's snapshot note
+    spark.catalog.refreshTable(f"{name}_quantized")
     carry = tuple(
         c for c in spark.table(f"{name}_quantized").columns
         if c not in ("vec_id", "q", "nrm")
@@ -1416,6 +1525,11 @@ def retrain_ivfpq_index(
     argmin — no corpus shuffle), bucketed writes.  Cost ≈ the original
     build; run at the cadence drift crosses the threshold.
     """
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        check_index_lease,
+    )
+
+    check_index_lease(spark, name)
     site = _index_build_site(spark, name, f"{name}_quantized")
     tmp, carry = _quantized_snapshot(spark, name)
     try:
@@ -1456,6 +1570,11 @@ def retrain_pq_index(
     post-retrain :func:`ivf_index_drift` dict (the PQ ledger rows are
     ADC self-similarity, compared by the same seed-vs-appended rule).
     """
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        check_index_lease,
+    )
+
+    check_index_lease(spark, name)
     site = _index_build_site(spark, name, f"{name}_quantized")
     tmp, carry = _quantized_snapshot(spark, name)
     try:
@@ -1628,6 +1747,10 @@ def delete_from_index(
         # (:func:`_consume_deferred`).  One column-pruned corpus scan
         # with the delete set broadcast resolves membership.
         new = new.localCheckpoint(eager=True)
+        # the member table may have been compacted by ANOTHER session
+        # (ingest stream's in-stream fold) since this session last read
+        # it — refresh or the scan reads a deleted file listing
+        spark.catalog.refreshTable(member_table)
         seen = (
             spark.table(member_table)
             .select("vec_id")
@@ -2970,6 +3093,11 @@ def build_pq_index(
     quantized table — see :func:`build_ivfpq_index`; enables
     :func:`ann_pq_probe`'s ``member_filter`` pre-filter.
     """
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        check_index_lease,
+    )
+
+    check_index_lease(spark, name, path)
     qv = quantize_frame(vectors, carry=carry)
     if codebooks is not None:
         cb = codebooks.select("m", "entry_id", "c_sub", "c_nrm2")
@@ -3048,6 +3176,9 @@ def ann_pq_probe(
     pre-filter contract and pushed-scan-predicate shape as
     :func:`ann_ivf_probe`; the shortlist, and therefore the re-rank,
     sees only filtered vectors."""
+    _refresh_index_relations(
+        spark, name, "_codebooks", "_codes", "_quantized"
+    )
     cb = spark.table(f"{name}_codebooks")
     codes = spark.table(f"{name}_codes")
     if member_filter is not None:
@@ -3163,6 +3294,11 @@ def build_ivfpq_index(
     re-rank table (what lets :func:`retrain_ivfpq_index` keep them);
     appends recover the carry set from the codes schema.
     """
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        check_index_lease,
+    )
+
+    check_index_lease(spark, name, path)
     qv = quantize_frame(vectors, carry=carry)
     n = None
     if centroids is None or (codebooks is None and n_entries is None):
@@ -3294,6 +3430,9 @@ def ann_ivfpq_probe(
     same pre-filter contract as :func:`ann_ivf_probe`: a pushed-down
     scan predicate on the bucketed codes, never a join.
     """
+    _refresh_index_relations(
+        spark, name, "_centroids", "_codebooks", "_codes", "_quantized"
+    )
     cent = spark.table(f"{name}_centroids")
     cb = spark.table(f"{name}_codebooks")
     codes = spark.table(f"{name}_codes")

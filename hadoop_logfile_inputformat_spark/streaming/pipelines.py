@@ -165,6 +165,11 @@ def near_dup_stream_batch(
     # re-appending a doc_id with a PENDING takedown tombstone is the
     # one append the lifecycle contract excludes — fail the batch fast
     # rather than write rows the probes silently hide
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        check_index_lease,
+    )
+
+    check_index_lease(spark, index_name)
     dedup._reject_tombstoned_docs(spark, index_name, batch_docs)
     # out-of-order takedowns (a takedown stream racing ahead of this
     # ingest) consume here: the victim doc never joins the INDEX (the
@@ -191,8 +196,16 @@ def near_dup_stream_batch(
     )
     # insertInto applies the catalog table's bucket spec, so the
     # appended files keep the index's no-shuffle probe property
-    bands.write.mode("append").insertInto(f"{index_name}_buckets")
-    sets.write.mode("append").insertInto(f"{index_name}_sets")
+    from hadoop_logfile_inputformat_spark.operators.similarity import (
+        _bucket_aligned,
+    )
+
+    _bucket_aligned(
+        spark, bands, f"{index_name}_buckets", "band", "bucket"
+    ).write.mode("append").insertInto(f"{index_name}_buckets")
+    _bucket_aligned(
+        spark, sets, f"{index_name}_sets", "doc_id"
+    ).write.mode("append").insertInto(f"{index_name}_sets")
     spark.createDataFrame([(batch_id,)], "batch_id BIGINT").write.mode(
         "append"
     ).insertInto(log)
@@ -356,6 +369,11 @@ def curate_stream_batch(
         _reject_tombstoned_docs,
     )
 
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        check_index_lease,
+    )
+
+    check_index_lease(spark, index_name)
     _reject_tombstoned_docs(spark, index_name, fresh)
     # out-of-order takedowns: the victim's hash never joins the index
     # (so identical future content stays admissible — "the index never
@@ -367,8 +385,17 @@ def curate_stream_batch(
     )
 
     fresh, _dhit = deferred_split(spark, index_name, fresh, "doc_id")
-    fresh.select(
-        "text_hash", "doc_id", F.lit(batch_id).cast("long").alias("batch_id")
+    from hadoop_logfile_inputformat_spark.operators.similarity import (
+        _bucket_aligned,
+    )
+
+    _bucket_aligned(
+        spark,
+        fresh.select(
+            "text_hash", "doc_id",
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        ),
+        f"{index_name}_hashes", "text_hash",
     ).write.mode("append").insertInto(f"{index_name}_hashes")
     spark.createDataFrame([(batch_id,)], "batch_id BIGINT").write.mode(
         "append"

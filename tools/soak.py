@@ -563,6 +563,398 @@ def run_delete_suite(spark, src: str, warm: int = 1) -> dict:
     return out
 
 
+REFL = (
+    "transform(zip_with(embedding, sequence(1, size(embedding)),"
+    " (a, i) -> CASE WHEN i % 2 = 0 THEN -CAST(a AS DOUBLE)"
+    " ELSE CAST(a AS DOUBLE) END), x -> CAST(x AS FLOAT))"
+)
+
+
+def _brute_recall(spark, queries, probe_df, live, topk: int) -> float:
+    """Mean recall@topk of a probe result vs brute-force cosine ground
+    truth over ``live`` (vec_id, embedding, nrm)."""
+    got = {}
+    for r in probe_df.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    q2 = queries.select("query_id", F.col("embedding").alias("qe"))
+    q2 = q2.withColumn("qn", F.expr(
+        "sqrt(aggregate(zip_with(qe, qe, (x, y) -> CAST(x AS DOUBLE)"
+        " * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v))"
+    ))
+    pairs = (
+        q2.crossJoin(live)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            (F.expr(
+                "aggregate(zip_with(qe, embedding, (x, y) ->"
+                " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+            ) / (F.col("qn") * F.col("nrm"))).alias("s"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("vec_id"))
+    truth = pairs.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= topk
+    )
+    want = {}
+    for r in truth.collect():
+        want.setdefault(r["query_id"], set()).add(r["vec_id"])
+    per = [len(got.get(q, set()) & ww) / len(ww) for q, ww in want.items()]
+    return round(sum(per) / len(per), 3)
+
+
+def run_drift_recall_suite(spark, src: str, topk: int = 5,
+                           rerank: int = 20) -> dict:
+    """Close the drift→recall loop at soak volume: build the IVFPQ
+    index on the corpus, append INCREASINGLY drifted deltas (α-blends
+    toward the reflection isometry — internally as learnable as the
+    seed, maximally mismatched to the frozen codebooks at α=1), and at
+    each step record the drift ledger's verdict NEXT TO measured
+    recall@k vs brute-force ground truth; then retrain and measure the
+    same queries again.  One JSON line per step; returns the dict for
+    SCALING.md's table.  The IVF (full-vector) tier is probed alongside
+    to document its measured drift-ROBUSTNESS (routing follows the
+    data — the recall cost of drift is an ADC/codebook effect)."""
+    from hadoop_logfile_inputformat_spark.operators import similarity as S
+
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    v = load(spark, src, "embeddings").select("vec_id", "embedding")
+    n = v.count()
+    name = "soak_drift_idx"
+    sfx = ("_codes", "_quantized", "_centroids", "_codebooks",
+           "_batches", "_stats", "_lists")
+    for s in sfx:
+        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+        spark.sql(f"DROP TABLE IF EXISTS {name}_ivf{s}")
+
+    def blend(df, alpha: float, id_off: int):
+        e = (f"transform(zip_with(embedding, {REFL}, (a, b) ->"
+             f" (1.0 - {alpha}) * CAST(a AS DOUBLE) + {alpha} * b),"
+             " x -> CAST(x AS FLOAT))")
+        return df.select((F.col("vec_id") + id_off).alias("vec_id"),
+                         F.expr(e).alias("embedding"))
+
+    t0 = time.monotonic()
+    S.build_ivfpq_index(spark, v, name, iters=2)
+    S.build_ivf_index(spark, v, f"{name}_ivf")
+    out = {"detail": "drift_recall_soak", "n_corpus": n,
+           "build_s": round(time.monotonic() - t0, 2), "steps": []}
+
+    def pq_live():
+        live = spark.table(f"{name}_quantized").select(
+            "vec_id", F.col("q").alias("embedding"))
+        return live.withColumn("nrm", F.expr(
+            "sqrt(aggregate(zip_with(embedding, embedding, (x, y) ->"
+            " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (a, v) -> a + v))"))
+
+    def step_queries(d):
+        return d.filter(F.col("vec_id") % 101 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+
+    base_q = step_queries(v)
+    base = _brute_recall(
+        spark, base_q,
+        S.ann_ivfpq_probe(spark, base_q, name, k=topk, rerank=rerank),
+        pq_live(), topk)
+    out["recall_seed"] = base
+    deltas = []
+    for i, alpha in enumerate((0.25, 0.5, 0.75, 1.0), start=1):
+        d = blend(v, alpha, 1_000_000 * i)
+        deltas.append((alpha, d))
+        S.append_to_ivfpq_index(spark, d, name, batch_id=i)
+        S.append_to_ivf_index(spark, d, f"{name}_ivf", batch_id=i)
+        dr = S.ivf_index_drift(spark, name)
+        dq = step_queries(d)
+        rec = _brute_recall(
+            spark, dq,
+            S.ann_ivfpq_probe(spark, dq, name, k=topk, rerank=rerank),
+            pq_live(), topk)
+        ivf_live = spark.table(f"{name}_ivf_lists").select(
+            "vec_id", "embedding", "nrm")
+        rec_ivf = _brute_recall(
+            spark, dq, S.ann_ivf_probe(spark, dq, f"{name}_ivf", k=topk),
+            ivf_live, topk)
+        row = {"alpha": alpha, "drift": round(dr["drift"], 4),
+               "last_batch_drift": round(dr["last_batch_drift"], 4),
+               "flag": dr["retrain_recommended"],
+               "recall_ivfpq": rec, "recall_ivf": rec_ivf}
+        out["steps"].append(row)
+        print(json.dumps({"detail": "drift_step", **row}))
+    t0 = time.monotonic()
+    S.retrain_ivfpq_index(spark, name, iters=2)
+    out["retrain_s"] = round(time.monotonic() - t0, 2)
+    out["post"] = []
+    for alpha, d in deltas:
+        dq = step_queries(d)
+        rec = _brute_recall(
+            spark, dq,
+            S.ann_ivfpq_probe(spark, dq, name, k=topk, rerank=rerank),
+            pq_live(), topk)
+        out["post"].append({"alpha": alpha, "recall_ivfpq": rec})
+        print(json.dumps({"detail": "drift_post_retrain",
+                          "alpha": alpha, "recall_ivfpq": rec}))
+    dr = S.ivf_index_drift(spark, name)
+    out["post_drift"] = dr["drift"]
+    for s in sfx:
+        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+        spark.sql(f"DROP TABLE IF EXISTS {name}_ivf{s}")
+    print(json.dumps(out))
+    return out
+
+
+def run_mixed_stream_suite(
+    spark,
+    src: str,
+    out_dir: str,
+    n_batches: int = 50,
+    check_every: int = 10,
+    compact_every: int = 8,
+    compact_at: int = 400,
+) -> dict:
+    """Mixed-lifecycle streaming soak: ONE standing IVF index served by
+    an ``embedding_index_stream`` (ingest) AND a ``takedown_stream``
+    (delete) simultaneously, ≥``n_batches`` micro-batches, with
+    in-stream compaction (both streams trigger their own) and a
+    DRIVER-SESSION retrain crossing mid-soak — the writer-interleaving
+    surface a production index actually lives on.  Every
+    ``check_every`` batches the soak asserts the invariants that
+    interleaving bugs break first:
+
+    - MEMBERSHIP: live lists == ingested − deleted, exactly (and the
+      pending tombstone set is the delete backlog, no more, no less);
+    - LEDGER MONOTONE: the applied-batch count never regresses
+      (resets only at the retrain crossing, by contract);
+    - FILE FAN-IN BOUNDED: lists file count stays O(compact cadence ×
+      buckets) — the property compaction exists for;
+    - PROBE = NEVER-HELD TWIN (final): top-k over the standing index
+      bit-equals an inline probe over exactly the live member set
+      under the same centroids.
+
+    A slice of takedowns targets ids that have NOT been ingested yet
+    (the out-of-order race), so the deferred-delete path is exercised
+    in-stream: those victims must never become probe-visible once
+    their batch lands.
+    """
+    import shutil
+
+    from hadoop_logfile_inputformat_spark.operators import similarity as S
+    from hadoop_logfile_inputformat_spark.operators import maintenance as M
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+    from hadoop_logfile_inputformat_spark.streaming.pipelines import (
+        embedding_index_stream,
+        takedown_stream,
+    )
+
+    name = "soak_mixed_idx"
+    sfx = ("_lists", "_centroids", "_batches", "_stats",
+           "_tombstones", "_deferred")
+    for s in sfx:
+        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+    base = os.path.join(out_dir, "mixed_stream")
+    shutil.rmtree(base, ignore_errors=True)
+    dirs = {d: os.path.join(base, d) for d in
+            ("ingest", "takedown", "matches", "audit", "ck1", "ck2")}
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+
+    v = load(spark, src, "embeddings").select("vec_id", "embedding")
+    ids = [r["vec_id"] for r in v.select("vec_id").collect()]
+    ids.sort()
+    n = len(ids)
+    seed_n = max(200, n // 5)
+    per_batch = max(20, (n - seed_n) // n_batches)
+    seed_ids = set(ids[:seed_n])
+    batches = [ids[seed_n + i * per_batch: seed_n + (i + 1) * per_batch]
+               for i in range(n_batches)]
+    batches = [b for b in batches if b]
+    S.build_ivf_index(spark, v.filter(F.col("vec_id").isin(list(seed_ids))),
+                      name)
+
+    schema = "vec_id LONG, embedding ARRAY<FLOAT>"
+    # glob sources: each micro-batch lands as its own subdirectory
+    q_ing = embedding_index_stream(
+        spark.readStream.schema(schema).parquet(f"{dirs['ingest']}/*"),
+        name, dirs["matches"], dirs["ck1"], compact_every=compact_every,
+    )
+    q_del = takedown_stream(
+        spark.readStream.schema("vec_id LONG").parquet(
+            f"{dirs['takedown']}/*"),
+        name, dirs["ck2"], compact_at=compact_at, audit_sink=dirs["audit"],
+    )
+
+    ingested: set = set(seed_ids)
+    deleted: set = set()
+    deferred_sent: set = set()
+    out = {"detail": "mixed_stream_soak", "n_corpus": n,
+           "n_batches": len(batches), "per_batch": per_batch,
+           "checks": [], "events": []}
+    t_start = time.monotonic()
+    try:
+        for i, batch_ids in enumerate(batches):
+            v.filter(F.col("vec_id").isin(batch_ids)).coalesce(1)\
+                .write.mode("overwrite").parquet(f"{dirs['ingest']}/b{i:04d}")
+            q_ing.processAllAvailable()
+            ingested.update(batch_ids)
+            # consume any out-of-order takedowns that just landed
+            deleted.update(deferred_sent & set(batch_ids))
+            if i >= 3 and i % 2 == 1:
+                # delete ~5% of an OLD batch + (every 8th) a few ids
+                # from the NEXT batch that hasn't been ingested yet
+                victims = [x for x in batches[i - 3][:per_batch // 20 + 2]
+                           if x not in deleted]
+                future = []
+                if i % 8 == 1 and i + 1 < len(batches):
+                    future = batches[i + 1][:2]
+                    deferred_sent.update(future)
+                spark.createDataFrame(
+                    [(x,) for x in victims + future], "vec_id LONG"
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    f"{dirs['takedown']}/t{i:04d}")
+                q_del.processAllAvailable()
+                deleted.update(victims)
+            if i == len(batches) // 2:
+                # retrain crossing, from the DRIVER session, streams
+                # live — the interleaving case the soak exists for
+                t0 = time.monotonic()
+                S.retrain_ivf_index(spark, name, iters=1)
+                out["events"].append(
+                    {"batch": i, "retrain_s": round(time.monotonic() - t0, 2)})
+                # pending tombstones became PHYSICAL in the rebuild's
+                # snapshot subtraction — the victims stay deleted
+            if i % check_every == 0 or i == len(batches) - 1:
+                live_expected = ingested - deleted
+                spark.catalog.refreshTable(f"{name}_lists")
+                held = {r["vec_id"] for r in
+                        spark.table(f"{name}_lists").select("vec_id").collect()}
+                tomb = set()
+                if spark.catalog.tableExists(f"{name}_tombstones"):
+                    spark.catalog.refreshTable(f"{name}_tombstones")
+                    tomb = {r["vec_id"] for r in
+                            spark.table(f"{name}_tombstones").collect()}
+                live = held - tomb
+                info = M.index_info(spark, name)
+                n_files = info["tables"][f"{name}_lists"]["files"]
+                check = {"batch": i, "live": len(live),
+                         "expected": len(live_expected),
+                         "membership_ok": live == live_expected,
+                         "pending_tombstones": info["pending_tombstones"],
+                         "deferred": info["deferred_deletes"],
+                         "lists_files": n_files,
+                         "applied_batches": info["applied_batches"]}
+                out["checks"].append(check)
+                print(json.dumps({"detail": "mixed_check", **check}))
+                if not check["membership_ok"]:
+                    missing = sorted(live_expected - live)[:5]
+                    extra = sorted(live - live_expected)[:5]
+                    print(json.dumps({"detail": "mixed_mismatch",
+                                      "missing": missing, "extra": extra}))
+    finally:
+        q_ing.stop()
+        q_del.stop()
+    out["wall_s"] = round(time.monotonic() - t_start, 2)
+    # final: probe == never-held twin (inline probe over exactly the
+    # live member set under the same centroids), bit-equal
+    for s in ("_lists", "_tombstones", "_centroids"):
+        if spark.catalog.tableExists(f"{name}{s}"):
+            spark.catalog.refreshTable(f"{name}{s}")
+    queries = v.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    probe = sorted(tuple(r) for r in
+                   S.ann_ivf_probe(spark, queries, name).collect())
+    cents = spark.table(f"{name}_centroids").select("centroid_id", "c_emb")
+    held = {r["vec_id"] for r in
+            spark.table(f"{name}_lists").select("vec_id").collect()}
+    tomb = set()
+    if spark.catalog.tableExists(f"{name}_tombstones"):
+        tomb = {r["vec_id"] for r in
+                spark.table(f"{name}_tombstones").collect()}
+    live_v = v.filter(F.col("vec_id").isin(list(held - tomb)))
+    S.build_ivf_index(spark, live_v, f"{name}_twin", centroids=cents)
+    twin = sorted(tuple(r) for r in
+                  S.ann_ivf_probe(spark, queries, f"{name}_twin").collect())
+    out["probe_equals_never_held_twin"] = probe == twin and bool(probe)
+    out["all_membership_ok"] = all(c["membership_ok"] for c in out["checks"])
+    out["max_lists_files"] = max(
+        c["lists_files"] for c in out["checks"] if c["lists_files"])
+    for s in sfx:
+        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+        spark.sql(f"DROP TABLE IF EXISTS {name}_twin{s}")
+    print(json.dumps(out))
+    return out
+
+
+def run_nprobe_curve(spark, src: str, topk: int = 5, warm: int = 1) -> dict:
+    """The recall/nprobe sizing table an operator needs: build the IVF
+    index at soak volume, sweep nprobe, and record recall@k vs
+    brute-force ground truth NEXT TO the steady probe wall — the
+    tradeoff curve that turns 'pick nprobe' from folklore into a
+    lookup.  One JSON line per point; returns the dict for
+    SCALING.md."""
+    from hadoop_logfile_inputformat_spark.operators import similarity as S
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    v = load(spark, src, "embeddings").select("vec_id", "embedding")
+    n = v.count()
+    name = "soak_np_idx"
+    for s in ("_lists", "_centroids", "_batches", "_stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+    t0 = time.monotonic()
+    S.build_ivf_index(spark, v, name)
+    out = {"detail": "nprobe_curve", "n_corpus": n,
+           "n_centroids": spark.table(f"{name}_centroids").count(),
+           "build_s": round(time.monotonic() - t0, 2), "points": []}
+    queries = v.filter(F.col("vec_id") % 1009 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out["n_queries"] = queries.count()
+    live = spark.table(f"{name}_lists").select("vec_id", "embedding", "nrm")
+    # ground truth once — recall of every nprobe point shares it
+    got_truth: dict = {}
+    from pyspark.sql import Window
+
+    q2 = queries.select("query_id", F.col("embedding").alias("qe"))
+    q2 = q2.withColumn("qn", F.expr(
+        "sqrt(aggregate(zip_with(qe, qe, (x, y) -> CAST(x AS DOUBLE)"
+        " * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v))"))
+    pairs = q2.crossJoin(live).filter(
+        F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "vec_id",
+        (F.expr("aggregate(zip_with(qe, embedding, (x, y) ->"
+                " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+         / (F.col("qn") * F.col("nrm"))).alias("s"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("vec_id"))
+    for r in pairs.withColumn("r", F.row_number().over(w)).filter(
+            F.col("r") <= topk).collect():
+        got_truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for nprobe in (1, 2, 4, 8, 16):
+        timing = _timed(
+            spark,
+            lambda np=nprobe: S.ann_ivf_probe(spark, queries, name,
+                                              k=topk, nprobe=np),
+            warm=warm,
+        )
+        got: dict = {}
+        for r in S.ann_ivf_probe(spark, queries, name, k=topk,
+                                 nprobe=nprobe).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        per = [len(got.get(q, set()) & ww) / len(ww)
+               for q, ww in got_truth.items()]
+        point = {"nprobe": nprobe,
+                 "recall": round(sum(per) / len(per), 3),
+                 "probe_steady_s": timing.get("steady")}
+        out["points"].append(point)
+        print(json.dumps({"detail": "nprobe_point", **point}))
+    for s in ("_lists", "_centroids", "_batches", "_stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+    print(json.dumps(out))
+    return out
+
+
 def _stages(spark) -> dict:
     """stageId -> StageData from the UI REST API (local-mode UI)."""
     ui = spark.sparkContext.uiWebUrl
@@ -672,6 +1064,26 @@ def main() -> None:
         help="run the tombstone-delete lifecycle measurement on the "
         "LARGEST scale dir instead of the uniform key sweep",
     )
+    ap.add_argument(
+        "--mixed-stream",
+        action="store_true",
+        help="run the mixed ingest+takedown streaming soak (>=50 "
+        "micro-batches, compaction + retrain crossing) on the LARGEST "
+        "scale dir",
+    )
+    ap.add_argument(
+        "--drift-recall",
+        action="store_true",
+        help="run the drift→recall lifecycle measurement (IVFPQ "
+        "degrade/retrain-recover + IVF robustness) on the LARGEST "
+        "scale dir",
+    )
+    ap.add_argument(
+        "--nprobe-curve",
+        action="store_true",
+        help="sweep nprobe on the LARGEST scale dir recording "
+        "recall@k and steady probe wall",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="spark-graft-soak")
@@ -691,6 +1103,30 @@ def main() -> None:
         out = run_delete_suite(spark, src, warm=args.warm)
         out["scale"] = scale
         print(json.dumps({**out, "detail": "delete_soak_summary"}))
+        spark.stop()
+        return
+
+    if args.mixed_stream:
+        scale, src = dirs[-1]
+        out = run_mixed_stream_suite(spark, src, args.out)
+        out["scale"] = scale
+        print(json.dumps({**out, "detail": "mixed_stream_summary"}))
+        spark.stop()
+        return
+
+    if args.drift_recall:
+        scale, src = dirs[-1]
+        out = run_drift_recall_suite(spark, src)
+        out["scale"] = scale
+        print(json.dumps({**out, "detail": "drift_recall_summary"}))
+        spark.stop()
+        return
+
+    if args.nprobe_curve:
+        scale, src = dirs[-1]
+        out = run_nprobe_curve(spark, src, warm=args.warm)
+        out["scale"] = scale
+        print(json.dumps({**out, "detail": "nprobe_curve_summary"}))
         spark.stop()
         return
 
