@@ -725,8 +725,13 @@ def build_ivf_index(
         .observe(obs, F.count("*").alias("n"), F.avg("c_sim").alias("s"))
         .select("vec_id", "embedding", "nrm", *carry, "centroid_id")
     )
+    # pre-shuffle onto the exact bucket hash: without it every write
+    # task emits one file per bucket it holds rows for (32 tasks x 32
+    # buckets ~ 1024 files per table) and the write commit dominates
+    # the build wall; aligned, the write is one file per bucket
     writer = (
-        assigned.write.bucketBy(n_buckets, "centroid_id")
+        assigned.repartition(n_buckets, F.col("centroid_id"))
+        .write.bucketBy(n_buckets, "centroid_id")
         .sortBy("centroid_id")
         .mode("overwrite")
         .format("parquet")
@@ -3111,6 +3116,7 @@ def build_pq_index(
     try:
         cw = (
             codes.select("vec_id", "m", "code", "code_nrm2", *carry)
+            .repartition(n_buckets, F.col("vec_id"))
             .write.bucketBy(n_buckets, "vec_id")
             .sortBy("vec_id")
             .mode("overwrite")
@@ -3129,7 +3135,8 @@ def build_pq_index(
     finally:
         codes.unpersist(blocking=False)
     qw = (
-        qv.write.bucketBy(n_buckets, "vec_id")
+        qv.repartition(n_buckets, F.col("vec_id"))
+        .write.bucketBy(n_buckets, "vec_id")
         .sortBy("vec_id")
         .mode("overwrite")
         .format("parquet")
@@ -3348,7 +3355,8 @@ def build_ivfpq_index(
             res, cb, carry=("centroid_id", "nrm", *carry)
         ).select("vec_id", "centroid_id", "m", "code", "nrm", *carry)
         cw = (
-            codes.write.bucketBy(n_buckets, "centroid_id")
+            codes.repartition(n_buckets, F.col("centroid_id"))
+            .write.bucketBy(n_buckets, "centroid_id")
             .sortBy("centroid_id")
             .mode("overwrite")
             .format("parquet")
@@ -3364,7 +3372,8 @@ def build_ivfpq_index(
     finally:
         res.unpersist(blocking=False)
     qw = (
-        qv.write.bucketBy(n_buckets, "vec_id")
+        qv.repartition(n_buckets, F.col("vec_id"))
+        .write.bucketBy(n_buckets, "vec_id")
         .sortBy("vec_id")
         .mode("overwrite")
         .format("parquet")

@@ -279,3 +279,37 @@ def test_lloyd_training_iteration_has_no_corpus_exchange(spark):
             "argmin recomputed per exploded component (Project above "
             "Generate) — dim x redundant work"
         )
+
+
+def test_fused_pq_encode_is_a_pure_projection(spark):
+    """_pq_encode_fused (the index builds'/appends' encode path) must
+    compute every vector's M codes with NO exchange and NO join: the
+    codebook rides as a SQL literal, the argmin array gets its own
+    projection BELOW the posexplode (collapsing them would recompute
+    the whole M-argmin per generated element — the Lloyd's-training
+    trap), and the only data movement left in an index build is the
+    bucketed write's own clustering."""
+    from hadoop_logfile_inputformat_spark.operators import similarity as S
+
+    # plain scan (tables.load adds its own round-robin repartition,
+    # which would read as a false encode exchange here)
+    v = S.quantize_frame(
+        spark.read.parquet(f"{SF}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+    )
+    cb = S._pq_modulus_codebooks(v, 100)
+    plan = (
+        S._pq_encode_fused(v, cb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan
+    # argmin below the Generate: the generator input is the plain
+    # array column, not the inline argmin expression re-evaluated
+    # per element
+    gen = [l for l in plan.splitlines() if "Generate" in l][0]
+    assert "array_min" not in gen, gen
