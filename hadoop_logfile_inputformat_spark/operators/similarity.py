@@ -471,24 +471,74 @@ def _assign_to_centroids(
     ride through the assignment unchanged (the filtered-search payload
     an index stores next to each vector).  Shared by the index
     builders and the incremental appends so a delta assigns
-    bit-identically to how the seed corpus did."""
-    sim_vc = _metric_score(metric, "c_emb", "c_nrm", vec_col, "nrm")
-    return (
-        v.join(F.broadcast(cent), how="cross")
-        .select(
-            "vec_id", vec_col, "nrm", *carry, "centroid_id",
-            sim_vc.alias("c_sim"),
+    bit-identically to how the seed corpus did.
+
+    Implementation is the shuffle-free literal-argmin form (the
+    Lloyd's-training technique): the centroids ride the expression
+    tree as one SQL literal, so the assignment is a pure PROJECTION —
+    the previous broadcast-cross-join + ``groupBy(vec_id)`` regrouped
+    the whole corpus (embedding payloads included) through an
+    Exchange per build/append.  Value parity with the join form is
+    exact: same per-pair double arithmetic (``repr`` floats
+    round-trip), same (score, lowest-id) tie-break — pinned by the
+    registry value-hash on ``ann_ivf_incremental`` plus the
+    append==rebuild and never-held-twin equalities.  (Degenerate
+    zero-norm vectors score NULL under cosine; their assignment is
+    unspecified in BOTH forms — gate such vectors out with
+    :func:`embedding_stats` before indexing.)"""
+    rows = cent.select("centroid_id", "c_emb", "c_nrm").collect()
+    rows.sort(key=lambda r: r["centroid_id"])
+    if not rows:
+        raise ValueError("centroid frame is empty")
+    cid_type = dict(cent.dtypes)["centroid_id"]
+    lit = "array(" + ",".join(
+        "named_struct('cid', CAST({cid} AS {t}), 'c', array({c}),"
+        " 'n', {n!r}D)".format(
+            cid=r["centroid_id"],
+            t=cid_type,
+            c=",".join(f"{float(x)!r}D" for x in r["c_emb"]),
+            n=float(r["c_nrm"]),
         )
-        .groupBy("vec_id")
-        .agg(
-            F.first(vec_col).alias(vec_col),
-            F.first("nrm").alias("nrm"),
-            *[F.first(c).alias(c) for c in carry],
-            F.expr("max_by(centroid_id, struct(c_sim, -centroid_id))").alias(
-                "centroid_id"
-            ),
-            F.max("c_sim").alias("c_sim"),
+        for r in rows
+    ) + ")"
+    # same double arithmetic as _metric_score's column form: zip_with
+    # CAST products summed in element order, divided by (nrm * c_nrm)
+    dot = (
+        f"aggregate(zip_with({vec_col}, e.c, (x, y) ->"
+        f" CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    if metric == "cosine":
+        score = f"{dot} / (nrm * e.n)"
+    elif metric == "ip":
+        score = dot
+    elif metric == "l2":
+        score = (
+            f"-aggregate(zip_with({vec_col}, e.c, (x, y) ->"
+            f" (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+            f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+            f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
+    else:
+        raise ValueError(f"metric must be cosine/l2/ip, got {metric!r}")
+    # min (negated score, cid) == max score with ties to the LOWEST
+    # centroid_id — the join form's max_by(cid, struct(c_sim, -cid))
+    best = F.expr(
+        f"array_min(transform({lit}, e ->"
+        f" struct(-({score}) AS negs, e.cid AS cid)))"
+    )
+    # `_best` gets its own projection: the struct feeds two outputs,
+    # and CollapseProject leaves non-cheap aliases uncollapsed, so the
+    # k x dim argmin evaluates once per row (plan-asserted)
+    return v.select(
+        "vec_id", vec_col, "nrm", *carry, best.alias("_best")
+    ).select(
+        "vec_id",
+        vec_col,
+        "nrm",
+        *carry,
+        F.col("_best.cid").alias("centroid_id"),
+        (-F.col("_best.negs")).alias("c_sim"),
     )
 
 

@@ -313,3 +313,38 @@ def test_fused_pq_encode_is_a_pure_projection(spark):
     # per element
     gen = [l for l in plan.splitlines() if "Generate" in l][0]
     assert "array_min" not in gen, gen
+
+
+def test_centroid_assignment_is_a_pure_projection(spark):
+    """_assign_to_centroids (builds, appends, the oracled incremental
+    twin) must be a projection over the corpus — centroids ride as a
+    SQL literal, no join, no Exchange (the previous form regrouped the
+    whole corpus, embeddings included, through groupBy(vec_id)) — and
+    the k x dim argmin struct must evaluate ONCE per row (its alias
+    stays its own projection; a collapse would inline it into both the
+    centroid_id and c_sim outputs)."""
+    from hadoop_logfile_inputformat_spark.operators import similarity as S
+
+    v = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .withColumn("nrm", F.expr(
+            "sqrt(aggregate(zip_with(embedding, embedding, (x, y) ->"
+            " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (a, b) -> a + b))"
+        ))
+    )
+    cent = v.limit(4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    plan = (
+        S._assign_to_centroids(v, cent)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert plan.count("array_min") == 1, plan
