@@ -181,7 +181,11 @@ EXTRA = [
     # the table-backed append lifecycle it is pinned bit-equal to
     "ann_ivf_incremental",
     "ann_ivf_append",
-    # filtered search (pre-filter semantics, label pushed to the scan)
+    # filtered search (pre-filter semantics, label pushed to the scan).
+    # NOT here: ann_l2_topk / ann_ip_topk (r11) — the 2000-char stdout
+    # tail is byte-maxed and the metric members are value-hashed in the
+    # correctness gate every round already; adding them would evict a
+    # trended key (test_bench_contract pins that never happens)
     "ann_filtered_topk",
     # delete lifecycle: tombstoned victims excluded pre-ranking
     "ann_ivf_deleted",

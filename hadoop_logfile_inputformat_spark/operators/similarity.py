@@ -185,6 +185,69 @@ def cosine_topk(
     )
 
 
+def l2_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    query_modulus: int = QUERY_MODULUS,
+) -> DataFrame:
+    """Brute-force L2 top-k — the :func:`cosine_topk` shape under the
+    squared-Euclidean serving metric (`sim` = NEGATED squared distance
+    so rank 1 is nearest under the package's one higher-is-better
+    convention; same broadcast-queries / corpus-never-shuffled plan).
+    The oracle binding (`l2` member of ann_variants_pack) value-hashes
+    it against DuckDB, which also gates the metric arithmetic the
+    L2-serving IVF index (:func:`build_ivf_index` ``metric="l2"``)
+    assigns and ranks with."""
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    sim = F.round(-_l2sq("q_emb", "embedding"), 4)
+    pairs = (
+        F.broadcast(q)
+        .join(v, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def ip_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    query_modulus: int = QUERY_MODULUS,
+) -> DataFrame:
+    """Brute-force inner-product (MIPS) top-k — :func:`cosine_topk`
+    without the norm division (recommendation-style scoring where
+    vector magnitude carries signal).  `ip` member of
+    ann_variants_pack; the oracle value-hash gates the raw-dot ranking
+    the ``metric="ip"`` IVF probes use."""
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    sim = F.round(_dot("q_emb", "embedding"), 4)
+    pairs = (
+        F.broadcast(q)
+        .join(v, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def ann_ivf_topk(
     spark: SparkSession,
     sf_dir: str,

@@ -1116,6 +1116,44 @@ _SQL: Dict[str, str] = {
         )
         SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {similarity.TOP_K}
     """,
+    "ann_l2_topk": f"""
+        -- negated squared L2 (one higher-is-better convention across
+        -- all serving metrics); same fold order both engines
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        q AS (SELECT * FROM v WHERE vec_id % {similarity.QUERY_MODULUS} = 0),
+        sims AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(-list_sum(list_transform(
+                       list_zip(q.e, c.e),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))), 4) AS sim
+            FROM q JOIN v c ON c.vec_id <> q.vec_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM sims
+        )
+        SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {similarity.TOP_K}
+    """,
+    "ann_ip_topk": f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        q AS (SELECT * FROM v WHERE vec_id % {similarity.QUERY_MODULUS} = 0),
+        sims AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_dot_product(q.e, c.e), 4) AS sim
+            FROM q JOIN v c ON c.vec_id <> q.vec_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM sims
+        )
+        SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {similarity.TOP_K}
+    """,
     "ann_cosine_topk_quantized": f"""
         -- int8 scalar quantization: all quantized components are
         -- integers, so dots/norms are exact in double arithmetic on
@@ -2562,6 +2600,16 @@ _PACKS: Dict[str, list] = {
         # member_filter over a carry-built lists table, pinned
         # equivalent in tests/test_operators.py.
         _m("filtered", similarity.ann_filtered_topk, "ann_filtered_topk",
+           k1="query_id", k2="neighbor_id", v1="sim", v2="rank"),
+        # L2 / inner-product serving metrics (round 11): the exact
+        # brute-force rankings under the other two metrics the IVF
+        # index can serve (build_ivf_index(metric=)) — sim is the
+        # negated squared distance for l2 (one higher-is-better
+        # convention), the raw dot for ip; value-hashing them gates
+        # the metric arithmetic the metric probes rank with
+        _m("l2", similarity.l2_topk, "ann_l2_topk",
+           k1="query_id", k2="neighbor_id", v1="sim", v2="rank"),
+        _m("ip", similarity.ip_topk, "ann_ip_topk",
            k1="query_id", k2="neighbor_id", v1="sim", v2="rank"),
         # PQ ADC shortlist + exact re-rank (codes are M small ints per
         # vector — the memory-floor index tier).  Portable binding pins

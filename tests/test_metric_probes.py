@@ -204,3 +204,31 @@ def test_cosine_default_is_unchanged(spark):
     finally:
         _drop(spark, "tmp_c0")
         _drop(spark, "tmp_c1")
+
+
+def test_full_coverage_metric_probes_equal_oracled_brute_force(spark):
+    """At nprobe == |centroids| the IVF probe IS brute force — so the
+    L2/IP index probes must be BIT-EQUAL to the oracled pack members
+    (similarity.l2_topk / ip_topk), which transfers those members'
+    DuckDB value-hashes onto the metric probes' ranking arithmetic."""
+    v = S._vectors(spark, SF).select("vec_id", "embedding")
+    try:
+        for metric, brute in (("l2", S.l2_topk), ("ip", S.ip_topk)):
+            name = f"tmp_fc_{metric}"
+            S.build_ivf_index(spark, v, name, metric=metric)
+            n_cent = spark.table(f"{name}_centroids").count()
+            q = v.filter(F.col("vec_id") % 50 == 0).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            probe = sorted(
+                tuple(r)
+                for r in S.ann_ivf_probe(
+                    spark, q, name, k=5, nprobe=n_cent
+                ).collect()
+            )
+            oracle = sorted(tuple(r) for r in brute(spark, SF).collect())
+            assert probe == oracle and probe, metric
+            _drop(spark, name)
+    finally:
+        for metric in ("l2", "ip"):
+            _drop(spark, f"tmp_fc_{metric}")
