@@ -554,30 +554,36 @@ def _assign_to_centroids(
     if not rows:
         raise ValueError("centroid frame is empty")
     cid_type = dict(cent.dtypes)["centroid_id"]
+    # PARALLEL PLAIN-ARRAY literals (vectors / norms / ids), indexed by
+    # position — NOT an array of named_structs: a struct-literal array
+    # this size costs seconds of analysis/codegen PER PLAN (measured
+    # 3.1s vs 0.3s cold for k=25 x dim=64), and an index build
+    # re-plans the assignment subtree several times (cache fill,
+    # training scans, writes)
     lit = "array(" + ",".join(
-        "named_struct('cid', CAST({cid} AS {t}), 'c', array({c}),"
-        " 'n', {n!r}D)".format(
-            cid=r["centroid_id"],
-            t=cid_type,
-            c=",".join(f"{float(x)!r}D" for x in r["c_emb"]),
-            n=float(r["c_nrm"]),
-        )
+        "array(" + ",".join(f"{float(x)!r}D" for x in r["c_emb"]) + ")"
         for r in rows
+    ) + ")"
+    nrms = "array(" + ",".join(
+        f"{float(r['c_nrm'])!r}D" for r in rows
+    ) + ")"
+    cids = "array(" + ",".join(
+        f"CAST({r['centroid_id']} AS {cid_type})" for r in rows
     ) + ")"
     # same double arithmetic as _metric_score's column form: zip_with
     # CAST products summed in element order, divided by (nrm * c_nrm)
     dot = (
-        f"aggregate(zip_with({vec_col}, e.c, (x, y) ->"
+        f"aggregate(zip_with({vec_col}, c, (x, y) ->"
         f" CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
         f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
     if metric == "cosine":
-        score = f"{dot} / (nrm * e.n)"
+        score = f"{dot} / (nrm * element_at({nrms}, i + 1))"
     elif metric == "ip":
         score = dot
     elif metric == "l2":
         score = (
-            f"-aggregate(zip_with({vec_col}, e.c, (x, y) ->"
+            f"-aggregate(zip_with({vec_col}, c, (x, y) ->"
             f" (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
             f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
             f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -587,8 +593,9 @@ def _assign_to_centroids(
     # min (negated score, cid) == max score with ties to the LOWEST
     # centroid_id — the join form's max_by(cid, struct(c_sim, -cid))
     best = F.expr(
-        f"array_min(transform({lit}, e ->"
-        f" struct(-({score}) AS negs, e.cid AS cid)))"
+        f"array_min(transform({lit}, (c, i) ->"
+        f" struct(-({score}) AS negs,"
+        f" element_at({cids}, i + 1) AS cid)))"
     )
     # `_best` gets its own projection: the struct feeds two outputs,
     # and CollapseProject leaves non-cheap aliases uncollapsed, so the
@@ -812,9 +819,12 @@ def build_ivf_index(
     )
 
     check_index_lease(spark, name, path)
+    # persisted for the build: the nrm HOF would otherwise re-inline
+    # into every per-centroid lambda of the literal-argmin assignment
+    # (see build_ivfpq_index's quantize note — measured 25x re-eval)
     v = vectors.select(
         "vec_id", "embedding", _norm("embedding").alias("nrm"), *carry
-    )
+    ).persist()
     if centroids is not None:
         cent = centroids.select(
             "centroid_id", "c_emb", _norm("c_emb").alias("c_nrm")
@@ -878,6 +888,7 @@ def build_ivf_index(
         )
 
         write_index_spec(spark, name, path, "ivf", n_buckets)
+    v.unpersist(blocking=False)
 
 
 def _index_metric(spark: SparkSession, name: str) -> str:
@@ -1201,8 +1212,13 @@ def append_to_ivf_index(
         c for c in lists_cols
         if c not in ("vec_id", "embedding", "nrm", "centroid_id")
     )
-    v = delta_vectors.select(
-        "vec_id", "embedding", _norm("embedding").alias("nrm"), *carry
+    # input pinned (delta-sized): the nrm HOF would re-inline into
+    # every per-centroid lambda of the assignment (see the builds)
+    v = scoped_persist(
+        delta_vectors.select(
+            "vec_id", "embedding", _norm("embedding").alias("nrm"), *carry
+        ),
+        ("ivf_append_in", name),
     )
     # two consumers (lists insert + stats agg): scoped per index so
     # repeated refreshes hold at most one cached delta frame; the delta
@@ -1270,7 +1286,11 @@ def append_to_ivfpq_index(
         c for c in spark.table(f"{name}_codes").columns
         if c not in ("vec_id", "centroid_id", "m", "code", "nrm")
     )
-    qv = quantize_frame(delta_vectors, carry=carry)
+    # input pinned: quantize would re-inline per centroid lambda
+    qv = scoped_persist(
+        quantize_frame(delta_vectors, carry=carry),
+        ("ivfpq_append_in", name),
+    )
     assigned = scoped_persist(
         _assign_to_centroids(qv, cent, vec_col="q", carry=carry),
         ("ivfpq_append", name),
@@ -1370,7 +1390,11 @@ def append_to_pq_index(
         c for c in spark.table(f"{name}_codes").columns
         if c not in ("vec_id", "m", "code", "code_nrm2", "nrm")
     )
-    qv = quantize_frame(delta_vectors, carry=carry)
+    # input pinned: quantize would re-inline per codebook-entry lambda
+    qv = scoped_persist(
+        quantize_frame(delta_vectors, carry=carry),
+        ("pq_append_in", name),
+    )
     codes = scoped_persist(
         _pq_encode_fused(qv, cb, carry=("nrm", *carry)),
         ("pq_append", name),
@@ -2845,38 +2869,52 @@ def _pq_encode_fused(v: DataFrame, cb: DataFrame, carry: tuple = ()) -> DataFram
     per_m: dict = {}
     for r in rows:
         per_m.setdefault(r["m"], []).append(r)
-    groups = []
+    # PARALLEL PLAIN-ARRAY literals per subspace (entry vectors /
+    # |c|^2 / ids) — an array-of-named_structs literal costs seconds
+    # of analysis/codegen per plan at this size (see
+    # _assign_to_centroids), and builds re-plan the encode subtree
+    # several times
+    subs, n2s, eids = [], [], []
     for m in range(PQ_M):
         entries = sorted(per_m.get(m, []), key=lambda r: r["entry_id"])
         if not entries:
             raise ValueError(f"codebook has no entries for subspace m={m}")
-        groups.append(
-            "array("
-            + ",".join(
-                "named_struct('eid', CAST({eid} AS {t}), 'n2', {n2!r}D,"
-                " 'c', array({c}))".format(
-                    eid=r["entry_id"],
-                    t=eid_type,
-                    n2=float(r["c_nrm2"]),
-                    c=",".join(f"{float(x)!r}D" for x in r["c_sub"]),
-                )
+        subs.append(
+            "array(" + ",".join(
+                "array(" + ",".join(
+                    f"{float(x)!r}D" for x in r["c_sub"]
+                ) + ")"
                 for r in entries
-            )
-            + ")"
+            ) + ")"
         )
-    cb_sql = "array(" + ",".join(groups) + ")"
+        n2s.append(
+            "array(" + ",".join(
+                f"{float(r['c_nrm2'])!r}D" for r in entries
+            ) + ")"
+        )
+        eids.append(
+            "array(" + ",".join(
+                f"CAST({r['entry_id']} AS {eid_type})" for r in entries
+            ) + ")"
+        )
+    cb_sql = "array(" + ",".join(subs) + ")"
+    n2_sql = "array(" + ",".join(n2s) + ")"
+    eid_sql = "array(" + ",".join(eids) + ")"
     # same double arithmetic as _pq_encode's `c_nrm2 - 2 * _dot(...)`:
     # zip_with multiplies CAST-to-double pairs, aggregate sums in order
     score = (
-        f"e.n2 - 2 * aggregate(zip_with("
-        f"slice(q, mm * {PQ_SUBDIM} + 1, {PQ_SUBDIM}), e.c,"
+        f"element_at(element_at({n2_sql}, mm + 1), i + 1)"
+        f" - 2 * aggregate(zip_with("
+        f"slice(q, mm * {PQ_SUBDIM} + 1, {PQ_SUBDIM}), c,"
         f" (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
         f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
     best = (
         f"transform(sequence(0, {PQ_M - 1}), mm ->"
-        f" array_min(transform(element_at({cb_sql}, mm + 1), e ->"
-        f" struct({score} AS s, e.eid AS eid, e.n2 AS n2))))"
+        f" array_min(transform(element_at({cb_sql}, mm + 1), (c, i) ->"
+        f" struct({score} AS s,"
+        f" element_at(element_at({eid_sql}, mm + 1), i + 1) AS eid,"
+        f" element_at(element_at({n2_sql}, mm + 1), i + 1) AS n2))))"
     )
     # the argmin array gets its OWN projection BELOW the posexplode —
     # collapsing them would hoist the whole M-argmin above the Generate
@@ -3216,7 +3254,9 @@ def build_pq_index(
     )
 
     check_index_lease(spark, name, path)
-    qv = quantize_frame(vectors, carry=carry)
+    # persisted for the build (see build_ivfpq_index: the quantize HOF
+    # would re-inline into the fused encode's per-entry lambdas)
+    qv = quantize_frame(vectors, carry=carry).persist()
     if codebooks is not None:
         cb = codebooks.select("m", "entry_id", "c_sub", "c_nrm2")
     else:
@@ -3272,6 +3312,7 @@ def build_pq_index(
         )
 
         write_index_spec(spark, name, path, "pq", n_buckets)
+    qv.unpersist(blocking=False)
 
 
 def ann_pq_probe(
@@ -3419,7 +3460,11 @@ def build_ivfpq_index(
     )
 
     check_index_lease(spark, name, path)
-    qv = quantize_frame(vectors, carry=carry)
+    # PERSISTED for the build's duration: the quantize HOF otherwise
+    # re-inlines into every per-centroid lambda of the literal-argmin
+    # assignment (and into every Lloyd iteration) — measured 25x
+    # re-evaluation, 24s -> 3s on the sf0.1 fixture's corpus pass
+    qv = quantize_frame(vectors, carry=carry).persist()
     n = None
     if centroids is None or (codebooks is None and n_entries is None):
         n = qv.count()
@@ -3510,6 +3555,7 @@ def build_ivfpq_index(
         )
 
         write_index_spec(spark, name, path, "ivfpq", n_buckets)
+    qv.unpersist(blocking=False)
     # train = coarse k-means + residual-codebook training (the residual
     # materialization folds into the first pq training pass); build =
     # encode + the bucketed/tiny writes
