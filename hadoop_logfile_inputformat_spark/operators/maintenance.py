@@ -415,6 +415,13 @@ def _lease_site(spark: SparkSession, name: str, path: str | None = None) -> str:
 
 
 def _read_lease(spark: SparkSession, site: str) -> dict | None:
+    """Read the lock manifest; ``None`` means NO LEASE.  Only two
+    conditions map to None: the file is absent (including a
+    FileNotFound race with a concurrent release), or its content
+    isn't a JSON object (torn write mid-create).  Real IO errors
+    (permission, network) PROPAGATE — swallowing them would silently
+    disable the single-writer guard exactly when the filesystem is
+    least trustworthy."""
     fs, jvm = _hadoop_fs(spark, site)
     p = jvm.org.apache.hadoop.fs.Path(site)
     if not fs.exists(p):
@@ -423,9 +430,66 @@ def _read_lease(spark: SparkSession, site: str) -> dict | None:
         raw = jvm.org.apache.commons.io.IOUtils.toString(
             fs.open(p), "UTF-8"
         )
-        return json.loads(raw)
-    except Exception:
-        return None  # torn write mid-acquire: treat as absent
+    except Exception as e:  # py4j surfaces java exceptions generically
+        cls = getattr(getattr(e, "java_exception", None), "getClass", None)
+        name = cls().getName() if cls is not None else ""
+        if "FileNotFoundException" in name:
+            return None  # deleted between exists() and open(): released
+        raise
+    try:
+        lease = json.loads(raw)
+    except (json.JSONDecodeError, ValueError):
+        return None  # torn write mid-create: treat as absent
+    return lease if isinstance(lease, dict) else None
+
+
+def _write_lease(
+    spark: SparkSession, site: str, lease: dict, overwrite: bool
+) -> None:
+    """Write the lock manifest.  ``overwrite=False`` is the atomic
+    create-if-absent (``FileSystem.create(overwrite=false)``) — losing
+    that race raises :class:`IndexLeaseHeld`, never a raw Java
+    exception.  ``overwrite=True`` is the OWNER-REFRESH path: write a
+    sibling temp file and atomically rename it over the lock
+    (``FileContext.rename(OVERWRITE)``), so a healthy writer's lock is
+    never momentarily absent during a periodic re-acquire — a
+    concurrent ``check_index_lease`` always sees either the old or the
+    new manifest."""
+    fs, jvm = _hadoop_fs(spark, site)
+    payload = bytearray(json.dumps(lease).encode("utf-8"))
+    if not overwrite:
+        p = jvm.org.apache.hadoop.fs.Path(site)
+        try:
+            out = fs.create(p, False)  # atomic create-if-absent
+        except Exception as e:
+            cls = getattr(getattr(e, "java_exception", None), "getClass", None)
+            name = cls().getName() if cls is not None else ""
+            if "AlreadyExists" in name or "FileAlreadyExists" in name:
+                raced = _read_lease(spark, site)
+                raise IndexLeaseHeld(
+                    f"lost the lease-create race at {site!r}"
+                    + (f" to {raced['owner']!r}" if raced else "")
+                ) from None
+            raise
+        try:
+            out.write(payload)
+        finally:
+            out.close()
+        return
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{site}.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(payload)
+    finally:
+        out.close()
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        tmp.toUri(), spark._jsc.hadoopConfiguration()
+    )
+    opts = spark._sc._gateway.new_array(
+        jvm.org.apache.hadoop.fs.Options.Rename, 1
+    )
+    opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc.rename(tmp, jvm.org.apache.hadoop.fs.Path(site), opts)
 
 
 def _lease_owner(spark: SparkSession) -> str:
@@ -452,36 +516,50 @@ def acquire_index_lease(
     periodically from long-lived writers).
 
     This is fail-fast protection, not a distributed lock: the create
-    is atomic (``FileSystem.create(overwrite=false)``), but two
-    applications racing through the read-check-steal of an EXPIRED
-    lease in the same instant can both win, and expiry compares wall
-    clocks across machines.  What it guarantees is that a healthy
-    writer's lifetime is protected and a second writer fails before
-    its first mutation lands — the enforcement SCALING.md's
-    single-writer assumption needs.  Release with
-    :func:`release_index_lease`."""
+    is atomic (``FileSystem.create(overwrite=false)``) so at most one
+    of two same-instant stealers of an EXPIRED lease wins (the loser
+    gets :class:`IndexLeaseHeld`), but expiry still compares wall
+    clocks across machines.  An owner's periodic re-acquire refreshes
+    via temp-file + atomic rename-over, so the lock file is never
+    momentarily absent mid-refresh — a healthy writer's lifetime is
+    fully protected and a second writer fails before its first
+    mutation lands, the enforcement SCALING.md's single-writer
+    assumption needs.  Release with :func:`release_index_lease`."""
     site = _lease_site(spark, name, path)
     me = _lease_owner(spark)
     existing = _read_lease(spark, site)
-    fs, jvm = _hadoop_fs(spark, site)
-    p = jvm.org.apache.hadoop.fs.Path(site)
-    if existing is not None:
-        held = existing.get("owner") != me and time.time() <= (
-            existing.get("epoch", 0) + existing.get("ttl_s", 0)
-        )
-        if held:
-            raise IndexLeaseHeld(
-                f"index '{name}' writer lease is held by "
-                f"{existing['owner']!r} (expires in "
-                f"{existing['epoch'] + existing['ttl_s'] - time.time():.0f}s)"
-            )
-        fs.delete(p, False)  # own refresh, or expired crashed writer
     lease = {"owner": me, "epoch": time.time(), "ttl_s": ttl_s}
-    out = fs.create(p, False)  # atomic create-if-absent
-    try:
-        out.write(bytearray(json.dumps(lease).encode("utf-8")))
-    finally:
-        out.close()
+    if existing is None:
+        try:
+            _write_lease(spark, site, lease, overwrite=False)
+        except IndexLeaseHeld:
+            # the file exists but read as no-lease: either a racer won
+            # the create this instant (re-raise with their identity),
+            # or it is a TORN manifest from a crashed create — clear
+            # the debris and retry the atomic create once.
+            if _read_lease(spark, site) is not None:
+                raise
+            fs, jvm = _hadoop_fs(spark, site)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(site), False)
+            _write_lease(spark, site, lease, overwrite=False)
+        return lease
+    if existing.get("owner") == me:
+        # OWN REFRESH: atomic rename-over, the lock is never absent —
+        # a concurrent check_index_lease sees old or new, never a gap.
+        _write_lease(spark, site, lease, overwrite=True)
+        return lease
+    if time.time() <= existing.get("epoch", 0) + existing.get("ttl_s", 0):
+        raise IndexLeaseHeld(
+            f"index '{name}' writer lease is held by "
+            f"{existing['owner']!r} (expires in "
+            f"{existing['epoch'] + existing['ttl_s'] - time.time():.0f}s)"
+        )
+    # expired FOREIGN lease: crashed writer — steal (delete + atomic
+    # re-create; two same-instant stealers race, one gets
+    # IndexLeaseHeld from the create — the docstring's conceded race)
+    fs, jvm = _hadoop_fs(spark, site)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(site), False)
+    _write_lease(spark, site, lease, overwrite=False)
     return lease
 
 

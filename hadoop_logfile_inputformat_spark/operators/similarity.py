@@ -85,6 +85,24 @@ def _dot(a: str, b: str) -> Column:
     )
 
 
+def _round4_portable(c: Column) -> Column:
+    """Four-decimal rounding both engines compute BIT-identically:
+    ``floor(x*10000 + 0.5) / 10000`` in pure IEEE double arithmetic
+    (round half toward +inf).  ``round(double, 4)`` is the latent
+    gate-flake the CLAUDE.md hard rule bans — Spark rounds the
+    shortest decimal repr (BigDecimal HALF_UP) while DuckDB rounds the
+    binary value (half away from zero), so a representational .xxxx5
+    tie can split them.  This form involves no engine decimal
+    semantics at all: given pre-round doubles that are already
+    bit-identical cross-engine (pinned fold order), multiply/add/floor/
+    divide are each exact-or-identically-rounded IEEE ops → identical
+    output bits.  The doubles twin of ``text._ratio4``; the go-forward
+    form for new gated members (the frozen pre-r12 cosine members keep
+    ``round`` as documented precedent).  Oracle twin:
+    ``floor(x * 10000 + 0.5) / 10000``."""
+    return F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return e.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
@@ -204,7 +222,7 @@ def l2_topk(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
     )
-    sim = F.round(-_l2sq("q_emb", "embedding"), 4)
+    sim = _round4_portable(-_l2sq("q_emb", "embedding"))
     pairs = (
         F.broadcast(q)
         .join(v, F.col("vec_id") != F.col("query_id"))
@@ -234,7 +252,7 @@ def ip_topk(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
     )
-    sim = F.round(_dot("q_emb", "embedding"), 4)
+    sim = _round4_portable(_dot("q_emb", "embedding"))
     pairs = (
         F.broadcast(q)
         .join(v, F.col("vec_id") != F.col("query_id"))
@@ -985,9 +1003,12 @@ def ann_ivf_probe(
     tombs = _tombstone_ids(spark, name)
     if tombs is not None:
         lists = lists.join(F.broadcast(tombs), "vec_id", "left_anti")
-    sim = F.round(
-        _metric_score(metric, "embedding", "nrm", "q_emb", "q_nrm"), 4
-    )
+    score = _metric_score(metric, "embedding", "nrm", "q_emb", "q_nrm")
+    # cosine keeps round(,4): frozen precedent the gated
+    # ann_ivf_incremental/deleted oracles hash.  l2/ip round via the
+    # portable floor-half-up so the full-coverage probe stays BIT-equal
+    # to the oracled l2_topk/ip_topk members (r12, see _round4_portable)
+    sim = F.round(score, 4) if metric == "cosine" else _round4_portable(score)
     hits = (
         probes.join(lists, "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1434,6 +1455,19 @@ def ivf_index_drift(
     ``retrain_recommended`` (e.g. ``embedding_index_stream``'s
     ``on_retrain`` hook); acting means re-running the builder over the
     compacted corpus, which also resets the ledger.
+
+    METRIC CALIBRATION (r12): the absolute ``threshold`` default
+    assumes cosine-scale ledger values in [−1, 1].  For ``metric="l2"``
+    indexes the ledger stores NEGATED squared distances and for
+    ``"ip"`` raw dot products — both data-dependent in magnitude, so a
+    fixed 0.05 would be always-on or never-on.  For those metrics the
+    verdict thresholds RELATIVE drift, ``|seed − app| / |seed|``
+    (sign-checked: only worse-than-seed flags), against the same
+    ``threshold`` knob — 0.05 now reads "appended batches quantize 5%
+    worse than the seed did" under every metric.  The returned
+    ``drift`` / ``last_batch_drift`` stay in raw ledger units;
+    ``drift_relative`` / ``metric`` are also returned so callers can
+    see what was compared.
     """
     # _stats is appended by other sessions (stream appends): refresh
     # so the ledger read sees the newest rows, not a cached listing
@@ -1479,8 +1513,28 @@ def ivf_index_drift(
         if seed_mean is not None and last is not None
         else None
     )
-    flagged = (drift is not None and drift > threshold) or (
-        last_drift is not None and last_drift > threshold
+    # metric calibration: cosine ledgers are [-1,1]-scale → absolute
+    # threshold; l2 (negated squared distance) / ip (raw dot) ledgers
+    # are data-dependent in magnitude → threshold RELATIVE drift.
+    # Flat-PQ indexes have no _centroids table; their ADC
+    # self-similarity ledger is cosine-scale → absolute.
+    metric = (
+        _index_metric(spark, name)
+        if spark.catalog.tableExists(f"{name}_centroids")
+        else "cosine"
+    )
+
+    def _gauge(d):
+        if d is None:
+            return None
+        if metric == "cosine":
+            return d
+        return d / abs(seed_mean) if seed_mean else None
+
+    drift_rel = _gauge(drift)
+    last_rel = _gauge(last_drift)
+    flagged = (drift_rel is not None and drift_rel > threshold) or (
+        last_rel is not None and last_rel > threshold
     )
     return {
         "n_seed": seed_n,
@@ -1489,6 +1543,9 @@ def ivf_index_drift(
         "appended_mean_sim": app_mean,
         "drift": drift,
         "last_batch_drift": last_drift,
+        "drift_relative": drift_rel,
+        "last_batch_drift_relative": last_rel,
+        "metric": metric,
         "retrain_recommended": flagged,
     }
 

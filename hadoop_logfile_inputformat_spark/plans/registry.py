@@ -1118,16 +1118,19 @@ _SQL: Dict[str, str] = {
     """,
     "ann_l2_topk": f"""
         -- negated squared L2 (one higher-is-better convention across
-        -- all serving metrics); same fold order both engines
+        -- all serving metrics); same fold order both engines.
+        -- floor(x*1e4+0.5)/1e4 = similarity._round4_portable: pure
+        -- IEEE double rounding, no engine decimal semantics (r12)
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         ),
         q AS (SELECT * FROM v WHERE vec_id % {similarity.QUERY_MODULUS} = 0),
         sims AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   round(-list_sum(list_transform(
+                   floor(-list_sum(list_transform(
                        list_zip(q.e, c.e),
-                       p -> (p[1] - p[2]) * (p[1] - p[2]))), 4) AS sim
+                       p -> (p[1] - p[2]) * (p[1] - p[2])))
+                       * 10000 + 0.5) / 10000 AS sim
             FROM q JOIN v c ON c.vec_id <> q.vec_id
         ),
         ranked AS (
@@ -1143,8 +1146,10 @@ _SQL: Dict[str, str] = {
         ),
         q AS (SELECT * FROM v WHERE vec_id % {similarity.QUERY_MODULUS} = 0),
         sims AS (
+            -- floor half-up: the _round4_portable twin (r12)
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   round(list_dot_product(q.e, c.e), 4) AS sim
+                   floor(list_dot_product(q.e, c.e) * 10000 + 0.5)
+                       / 10000 AS sim
             FROM q JOIN v c ON c.vec_id <> q.vec_id
         ),
         ranked AS (

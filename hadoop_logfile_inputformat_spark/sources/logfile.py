@@ -1228,9 +1228,21 @@ def _validate_parts_manifest(
     manifests from older runs fail this too) and (b) every listed part
     still exists (the docstring invites downstream to delete parts as
     consumed; handing back paths to deleted files would be worse than
-    re-staging).  None means re-stage.  Cost: one manifest read plus
-    one existence probe per part — driver-side metadata, cheap next to
-    the decompression pass it might save."""
+    re-staging).  None means re-stage.  A header-valid manifest with
+    ZERO listed parts is a legitimate layout (an empty source stream
+    cuts no parts) and is reused as ``[]`` — returning None there
+    would re-run the decompression pass on every call (r12 ADVICE
+    fix).  Cost: one manifest read plus one existence probe per part —
+    driver-side metadata, cheap next to the decompression pass it
+    might save.
+
+    MANIFEST FORMAT NOTE (bumped r11): line 1 is a JSON header
+    ``{"chunk_bytes": N, "pattern": "..."}``; the part basenames
+    follow one per line.  Pre-r11 manifests are headerless (basenames
+    only) and fail the header parse here → re-staged once, after which
+    the dir is current-format.  Do NOT read a current-format manifest
+    with pre-r11 code in a MIXED-VERSION staging dir: the old reader
+    would treat the JSON header line as a part filename."""
     lines = _read_staged_text(manifest).splitlines()
     if not lines:
         return None
@@ -1245,9 +1257,9 @@ def _validate_parts_manifest(
     ) != pattern:
         return None
     paths = [f"{os.path.dirname(dst)}/{n}" for n in lines[1:] if n]
-    if not paths or not all(_file_exists(p) for p in paths):
+    if not all(_file_exists(p) for p in paths):
         return None
-    return paths
+    return paths  # may be []: header-valid zero-part layout, reusable
 
 
 def _stage_one(

@@ -731,13 +731,32 @@ def takedown_stream_batch(
                 if spark.catalog.tableExists(t)
                 else 0
             )
-        if pending >= compact_at and spark.catalog.tableExists(t):
-            # the fold reclaims the rows and drops the tombstone table;
-            # crash-safe (tmp-table swap) and idempotent (re-folding an
-            # already-folded id removes nothing)
-            compact_fn(spark, index_name)
-            if state is not None:
-                state["pending"] = 0
+        if pending >= compact_at:
+            if not spark.catalog.tableExists(t):
+                # FOREIGN FOLD: another actor (an ingest stream's
+                # in-stream compaction in the same deployment) already
+                # folded and dropped the tombstone table — the running
+                # counter is stale-high.  Reseed, don't rewrite.
+                if state is not None:
+                    state["pending"] = 0
+            else:
+                if state is not None:
+                    # cheap re-verify before the corpus-rewriting fold:
+                    # one count per would-be fold (NOT per batch), only
+                    # when the running counter crosses the threshold —
+                    # catches a foreign fold that left the table
+                    # recreated by this batch's own small append
+                    spark.catalog.refreshTable(t)
+                    actual = spark.table(t).count()
+                    if actual < compact_at:
+                        state["pending"] = actual  # reseed, skip fold
+                        return n
+                # the fold reclaims the rows and drops the tombstone
+                # table; crash-safe (tmp-table swap) and idempotent
+                # (re-folding an already-folded id removes nothing)
+                compact_fn(spark, index_name)
+                if state is not None:
+                    state["pending"] = 0
     return n
 
 

@@ -779,3 +779,38 @@ def test_stage_decompress_manifest_reuse_is_validated(spark, corpus, tmp_path):
     )
     assert all(os.path.exists(p) for p in fourth)
     assert b"".join(open(p, "rb").read() for p in fourth) == want
+
+
+def test_stage_decompress_zero_part_manifest_reuses(spark, tmp_path):
+    """r12 ADVICE fix: a chunked source that decompresses to ZERO parts
+    (empty stream) writes a header-only manifest; a second call must
+    REUSE it as [] instead of re-running the decompression pass on
+    every invocation (the r11 code returned None for an empty part
+    list, re-staging forever)."""
+    import gzip
+    import os
+
+    from hadoop_logfile_inputformat_spark.sources.logfile import (
+        stage_decompress,
+    )
+
+    src = tmp_path / "empty.log.gz"
+    with gzip.open(src, "wb"):
+        pass  # zero-byte decompressed stream
+    staging = str(tmp_path / "staged_zero")
+    first = stage_decompress(
+        spark, str(src), staging, chunk_bytes=4096, pattern=FORMAT_A
+    )
+    assert list(first) == []
+    manifest = next(
+        os.path.join(root, f)
+        for root, _, fs in os.walk(staging)
+        for f in fs
+        if f.endswith(".parts")
+    )
+    stamp = os.path.getmtime(manifest)
+    again = stage_decompress(
+        spark, str(src), staging, chunk_bytes=4096, pattern=FORMAT_A
+    )
+    assert list(again) == []
+    assert os.path.getmtime(manifest) == stamp  # reused, not re-staged

@@ -9,7 +9,10 @@ expressions here are written in raw SQL strings, independent of the
 library helpers, so they pin the arithmetic, not just the plumbing.
 """
 
+import math
+
 import pyspark.sql.functions as F
+import pytest
 
 from hadoop_logfile_inputformat_spark.operators import similarity as S
 
@@ -96,9 +99,9 @@ def test_l2_index_recall_and_raw_sql_twin(spark):
             for r in _brute_topk(v, q, "-" + L2SQ, 10**6).collect()
         }
         for r in probe:
-            assert r["sim"] == round(
-                twin[(r["query_id"], r["neighbor_id"])], 4
-            )
+            # _round4_portable twin: floor half-up in IEEE doubles (r12)
+            x = twin[(r["query_id"], r["neighbor_id"])]
+            assert r["sim"] == math.floor(x * 10000.0 + 0.5) / 10000.0
     finally:
         _drop(spark, "tmp_l2")
 
@@ -147,6 +150,25 @@ def test_l2_append_equals_rebuild_bit_exact(spark):
         d = S.ivf_index_drift(spark, "tmp_l2a")
         assert d["seed_mean_sim"] is not None
         assert d["appended_mean_sim"] is not None
+        # r12 ADVICE: l2/ip verdicts threshold RELATIVE drift — the
+        # raw negated-squared-distance gap is data-dependent in
+        # magnitude, so the absolute 0.05 default would be always-on
+        # or never-on.  Same-distribution delta → relative drift well
+        # under 5% → no retrain flag despite |raw drift| >> 0.05 scale
+        assert d["metric"] == "l2"
+        assert d["drift_relative"] == pytest.approx(
+            d["drift"] / abs(d["seed_mean_sim"])
+        )
+        assert abs(d["drift_relative"]) < 0.05
+        assert not d["retrain_recommended"]
+        # and the knob still bites on the relative gauge: a threshold
+        # below the observed relative drift flags (when drift is the
+        # worse-than-seed direction)
+        if d["drift_relative"] > 0:
+            tight = S.ivf_index_drift(
+                spark, "tmp_l2a", threshold=d["drift_relative"] / 2
+            )
+            assert tight["retrain_recommended"]
     finally:
         _drop(spark, "tmp_l2a")
         _drop(spark, "tmp_l2b")

@@ -1166,3 +1166,66 @@ def test_takedown_audit_sink_dispositions(spark, tmp_path):
     finally:
         for s in ("_buckets", "_sets", "_batches", "_tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+
+
+def test_takedown_pending_counter_reseeds_after_foreign_fold(spark, tmp_path):
+    """r12 ADVICE fix: the takedown stream's running pending counter
+    goes stale-high when ANOTHER actor folds the tombstones (an ingest
+    stream's in-stream compaction in the same deployment).  Before the
+    corpus-rewriting compact_fn fires, the batch cheaply re-verifies —
+    a foreign fold is detected and the counter RESEEDS instead of
+    triggering a spurious full-index rewrite on a one-tombstone batch."""
+    from hadoop_logfile_inputformat_spark.operators import dedup
+    from hadoop_logfile_inputformat_spark.operators import maintenance as M
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+    from hadoop_logfile_inputformat_spark.streaming import (
+        takedown_stream_batch,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(
+        F.col("doc_id") % dedup.INCR_SPLIT_MOD != dedup.INCR_DELTA_REM
+    )
+    name = "t_reseed"
+    t = f"{name}_tombstones"
+    try:
+        dedup.build_minhash_index(spark, corpus, name, n_buckets=4)
+        ids = [r.doc_id for r in corpus.select("doc_id").limit(4).collect()]
+        state = {"pending": None}
+        assert takedown_stream_batch(
+            spark.createDataFrame([(ids[0],), (ids[1],)], "doc_id long"),
+            name, batch_id=0, compact_at=100, state=state,
+        ) == 2
+        assert state["pending"] == 2
+        # FOREIGN fold: another session's compaction drops the table,
+        # the stream's counter is never told
+        M.compact_minhash_index(spark, name)
+        assert not spark.catalog.tableExists(t)
+        state["pending"] = 150  # stale-high (long pre-fold history)
+        # one new tombstone crosses the stale threshold → re-verify
+        # finds actual=1 → reseed, NO spurious fold
+        assert takedown_stream_batch(
+            spark.createDataFrame([(ids[2],)], "doc_id long"),
+            name, batch_id=1, compact_at=100, state=state,
+        ) == 1
+        assert spark.catalog.tableExists(t)
+        assert spark.table(t).count() == 1
+        assert state["pending"] == 1
+        # table-MISSING branch: foreign fold again, then a batch that
+        # adds no new tombstone (re-request of a folded id defers) —
+        # the stale counter reseeds to 0 instead of crashing or folding
+        M.compact_minhash_index(spark, name)
+        assert not spark.catalog.tableExists(t)
+        state["pending"] = 150
+        takedown_stream_batch(
+            spark.createDataFrame([(ids[0],)], "doc_id long"),
+            name, batch_id=2, compact_at=100, state=state,
+        )
+        if not spark.catalog.tableExists(t):
+            assert state["pending"] == 0
+        else:  # the re-request re-tombstoned: reseeded to actual
+            assert state["pending"] == spark.table(t).count()
+    finally:
+        for s in ("_buckets", "_sets", "_batches", "_tombstones",
+                  "_deferred"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")

@@ -213,3 +213,69 @@ def test_cross_process_second_writer_fails_fast(spark, tmp_path):
     finally:
         _clear_lease(spark, "tlkx")
         _drop(spark, "tlkx")
+
+
+def test_owner_refresh_is_rename_over_never_a_gap(spark):
+    """r12 ADVICE fix: an owner's re-acquire must NOT delete-then-create
+    (the old form left the lock momentarily absent, letting a racing
+    check_index_lease pass mid-refresh).  The refresh path writes a
+    sibling temp and atomically renames over — pin that the temp never
+    lingers, the manifest content swaps, and the lock file is present
+    immediately after (the rename-over mechanism, not a gap)."""
+    name = "tlk_refresh"
+    try:
+        first = M.acquire_index_lease(spark, name, ttl_s=60)
+        site = M._lease_site(spark, name)
+        fs, jvm = M._hadoop_fs(spark, site)
+        refreshed = M.acquire_index_lease(spark, name, ttl_s=120)
+        assert refreshed["epoch"] >= first["epoch"]
+        assert refreshed["ttl_s"] == 120
+        # the manifest swapped in place and the temp did not linger
+        on_disk = M._read_lease(spark, site)
+        assert on_disk["ttl_s"] == 120
+        assert not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{site}.tmp"))
+    finally:
+        _clear_lease(spark, name)
+
+
+def test_lost_create_race_raises_lease_held_not_py4j(spark):
+    """r12 ADVICE fix: losing the atomic create(overwrite=false) race
+    surfaces as IndexLeaseHeld (with the winner's owner in the
+    message), never a raw Py4J FileAlreadyExistsException."""
+    name = "tlk_race"
+    site = _write_foreign_lease(spark, name)
+    try:
+        with pytest.raises(M.IndexLeaseHeld, match="app-other-writer"):
+            M._write_lease(
+                spark, site,
+                {"owner": "me", "epoch": time.time(), "ttl_s": 60},
+                overwrite=False,
+            )
+    finally:
+        _clear_lease(spark, name)
+
+
+def test_torn_or_non_dict_lock_reads_as_absent(spark):
+    """A torn write mid-create (invalid JSON) or a non-object payload
+    reads as NO lease — check passes, acquire re-creates; but a real
+    read does not silently disable the guard for valid manifests."""
+    name = "tlk_torn"
+    site = M._lease_site(spark, name)
+    fs, jvm = M._hadoop_fs(spark, site)
+    p = jvm.org.apache.hadoop.fs.Path(site)
+    try:
+        for payload in (b"{truncated", b"[1, 2]", b""):
+            if fs.exists(p):
+                fs.delete(p, False)
+            out = fs.create(p, False)
+            out.write(bytearray(payload))
+            out.close()
+            assert M._read_lease(spark, site) is None
+            M.check_index_lease(spark, name)  # passes: no valid lease
+        # acquire over a torn lock self-heals: the create loses to the
+        # physical debris, acquire re-reads (still no valid lease),
+        # clears it, and retries the atomic create
+        lease = M.acquire_index_lease(spark, name, ttl_s=60)
+        assert lease["owner"] == spark.sparkContext.applicationId
+    finally:
+        _clear_lease(spark, name)
