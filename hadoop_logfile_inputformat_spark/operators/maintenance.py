@@ -803,6 +803,22 @@ def index_info(spark: SparkSession, name: str) -> dict:
         )
 
         out["drift"] = ivf_index_drift(spark, name)
+    # writer lease state (r12): the one operational fact an owner had
+    # to read from `<name>_lock` by hand — who may mutate, until when
+    lease = _read_lease(spark, _lease_site(spark, name))
+    out["lease"] = (
+        None
+        if lease is None
+        else {
+            "owner": lease.get("owner"),
+            "epoch": lease.get("epoch"),
+            "ttl_s": lease.get("ttl_s"),
+            "expired": time.time()
+            > lease.get("epoch", 0) + lease.get("ttl_s", 0),
+            "held_by_this_application": lease.get("owner")
+            == _lease_owner(spark),
+        }
+    )
     return out
 
 
@@ -963,3 +979,160 @@ def drop_index(spark: SparkSession, name: str, delete_files: bool = False) -> li
         if fs.exists(p):
             fs.delete(p, True)
     return dropped
+
+
+def vacuum_index(
+    spark: SparkSession,
+    name: str,
+    path: str | None = None,
+    prefer: str | None = None,
+) -> dict:
+    """Clean the crashed-swap leftovers a killed compaction strands —
+    the artifacts :func:`register_index` refuses on and nothing
+    previously removed (r12).  Handles, per table of the index (EXACT
+    suffixes only — never a prefix glob, the r11 sibling-index
+    lesson):
+
+    - ``<loc>__compact_tmp`` / ``<loc>__compact_old`` dirs
+      (:func:`compact_parquet_dir` protocol): with the base dir
+      present, both are debris (tmp = unswapped copy, old = stale
+      post-swap leftover) → removed.  Base absent + old present =
+      crash mid-swap → ``old`` is RESTORED to the base (the
+      pre-compaction authoritative data) and tmp removed.
+    - a stranded ``<table>__compact_tmp`` CATALOG entry
+      (:func:`compact_bucketed_table` crashed between its saveAsTable
+      and the rename): if the real table is GONE from the catalog the
+      tmp copy is the only complete one — the swap is COMPLETED
+      (rename tmp → table); if the real table still exists the tmp is
+      debris → dropped (with its files when external).
+    - both bucketed-location siblings (``<dir>`` and
+      ``<dir>__compact``) present with no catalog entry to arbitrate:
+      resolved only when the caller passes ``prefer`` (``"base"`` or
+      ``"compact"`` — an explicit human decision, now executable);
+      otherwise reported under ``"ambiguous"`` and left untouched.
+      When the table IS in the catalog its current location wins and
+      the other sibling is removed.
+
+    Pass ``path=`` for an external index that is not (yet) registered
+    in this session.  Returns ``{"removed": [...], "restored": [...],
+    "completed_swaps": [...], "dropped_tables": [...],
+    "ambiguous": [...]}``.  After a clean vacuum, a previously
+    refusing :func:`register_index` succeeds — pinned in
+    tests/test_maintenance.py."""
+    if prefer not in (None, "base", "compact"):
+        raise ValueError("prefer must be None, 'base', or 'compact'")
+    try:
+        family = index_family(spark, name)
+    except ValueError:
+        if path is not None:
+            family = spark.read.parquet(f"{path}/{name}_spec").collect()[0][
+                "family"
+            ]
+        else:
+            # the crash state may have dropped the very corpus table
+            # the signature detection keys on (compact_bucketed_table
+            # dies between its DROP and RENAME): detect the family
+            # from the stranded __compact_tmp debris instead
+            family = next(
+                (
+                    fam
+                    for fam, (corpus, _aux) in INDEX_FAMILIES.items()
+                    if any(
+                        spark.catalog.tableExists(
+                            f"{name}{s}__compact_tmp"
+                        )
+                        for s in corpus
+                    )
+                ),
+                None,
+            )
+            if family is None:
+                raise
+    corpus, aux = INDEX_FAMILIES[family]
+    report = {
+        "removed": [],
+        "restored": [],
+        "completed_swaps": [],
+        "dropped_tables": [],
+        "ambiguous": [],
+    }
+    for suffix in corpus + aux + ("_tombstones", "_deferred"):
+        t = f"{name}{suffix}"
+        tmp_table = f"{t}__compact_tmp"
+        # stranded tmp CATALOG entry from a crashed bucketed compaction
+        if spark.catalog.tableExists(tmp_table):
+            if spark.catalog.tableExists(t):
+                # real table still live → tmp is debris
+                loc = _table_location(spark, tmp_table)
+                external = any(
+                    r.data_type.strip().upper() == "EXTERNAL"
+                    for r in spark.sql(
+                        f"DESCRIBE FORMATTED {tmp_table}"
+                    ).collect()
+                    if r.col_name == "Type"
+                )
+                spark.sql(f"DROP TABLE {tmp_table}")
+                report["dropped_tables"].append(tmp_table)
+                if external and loc:
+                    fs, jvm = _hadoop_fs(spark, loc)
+                    p = jvm.org.apache.hadoop.fs.Path(loc)
+                    if fs.exists(p):
+                        fs.delete(p, True)
+                        report["removed"].append(loc)
+            else:
+                # crash AFTER the old table/files were dropped: the tmp
+                # copy is the only complete one — finish the swap
+                spark.sql(f"ALTER TABLE {tmp_table} RENAME TO {t}")
+                spark.catalog.refreshTable(t)
+                report["completed_swaps"].append(t)
+        # location-level artifacts
+        if spark.catalog.tableExists(t):
+            loc = _table_location(spark, t)
+            if not loc:
+                continue
+            base = (
+                loc[: -len("__compact")]
+                if loc.endswith("__compact")
+                else loc
+            )
+            live = loc
+        elif path is not None:
+            base = f"{path}/{name}{suffix}"
+            live = None
+        else:
+            continue
+        fs, jvm = _hadoop_fs(spark, base)
+        P = jvm.org.apache.hadoop.fs.Path
+
+        def _exists(p, fs=fs, P=P):
+            return fs.exists(P(p))
+
+        tmp_d, old_d, sib = (
+            f"{base}__compact_tmp",
+            f"{base}__compact_old",
+            f"{base}__compact",
+        )
+        if not _exists(base) and _exists(old_d):
+            # compact_parquet_dir crash mid-swap: restore the
+            # pre-compaction data, then clear the unswapped copy
+            fs.rename(P(old_d), P(base))
+            report["restored"].append(base)
+        if _exists(base) or live is not None:
+            for d in (tmp_d, old_d):
+                if _exists(d):
+                    fs.delete(P(d), True)
+                    report["removed"].append(d)
+        # both bucketed siblings present: catalog location arbitrates;
+        # otherwise only an explicit prefer= does
+        if _exists(base) and _exists(sib):
+            if live is not None:
+                stale = sib if live == base else base
+                fs.delete(P(stale), True)
+                report["removed"].append(stale)
+            elif prefer is not None:
+                stale = sib if prefer == "base" else base
+                fs.delete(P(stale), True)
+                report["removed"].append(stale)
+            else:
+                report["ambiguous"].append((base, sib))
+    return report

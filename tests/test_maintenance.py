@@ -705,3 +705,174 @@ def _probe_rows(S, spark, queries, name):
     return sorted(
         tuple(r) for r in S.ann_ivf_probe(spark, queries, name).collect()
     )
+
+
+def test_index_info_reports_lease_state(spark, tmp_path):
+    """r12: index_info surfaces the writer lease — None when unleased,
+    the owner/ttl/expired verdict when held, expired=True after the
+    TTL elapses — so an operator never reads `<name>_lock` by hand."""
+    import json
+    import time
+
+    from hadoop_logfile_inputformat_spark.operators import dedup
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        _hadoop_fs,
+        _lease_site,
+        acquire_index_lease,
+        index_info,
+        release_index_lease,
+    )
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    name = "t_lease_info"
+    try:
+        dedup.build_minhash_index(spark, docs, name, n_buckets=4)
+        assert index_info(spark, name)["lease"] is None
+        acquire_index_lease(spark, name, ttl_s=600)
+        got = index_info(spark, name)["lease"]
+        assert got["owner"] == spark.sparkContext.applicationId
+        assert got["ttl_s"] == 600
+        assert got["expired"] is False
+        assert got["held_by_this_application"] is True
+        # a foreign EXPIRED lease reads as expired, not held
+        site = _lease_site(spark, name)
+        fs, jvm = _hadoop_fs(spark, site)
+        p = jvm.org.apache.hadoop.fs.Path(site)
+        fs.delete(p, False)
+        out = fs.create(p, False)
+        out.write(bytearray(json.dumps(
+            {"owner": "app-x", "epoch": time.time() - 100, "ttl_s": 1}
+        ).encode()))
+        out.close()
+        got = index_info(spark, name)["lease"]
+        assert got["owner"] == "app-x"
+        assert got["expired"] is True
+        assert got["held_by_this_application"] is False
+        fs.delete(p, False)
+    finally:
+        release_index_lease(spark, name)
+        for s in ("_buckets", "_sets", "_batches"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+
+
+def test_vacuum_index_cleans_crashed_swaps_then_register_succeeds(
+    spark, tmp_path
+):
+    """r12: vacuum_index removes the crashed-swap leftovers
+    register_index refuses on.  Fixtures built by hand to mimic each
+    crash state: (a) stranded __compact_tmp/__compact_old next to a
+    live base → removed, base untouched; (b) both bucketed siblings
+    with no catalog arbiter → reported ambiguous, then resolved by an
+    explicit prefer=, after which register_index succeeds."""
+    import os
+    import shutil
+
+    from hadoop_logfile_inputformat_spark.operators import (
+        maintenance as M,
+        similarity as S,
+    )
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    v = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    root = str(tmp_path / "idx")
+    name = "t_vac"
+    try:
+        S.build_ivf_index(spark, v, name, path=root, n_buckets=4)
+        probe_q = v.limit(5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        before = sorted(
+            tuple(r) for r in S.ann_ivf_probe(spark, probe_q, name).collect()
+        )
+        lists_dir = f"{root}/{name}_lists"
+        # (a) compact_parquet_dir-style debris next to the live base
+        shutil.copytree(lists_dir, f"{lists_dir}__compact_tmp")
+        shutil.copytree(lists_dir, f"{lists_dir}__compact_old")
+        rep = M.vacuum_index(spark, name)
+        removed = [r.removeprefix("file:") for r in rep["removed"]]
+        assert f"{lists_dir}__compact_tmp" in removed
+        assert f"{lists_dir}__compact_old" in removed
+        assert not os.path.exists(f"{lists_dir}__compact_tmp")
+        assert os.path.exists(lists_dir)
+        # live catalog + both siblings: catalog location arbitrates
+        shutil.copytree(lists_dir, f"{lists_dir}__compact")
+        rep = M.vacuum_index(spark, name)
+        assert f"{lists_dir}__compact" in [
+            r.removeprefix("file:") for r in rep["removed"]
+        ]
+        assert not os.path.exists(f"{lists_dir}__compact")
+        # (b) the register-refusal state: drop catalog, strand BOTH
+        # siblings, vacuum without prefer reports ambiguous + register
+        # still refuses; prefer='base' resolves; register succeeds
+        M.drop_index(spark, name)
+        shutil.copytree(lists_dir, f"{lists_dir}__compact")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="crashed"):
+            M.register_index(spark, name, root)
+        rep = M.vacuum_index(spark, name, path=root)
+        assert rep["ambiguous"], rep
+        assert os.path.exists(f"{lists_dir}__compact")
+        rep = M.vacuum_index(spark, name, path=root, prefer="base")
+        assert f"{lists_dir}__compact" in [
+            r.removeprefix("file:") for r in rep["removed"]
+        ]
+        assert M.register_index(spark, name, root) == "ivf"
+        after = sorted(
+            tuple(r) for r in S.ann_ivf_probe(spark, probe_q, name).collect()
+        )
+        assert after == before and after
+    finally:
+        for s in ("_lists", "_centroids", "_batches", "_stats",
+                  "_tombstones", "_deferred"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+
+
+def test_vacuum_index_completes_a_crashed_bucketed_swap(spark, tmp_path):
+    """r12: the one data-preserving recovery — compact_bucketed_table
+    crashed AFTER dropping the original table (old files gone) but
+    BEFORE renaming its committed __compact_tmp table: the tmp copy is
+    the only complete one, so vacuum completes the swap and the index
+    serves again; with the original still live, a stranded tmp is
+    debris and is dropped instead."""
+    from hadoop_logfile_inputformat_spark.operators import (
+        maintenance as M,
+        similarity as S,
+    )
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    v = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    name = "t_vacswap"
+    try:
+        S.build_ivf_index(spark, v, name, n_buckets=4)
+        rows = spark.table(f"{name}_lists").count()
+        # crash state: tmp committed, original dropped (managed table —
+        # replay compact_bucketed_table's steps 1-2 by hand)
+        spark.table(f"{name}_lists").write.bucketBy(
+            4, "centroid_id"
+        ).sortBy("centroid_id").format("parquet").saveAsTable(
+            f"{name}_lists__compact_tmp"
+        )
+        spark.sql(f"DROP TABLE {name}_lists")
+        rep = M.vacuum_index(spark, name)
+        assert f"{name}_lists" in rep["completed_swaps"]
+        assert spark.catalog.tableExists(f"{name}_lists")
+        assert not spark.catalog.tableExists(f"{name}_lists__compact_tmp")
+        assert spark.table(f"{name}_lists").count() == rows
+        # debris state: original live, stranded tmp → dropped
+        spark.table(f"{name}_lists").limit(1).write.saveAsTable(
+            f"{name}_lists__compact_tmp"
+        )
+        rep = M.vacuum_index(spark, name)
+        assert f"{name}_lists__compact_tmp" in rep["dropped_tables"]
+        assert not spark.catalog.tableExists(f"{name}_lists__compact_tmp")
+        assert spark.table(f"{name}_lists").count() == rows
+    finally:
+        for s in ("_lists", "_lists__compact_tmp", "_centroids",
+                  "_batches", "_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
