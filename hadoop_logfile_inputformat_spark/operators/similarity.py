@@ -1430,6 +1430,14 @@ def append_to_ivfpq_index(
             "q"
         ),
     )
+    # OPQ (r12): a rotated index encodes the delta's residuals in the
+    # SAME stored rotation — pinned (re-inline landmine), delta-sized
+    R = _read_rotation(cb)
+    if R is not None:
+        res = scoped_persist(
+            res.withColumn("q", F.expr(_rotate_expr("q", R))),
+            ("ivfpq_append_rot", name),
+        )
     codes = _pq_encode_fused(
         res, cb, carry=("centroid_id", "nrm", *carry)
     )
@@ -1519,8 +1527,19 @@ def append_to_pq_index(
         quantize_frame(delta_vectors, carry=carry),
         ("pq_append_in", name),
     )
+    # OPQ (r12): a rotated index encodes its delta in the SAME stored
+    # rotation (m = -1 codebook rows) — append == rebuild parity rides
+    # the stored matrix, never a re-learn
+    R = _read_rotation(cb)
+    enc_in = (
+        qv if R is None
+        else scoped_persist(
+            qv.withColumn("q", F.expr(_rotate_expr("q", R))),
+            ("pq_append_rot", name),
+        )
+    )
     codes = scoped_persist(
-        _pq_encode_fused(qv, cb, carry=("nrm", *carry)),
+        _pq_encode_fused(enc_in, cb, carry=("nrm", *carry)),
         ("pq_append", name),
     )
     _bucket_aligned(
@@ -1839,6 +1858,10 @@ def retrain_ivfpq_index(
             "vec_id", F.col("q").alias("embedding"), *carry
         )
         dsnap = _preserve_deferred(spark, name)
+        # OPQ (r12): a rotated index RE-LEARNS its rotation on retrain
+        # (acting on drift means adapting the grid to what is held now
+        # — rotation included); an unrotated index stays unrotated
+        prior_R = _read_rotation(spark.table(f"{name}_codebooks"))
         build_ivfpq_index(
             spark,
             held,
@@ -1847,6 +1870,7 @@ def retrain_ivfpq_index(
             n_entries=n_entries,
             iters=iters,
             carry=carry,
+            rotation="opq" if prior_R is not None else None,
             **site,
         )
         _restore_deferred(spark, name, dsnap, f"{name}_quantized")
@@ -1889,11 +1913,24 @@ def retrain_pq_index(
             n_entries = max(
                 2, n // _effective_modulus(n, PQ_CODEBOOK_MODULUS)
             )
-        cb = pq_codebooks_kmeans(qv, n_entries=n_entries, iters=iters)
+        # OPQ (r12): a rotated index re-learns its rotation on the held
+        # corpus and trains the new codebooks in the NEW rotated space
+        prior_R = _read_rotation(spark.table(f"{name}_codebooks"))
+        rotation = None
+        train_src = qv
+        if prior_R is not None:
+            rotation = learn_opq_rotation(qv)
+            train_src = qv.withColumn(
+                "q", F.expr(_rotate_expr("q", rotation))
+            ).persist()
+        cb = pq_codebooks_kmeans(train_src, n_entries=n_entries, iters=iters)
         dsnap = _preserve_deferred(spark, name)
         build_pq_index(
-            spark, held, name, codebooks=cb, carry=carry, **site
+            spark, held, name, codebooks=cb, carry=carry,
+            rotation=rotation, **site
         )
+        if train_src is not qv:
+            train_src.unpersist(blocking=False)
         _restore_deferred(spark, name, dsnap, f"{name}_quantized")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
@@ -3013,6 +3050,124 @@ def _pq_encode(parts: DataFrame, cb: DataFrame, carry: tuple = ()) -> DataFrame:
     )
 
 
+def learn_opq_rotation(
+    v: DataFrame, vec_col: str = "q", sample_modulus: int = 1
+) -> list:
+    """Parametric OPQ rotation (Ge, He, Ke, Sun, "Optimized Product
+    Quantization", CVPR 2013/TPAMI 2014, §4 "OPQ-P"): eigendecompose
+    the data second-moment and allocate eigen-directions to the PQ_M
+    subspaces BALANCING the per-subspace variance product, so no
+    subspace is left encoding most of the energy with the same entry
+    budget as one encoding noise — the standard public fix for the low
+    ADC recall of PQ through unrotated, energy-concentrated data
+    (exactly what clustered/real encoder embeddings are; isotropic
+    data gains nothing, which the fixture measurements state
+    honestly).  Returns the d × d orthonormal rotation as a
+    list-of-rows; rotated x = R @ x.  Orthonormality means dots and
+    norms are preserved, so ADC similarities computed in rotated space
+    ARE the original-space similarities — only the quantization grid
+    changes.
+
+    One corpus pass (``sample_modulus`` subsamples it — OPQ training
+    is statistics, not membership): the (i, j) second-moment partial
+    sums are map-side combined, d²/2 rows reach the driver, and numpy
+    does the d × d eigendecomposition driver-side (d = 64 here —
+    model-sized by construction, like every literal this package
+    inlines).  Deterministic given the input data up to float fold
+    order; indexes STORE the rotation they were built with (rows with
+    ``m = -1`` on the codebooks table), and appends/probes read the
+    stored matrix, so lifecycle bit-equality never depends on
+    re-learning."""
+    import numpy as np
+
+    d = PQ_M * PQ_SUBDIM
+    s = v
+    if sample_modulus > 1:
+        s = v.filter(F.col("vec_id") % sample_modulus == 0)
+    mom = (
+        s.select(F.posexplode(vec_col).alias("i", "xi"), F.col(vec_col).alias("x"))
+        .select("i", F.col("xi").cast("double").alias("xi"),
+                F.posexplode("x").alias("j", "xj"))
+        .filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj").cast("double")).alias("s"))
+        .collect()
+    )
+    C = np.zeros((d, d))
+    for r in mom:
+        C[r["i"], r["j"]] = r["s"]
+        C[r["j"], r["i"]] = r["s"]
+    w, V = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1]
+    w, V = w[order], V[:, order]
+    for k in range(d):  # canonical sign: max-|component| positive
+        if V[int(np.argmax(np.abs(V[:, k]))), k] < 0:
+            V[:, k] = -V[:, k]
+    # greedy balanced allocation: next (largest) eigenvalue goes to
+    # the subspace with the smallest current log-variance-product
+    # that still has a free slot — Ge et al.'s eigenvalue allocation
+    import math as _math
+
+    logs = [0.0] * PQ_M
+    slots: list = [[] for _ in range(PQ_M)]
+    for idx in range(d):
+        m = min(
+            (mm for mm in range(PQ_M) if len(slots[mm]) < PQ_SUBDIM),
+            key=lambda mm: (logs[mm], mm),
+        )
+        slots[m].append(idx)
+        logs[m] += _math.log(max(float(w[idx]), 1e-12))
+    return [
+        [float(x) for x in V[:, idx]]
+        for m in range(PQ_M)
+        for idx in slots[m]
+    ]
+
+
+def _rotate_expr(vec_col: str, R: list) -> str:
+    """SQL for ``R @ <vec_col>`` with the (model-sized, d × d)
+    rotation inlined as a nested array literal — a pure projection,
+    same no-join/no-exchange discipline as the fused encode.  CALLERS
+    MUST PIN the rotated frame before feeding it to
+    :func:`_pq_encode_fused` (the upstream-HOF re-inline landmine:
+    unpinned, the d² rotation would re-evaluate once per codebook
+    entry)."""
+    rlit = "array(" + ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")"
+        for row in R
+    ) + ")"
+    return (
+        f"transform({rlit}, r -> aggregate(zip_with(r, {vec_col},"
+        f" (a, b) -> a * CAST(b AS DOUBLE)),"
+        f" CAST(0.0 AS DOUBLE), (acc, t) -> acc + t))"
+    )
+
+
+def _rotation_rows(spark: SparkSession, R: list) -> DataFrame:
+    """The rotation as codebook-table rows: ``m = -1`` marks them (a
+    real subspace id is 0..PQ_M-1, so every consumer — the fused
+    encode's ``range(PQ_M)`` literal, the probe LUT's join on the
+    query parts' ``m`` — is naturally blind to them), ``entry_id``
+    orders the rows, ``c_sub`` carries the row vector.  Riding the
+    codebooks table means :func:`maintenance.register_index` carries
+    the rotation across sessions for free, exactly like ``metric=``
+    on the centroids table."""
+    return spark.createDataFrame(
+        [(-1, i, row) for i, row in enumerate(R)],
+        "m int, entry_id int, c_sub array<double>",
+    ).withColumn("c_nrm2", F.lit(1.0))
+
+
+def _read_rotation(cb: DataFrame) -> list | None:
+    """The stored OPQ rotation of a codebooks table/frame (rows with
+    ``m = -1``), or None for an unrotated index."""
+    rows = cb.filter(F.col("m") == -1).select("entry_id", "c_sub").collect()
+    if not rows:
+        return None
+    rows.sort(key=lambda r: r["entry_id"])
+    return [[float(x) for x in r["c_sub"]] for r in rows]
+
+
 def _pq_encode_fused(v: DataFrame, cb: DataFrame, carry: tuple = ()) -> DataFrame:
     """One-pass PQ encode: same output as :func:`_pq_encode` —
     ``(vec_id, m, code, code_nrm2, code_dot[, carry...])`` — computed
@@ -3392,6 +3547,7 @@ def build_pq_index(
     path: str | None = None,
     codebooks: DataFrame | None = None,
     carry: tuple = (),
+    rotation=None,
 ) -> None:
     """Materialize the PQ search structure of ``vectors`` (any
     ``(vec_id, embedding)`` DataFrame): quantize + encode the corpus
@@ -3420,7 +3576,17 @@ def build_pq_index(
     ``carry`` names metadata columns stored in the codes rows AND the
     quantized table — see :func:`build_ivfpq_index`; enables
     :func:`ann_pq_probe`'s ``member_filter`` pre-filter.
-    """
+
+    ``rotation`` (r12): ``"opq"`` learns a parametric-OPQ rotation
+    (:func:`learn_opq_rotation`) over the quantized corpus, a d × d
+    list applies a pre-learned one, None (default) keeps the exact
+    pre-r12 behavior.  Codebooks train and codes encode in ROTATED
+    space; the rotation is stored on the codebooks table (``m = -1``
+    rows) so appends and probes apply it transparently; the
+    ``_quantized`` re-rank table stays in ORIGINAL space (rotation is
+    orthonormal — ADC similarities are unchanged in meaning, only the
+    quantization grid improves).  LIBRARY_ONLY: float matrix math has
+    no SQL oracle; the gated members stay unrotated."""
     from hadoop_logfile_inputformat_spark.operators.maintenance import (
         check_index_lease,
     )
@@ -3429,15 +3595,23 @@ def build_pq_index(
     # persisted for the build (see build_ivfpq_index: the quantize HOF
     # would re-inline into the fused encode's per-entry lambdas)
     qv = quantize_frame(vectors, carry=carry).persist()
+    R = None
+    if rotation is not None:
+        R = learn_opq_rotation(qv) if rotation == "opq" else rotation
+    enc_src = qv
+    if R is not None:
+        # pinned: the d x d rotation HOF would re-inline into every
+        # per-entry lambda of the fused encode
+        enc_src = qv.withColumn("q", F.expr(_rotate_expr("q", R))).persist()
     if codebooks is not None:
         cb = codebooks.select("m", "entry_id", "c_sub", "c_nrm2")
     else:
         eff_mod = _effective_modulus(qv.count(), PQ_CODEBOOK_MODULUS)
-        cb = _pq_modulus_codebooks(qv, eff_mod)
+        cb = _pq_modulus_codebooks(enc_src, eff_mod)
     # codes feed two consumers (the table write + the seed self-sim
     # agg); narrow rows (M ints + one double per vector), so the
     # persist is the resident-index footprint by construction
-    codes = _pq_encode_fused(qv, cb, carry=("nrm", *carry)).persist()
+    codes = _pq_encode_fused(enc_src, cb, carry=("nrm", *carry)).persist()
     try:
         cw = (
             codes.select("vec_id", "m", "code", "code_nrm2", *carry)
@@ -3471,7 +3645,11 @@ def build_pq_index(
     else:
         clear_orphaned_table(spark, f"{name}_quantized")
     qw.saveAsTable(f"{name}_quantized")
-    bw = cb.coalesce(1).write.mode("overwrite").format("parquet")
+    cb_out = cb if R is None else cb.select(
+        "m", "entry_id", F.col("c_sub").cast("array<double>").alias("c_sub"),
+        "c_nrm2",
+    ).unionByName(_rotation_rows(spark, R))
+    bw = cb_out.coalesce(1).write.mode("overwrite").format("parquet")
     if path is not None:
         bw = bw.option("path", f"{path}/{name}_codebooks")
     else:
@@ -3484,6 +3662,8 @@ def build_pq_index(
         )
 
         write_index_spec(spark, name, path, "pq", n_buckets)
+    if enc_src is not qv:
+        enc_src.unpersist(blocking=False)
     qv.unpersist(blocking=False)
 
 
@@ -3522,8 +3702,16 @@ def ann_pq_probe(
     qv = quantize_frame(
         queries.select(F.col("query_id").alias("vec_id"), "embedding")
     )
+    # OPQ (r12): codes encode ROTATED vectors, so the ADC lookup table
+    # is built from the ROTATED query — dot(q, x̂) = dot(Rq, Rx̂).
+    # The re-rank below stays in original space (rotation-invariant).
+    R = _read_rotation(cb)
+    lut_qv = (
+        qv if R is None
+        else qv.withColumn("q", F.expr(_rotate_expr("q", R)))
+    )
     lut = (
-        _pq_parts(qv, "query_id")
+        _pq_parts(lut_qv, "query_id")
         .join(F.broadcast(cb), "m")
         .select("query_id", "m", "entry_id", _dot("sub", "c_sub").alias("pdot"))
     )
@@ -3577,6 +3765,7 @@ def build_ivfpq_index(
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
     carry: tuple = (),
+    rotation=None,
 ) -> None:
     """Materialize the composite IVF-PQ (IVFADC) search structure of
     ``vectors`` (any ``(vec_id, embedding)`` DataFrame) — the canonical
@@ -3671,7 +3860,20 @@ def build_ivfpq_index(
         ).alias("q"),
     ).persist()
     t1 = time.monotonic()
+    enc_res, R = res, None
     try:
+        # OPQ (r12): the rotation applies to the RESIDUAL space —
+        # coarse routing stays in original coordinates (Ge et al.:
+        # rotate after residualization).  Learned from / applied to
+        # the residual frame; pinned (the re-inline landmine).
+        if rotation is not None:
+            R = (
+                learn_opq_rotation(res) if rotation == "opq" else rotation
+            )
+        if R is not None:
+            enc_res = res.withColumn(
+                "q", F.expr(_rotate_expr("q", R))
+            ).persist()
         if codebooks is not None:
             cb = codebooks.select("m", "entry_id", "c_sub", "c_nrm2")
         else:
@@ -3679,10 +3881,12 @@ def build_ivfpq_index(
                 n_entries = max(
                     2, n // _effective_modulus(n, PQ_CODEBOOK_MODULUS)
                 )
-            cb = pq_codebooks_kmeans(res, n_entries=n_entries, iters=iters)
+            cb = pq_codebooks_kmeans(
+                enc_res, n_entries=n_entries, iters=iters
+            )
         t2 = time.monotonic()
         codes = _pq_encode_fused(
-            res, cb, carry=("centroid_id", "nrm", *carry)
+            enc_res, cb, carry=("centroid_id", "nrm", *carry)
         ).select("vec_id", "centroid_id", "m", "code", "nrm", *carry)
         cw = (
             codes.repartition(n_buckets, F.col("centroid_id"))
@@ -3700,6 +3904,8 @@ def build_ivfpq_index(
             F.count("*").alias("n"), F.avg("c_sim").alias("s")
         ).collect()[0]
     finally:
+        if enc_res is not res:
+            enc_res.unpersist(blocking=False)
         res.unpersist(blocking=False)
     qw = (
         qv.repartition(n_buckets, F.col("vec_id"))
@@ -3713,7 +3919,11 @@ def build_ivfpq_index(
     else:
         clear_orphaned_table(spark, f"{name}_quantized")
     qw.saveAsTable(f"{name}_quantized")
-    for frame, suffix in ((cent, "_centroids"), (cb, "_codebooks")):
+    cb_out = cb if R is None else cb.select(
+        "m", "entry_id", F.col("c_sub").cast("array<double>").alias("c_sub"),
+        "c_nrm2",
+    ).unionByName(_rotation_rows(spark, R))
+    for frame, suffix in ((cent, "_centroids"), (cb_out, "_codebooks")):
         w = frame.coalesce(1).write.mode("overwrite").format("parquet")
         if path is not None:
             w = w.option("path", f"{path}/{name}{suffix}")
@@ -3804,8 +4014,16 @@ def ann_ivfpq_probe(
         .filter(F.col("p") <= nprobe)
         .select("query_id", "centroid_id", "qc_dot", "q_nrm")
     )
+    # OPQ (r12): residual codes live in ROTATED space — dot(q, r) =
+    # dot(Rq, Rr), so the LUT is built from the rotated query; the
+    # coarse qc_dot term and the re-rank stay in original coordinates
+    R = _read_rotation(cb)
+    lut_qv = (
+        qv if R is None
+        else qv.withColumn("q", F.expr(_rotate_expr("q", R)))
+    )
     lut = (
-        _pq_parts(qv, "query_id")
+        _pq_parts(lut_qv, "query_id")
         .join(F.broadcast(cb), "m")
         .select(
             "query_id",

@@ -1,0 +1,253 @@
+"""OPQ rotation for the PQ tiers (r12).
+
+Parametric OPQ (Ge, He, Ke, Sun — "Optimized Product Quantization",
+public) rotates vectors before product quantization so per-subspace
+variance is balanced; the standard public remedy for PQ's low ADC
+recall through energy-concentrated (clustered / real encoder)
+embeddings.  LIBRARY_ONLY: float matrix math has no SQL oracle; the
+gated registry members stay unrotated (their hashes must not move).
+
+Pins here: the rotation is orthonormal and norm-preserving; it is
+stored on the codebooks table (m = -1 rows) and carried by
+register_index; a rotated index's append == rebuild stays BIT-equal
+through the stored matrix; retrain re-learns the rotation; and the
+reason this exists — measured recall improvement on a CLUSTERED
+corpus at the same entry budget.
+"""
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from hadoop_logfile_inputformat_spark.operators import maintenance as M
+from hadoop_logfile_inputformat_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+PQ_SUFFIXES = ("_codes", "_quantized", "_codebooks", "_batches", "_stats",
+               "_tombstones", "_deferred")
+IVFPQ_SUFFIXES = PQ_SUFFIXES + ("_centroids", "_lists")
+
+
+def _drop(spark, name, suffixes=IVFPQ_SUFFIXES):
+    for s in suffixes:
+        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+
+
+def _clustered(spark, m: int = 16, base_w: float = 0.6,
+               span_w: float = 0.25):
+    """Deterministic concept-cluster corpus — the tools/soak.py
+    build_clustered construction inline (m anchor vectors, per-vector
+    blend weight w = base + span * ((vec_id * 7919) % 101) / 101), so
+    the test owns its fixture instead of depending on a soak run."""
+    v = S._vectors(spark, SF).select("vec_id", "embedding")
+    anchors = (
+        v.orderBy("vec_id").limit(m)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .alias("cluster"),
+            F.col("embedding").alias("anchor"),
+        )
+    )
+    w_expr = (
+        f"(CAST({base_w} AS DOUBLE) + CAST({span_w} AS DOUBLE)"
+        f" * CAST((vec_id * 7919) % 101 AS DOUBLE) / 101.0)"
+    )
+    return (
+        v.withColumn("cluster", (F.col("vec_id") % m).cast("int"))
+        .join(F.broadcast(anchors), "cluster")
+        .selectExpr(
+            "vec_id",
+            f"transform(zip_with(embedding, anchor, (a, b) ->"
+            f" (1.0 - {w_expr}) * CAST(a AS DOUBLE)"
+            f" + {w_expr} * CAST(b AS DOUBLE)),"
+            f" x -> CAST(x AS FLOAT)) AS embedding",
+        )
+    )
+
+
+def _queries(v, modulus: int = 29):
+    return v.filter(F.col("vec_id") % modulus == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _brute_truth(v, q, k):
+    vv = v.select("vec_id", "embedding", S._norm("embedding").alias("nrm"))
+    qq = q.select(
+        "query_id", F.col("embedding").alias("q_emb"),
+        S._norm("embedding").alias("q_nrm"),
+    )
+    pairs = F.broadcast(qq).join(
+        vv, F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        (S._dot("q_emb", "embedding")
+         / (F.col("q_nrm") * F.col("nrm"))).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return pairs.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= k
+    )
+
+
+def _recall(probe_rows, truth_rows, k):
+    got, want = {}, {}
+    for r in probe_rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in truth_rows:
+        want.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    per = [len(got.get(q, set()) & w) / len(w) for q, w in want.items()]
+    return sum(per) / len(per)
+
+
+def test_rotation_is_orthonormal_and_norm_preserving(spark):
+    """learn_opq_rotation returns a d x d orthonormal matrix (R Rᵀ = I)
+    and the SQL _rotate_expr preserves vector norms bit-tightly — the
+    property that makes rotated-space ADC similarities MEAN the same
+    thing as original-space ones."""
+    v = _clustered(spark)
+    qv = S.quantize_frame(v).persist()
+    try:
+        R = S.learn_opq_rotation(qv)
+        d = S.PQ_M * S.PQ_SUBDIM
+        assert len(R) == d and all(len(row) == d for row in R)
+        for i in range(0, d, 7):  # spot-check rows (full loop is d²)
+            for j in range(0, d, 7):
+                dot = sum(R[i][t] * R[j][t] for t in range(d))
+                assert abs(dot - (1.0 if i == j else 0.0)) < 1e-9
+        rot = qv.selectExpr(
+            "nrm", f"{S._rotate_expr('q', R)} AS rq"
+        ).selectExpr(
+            "abs(nrm - sqrt(aggregate(zip_with(rq, rq, (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (a, t) -> a + t))) AS gap"
+        )
+        assert rot.agg(F.max("gap")).collect()[0][0] < 1e-6
+    finally:
+        qv.unpersist(blocking=False)
+
+
+def test_opq_improves_clustered_recall_same_budget(spark):
+    """The reason OPQ exists: on a CLUSTERED corpus (energy
+    concentrated in few directions — what real encoder embeddings look
+    like and what the near-uniform fixture is not), the rotated index
+    beats the unrotated one at the SAME codebook entry budget.
+    Measured at rerank == k so ADC quality is exposed rather than
+    hidden by re-rank slack (r12 measurement: 0.47 -> 0.64 recall@10
+    at n_entries=20)."""
+    v = _clustered(spark)
+    q = _queries(v)
+    k, n_entries = 10, 20
+    qv = S.quantize_frame(v).persist()
+    try:
+        S.build_pq_index(
+            spark, v, "topq_u",
+            codebooks=S.pq_codebooks_kmeans(qv, n_entries=n_entries, iters=3),
+        )
+        plain = S.ann_pq_probe(spark, q, "topq_u", k=k, rerank=k).collect()
+        R = S.learn_opq_rotation(qv)
+        rqv = qv.withColumn("q", F.expr(S._rotate_expr("q", R))).persist()
+        S.build_pq_index(
+            spark, v, "topq_r",
+            codebooks=S.pq_codebooks_kmeans(
+                rqv, n_entries=n_entries, iters=3
+            ),
+            rotation=R,
+        )
+        rqv.unpersist(blocking=False)
+        rotated = S.ann_pq_probe(spark, q, "topq_r", k=k, rerank=k).collect()
+        truth = _brute_truth(v, q, k).collect()
+        r_plain = _recall(plain, truth, k)
+        r_rot = _recall(rotated, truth, k)
+        assert r_rot >= r_plain + 0.05, (r_plain, r_rot)
+    finally:
+        qv.unpersist(blocking=False)
+        _drop(spark, "topq_u", PQ_SUFFIXES)
+        _drop(spark, "topq_r", PQ_SUFFIXES)
+
+
+def test_rotated_append_equals_rebuild_bit_exact(spark):
+    """A rotated index's delta appends encode through the STORED
+    rotation (m = -1 codebook rows), so append == rebuild-on-union
+    with the same rotation + codebooks stays BIT-equal — the same pin
+    that transfers correctness onto every other index family's table
+    path."""
+    v = _clustered(spark)
+    is_delta = F.col("vec_id") % S.INCR_SPLIT_MOD == S.INCR_DELTA_REM
+    seed, delta = v.filter(~is_delta), v.filter(is_delta)
+    q = _queries(v)
+    try:
+        S.build_pq_index(spark, seed, "topq_a", rotation="opq")
+        stored_R = S._read_rotation(spark.table("topq_a_codebooks"))
+        assert stored_R is not None and len(stored_R) == 64
+        assert S.append_to_pq_index(spark, delta, "topq_a", batch_id=1)
+        cb = spark.table("topq_a_codebooks").filter(F.col("m") >= 0)
+        S.build_pq_index(
+            spark, v, "topq_b",
+            codebooks=cb.localCheckpoint(eager=True),
+            rotation=stored_R,
+        )
+        a = sorted(
+            tuple(r)
+            for r in S.ann_pq_probe(spark, q, "topq_a").collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in S.ann_pq_probe(spark, q, "topq_b").collect()
+        )
+        assert a == b and a
+    finally:
+        _drop(spark, "topq_a", PQ_SUFFIXES)
+        _drop(spark, "topq_b", PQ_SUFFIXES)
+
+
+def test_rotated_ivfpq_lifecycle_and_restart(spark, tmp_path):
+    """IVFPQ with rotation: residuals encode in rotated space (coarse
+    routing untouched), the probe serves sane results, appends ride
+    the stored rotation, register_index carries it across catalogs
+    for free (it lives on the codebooks table), and retrain RE-LEARNS
+    a rotation (the index stays rotated)."""
+    v = _clustered(spark)
+    is_delta = F.col("vec_id") % S.INCR_SPLIT_MOD == S.INCR_DELTA_REM
+    seed, delta = v.filter(~is_delta), v.filter(is_delta)
+    q = _queries(v, 53)
+    k = 5
+    root = str(tmp_path / "idx")
+    name = "topq_ivf"
+    try:
+        S.build_ivfpq_index(spark, seed, name, iters=2, path=root)
+        assert S._read_rotation(spark.table(f"{name}_codebooks")) is None
+        _drop(spark, name)
+        S.build_ivfpq_index(
+            spark, seed, name, iters=2, path=root, rotation="opq"
+        )
+        R = S._read_rotation(spark.table(f"{name}_codebooks"))
+        assert R is not None
+        before = sorted(
+            tuple(r)
+            for r in S.ann_ivfpq_probe(spark, q, name, k=k).collect()
+        )
+        assert before
+        # recall through the rotated composite clears the same gate
+        truth = _brute_truth(seed, q, k).collect()
+        probe = S.ann_ivfpq_probe(spark, q, name, k=k).collect()
+        assert _recall(probe, truth, k) >= 0.6
+        # re-attach in a fresh catalog: rotation rides the codebooks
+        M.drop_index(spark, name)
+        assert M.register_index(spark, name, root) == "ivfpq"
+        assert S._read_rotation(spark.table(f"{name}_codebooks")) == R
+        again = sorted(
+            tuple(r)
+            for r in S.ann_ivfpq_probe(spark, q, name, k=k).collect()
+        )
+        assert again == before
+        # appends encode the delta through the stored rotation
+        assert S.append_to_ivfpq_index(spark, delta, name, batch_id=1)
+        post = S.ann_ivfpq_probe(spark, _queries(v, 53), name, k=k)
+        assert post.count() > 0
+        # retrain keeps the index rotated (re-learned matrix)
+        S.retrain_ivfpq_index(spark, name, iters=1)
+        assert S._read_rotation(spark.table(f"{name}_codebooks")) is not None
+    finally:
+        _drop(spark, name)

@@ -211,6 +211,77 @@ def build_tiled(spark, base: str, out_dir: str, tiles: int) -> str:
     return out_dir
 
 
+def build_clustered(
+    spark,
+    src: str,
+    out_dir: str,
+    m: int = 16,
+    base_w: float = 0.6,
+    span_w: float = 0.25,
+) -> str:
+    """Materialize a CLUSTER-STRUCTURED variant of ``src``'s embeddings
+    — the geometry real encoder embeddings exhibit and IVF exists to
+    exploit (a query's neighbors concentrated in FEW inverted lists),
+    versus the near-uniform synthetic fixture, which is IVF's worst
+    case (every list holds ~uniform probability mass, so recall grows
+    only ~linearly with nprobe).  Every recall number published before
+    r12 rode the worst case; this mode makes the sizing evidence
+    representative.
+
+    Deterministic, no RNG (the tiler's discipline): the ``m``
+    lowest-id vectors become concept ANCHORS; every vector blends
+    toward its ``vec_id % m`` anchor with a per-vector weight
+    ``w = base_w + span_w * ((vec_id * 7919) % 101) / 101`` (7919 =
+    the 1000th prime; bounded spread so clusters have interior
+    structure instead of collapsing to m points).  At dim=64 the
+    fixture's vectors are near-orthogonal, so intra-cluster cosine
+    lands around ``w^2 / (w^2 + (1-w)^2)`` ≈ 0.7-0.9 and cross-cluster
+    stays ≈ anchor-cosine ≈ 0 — tight-but-not-degenerate concept
+    clusters.  Only ``embeddings.parquet`` is transformed (the recall
+    suites read nothing else); idempotent via the marker scheme."""
+    marker = os.path.join(out_dir, "_SOAK_OK")
+    stamp = f"v1-clustered:{m}:{base_w}:{span_w}:{src}"
+    if os.path.exists(marker) and open(marker).read().strip() == stamp:
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    from pyspark.sql import Window
+
+    v = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+    anchors = (
+        v.orderBy("vec_id")
+        .limit(m)
+        .select(
+            (
+                F.row_number().over(Window.orderBy("vec_id")) - 1
+            ).alias("cluster"),
+            F.col("embedding").alias("anchor"),
+        )
+    )
+    w_expr = (
+        f"(CAST({base_w} AS DOUBLE) + CAST({span_w} AS DOUBLE)"
+        f" * CAST((vec_id * 7919) % 101 AS DOUBLE) / 101.0)"
+    )
+    blended = (
+        v.withColumn("cluster", (F.col("vec_id") % m).cast("int"))
+        .join(F.broadcast(anchors), "cluster")
+        .selectExpr(
+            "vec_id",
+            f"transform(zip_with(embedding, anchor, (a, b) ->"
+            f" (1.0 - {w_expr}) * CAST(a AS DOUBLE)"
+            f" + {w_expr} * CAST(b AS DOUBLE)),"
+            f" x -> CAST(x AS FLOAT)) AS embedding",
+            *[c for c in v.columns if c not in ("vec_id", "embedding")],
+        )
+    )
+    blended.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+    return out_dir
+
+
 #: ~420 chars of deterministic boilerplate: long enough to dominate a
 #: document's 3-word shingle set (so sharing it puts two docs above the
 #: Jaccard threshold and into the same LSH buckets) and to pass the
@@ -1084,6 +1155,16 @@ def main() -> None:
         help="sweep nprobe on the LARGEST scale dir recording "
         "recall@k and steady probe wall",
     )
+    ap.add_argument(
+        "--geometry",
+        choices=["uniform", "clustered"],
+        default="uniform",
+        help="embedding geometry for the recall suites: 'uniform' = "
+        "the fixture as-is (near-orthogonal — IVF's worst case), "
+        "'clustered' = deterministic concept-cluster variant "
+        "(build_clustered — the geometry real encoder embeddings "
+        "exhibit)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="spark-graft-soak")
@@ -1114,19 +1195,22 @@ def main() -> None:
         spark.stop()
         return
 
-    if args.drift_recall:
+    if args.drift_recall or args.nprobe_curve:
         scale, src = dirs[-1]
-        out = run_drift_recall_suite(spark, src)
-        out["scale"] = scale
-        print(json.dumps({**out, "detail": "drift_recall_summary"}))
-        spark.stop()
-        return
-
-    if args.nprobe_curve:
-        scale, src = dirs[-1]
-        out = run_nprobe_curve(spark, src, warm=args.warm)
-        out["scale"] = scale
-        print(json.dumps({**out, "detail": "nprobe_curve_summary"}))
+        if args.geometry == "clustered":
+            cl = os.path.join(args.out, f"x{scale}_clustered")
+            print(f"# building clustered x{scale} at {cl} ...",
+                  file=sys.stderr)
+            build_clustered(spark, src, cl)
+            src = cl
+        if args.drift_recall:
+            out = run_drift_recall_suite(spark, src)
+            out["scale"], out["geometry"] = scale, args.geometry
+            print(json.dumps({**out, "detail": "drift_recall_summary"}))
+        if args.nprobe_curve:
+            out = run_nprobe_curve(spark, src, warm=args.warm)
+            out["scale"], out["geometry"] = scale, args.geometry
+            print(json.dumps({**out, "detail": "nprobe_curve_summary"}))
         spark.stop()
         return
 
