@@ -490,6 +490,14 @@ def main() -> None:
     # (round-over-round comparability for every post-r1 operator — r5's
     # artifact lost it to truncation) and the headline metric LAST.
     print(json.dumps({"detail": "queries", "steady": timings, "cold": cold_timings}))
+    # WOBBLE PROTOCOL (r12, the r11 verdict's ask made explicit): a
+    # per-key move is a REAL regression only if it moves the SAME
+    # direction for TWO consecutive rounds by more than its share of
+    # the headline_variance spread below — single-round swings of
+    # ±0.1-0.2s under co-tenant load are noise and have round-tripped
+    # every time so far (r10 q5/q3/q7/q9 all reverted in r11; r11's
+    # dedup_exact +0.12 is the r12 watch item).  Investigate two-round
+    # monotone drifts; do not chase one-round deltas.
     print(json.dumps({
         "detail": "headline_variance",
         "warm_totals": [round(t, 2) for t in warm_totals],
