@@ -1013,6 +1013,13 @@ def vacuum_index(
       When the table IS in the catalog its current location wins and
       the other sibling is removed.
 
+    Vacuum is a MUTATION verb and checks the writer lease first: a
+    LIVE writer's in-flight compaction legitimately holds a
+    ``__compact_tmp`` that is work-in-progress, not debris — vacuuming
+    under it would destroy a running swap.  Run vacuum only when no
+    healthy writer holds the index (the crashed-writer case vacuum
+    exists for is exactly the expired-lease case).
+
     Pass ``path=`` for an external index that is not (yet) registered
     in this session.  Returns ``{"removed": [...], "restored": [...],
     "completed_swaps": [...], "dropped_tables": [...],
@@ -1021,6 +1028,7 @@ def vacuum_index(
     tests/test_maintenance.py."""
     if prefer not in (None, "base", "compact"):
         raise ValueError("prefer must be None, 'base', or 'compact'")
+    check_index_lease(spark, name, path)
     try:
         family = index_family(spark, name)
     except ValueError:

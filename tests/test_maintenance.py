@@ -876,3 +876,51 @@ def test_vacuum_index_completes_a_crashed_bucketed_swap(spark, tmp_path):
         for s in ("_lists", "_lists__compact_tmp", "_centroids",
                   "_batches", "_stats"):
             spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+
+
+def test_vacuum_respects_the_writer_lease(spark, tmp_path):
+    """Vacuum is a mutation: a LIVE foreign writer's in-flight
+    __compact_tmp is work-in-progress, not debris — vacuum must fail
+    fast under an unexpired foreign lease and proceed once it
+    expires."""
+    import json
+    import time
+
+    import pytest as _pytest
+
+    from hadoop_logfile_inputformat_spark.operators import (
+        maintenance as M,
+        similarity as S,
+    )
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    v = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    name = "t_vaclease"
+    try:
+        S.build_ivf_index(spark, v, name, n_buckets=4)
+        site = M._lease_site(spark, name)
+        fs, jvm = M._hadoop_fs(spark, site)
+        p = jvm.org.apache.hadoop.fs.Path(site)
+        out = fs.create(p, True)
+        out.write(bytearray(json.dumps(
+            {"owner": "app-live-writer", "epoch": time.time(),
+             "ttl_s": 600}
+        ).encode()))
+        out.close()
+        with _pytest.raises(M.IndexLeaseHeld):
+            M.vacuum_index(spark, name)
+        # expired: the crashed-writer case vacuum exists for
+        out = fs.create(p, True)
+        out.write(bytearray(json.dumps(
+            {"owner": "app-live-writer", "epoch": time.time() - 100,
+             "ttl_s": 1}
+        ).encode()))
+        out.close()
+        rep = M.vacuum_index(spark, name)
+        assert rep["ambiguous"] == []
+        fs.delete(p, False)
+    finally:
+        for s in ("_lists", "_centroids", "_batches", "_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
