@@ -1919,7 +1919,9 @@ def retrain_pq_index(
         rotation = None
         train_src = qv
         if prior_R is not None:
-            rotation = learn_opq_rotation(qv)
+            rotation = learn_opq_rotation(
+                qv, sample_modulus=_opq_sample_modulus(qv.count())
+            )
             train_src = qv.withColumn(
                 "q", F.expr(_rotate_expr("q", rotation))
             ).persist()
@@ -3050,6 +3052,22 @@ def _pq_encode(parts: DataFrame, cb: DataFrame, carry: tuple = ()) -> DataFrame:
     )
 
 
+#: Vector budget for OPQ rotation training: the second-moment explode
+#: generates n × d²/2 rows, so builders subsample to ~this many
+#: vectors (statistics, not membership — published OPQ trains on
+#: 10-100k samples regardless of corpus size).
+OPQ_TRAIN_SAMPLE = 50_000
+
+
+def _opq_sample_modulus(n: int | None) -> int:
+    """Deterministic ``vec_id %`` modulus that leaves ~OPQ_TRAIN_SAMPLE
+    training vectors; 1 (no sampling) when the corpus is already small
+    or its size is unknown."""
+    if n is None or n <= OPQ_TRAIN_SAMPLE:
+        return 1
+    return max(1, n // OPQ_TRAIN_SAMPLE)
+
+
 def learn_opq_rotation(
     v: DataFrame, vec_col: str = "q", sample_modulus: int = 1
 ) -> list:
@@ -3073,11 +3091,16 @@ def learn_opq_rotation(
     sums are map-side combined, d²/2 rows reach the driver, and numpy
     does the d × d eigendecomposition driver-side (d = 64 here —
     model-sized by construction, like every literal this package
-    inlines).  Deterministic given the input data up to float fold
-    order; indexes STORE the rotation they were built with (rows with
-    ``m = -1`` on the codebooks table), and appends/probes read the
-    stored matrix, so lifecycle bit-equality never depends on
-    re-learning."""
+    inlines).  SCALE NOTE: the explode generates n × d²/2 intermediate
+    rows before the combine, so the builders pass a sample modulus
+    targeting :data:`OPQ_TRAIN_SAMPLE` vectors (deterministic ``vec_id
+    %`` — the same stand-in-for-sampling discipline as the modulus
+    codebooks); a 100 TB corpus trains its rotation on ~50k vectors
+    like every published OPQ does, never on the corpus.  Deterministic
+    given the input data up to float fold order; indexes STORE the
+    rotation they were built with (rows with ``m = -1`` on the
+    codebooks table), and appends/probes read the stored matrix, so
+    lifecycle bit-equality never depends on re-learning."""
     import numpy as np
 
     d = PQ_M * PQ_SUBDIM
@@ -3597,7 +3620,12 @@ def build_pq_index(
     qv = quantize_frame(vectors, carry=carry).persist()
     R = None
     if rotation is not None:
-        R = learn_opq_rotation(qv) if rotation == "opq" else rotation
+        if rotation == "opq":
+            R = learn_opq_rotation(
+                qv, sample_modulus=_opq_sample_modulus(qv.count())
+            )
+        else:
+            R = rotation
     enc_src = qv
     if R is not None:
         # pinned: the d x d rotation HOF would re-inline into every
@@ -3867,9 +3895,14 @@ def build_ivfpq_index(
         # rotate after residualization).  Learned from / applied to
         # the residual frame; pinned (the re-inline landmine).
         if rotation is not None:
-            R = (
-                learn_opq_rotation(res) if rotation == "opq" else rotation
-            )
+            if rotation == "opq":
+                if n is None:
+                    n = qv.count()
+                R = learn_opq_rotation(
+                    res, sample_modulus=_opq_sample_modulus(n)
+                )
+            else:
+                R = rotation
         if R is not None:
             enc_res = res.withColumn(
                 "q", F.expr(_rotate_expr("q", R))

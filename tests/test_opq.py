@@ -251,3 +251,30 @@ def test_rotated_ivfpq_lifecycle_and_restart(spark, tmp_path):
         assert S._read_rotation(spark.table(f"{name}_codebooks")) is not None
     finally:
         _drop(spark, name)
+
+
+def test_sampled_rotation_training_stays_orthonormal(spark):
+    """At 100 TB the rotation trains on a deterministic sample
+    (_opq_sample_modulus targets OPQ_TRAIN_SAMPLE vectors — the
+    second-moment explode is n x d^2/2 rows, so training must not
+    scan the corpus).  A sampled rotation is still exactly orthonormal
+    (eigh of a symmetric moment, whatever the sample) and a build over
+    it serves."""
+    assert S._opq_sample_modulus(None) == 1
+    assert S._opq_sample_modulus(10_000) == 1
+    assert S._opq_sample_modulus(5_000_000) == 100
+    v = _clustered(spark)
+    qv = S.quantize_frame(v).persist()
+    try:
+        R = S.learn_opq_rotation(qv, sample_modulus=5)
+        d = S.PQ_M * S.PQ_SUBDIM
+        for i in range(0, d, 9):
+            for j in range(0, d, 9):
+                dot = sum(R[i][t] * R[j][t] for t in range(d))
+                assert abs(dot - (1.0 if i == j else 0.0)) < 1e-9
+        S.build_pq_index(spark, v, "topq_s", rotation=R)
+        q = _queries(v)
+        assert S.ann_pq_probe(spark, q, "topq_s", k=5).count() > 0
+    finally:
+        qv.unpersist(blocking=False)
+        _drop(spark, "topq_s", PQ_SUFFIXES)
