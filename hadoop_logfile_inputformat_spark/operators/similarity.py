@@ -1432,7 +1432,7 @@ def append_to_ivfpq_index(
     )
     # OPQ (r12): a rotated index encodes the delta's residuals in the
     # SAME stored rotation — pinned (re-inline landmine), delta-sized
-    R = _read_rotation(cb)
+    R = _read_rotation_cached(spark, name)
     if R is not None:
         res = scoped_persist(
             res.withColumn("q", F.expr(_rotate_expr("q", R))),
@@ -1530,7 +1530,7 @@ def append_to_pq_index(
     # OPQ (r12): a rotated index encodes its delta in the SAME stored
     # rotation (m = -1 codebook rows) — append == rebuild parity rides
     # the stored matrix, never a re-learn
-    R = _read_rotation(cb)
+    R = _read_rotation_cached(spark, name)
     enc_in = (
         qv if R is None
         else scoped_persist(
@@ -3191,6 +3191,35 @@ def _read_rotation(cb: DataFrame) -> list | None:
     return [[float(x) for x in r["c_sub"]] for r in rows]
 
 
+def _read_rotation_cached(spark: SparkSession, name: str) -> list | None:
+    """:func:`_read_rotation` for a PERSISTED index, memoized on the
+    codebooks table's file signature (the :func:`_centroids_table_key`
+    discipline): a serving loop probes the same frozen index per
+    query frame, and the rotation read is one tiny collect it needn't
+    re-pay — while any rebuild/retrain (new part filenames) misses the
+    cache, including foreign-session ones.  Falls back to the plain
+    read when the signature probe fails."""
+    table = f"{name}_codebooks"
+    try:
+        detail = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        loc = next(
+            (r.data_type for r in detail if r.col_name == "Location"), None
+        )
+        sig = _files_signature(spark, loc) if loc else None
+    except Exception:
+        sig = None
+    if sig is None:
+        return _read_rotation(spark.table(table))
+    key = ("rot", spark.sparkContext.applicationId, table, sig)
+    if key in _ASSIGN_RENDER_CACHE:
+        return _ASSIGN_RENDER_CACHE[key]
+    R = _read_rotation(spark.table(table))
+    _ASSIGN_RENDER_CACHE[key] = R
+    while len(_ASSIGN_RENDER_CACHE) > _ASSIGN_RENDER_CACHE_MAX:
+        _ASSIGN_RENDER_CACHE.popitem(last=False)
+    return R
+
+
 def _pq_encode_fused(v: DataFrame, cb: DataFrame, carry: tuple = ()) -> DataFrame:
     """One-pass PQ encode: same output as :func:`_pq_encode` —
     ``(vec_id, m, code, code_nrm2, code_dot[, carry...])`` — computed
@@ -3733,7 +3762,7 @@ def ann_pq_probe(
     # OPQ (r12): codes encode ROTATED vectors, so the ADC lookup table
     # is built from the ROTATED query — dot(q, x̂) = dot(Rq, Rx̂).
     # The re-rank below stays in original space (rotation-invariant).
-    R = _read_rotation(cb)
+    R = _read_rotation_cached(spark, name)
     lut_qv = (
         qv if R is None
         else qv.withColumn("q", F.expr(_rotate_expr("q", R)))
@@ -4050,7 +4079,7 @@ def ann_ivfpq_probe(
     # OPQ (r12): residual codes live in ROTATED space — dot(q, r) =
     # dot(Rq, Rr), so the LUT is built from the rotated query; the
     # coarse qc_dot term and the re-rank stay in original coordinates
-    R = _read_rotation(cb)
+    R = _read_rotation_cached(spark, name)
     lut_qv = (
         qv if R is None
         else qv.withColumn("q", F.expr(_rotate_expr("q", R)))
