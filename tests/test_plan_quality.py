@@ -348,3 +348,43 @@ def test_centroid_assignment_is_a_pure_projection(spark):
     assert "Join" not in plan, plan
     assert "Exchange" not in plan, plan
     assert plan.count("array_min") == 1, plan
+
+
+def test_opq_rotation_is_a_pure_pinned_projection(spark):
+    """The OPQ rotate (r12) must add NO join and NO exchange to the
+    encode chain — the d x d matrix rides as a SQL literal projection
+    — and the rotated frame the builders feed to _pq_encode_fused is
+    PINNED (InMemoryRelation), so the d² matmul evaluates once per
+    row instead of re-inlining into every per-entry encode lambda
+    (the upstream-HOF landmine, measured 25x re-evaluation when it
+    bit the quantize pass)."""
+    from hadoop_logfile_inputformat_spark.operators import similarity as S
+
+    v = S.quantize_frame(
+        spark.read.parquet(f"{SF}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+    )
+    R = S.learn_opq_rotation(v)
+    rotated = v.withColumn("q", F.expr(S._rotate_expr("q", R)))
+    plan = rotated._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+    # the builders' pinned form: encode over the PERSISTED rotation
+    pinned = rotated.persist()
+    try:
+        cb = S._pq_modulus_codebooks(pinned, 100)
+        enc_plan = (
+            S._pq_encode_fused(pinned, cb)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "InMemoryTableScan" in enc_plan, enc_plan
+        assert "Exchange" not in enc_plan, enc_plan
+        # the rotation literal must NOT appear inside the encode plan:
+        # it is materialized behind the persist, not re-inlined into
+        # the per-entry lambdas (the scan carries plain columns)
+        assert enc_plan.count("array_min") <= S.PQ_M + 1, enc_plan
+    finally:
+        pinned.unpersist(blocking=False)
