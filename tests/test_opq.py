@@ -278,3 +278,26 @@ def test_sampled_rotation_training_stays_orthonormal(spark):
     finally:
         qv.unpersist(blocking=False)
         _drop(spark, "topq_s", PQ_SUFFIXES)
+
+
+def test_opq_np_refinement_builds_and_serves(spark):
+    """rotation='opq-np' (Ge et al.'s non-parametric alternation,
+    driver-side on the bounded sample) produces an orthonormal matrix
+    whose index builds, stores, and serves exactly like the parametric
+    one.  (Measured: NP does not beat parametric on these fixtures —
+    see the learn_opq_rotation docstring — so 'opq' stays the
+    recommended default; this pins the capability.)"""
+    v = _clustered(spark)
+    q = _queries(v)
+    try:
+        S.build_pq_index(spark, v, "topq_np", rotation="opq-np")
+        R = S._read_rotation(spark.table("topq_np_codebooks"))
+        assert R is not None
+        d = S.PQ_M * S.PQ_SUBDIM
+        for i in range(0, d, 13):
+            for j in range(0, d, 13):
+                dot = sum(R[i][t] * R[j][t] for t in range(d))
+                assert abs(dot - (1.0 if i == j else 0.0)) < 1e-9
+        assert S.ann_pq_probe(spark, q, "topq_np", k=5).count() > 0
+    finally:
+        _drop(spark, "topq_np", PQ_SUFFIXES)
