@@ -3198,7 +3198,17 @@ def learn_opq_rotation(
                         mask = assign == e
                         if mask.any():
                             cents[e] = sub[mask].mean(0)
-                Yq[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM] = cents[assign]
+                # re-assign against the FINAL means: the reconstruction
+                # must use the codebook the Procrustes step sees, not
+                # the pre-update assignment
+                d2 = (
+                    (sub * sub).sum(1)[:, None]
+                    - 2 * sub @ cents.T
+                    + (cents * cents).sum(1)[None, :]
+                )
+                Yq[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM] = cents[
+                    d2.argmin(1)
+                ]
             A = X.T @ Yq  # Σ x x̂ᵀ
             U, _sv, Vt = np.linalg.svd(A)
             R = Vt.T @ U.T
