@@ -464,7 +464,7 @@ def _write_lease(
         except Exception as e:
             cls = getattr(getattr(e, "java_exception", None), "getClass", None)
             name = cls().getName() if cls is not None else ""
-            if "AlreadyExists" in name or "FileAlreadyExists" in name:
+            if "AlreadyExists" in name:
                 raced = _read_lease(spark, site)
                 raise IndexLeaseHeld(
                     f"lost the lease-create race at {site!r}"
@@ -533,14 +533,34 @@ def acquire_index_lease(
         try:
             _write_lease(spark, site, lease, overwrite=False)
         except IndexLeaseHeld:
-            # the file exists but read as no-lease: either a racer won
-            # the create this instant (re-raise with their identity),
-            # or it is a TORN manifest from a crashed create — clear
-            # the debris and retry the atomic create once.
+            # The file exists but read as no-lease: either a racer won
+            # the create THIS INSTANT and its payload write is still
+            # in flight, or it is TORN debris from a crashed create.
+            # Distinguish by age (r12 review fix): a same-instant
+            # winner's write completes in milliseconds, so an invalid
+            # manifest OLDER than the grace window is debris — clear
+            # and retry the atomic create once; a RECENT one is the
+            # racing winner — fail fast instead of stealing its lock
+            # out from under it (which would let both writers win).
+            time.sleep(0.2)
             if _read_lease(spark, site) is not None:
                 raise
             fs, jvm = _hadoop_fs(spark, site)
-            fs.delete(jvm.org.apache.hadoop.fs.Path(site), False)
+            p = jvm.org.apache.hadoop.fs.Path(site)
+            try:
+                age_s = time.time() - fs.getFileStatus(
+                    p
+                ).getModificationTime() / 1000.0
+            except Exception:
+                raise IndexLeaseHeld(
+                    f"lost the lease-create race at {site!r}"
+                ) from None
+            if age_s < 5.0:
+                raise IndexLeaseHeld(
+                    f"lost the lease-create race at {site!r} (winner's "
+                    "manifest still in flight)"
+                ) from None
+            fs.delete(p, False)
             _write_lease(spark, site, lease, overwrite=False)
         return lease
     if existing.get("owner") == me:
@@ -1122,10 +1142,22 @@ def vacuum_index(
         )
         if not _exists(base) and _exists(old_d):
             # compact_parquet_dir crash mid-swap: restore the
-            # pre-compaction data, then clear the unswapped copy
-            fs.rename(P(old_d), P(base))
+            # pre-compaction data, then clear the unswapped copy.
+            # Hadoop rename signals failure by RETURNING FALSE (r12
+            # review fix): a silent failure here followed by the
+            # debris deletes below would destroy the only complete
+            # copy — hard-error instead, exactly like
+            # compact_parquet_dir's own swap does.
+            if not fs.rename(P(old_d), P(base)):
+                raise RuntimeError(
+                    f"vacuum could not restore {old_d} -> {base}; "
+                    "leaving all artifacts untouched for this table"
+                )
             report["restored"].append(base)
-        if _exists(base) or live is not None:
+        # debris deletes require the authoritative copy to EXIST —
+        # base on disk, or the catalog table serving from elsewhere
+        # (live == the __compact sibling)
+        if _exists(base) or (live is not None and _exists(live)):
             for d in (tmp_d, old_d):
                 if _exists(d):
                     fs.delete(P(d), True)
@@ -1143,4 +1175,15 @@ def vacuum_index(
                 report["removed"].append(stale)
             else:
                 report["ambiguous"].append((base, sib))
+    # a writer that crashed mid-REFRESH strands `<name>_lock.tmp`
+    # (the rename-over's temp) — the one crash artifact the lease
+    # machinery itself never revisits.  vacuum runs only without a
+    # live lease (check_index_lease above), so any lock temp here is
+    # debris.
+    lock_tmp = f"{_lease_site(spark, name, path)}.tmp"
+    fs, jvm = _hadoop_fs(spark, lock_tmp)
+    p = jvm.org.apache.hadoop.fs.Path(lock_tmp)
+    if fs.exists(p):
+        fs.delete(p, False)
+        report["removed"].append(lock_tmp)
     return report

@@ -550,6 +550,16 @@ def _centroids_table_key(spark: SparkSession, name: str) -> tuple | None:
     (r11 verdict: 2-3x per key against the same frozen centroids).
     Returns None (no caching) if anything about the probe fails."""
     table = f"{name}_centroids"
+    sig = _table_files_key(spark, table)
+    return None if sig is None else (table, sig)
+
+
+def _table_files_key(spark: SparkSession, table: str) -> tuple | None:
+    """A catalog table's content fingerprint: DESCRIBE its location,
+    list the files (path, length, mtime).  Shared by every
+    frozen-content memoization key (argmin render, rotation read) so
+    the probe logic can't drift between them; None when anything about
+    the probe fails (→ no caching)."""
     try:
         detail = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
         loc = next(
@@ -557,8 +567,7 @@ def _centroids_table_key(spark: SparkSession, name: str) -> tuple | None:
         )
         if not loc:
             return None
-        sig = _files_signature(spark, loc)
-        return None if sig is None else (table, sig)
+        return _files_signature(spark, loc)
     except Exception:
         return None
 
@@ -1651,7 +1660,13 @@ def ivf_index_drift(
             return None
         if metric == "cosine":
             return d
-        return d / abs(seed_mean) if seed_mean else None
+        if seed_mean:  # nonzero denominator: plain relative drift
+            return d / abs(seed_mean)
+        # seed_mean exactly 0.0 (l2: seed vectors ON their centroids;
+        # ip: dots averaging to zero): any positive raw drift is
+        # infinitely worse than the seed — flag it rather than
+        # silently never flagging (r12 review fix)
+        return 0.0 if d <= 0 else float("inf")
 
     drift_rel = _gauge(drift)
     last_rel = _gauge(last_drift)
@@ -3114,12 +3129,13 @@ def learn_opq_rotation(
     internal codebook budget and should match the build's (defaults
     to the modulus-family budget over the sample).  The builders
     expose it as ``rotation="opq-np"``.  Measured honestly (r12, the
-    clustered fixtures): NP does NOT beat parametric here — flat tier
-    0.628 vs 0.644, x10 composite 0.094 vs 0.098 — because the gain
-    on this data is eigenvalue-allocation-shaped, which the
-    parametric init already captures; ``"opq"`` is the recommended
-    default, NP is kept because real encoder corpora with correlated
-    subspaces are where the published gains live."""
+    clustered fixtures): NP ≈ parametric here — flat tier 0.628 vs
+    0.644, x10 composite 0.104 vs 0.098 (after matching NP's internal
+    budget to the build's) — because the gain on this data is
+    eigenvalue-allocation-shaped, which the parametric init already
+    captures; ``"opq"`` is the cheap recommended default, NP is kept
+    because real encoder corpora with correlated subspaces are where
+    the published gains live."""
     import numpy as np
 
     d = PQ_M * PQ_SUBDIM
@@ -3268,14 +3284,7 @@ def _read_rotation_cached(spark: SparkSession, name: str) -> list | None:
     cache, including foreign-session ones.  Falls back to the plain
     read when the signature probe fails."""
     table = f"{name}_codebooks"
-    try:
-        detail = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
-        loc = next(
-            (r.data_type for r in detail if r.col_name == "Location"), None
-        )
-        sig = _files_signature(spark, loc) if loc else None
-    except Exception:
-        sig = None
+    sig = _table_files_key(spark, table)
     if sig is None:
         return _read_rotation(spark.table(table))
     key = ("rot", spark.sparkContext.applicationId, table, sig)
@@ -3715,7 +3724,7 @@ def build_pq_index(
     # persisted for the build (see build_ivfpq_index: the quantize HOF
     # would re-inline into the fused encode's per-entry lambdas)
     qv = quantize_frame(vectors, carry=carry).persist()
-    R = None
+    R, n_qv = None, None
     if rotation is not None:
         if rotation in ("opq", "opq-np"):
             n_qv = qv.count()
@@ -3737,7 +3746,9 @@ def build_pq_index(
     if codebooks is not None:
         cb = codebooks.select("m", "entry_id", "c_sub", "c_nrm2")
     else:
-        eff_mod = _effective_modulus(qv.count(), PQ_CODEBOOK_MODULUS)
+        if n_qv is None:
+            n_qv = qv.count()
+        eff_mod = _effective_modulus(n_qv, PQ_CODEBOOK_MODULUS)
         cb = _pq_modulus_codebooks(enc_src, eff_mod)
     # codes feed two consumers (the table write + the seed self-sim
     # agg); narrow rows (M ints + one double per vector), so the
@@ -4001,11 +4012,21 @@ def build_ivfpq_index(
             if rotation in ("opq", "opq-np"):
                 if n is None:
                     n = qv.count()
+                # NP's internal budget must match the PRODUCTION
+                # budget (r12 review fix: passing the raw None let the
+                # refinement default to a sample-derived ~len/25 grid
+                # while the build trained ~n/eff_mod entries — the
+                # rotation was optimized for the wrong codebook size)
+                ne_rot = None
+                if rotation == "opq-np":
+                    ne_rot = n_entries or max(
+                        2, n // _effective_modulus(n, PQ_CODEBOOK_MODULUS)
+                    )
                 R = learn_opq_rotation(
                     res,
                     sample_modulus=_opq_sample_modulus(n),
                     refine_iters=2 if rotation == "opq-np" else 0,
-                    n_entries=n_entries if rotation == "opq-np" else None,
+                    n_entries=ne_rot,
                 )
             else:
                 R = rotation

@@ -921,6 +921,15 @@ def test_vacuum_respects_the_writer_lease(spark, tmp_path):
         rep = M.vacuum_index(spark, name)
         assert rep["ambiguous"] == []
         fs.delete(p, False)
+        # a writer that crashed mid-REFRESH strands <name>_lock.tmp;
+        # vacuum (running leaseless) removes it
+        tmp = jvm.org.apache.hadoop.fs.Path(f"{site}.tmp")
+        out = fs.create(tmp, True)
+        out.write(bytearray(b"{half"))
+        out.close()
+        rep = M.vacuum_index(spark, name)
+        assert f"{site}.tmp" in rep["removed"]
+        assert not fs.exists(tmp)
     finally:
         for s in ("_lists", "_centroids", "_batches", "_stats"):
             spark.sql(f"DROP TABLE IF EXISTS {name}{s}")

@@ -272,9 +272,19 @@ def test_torn_or_non_dict_lock_reads_as_absent(spark):
             out.close()
             assert M._read_lease(spark, site) is None
             M.check_index_lease(spark, name)  # passes: no valid lease
-        # acquire over a torn lock self-heals: the create loses to the
-        # physical debris, acquire re-reads (still no valid lease),
-        # clears it, and retries the atomic create
+        # a FRESH invalid manifest is indistinguishable from a racing
+        # winner whose payload write is still in flight: acquire must
+        # fail fast, NOT steal it (r12 review fix — the old heal let
+        # two same-instant acquirers both win)
+        with pytest.raises(M.IndexLeaseHeld, match="in flight"):
+            M.acquire_index_lease(spark, name, ttl_s=60)
+        # once the debris is OLD (no writer finishes a create that
+        # slowly), acquire self-heals: clears it, retries the create
+        import os
+
+        local = site.removeprefix("file:")
+        past = time.time() - 60
+        os.utime(local, (past, past))
         lease = M.acquire_index_lease(spark, name, ttl_s=60)
         assert lease["owner"] == spark.sparkContext.applicationId
     finally:
