@@ -498,6 +498,63 @@ def _lease_owner(spark: SparkSession) -> str:
     return spark.sparkContext.applicationId
 
 
+def _claim_stale_lock(spark: SparkSession, site: str, expect) -> bool:
+    """Atomically CLAIM a stale ``<name>_lock`` before stealing it:
+    rename the manifest to a stealer-unique sibling
+    (``<site>.steal.<applicationId>``) — Hadoop ``rename`` of the same
+    source succeeds for exactly one concurrent caller (the losers get
+    ``False``), which is what the r12 delete-then-create steal lacked:
+    stealer B's ``delete`` could land AFTER stealer A's fresh create,
+    removing A's live lease so B's create also succeeded and BOTH
+    writers proceeded (r12 ADVICE, medium).
+
+    After winning the rename, the claimed content is verified to
+    still be the stale manifest the caller decided to steal —
+    ``expect`` is the expired lease dict (owner + epoch compared), or
+    ``None`` for torn-JSON debris.  A mismatch means the owner
+    refreshed between the caller's read and the rename (rename-over
+    replaces the file at ``site``, so a refresh can retarget what we
+    renamed): the manifest is renamed back best-effort and the claim
+    fails — the refreshed owner keeps its lease.
+
+    Returns True only when this caller owns the (now deleted) stale
+    debris and may proceed to the atomic create; False means another
+    actor got there first — treat as a lost race."""
+    fs, jvm = _hadoop_fs(spark, site)
+    P = jvm.org.apache.hadoop.fs.Path
+    claim = f"{site}.steal.{_lease_owner(spark)}"
+    cp = P(claim)
+    if fs.exists(cp):
+        # only ever OUR OWN debris (the name embeds our identity): a
+        # prior steal by this application crashed between rename and
+        # delete — clear it so the rename below has a free target
+        fs.delete(cp, False)
+    try:
+        won = fs.rename(P(site), cp)
+    except Exception:
+        return False  # source vanished mid-claim: a rival acted first
+    if not won:
+        return False
+    claimed = _read_lease(spark, claim)
+    stale = (
+        claimed is None
+        if expect is None
+        else (
+            claimed is not None
+            and claimed.get("owner") == expect.get("owner")
+            and claimed.get("epoch") == expect.get("epoch")
+        )
+    )
+    if not stale:
+        # the owner refreshed mid-claim — give the manifest back (if
+        # the rename-back loses to a fresh create at `site`, the live
+        # owner's next periodic refresh rewrites it via rename-over)
+        fs.rename(cp, P(site))
+        return False
+    fs.delete(cp, False)
+    return True
+
+
 def acquire_index_lease(
     spark: SparkSession,
     name: str,
@@ -515,11 +572,15 @@ def acquire_index_lease(
     comfortably above the longest maintenance job, and re-acquire
     periodically from long-lived writers).
 
-    This is fail-fast protection, not a distributed lock: the create
-    is atomic (``FileSystem.create(overwrite=false)``) so at most one
-    of two same-instant stealers of an EXPIRED lease wins (the loser
-    gets :class:`IndexLeaseHeld`), but expiry still compares wall
-    clocks across machines.  An owner's periodic re-acquire refreshes
+    This is fail-fast protection, not a distributed lock: a fresh
+    lease rides the atomic ``FileSystem.create(overwrite=false)``, and
+    stealing an EXPIRED one first CLAIMS the stale manifest via an
+    atomic rename to a stealer-unique name (:func:`_claim_stale_lock`,
+    r13) — of any number of same-instant stealers exactly one wins
+    under every interleaving (losers get :class:`IndexLeaseHeld`) and
+    a loser's cleanup can never remove a winner's fresh lease.  Expiry
+    still compares wall clocks across machines, the conceded
+    approximation.  An owner's periodic re-acquire refreshes
     via temp-file + atomic rename-over, so the lock file is never
     momentarily absent mid-refresh — a healthy writer's lifetime is
     fully protected and a second writer fails before its first
@@ -560,7 +621,13 @@ def acquire_index_lease(
                     f"lost the lease-create race at {site!r} (winner's "
                     "manifest still in flight)"
                 ) from None
-            fs.delete(p, False)
+            # rename-claim the debris (r13: atomic — two concurrent
+            # debris-clearers can't both proceed the way the old
+            # delete-then-create pair could), then take the lock
+            if not _claim_stale_lock(spark, site, None):
+                raise IndexLeaseHeld(
+                    f"lost the torn-debris claim race at {site!r}"
+                ) from None
             _write_lease(spark, site, lease, overwrite=False)
         return lease
     if existing.get("owner") == me:
@@ -574,11 +641,17 @@ def acquire_index_lease(
             f"{existing['owner']!r} (expires in "
             f"{existing['epoch'] + existing['ttl_s'] - time.time():.0f}s)"
         )
-    # expired FOREIGN lease: crashed writer — steal (delete + atomic
-    # re-create; two same-instant stealers race, one gets
-    # IndexLeaseHeld from the create — the docstring's conceded race)
-    fs, jvm = _hadoop_fs(spark, site)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(site), False)
+    # expired FOREIGN lease: crashed writer — STEAL via rename-claim
+    # then atomic create (r13, replacing delete-then-create: the
+    # rename of the expired manifest succeeds for exactly ONE of any
+    # number of concurrent stealers under EVERY interleaving, so a
+    # loser's cleanup can never remove a winner's fresh lease; the
+    # create can still lose to a brand-new acquirer that arrived after
+    # our claim — that acquirer legitimately owns the lock)
+    if not _claim_stale_lock(spark, site, existing):
+        raise IndexLeaseHeld(
+            f"lost the expired-lease steal race at {site!r}"
+        )
     _write_lease(spark, site, lease, overwrite=False)
     return lease
 
@@ -1033,12 +1106,21 @@ def vacuum_index(
       When the table IS in the catalog its current location wins and
       the other sibling is removed.
 
-    Vacuum is a MUTATION verb and checks the writer lease first: a
-    LIVE writer's in-flight compaction legitimately holds a
-    ``__compact_tmp`` that is work-in-progress, not debris — vacuuming
-    under it would destroy a running swap.  Run vacuum only when no
-    healthy writer holds the index (the crashed-writer case vacuum
-    exists for is exactly the expired-lease case).
+    Vacuum is a MUTATION verb and ACQUIRES the writer lease for its
+    duration (r13, was check-only): a LIVE writer's in-flight
+    compaction legitimately holds a ``__compact_tmp`` that is
+    work-in-progress, not debris — vacuuming under it would destroy a
+    running swap.  A foreign live lease raises
+    :class:`IndexLeaseHeld`; an expired one is stolen (the
+    crashed-writer case vacuum exists for); holding the lease means
+    concurrent LEASED mutation verbs fail fast for the vacuum's
+    duration instead of interleaving with its renames.  The lease is
+    released on exit unless this application already held it (a
+    maintenance session that acquired before vacuuming keeps its
+    lease).  CAVEAT (unchanged from r12): locking is opt-in — a live
+    writer that never acquired a lease is invisible to this guard;
+    never run vacuum while any unleased writer may be mutating the
+    index.
 
     Pass ``path=`` for an external index that is not (yet) registered
     in this session.  Returns ``{"removed": [...], "restored": [...],
@@ -1048,7 +1130,32 @@ def vacuum_index(
     tests/test_maintenance.py."""
     if prefer not in (None, "base", "compact"):
         raise ValueError("prefer must be None, 'base', or 'compact'")
-    check_index_lease(spark, name, path)
+    # take the lease for the vacuum's duration (r13): acquire raises
+    # IndexLeaseHeld on a foreign LIVE lease (same refusal as the old
+    # check) and steals an expired one; release on exit only if we
+    # were not already the owner going in
+    _site = _lease_site(spark, name, path)
+    _prior = _read_lease(spark, _site)
+    _owned_before = (
+        _prior is not None
+        and _prior.get("owner") == _lease_owner(spark)
+        and time.time() <= _prior.get("epoch", 0) + _prior.get("ttl_s", 0)
+    )
+    acquire_index_lease(spark, name, path=path)
+    try:
+        return _vacuum_index_leased(spark, name, path, prefer)
+    finally:
+        if not _owned_before:
+            release_index_lease(spark, name, path)
+
+
+def _vacuum_index_leased(
+    spark: SparkSession,
+    name: str,
+    path: str | None,
+    prefer: str | None,
+) -> dict:
+    """:func:`vacuum_index` body, entered holding the writer lease."""
     try:
         family = index_family(spark, name)
     except ValueError:
@@ -1175,15 +1282,22 @@ def vacuum_index(
                 report["removed"].append(stale)
             else:
                 report["ambiguous"].append((base, sib))
-    # a writer that crashed mid-REFRESH strands `<name>_lock.tmp`
-    # (the rename-over's temp) — the one crash artifact the lease
-    # machinery itself never revisits.  vacuum runs only without a
-    # live lease (check_index_lease above), so any lock temp here is
-    # debris.
-    lock_tmp = f"{_lease_site(spark, name, path)}.tmp"
-    fs, jvm = _hadoop_fs(spark, lock_tmp)
-    p = jvm.org.apache.hadoop.fs.Path(lock_tmp)
-    if fs.exists(p):
-        fs.delete(p, False)
+    # lease-machinery debris the lease itself never revisits: a
+    # writer crashed mid-REFRESH strands `<name>_lock.tmp` (the
+    # rename-over's temp); a stealer crashed mid-CLAIM strands
+    # `<name>_lock.steal.<app>` (r13).  Vacuum HOLDS the lease here,
+    # so no rival refresh is in flight; a rival's in-flight steal
+    # losing its claim file mid-protocol fails closed (its
+    # verify-read misses -> IndexLeaseHeld), never double-acquires.
+    site = _lease_site(spark, name, path)
+    fs, jvm = _hadoop_fs(spark, site)
+    P = jvm.org.apache.hadoop.fs.Path
+    lock_tmp = f"{site}.tmp"
+    if fs.exists(P(lock_tmp)):
+        fs.delete(P(lock_tmp), False)
         report["removed"].append(lock_tmp)
+    for st in fs.globStatus(P(f"{site}.steal.*")) or []:
+        sp = st.getPath()
+        fs.delete(sp, False)
+        report["removed"].append(sp.toString())
     return report

@@ -1875,8 +1875,13 @@ def retrain_ivfpq_index(
         dsnap = _preserve_deferred(spark, name)
         # OPQ (r12): a rotated index RE-LEARNS its rotation on retrain
         # (acting on drift means adapting the grid to what is held now
-        # — rotation included); an unrotated index stays unrotated
-        prior_R = _read_rotation(spark.table(f"{name}_codebooks"))
+        # — rotation included); an unrotated index stays unrotated.
+        # r13: the PERSISTED kind tag decides WHICH rotation to
+        # re-learn, so an opq-np index keeps its NP refinement instead
+        # of silently downgrading to parametric.
+        prior_kind = _read_rotation_kind(
+            spark.table(f"{name}_codebooks")
+        )
         build_ivfpq_index(
             spark,
             held,
@@ -1885,7 +1890,7 @@ def retrain_ivfpq_index(
             n_entries=n_entries,
             iters=iters,
             carry=carry,
-            rotation="opq" if prior_R is not None else None,
+            rotation=prior_kind,
             **site,
         )
         _restore_deferred(spark, name, dsnap, f"{name}_quantized")
@@ -1929,13 +1934,22 @@ def retrain_pq_index(
                 2, n // _effective_modulus(n, PQ_CODEBOOK_MODULUS)
             )
         # OPQ (r12): a rotated index re-learns its rotation on the held
-        # corpus and trains the new codebooks in the NEW rotated space
-        prior_R = _read_rotation(spark.table(f"{name}_codebooks"))
+        # corpus and trains the new codebooks in the NEW rotated space.
+        # r13: the persisted kind tag picks the refinement — an opq-np
+        # index re-learns WITH the NP alternation (at the production
+        # entry budget, the r12 budget-match rule) instead of being
+        # silently downgraded to parametric.
+        prior_kind = _read_rotation_kind(
+            spark.table(f"{name}_codebooks")
+        )
         rotation = None
         train_src = qv
-        if prior_R is not None:
+        if prior_kind is not None:
             rotation = learn_opq_rotation(
-                qv, sample_modulus=_opq_sample_modulus(qv.count())
+                qv,
+                sample_modulus=_opq_sample_modulus(qv.count()),
+                refine_iters=2 if prior_kind == "opq-np" else 0,
+                n_entries=n_entries if prior_kind == "opq-np" else None,
             )
             train_src = qv.withColumn(
                 "q", F.expr(_rotate_expr("q", rotation))
@@ -1944,7 +1958,7 @@ def retrain_pq_index(
         dsnap = _preserve_deferred(spark, name)
         build_pq_index(
             spark, held, name, codebooks=cb, carry=carry,
-            rotation=rotation, **site
+            rotation=rotation, rotation_kind=prior_kind, **site
         )
         if train_src is not qv:
             train_src.unpersist(blocking=False)
@@ -3075,12 +3089,16 @@ OPQ_TRAIN_SAMPLE = 50_000
 
 
 def _opq_sample_modulus(n: int | None) -> int:
-    """Deterministic ``vec_id %`` modulus that leaves ~OPQ_TRAIN_SAMPLE
-    training vectors; 1 (no sampling) when the corpus is already small
-    or its size is unknown."""
+    """Deterministic ``vec_id %`` modulus that leaves AT MOST
+    ~OPQ_TRAIN_SAMPLE training vectors; 1 (no sampling) when the
+    corpus is already small or its size is unknown.  CEILING division
+    (r13 ADVICE fix): floor let n just under 2x the budget (e.g.
+    99,999 -> modulus 1) retain the WHOLE corpus — up to 2x the
+    documented bound, ~205M exploded second-moment rows and, for
+    ``rotation='opq-np'``, a driver collect of ~100k sample rows."""
     if n is None or n <= OPQ_TRAIN_SAMPLE:
         return 1
-    return max(1, n // OPQ_TRAIN_SAMPLE)
+    return max(1, -(-n // OPQ_TRAIN_SAMPLE))
 
 
 def learn_opq_rotation(
@@ -3250,7 +3268,9 @@ def _rotate_expr(vec_col: str, R: list) -> str:
     )
 
 
-def _rotation_rows(spark: SparkSession, R: list) -> DataFrame:
+def _rotation_rows(
+    spark: SparkSession, R: list, kind: str = "opq"
+) -> DataFrame:
     """The rotation as codebook-table rows: ``m = -1`` marks them (a
     real subspace id is 0..PQ_M-1, so every consumer — the fused
     encode's ``range(PQ_M)`` literal, the probe LUT's join on the
@@ -3258,11 +3278,31 @@ def _rotation_rows(spark: SparkSession, R: list) -> DataFrame:
     orders the rows, ``c_sub`` carries the row vector.  Riding the
     codebooks table means :func:`maintenance.register_index` carries
     the rotation across sessions for free, exactly like ``metric=``
-    on the centroids table."""
+    on the centroids table.
+
+    ``c_nrm2`` is meaningless on these marker rows, so it carries the
+    rotation KIND (r13 ADVICE fix): 2.0 = ``"opq-np"``, 1.0 =
+    parametric ``"opq"`` (and every pre-r13 index, which only the
+    parametric path wrote) — so retrains re-learn with the SAME
+    refinement the index was built with instead of silently
+    downgrading NP to parametric."""
     return spark.createDataFrame(
         [(-1, i, row) for i, row in enumerate(R)],
         "m int, entry_id int, c_sub array<double>",
-    ).withColumn("c_nrm2", F.lit(1.0))
+    ).withColumn("c_nrm2", F.lit(2.0 if kind == "opq-np" else 1.0))
+
+
+def _read_rotation_kind(cb: DataFrame) -> str | None:
+    """The persisted rotation KIND of a codebooks table/frame: ``None``
+    (unrotated), ``"opq"`` (parametric, incl. pre-r13 and explicit
+    pre-learned matrices), or ``"opq-np"`` — read from the ``c_nrm2``
+    tag of the ``m = -1`` marker rows (see :func:`_rotation_rows`)."""
+    row = (
+        cb.filter(F.col("m") == -1).select("c_nrm2").limit(1).collect()
+    )
+    if not row:
+        return None
+    return "opq-np" if float(row[0]["c_nrm2"]) == 2.0 else "opq"
 
 
 def _read_rotation(cb: DataFrame) -> list | None:
@@ -3677,6 +3717,7 @@ def build_pq_index(
     codebooks: DataFrame | None = None,
     carry: tuple = (),
     rotation=None,
+    rotation_kind: str | None = None,
 ) -> None:
     """Materialize the PQ search structure of ``vectors`` (any
     ``(vec_id, embedding)`` DataFrame): quantize + encode the corpus
@@ -3725,6 +3766,12 @@ def build_pq_index(
     # would re-inline into the fused encode's per-entry lambdas)
     qv = quantize_frame(vectors, carry=carry).persist()
     R, n_qv = None, None
+    # the stored kind tag (r13): learned rotations tag themselves;
+    # a pre-learned matrix tags whatever the caller says it is
+    # (retrains pass the prior kind through), default parametric
+    rot_kind = rotation if rotation in ("opq", "opq-np") else (
+        rotation_kind or "opq"
+    )
     if rotation is not None:
         if rotation in ("opq", "opq-np"):
             n_qv = qv.count()
@@ -3790,7 +3837,7 @@ def build_pq_index(
     cb_out = cb if R is None else cb.select(
         "m", "entry_id", F.col("c_sub").cast("array<double>").alias("c_sub"),
         "c_nrm2",
-    ).unionByName(_rotation_rows(spark, R))
+    ).unionByName(_rotation_rows(spark, R, rot_kind))
     bw = cb_out.coalesce(1).write.mode("overwrite").format("parquet")
     if path is not None:
         bw = bw.option("path", f"{path}/{name}_codebooks")
@@ -3908,6 +3955,7 @@ def build_ivfpq_index(
     codebooks: DataFrame | None = None,
     carry: tuple = (),
     rotation=None,
+    rotation_kind: str | None = None,
 ) -> None:
     """Materialize the composite IVF-PQ (IVFADC) search structure of
     ``vectors`` (any ``(vec_id, embedding)`` DataFrame) — the canonical
@@ -4003,6 +4051,10 @@ def build_ivfpq_index(
     ).persist()
     t1 = time.monotonic()
     enc_res, R = res, None
+    # stored kind tag (r13) — same contract as build_pq_index
+    rot_kind = rotation if rotation in ("opq", "opq-np") else (
+        rotation_kind or "opq"
+    )
     try:
         # OPQ (r12): the rotation applies to the RESIDUAL space —
         # coarse routing stays in original coordinates (Ge et al.:
@@ -4082,7 +4134,7 @@ def build_ivfpq_index(
     cb_out = cb if R is None else cb.select(
         "m", "entry_id", F.col("c_sub").cast("array<double>").alias("c_sub"),
         "c_nrm2",
-    ).unionByName(_rotation_rows(spark, R))
+    ).unionByName(_rotation_rows(spark, R, rot_kind))
     for frame, suffix in ((cent, "_centroids"), (cb_out, "_codebooks")):
         w = frame.coalesce(1).write.mode("overwrite").format("parquet")
         if path is not None:

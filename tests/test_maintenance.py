@@ -933,3 +933,49 @@ def test_vacuum_respects_the_writer_lease(spark, tmp_path):
     finally:
         for s in ("_lists", "_centroids", "_batches", "_stats"):
             spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+
+
+def test_vacuum_holds_the_lease_and_cleans_steal_debris(spark, tmp_path):
+    """r13 ADVICE fix: vacuum ACQUIRES the writer lease for its
+    duration (was check-only — a concurrent leased verb now fails
+    fast instead of interleaving with vacuum's renames), releases it
+    on exit unless this application already owned it, and removes a
+    crashed stealer's `<lock>.steal.<app>` claim debris."""
+    from hadoop_logfile_inputformat_spark.operators import (
+        maintenance as M,
+        similarity as S,
+    )
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    v = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    name = "t_vaclease13"
+    try:
+        S.build_ivf_index(spark, v, name, n_buckets=4)
+        site = M._lease_site(spark, name)
+        fs, jvm = M._hadoop_fs(spark, site)
+        P = jvm.org.apache.hadoop.fs.Path
+        out = fs.create(P(f"{site}.steal.app-crashed-stealer"), True)
+        out.write(bytearray(b"{}"))
+        out.close()
+        rep = M.vacuum_index(spark, name)
+        assert any(
+            x.endswith(".steal.app-crashed-stealer")
+            for x in rep["removed"]
+        )
+        assert not fs.exists(P(f"{site}.steal.app-crashed-stealer"))
+        # vacuum took + released the lease: none remains afterwards
+        assert M._read_lease(spark, site) is None
+        # ... unless the application owned it BEFORE: then it survives
+        M.acquire_index_lease(spark, name)
+        M.vacuum_index(spark, name)
+        lease = M._read_lease(spark, site)
+        assert (
+            lease is not None
+            and lease["owner"] == spark.sparkContext.applicationId
+        )
+    finally:
+        M.release_index_lease(spark, name)
+        for s in ("_lists", "_centroids", "_batches", "_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")

@@ -301,3 +301,46 @@ def test_opq_np_refinement_builds_and_serves(spark):
         assert S.ann_pq_probe(spark, q, "topq_np", k=5).count() > 0
     finally:
         _drop(spark, "topq_np", PQ_SUFFIXES)
+
+
+def test_opq_sample_modulus_is_ceiling_bounded():
+    """r13 ADVICE fix: ceiling division — floor let n just under 2x
+    the budget (99,999) yield modulus 1 and retain the WHOLE corpus,
+    up to 2x the documented OPQ_TRAIN_SAMPLE bound."""
+    assert S._opq_sample_modulus(None) == 1
+    assert S._opq_sample_modulus(10) == 1
+    assert S._opq_sample_modulus(S.OPQ_TRAIN_SAMPLE) == 1
+    assert S._opq_sample_modulus(S.OPQ_TRAIN_SAMPLE + 1) == 2
+    assert S._opq_sample_modulus(99_999) == 2  # the reported case
+    assert S._opq_sample_modulus(100_001) == 3
+    for n in (50_001, 99_999, 100_000, 123_457, 10_000_000):
+        mod = S._opq_sample_modulus(n)
+        assert n / mod <= S.OPQ_TRAIN_SAMPLE
+
+
+def test_rotation_kind_survives_retrain(spark):
+    """r13 ADVICE fix: the rotation KIND rides the m=-1 marker rows'
+    (otherwise meaningless) c_nrm2 — 2.0 = opq-np, 1.0 = parametric —
+    so a retrain re-learns with the SAME refinement instead of
+    silently downgrading NP to parametric.  Pins: build tags the
+    kind, _read_rotation_kind round-trips it, retrain_pq_index
+    preserves it, unrotated stays None."""
+    v = _clustered(spark)
+    for name in ("topq_kp", "topq_knp", "topq_k0"):
+        _drop(spark, name, PQ_SUFFIXES)
+    try:
+        S.build_pq_index(spark, v, "topq_kp", rotation="opq")
+        S.build_pq_index(spark, v, "topq_knp", rotation="opq-np")
+        S.build_pq_index(spark, v, "topq_k0")
+        kind = S._read_rotation_kind
+        assert kind(spark.table("topq_kp_codebooks")) == "opq"
+        assert kind(spark.table("topq_knp_codebooks")) == "opq-np"
+        assert kind(spark.table("topq_k0_codebooks")) is None
+        S.retrain_pq_index(spark, "topq_knp", iters=1)
+        assert kind(spark.table("topq_knp_codebooks")) == "opq-np"
+        assert S._read_rotation(spark.table("topq_knp_codebooks"))
+        S.retrain_pq_index(spark, "topq_kp", iters=1)
+        assert kind(spark.table("topq_kp_codebooks")) == "opq"
+    finally:
+        for name in ("topq_kp", "topq_knp", "topq_k0"):
+            _drop(spark, name, PQ_SUFFIXES)

@@ -289,3 +289,54 @@ def test_torn_or_non_dict_lock_reads_as_absent(spark):
         assert lease["owner"] == spark.sparkContext.applicationId
     finally:
         _clear_lease(spark, name)
+
+
+def test_expired_lease_steal_is_rename_claimed(spark):
+    """r13 ADVICE fix: stealing an EXPIRED lease first claims the
+    stale manifest via an atomic rename to a stealer-unique name —
+    exactly one concurrent stealer can win under every interleaving,
+    so a loser's cleanup can never remove a winner's fresh lease (the
+    r12 delete-then-create hole).  After a successful steal the claim
+    debris is gone and the lock is ours."""
+    name = "tlk_steal13"
+    site = _write_foreign_lease(
+        spark, name, ttl_s=1, epoch=time.time() - 100
+    )
+    try:
+        lease = M.acquire_index_lease(spark, name)
+        assert lease["owner"] == spark.sparkContext.applicationId
+        fs, jvm = M._hadoop_fs(spark, site)
+        P = jvm.org.apache.hadoop.fs.Path
+        debris = fs.globStatus(P(f"{site}.steal.*"))
+        assert debris is None or len(debris) == 0
+        cur = M._read_lease(spark, site)
+        assert cur["owner"] == spark.sparkContext.applicationId
+    finally:
+        M.release_index_lease(spark, name)
+
+
+def test_claim_stale_lock_verifies_content(spark):
+    """The rename-claim only wins when the claimed manifest is STILL
+    the one the caller decided to steal; a mismatch (the owner
+    refreshed between read and rename) fails the claim and puts the
+    manifest back.  Absent source = lost race = False."""
+    name = "tlk_claim13"
+    site = _write_foreign_lease(spark, name, ttl_s=600)
+    try:
+        # absent source: a rival already acted
+        assert not M._claim_stale_lock(spark, f"{site}.nope", None)
+        # expected-lease mismatch: fails and restores the manifest
+        assert not M._claim_stale_lock(
+            spark, site, {"owner": "app-other-writer", "epoch": -1.0}
+        )
+        live = M._read_lease(spark, site)
+        assert live is not None and live["owner"] == "app-other-writer"
+        # torn-debris claim (expect None) on a VALID manifest: a real
+        # lease landed since the caller's read — fails and restores
+        assert not M._claim_stale_lock(spark, site, None)
+        assert M._read_lease(spark, site)["owner"] == "app-other-writer"
+        # matching expectation: the claim wins and consumes the file
+        assert M._claim_stale_lock(spark, site, live)
+        assert M._read_lease(spark, site) is None
+    finally:
+        _clear_lease(spark, name)
