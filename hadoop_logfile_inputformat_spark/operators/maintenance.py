@@ -1074,6 +1074,58 @@ def drop_index(spark: SparkSession, name: str, delete_files: bool = False) -> li
     return dropped
 
 
+def recover_compact_dir(spark: SparkSession, base: str,
+                        live: str | None = None) -> dict:
+    """Recover a directory from a crashed :func:`compact_parquet_dir`
+    swap — the dir-protocol half of :func:`vacuum_index`, public (r13)
+    so non-index compaction targets (e.g. a streaming pairs sink dir)
+    get the same crash recovery.  The protocol's three mutation
+    boundaries leave exactly these states, all handled:
+
+    - crash before the first rename: ``<base>__compact_tmp`` next to an
+      intact ``base`` → tmp is debris, removed;
+    - crash between the renames: ``base`` ABSENT, ``__compact_old``
+      holds the pre-compaction data → old is RESTORED to ``base``
+      (checked rename — a failure aborts loudly, never deletes), tmp
+      removed;
+    - crash after the second rename: ``base`` holds the compacted
+      data, ``__compact_old`` is stale → old removed.
+
+    ``live`` (optional) is a catalog-served location that counts as
+    the authoritative copy when ``base`` itself is absent (the
+    bucketed-sibling case vacuum passes).  Debris is only ever deleted
+    when an authoritative copy EXISTS.  Returns ``{"restored": [...],
+    "removed": [...]}``."""
+    fs, jvm = _hadoop_fs(spark, base)
+    P = jvm.org.apache.hadoop.fs.Path
+
+    def _exists(p):
+        return fs.exists(P(p))
+
+    report = {"restored": [], "removed": []}
+    tmp_d, old_d = f"{base}__compact_tmp", f"{base}__compact_old"
+    if not _exists(base) and _exists(old_d):
+        # crash mid-swap: restore the pre-compaction data, then clear
+        # the unswapped copy.  Hadoop rename signals failure by
+        # RETURNING FALSE (r12 review fix): a silent failure here
+        # followed by the debris deletes below would destroy the only
+        # complete copy — hard-error instead.
+        if not fs.rename(P(old_d), P(base)):
+            raise RuntimeError(
+                f"could not restore {old_d} -> {base}; "
+                "leaving all artifacts untouched"
+            )
+        report["restored"].append(base)
+    # debris deletes require the authoritative copy to EXIST — base on
+    # disk, or the catalog table serving from elsewhere
+    if _exists(base) or (live is not None and _exists(live)):
+        for d in (tmp_d, old_d):
+            if _exists(d):
+                fs.delete(P(d), True)
+                report["removed"].append(d)
+    return report
+
+
 def vacuum_index(
     spark: SparkSession,
     name: str,
@@ -1125,8 +1177,13 @@ def vacuum_index(
     Pass ``path=`` for an external index that is not (yet) registered
     in this session.  Returns ``{"removed": [...], "restored": [...],
     "completed_swaps": [...], "dropped_tables": [...],
-    "ambiguous": [...]}``.  After a clean vacuum, a previously
-    refusing :func:`register_index` succeeds — pinned in
+    "ambiguous": [...], "retrain_snapshots": [...]}`` — the last (r13)
+    lists a stranded ``<name>_retrain_tmp``, the signal that a RETRAIN
+    crashed mid-rebuild and the index may hold mixed table
+    generations; vacuum never deletes it (it is the recovery corpus) —
+    re-run the matching ``retrain_*_index`` verb to rebuild every
+    table consistently.  After a clean vacuum, a previously refusing
+    :func:`register_index` succeeds — pinned in
     tests/test_maintenance.py."""
     if prefer not in (None, "base", "compact"):
         raise ValueError("prefer must be None, 'base', or 'compact'")
@@ -1190,7 +1247,18 @@ def _vacuum_index_leased(
         "completed_swaps": [],
         "dropped_tables": [],
         "ambiguous": [],
+        "retrain_snapshots": [],
     }
+    # a retrain that crashed mid-rebuild KEEPS its `<name>_retrain_tmp`
+    # snapshot (r13): the rebuild overwrites several tables, so a kill
+    # between them leaves mixed generations (e.g. codes encoded against
+    # codebooks that never landed) that no rename can repair — the
+    # snapshot is both the torn-retrain SIGNAL and the recovery corpus.
+    # Vacuum REPORTS it and never deletes it; re-running the matching
+    # retrain_*_index verb rebuilds every table consistently and drops
+    # the snapshot itself.
+    if spark.catalog.tableExists(f"{name}_retrain_tmp"):
+        report["retrain_snapshots"].append(f"{name}_retrain_tmp")
     for suffix in corpus + aux + ("_tombstones", "_deferred"):
         t = f"{name}{suffix}"
         tmp_table = f"{t}__compact_tmp"
@@ -1236,39 +1304,18 @@ def _vacuum_index_leased(
             live = None
         else:
             continue
+        # dir-protocol artifacts (__compact_tmp / __compact_old):
+        # the shared recovery verb (r13 — also public for sink dirs)
+        sub = recover_compact_dir(spark, base, live=live)
+        report["restored"].extend(sub["restored"])
+        report["removed"].extend(sub["removed"])
         fs, jvm = _hadoop_fs(spark, base)
         P = jvm.org.apache.hadoop.fs.Path
 
         def _exists(p, fs=fs, P=P):
             return fs.exists(P(p))
 
-        tmp_d, old_d, sib = (
-            f"{base}__compact_tmp",
-            f"{base}__compact_old",
-            f"{base}__compact",
-        )
-        if not _exists(base) and _exists(old_d):
-            # compact_parquet_dir crash mid-swap: restore the
-            # pre-compaction data, then clear the unswapped copy.
-            # Hadoop rename signals failure by RETURNING FALSE (r12
-            # review fix): a silent failure here followed by the
-            # debris deletes below would destroy the only complete
-            # copy — hard-error instead, exactly like
-            # compact_parquet_dir's own swap does.
-            if not fs.rename(P(old_d), P(base)):
-                raise RuntimeError(
-                    f"vacuum could not restore {old_d} -> {base}; "
-                    "leaving all artifacts untouched for this table"
-                )
-            report["restored"].append(base)
-        # debris deletes require the authoritative copy to EXIST —
-        # base on disk, or the catalog table serving from elsewhere
-        # (live == the __compact sibling)
-        if _exists(base) or (live is not None and _exists(live)):
-            for d in (tmp_d, old_d):
-                if _exists(d):
-                    fs.delete(P(d), True)
-                    report["removed"].append(d)
+        sib = f"{base}__compact"
         # both bucketed siblings present: catalog location arbitrates;
         # otherwise only an explicit prefer= does
         if _exists(base) and _exists(sib):

@@ -1799,8 +1799,14 @@ def retrain_ivf_index(
             metric=idx_metric, **site
         )
         _restore_deferred(spark, name, dsnap, f"{name}_lists")
-    finally:
-        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    except BaseException:
+        # crash-or-error mid-rebuild (r13): KEEP the snapshot — it is
+        # the recovery corpus, and its presence is the torn-retrain
+        # signal maintenance.vacuum_index reports (the rebuild writes
+        # several tables; a kill between them leaves generations
+        # mixed).  Re-running the retrain clears it.
+        raise
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     return ivf_index_drift(spark, name)
 
 
@@ -1894,8 +1900,10 @@ def retrain_ivfpq_index(
             **site,
         )
         _restore_deferred(spark, name, dsnap, f"{name}_quantized")
-    finally:
-        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    except BaseException:
+        # keep the snapshot on failure — see retrain_ivf_index (r13)
+        raise
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     return ivf_index_drift(spark, name)
 
 
@@ -1963,8 +1971,10 @@ def retrain_pq_index(
         if train_src is not qv:
             train_src.unpersist(blocking=False)
         _restore_deferred(spark, name, dsnap, f"{name}_quantized")
-    finally:
-        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    except BaseException:
+        # keep the snapshot on failure — see retrain_ivf_index (r13)
+        raise
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     return ivf_index_drift(spark, name)
 
 
