@@ -3873,6 +3873,7 @@ def ann_pq_probe(
     k: int = TOP_K,
     rerank: int = PQ_RERANK,
     member_filter=None,
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Search a persisted :func:`build_pq_index`: ADC shortlist against
     the codes table, exact re-rank against the bucketed quantized
@@ -3887,7 +3888,12 @@ def ann_pq_probe(
     metadata) restricts candidates BEFORE the ADC shortlist — same
     pre-filter contract and pushed-scan-predicate shape as
     :func:`ann_ivf_probe`; the shortlist, and therefore the re-rank,
-    sees only filtered vectors."""
+    sees only filtered vectors.
+
+    ``exclude_ids`` (a ``(vec_id)`` DataFrame, broadcast) drops those
+    members from the candidate set BEFORE the shortlist — the replay
+    hook ``streaming.embedding_index_stream_batch`` needs (r13, same
+    contract as :func:`ann_ivf_probe`)."""
     _refresh_index_relations(
         spark, name, "_codebooks", "_codes", "_quantized"
     )
@@ -3895,6 +3901,10 @@ def ann_pq_probe(
     codes = spark.table(f"{name}_codes")
     if member_filter is not None:
         codes = codes.filter(member_filter)
+    if exclude_ids is not None:
+        codes = codes.join(
+            F.broadcast(exclude_ids.select("vec_id")), "vec_id", "left_anti"
+        )
     tombs = _tombstone_ids(spark, name)
     if tombs is not None:
         codes = codes.join(F.broadcast(tombs), "vec_id", "left_anti")
@@ -4176,6 +4186,7 @@ def ann_ivfpq_probe(
     nprobe: int = IVF_NPROBE,
     rerank: int = PQ_RERANK,
     member_filter=None,
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Search a persisted :func:`build_ivfpq_index` — coarse routing,
     residual-ADC shortlist inside the probed lists only, exact re-rank.
@@ -4201,6 +4212,11 @@ def ann_ivfpq_probe(
     metadata) restricts list members BEFORE the ADC shortlist — the
     same pre-filter contract as :func:`ann_ivf_probe`: a pushed-down
     scan predicate on the bucketed codes, never a join.
+
+    ``exclude_ids`` (a ``(vec_id)`` DataFrame, broadcast) drops those
+    members BEFORE the ADC shortlist — the replay hook
+    ``streaming.embedding_index_stream_batch`` needs (r13, same
+    contract as :func:`ann_ivf_probe`).
     """
     _refresh_index_relations(
         spark, name, "_centroids", "_codebooks", "_codes", "_quantized"
@@ -4210,6 +4226,10 @@ def ann_ivfpq_probe(
     codes = spark.table(f"{name}_codes")
     if member_filter is not None:
         codes = codes.filter(member_filter)
+    if exclude_ids is not None:
+        codes = codes.join(
+            F.broadcast(exclude_ids.select("vec_id")), "vec_id", "left_anti"
+        )
     tombs = _tombstone_ids(spark, name)
     if tombs is not None:
         codes = codes.join(F.broadcast(tombs), "vec_id", "left_anti")

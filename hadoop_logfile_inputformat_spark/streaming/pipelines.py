@@ -478,15 +478,23 @@ def embedding_index_stream_batch(
     k: int = 5,
     nprobe: int = 3,
     update_index: bool = True,
+    family: str | None = None,
 ) -> None:
     """Process ONE micro-batch of new embeddings against a persisted
-    IVF index (``similarity.build_ivf_index``): write each vector's
-    top-k matches in the STANDING corpus under ``matches_sink``, then
-    append the batch to the inverted lists so the next batch searches
-    against this one too — the vector twin of
-    :func:`near_dup_stream_batch`, with the same effectively-once
-    protocol (per-batch overwrite partitions; the ``<index>_batches``
-    replay guard lives inside ``append_to_ivf_index``).
+    vector index — ANY of the three embedding families (r13, was
+    IVF-only): ``similarity.build_ivf_index`` /
+    ``build_ivfpq_index`` / ``build_pq_index``, detected from the
+    catalog (or pinned via ``family`` so a long-running stream pays
+    the detection once).  Write each vector's top-k matches in the
+    STANDING corpus under ``matches_sink``, then append the batch to
+    the index so the next batch searches against this one too — the
+    vector twin of :func:`near_dup_stream_batch`, with the same
+    effectively-once protocol (per-batch overwrite partitions; the
+    ``<index>_batches`` replay guard lives inside the append verbs).
+    For a ROTATED (OPQ) PQ-family index the appends encode through
+    the STORED rotation matrix (append == rebuild-with-that-rotation
+    stays bit-equal — the batch contract, now exercised under
+    streaming in tests/test_streaming.py).
 
     Matches are restricted to the PRE-BATCH corpus (the batch's own
     vec_ids are excluded from the candidate set BEFORE ranking, via
@@ -501,26 +509,43 @@ def embedding_index_stream_batch(
     read beyond the probed buckets, never rewritten.
     """
     from hadoop_logfile_inputformat_spark.operators import similarity
+    from hadoop_logfile_inputformat_spark.operators import maintenance as M
 
     spark = batch_vectors.sparkSession
+    fam = family or M.index_family(spark, index_name)
     queries = batch_vectors.select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    matches = similarity.ann_ivf_probe(
-        spark,
-        queries,
-        index_name,
-        k=k,
-        nprobe=nprobe,
-        exclude_ids=batch_vectors.select("vec_id"),
-    )
+    excl = batch_vectors.select("vec_id")
+    if fam == "ivf":
+        matches = similarity.ann_ivf_probe(
+            spark, queries, index_name, k=k, nprobe=nprobe,
+            exclude_ids=excl,
+        )
+    elif fam == "ivfpq":
+        matches = similarity.ann_ivfpq_probe(
+            spark, queries, index_name, k=k, nprobe=nprobe,
+            exclude_ids=excl,
+        )
+    elif fam == "pq":
+        matches = similarity.ann_pq_probe(
+            spark, queries, index_name, k=k, exclude_ids=excl
+        )
+    else:
+        raise ValueError(
+            f"'{index_name}' is a {fam!r} index — embedding_index_stream"
+            " serves the ivf/ivfpq/pq families"
+        )
     matches.write.mode("overwrite").parquet(
         f"{matches_sink}/batch_id={batch_id}"
     )
     if update_index:
-        similarity.append_to_ivf_index(
-            spark, batch_vectors, index_name, batch_id=batch_id
-        )
+        append = {
+            "ivf": similarity.append_to_ivf_index,
+            "ivfpq": similarity.append_to_ivfpq_index,
+            "pq": similarity.append_to_pq_index,
+        }[fam]
+        append(spark, batch_vectors, index_name, batch_id=batch_id)
 
 
 def embedding_index_stream(
@@ -536,31 +561,46 @@ def embedding_index_stream(
     on_retrain=None,
 ):
     """Streaming incremental vector search: each arriving micro-batch
-    of embeddings probes (and is appended to) the persisted IVF index —
-    the embedding-family counterpart of :func:`near_dup_stream`, built
+    of embeddings probes (and is appended to) the persisted vector
+    index — any of the IVF / IVFPQ / flat-PQ families (r13, was
+    IVF-only; family detected once at stream start) — the
+    embedding-family counterpart of :func:`near_dup_stream`, built
     on the same foreachBatch + bookkeeping-table machinery.  Returns
     the started ``StreamingQuery``.
 
     Index maintenance mirrors the LSH stream: every ``compact_every``
-    applied batches the inverted-lists table is rewritten back to its
-    bucket count (``maintenance.compact_ivf_index``), bounding probe
-    file fan-in on a long-running stream.  Additionally the ``_stats``
-    drift ledger is consulted after each applied batch
-    (``similarity.ivf_index_drift`` — a bytes-sized driver read): when
-    appended batches quantize against the frozen centroids worse than
-    ``drift_threshold`` below the seed corpus, ``on_retrain(drift)``
-    fires (once per crossing) so the operator owner can schedule
-    ``similarity.retrain_ivf_index`` out-of-band — the stream itself
-    never retrains inline, because a centroid swap mid-stream would
+    applied batches the corpus-sized tables are rewritten back to
+    their bucket count (the family's ``maintenance.compact_*_index``
+    verb), bounding probe file fan-in on a long-running stream.
+    Additionally the ``_stats`` drift ledger is consulted after each
+    applied batch (``similarity.ivf_index_drift`` — a bytes-sized
+    driver read, family-aware): when appended batches quantize
+    against the frozen model worse than ``drift_threshold`` below the
+    seed corpus, ``on_retrain(drift)`` fires (once per crossing) so
+    the operator owner can schedule the family's
+    ``similarity.retrain_*_index`` out-of-band — the stream itself
+    never retrains inline, because a model swap mid-stream would
     make in-flight probe results incomparable across one batch
     boundary.  A completed retrain resets the ledger, which re-arms
-    the hook for the next crossing.
+    the hook for the next crossing; for a ROTATED (OPQ) index the
+    retrain re-learns the rotation and subsequent appends encode
+    through the NEW stored matrix transparently.
     """
     from hadoop_logfile_inputformat_spark.operators import similarity
-    from hadoop_logfile_inputformat_spark.operators.maintenance import (
-        compact_ivf_index,
-    )
+    from hadoop_logfile_inputformat_spark.operators import maintenance as M
 
+    fam = M.index_family(vectors.sparkSession, index_name)
+    if fam not in ("ivf", "ivfpq", "pq"):
+        raise ValueError(
+            f"'{index_name}' is a {fam!r} index — embedding_index_stream"
+            " serves the ivf/ivfpq/pq families (use near_dup_stream /"
+            " curate_stream for the text indexes)"
+        )
+    compact_fn = {
+        "ivf": M.compact_ivf_index,
+        "ivfpq": M.compact_ivfpq_index,
+        "pq": M.compact_pq_index,
+    }[fam]
     state = {"retrain_flagged": False}
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -572,12 +612,13 @@ def embedding_index_stream(
             k=k,
             nprobe=nprobe,
             update_index=update_index,
+            family=fam,
         )
         if not update_index:
             return
         spark = batch_df.sparkSession
         _maybe_compact(
-            spark, index_name, batch_id, compact_every, compact_ivf_index
+            spark, index_name, batch_id, compact_every, compact_fn
         )
         drift = similarity.ivf_index_drift(
             spark, index_name, threshold=drift_threshold

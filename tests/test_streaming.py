@@ -1229,3 +1229,172 @@ def test_takedown_pending_counter_reseeds_after_foreign_fold(spark, tmp_path):
         for s in ("_buckets", "_sets", "_batches", "_tombstones",
                   "_deferred"):
             spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+
+
+def test_rotated_ivfpq_streaming_lifecycle(spark, tmp_path):
+    """r13 (judge task): an OPQ-ROTATED IVFPQ index through the full
+    STREAMING lifecycle.  Pins: (1) embedding_index_stream now serves
+    the IVFPQ family (family-dispatched probe/append/compact) and its
+    micro-batch appends encode through the STORED rotation — the final
+    probe is BIT-equal to a rebuild-on-union with the same frozen
+    model (centroids + codebooks + matrix); (2) a mid-stream
+    out-of-band retrain RE-LEARNS the rotation (new matrix) and resets
+    the replay log + drift ledger by contract, and the next stream
+    segment appends through the NEW stored matrix (again bit-equal to
+    the post-retrain-model rebuild); (3) streamed takedowns tombstone
+    out of the rotated index."""
+    from hadoop_logfile_inputformat_spark.operators import (
+        maintenance as M,
+        similarity as S,
+    )
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+    from hadoop_logfile_inputformat_spark.streaming import (
+        embedding_index_stream,
+        takedown_stream,
+    )
+
+    name, twin = "t_rot_stream", "t_rot_twin"
+    sfx = ("_codes", "_quantized", "_codebooks", "_centroids", "_lists",
+           "_batches", "_stats", "_tombstones", "_deferred")
+
+    def _drop_all():
+        for n in (name, twin):
+            for s in sfx:
+                spark.sql(f"DROP TABLE IF EXISTS {n}{s}")
+
+    def _probe_rows(n):
+        return sorted(
+            tuple(r)
+            for r in S.ann_ivfpq_probe(spark, queries, n, k=5).collect()
+        )
+
+    def _model(n):
+        cb = spark.table(f"{n}_codebooks").filter(
+            F.col("m") >= 0
+        ).localCheckpoint(eager=True)
+        cents = spark.table(f"{n}_centroids").localCheckpoint(eager=True)
+        return cents, cb, S._read_rotation(spark.table(f"{n}_codebooks"))
+
+    _drop_all()
+    v = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    part = F.col("vec_id") % 8
+    seed = v.filter(part < 5)
+    b0, b1, b2 = (v.filter(part == p) for p in (5, 6, 7))
+    queries = v.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    try:
+        S.build_ivfpq_index(
+            spark, seed, name, iters=2,
+            path=str(tmp_path / "idx"), rotation="opq",
+        )
+        cents0, cb0, R0 = _model(name)
+        assert R0 is not None and len(R0) == 64
+
+        # ---- stream segment 1: two micro-batches through the index --
+        src = tmp_path / "vin"
+        src.mkdir()
+        b0.coalesce(1).write.parquet(str(src / "b0"))
+        b1.coalesce(1).write.parquet(str(src / "b1"))
+        schema = spark.read.parquet(str(src / "b0")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        sink, ckpt = str(tmp_path / "matches"), str(tmp_path / "ckpt")
+        q = embedding_index_stream(
+            stream, name, sink, ckpt, compact_every=None
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        for s in ("_batches", "_codes", "_quantized", "_codebooks"):
+            spark.catalog.refreshTable(f"{name}{s}")
+        assert spark.table(f"{name}_batches").count() == 2
+        # the matches sink got one partition per batch, ranks served
+        got = spark.read.parquet(sink)
+        assert got.filter(F.col("rank") == 1).count() > 0
+        # appends never touch the stored rotation
+        assert S._read_rotation(spark.table(f"{name}_codebooks")) == R0
+
+        # ---- streamed appends == rebuild with the same frozen model -
+        union01 = seed.unionByName(b0).unionByName(b1)
+        S.build_ivfpq_index(
+            spark, union01, twin,
+            centroids=cents0, codebooks=cb0, rotation=R0,
+        )
+        a, b = _probe_rows(name), _probe_rows(twin)
+        assert a == b and a
+
+        # ---- mid-stream retrain: re-learns R, resets the ledgers ----
+        S.retrain_ivfpq_index(spark, name, iters=2)
+        cents1, cb1, R1 = _model(name)
+        assert R1 is not None and R1 != R0
+        # persisted kind stays parametric; replay log + ledger reset
+        assert S._read_rotation_kind(
+            spark.table(f"{name}_codebooks")
+        ) == "opq"
+        assert spark.table(f"{name}_batches").count() == 0
+        assert not S.ivf_index_drift(spark, name)["retrain_recommended"]
+
+        # ---- stream segment 2: appends ride the NEW stored matrix ---
+        b2.coalesce(1).write.parquet(str(src / "b2"))
+        stream2 = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q2 = embedding_index_stream(
+            stream2, name, sink, ckpt, compact_every=None
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        for s in ("_batches", "_codes", "_quantized", "_codebooks"):
+            spark.catalog.refreshTable(f"{name}{s}")
+        assert spark.table(f"{name}_batches").count() == 1
+        assert S._read_rotation(spark.table(f"{name}_codebooks")) == R1
+        for s in sfx:
+            spark.sql(f"DROP TABLE IF EXISTS {twin}{s}")
+        S.build_ivfpq_index(
+            spark, union01.unionByName(b2), twin,
+            centroids=cents1, codebooks=cb1, rotation=R1,
+        )
+        a2, b2r = _probe_rows(name), _probe_rows(twin)
+        assert a2 == b2r and a2
+
+        # ---- streamed takedowns against the rotated index -----------
+        victim_q, victim_n = next(
+            (r[0], r[1])
+            for r in a2
+            if r[1] is not None
+        )
+        tsrc = tmp_path / "tin"
+        tsrc.mkdir()
+        spark.createDataFrame(
+            [(int(victim_n),)], "vec_id BIGINT"
+        ).coalesce(1).write.parquet(str(tsrc / "t0"))
+        tstream = (
+            spark.readStream.schema("vec_id BIGINT")
+            .parquet(str(tsrc / "*"))
+        )
+        tq = takedown_stream(
+            tstream, name, str(tmp_path / "tckpt"), compact_at=None
+        )
+        try:
+            tq.processAllAvailable()
+        finally:
+            tq.stop()
+        spark.catalog.refreshTable(f"{name}_tombstones")
+        assert spark.table(f"{name}_tombstones").count() == 1
+        after = S.ann_ivfpq_probe(spark, queries, name, k=5)
+        assert (
+            after.filter(F.col("neighbor_id") == victim_n).count() == 0
+        )
+    finally:
+        _drop_all()
