@@ -361,9 +361,12 @@ INDEX_FAMILIES = {
     "ivf": (("_lists",), ("_centroids", "_batches", "_stats")),
     "ivfpq": (
         ("_codes", "_quantized"),
-        ("_centroids", "_codebooks", "_batches", "_stats"),
+        ("_centroids", "_codebooks", "_batches", "_stats", "_qstats"),
     ),
-    "pq": (("_codes", "_quantized"), ("_codebooks", "_batches", "_stats")),
+    "pq": (
+        ("_codes", "_quantized"),
+        ("_codebooks", "_batches", "_stats", "_qstats"),
+    ),
 }
 
 
@@ -896,6 +899,32 @@ def index_info(spark: SparkSession, name: str) -> dict:
         )
 
         out["drift"] = ivf_index_drift(spark, name)
+    # quantization-quality verdict for the PQ families (r13): the seed
+    # build's ADC/residual self-similarity and entry budget from the
+    # one-row _qstats ledger.  budget_limited is the third verdict an
+    # operator sizes against — drift says "retrain", the nprobe curve
+    # says "probe wider", this says "the codes themselves can't
+    # describe the corpus: rebuild with more entries (or a rotation)".
+    # Calibration: SCALING.md's recall-vs-budget table (soak.py
+    # --budget-curve) — self-sim tracks recall@5 monotonically.
+    if spark.catalog.tableExists(f"{name}_qstats"):
+        from hadoop_logfile_inputformat_spark.operators.similarity import (
+            PQ_BUDGET_SELF_SIM_FLOOR,
+        )
+
+        spark.catalog.refreshTable(f"{name}_qstats")
+        q = spark.table(f"{name}_qstats").collect()[0]
+        out["quantization"] = {
+            "kind": q["kind"],
+            "self_sim": q["self_sim"],
+            "n_entries": q["n_entries"],
+            "m": q["m"],
+            "rotated": q["rotated"],
+            "budget_limited": (
+                q["self_sim"] is not None
+                and q["self_sim"] < PQ_BUDGET_SELF_SIM_FLOOR
+            ),
+        }
     # writer lease state (r12): the one operational fact an owner had
     # to read from `<name>_lock` by hand — who may mutate, until when
     lease = _read_lease(spark, _lease_site(spark, name))

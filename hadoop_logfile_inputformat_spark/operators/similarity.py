@@ -787,6 +787,66 @@ def _write_index_aux(
     else:
         clear_orphaned_table(spark, f"{name}_stats")
     sw.saveAsTable(f"{name}_stats")
+    # a rebuild defines a new generation for the quantization ledger
+    # too: drop any stale _qstats so an IVF rebuild over a former
+    # PQ-family name can't serve the old family's budget verdict.  The
+    # PQ-family builders write a fresh one right after this call.
+    spark.sql(f"DROP TABLE IF EXISTS {name}_qstats")
+
+
+#: Budget-verdict floor for the PQ families' seed self-similarity
+#: (``<name>_qstats``): below this, `maintenance.index_info` flags the
+#: index ``budget_limited`` — the codes cannot describe the corpus'
+#: (residual) structure and recall is capped by the entry budget, not
+#: by drift or nprobe.  Calibrated against the measured recall-vs-
+#: budget curve on the clustered x100 corpus (tools/soak.py
+#: --budget-curve; table in SCALING.md): residual self-sim tracks
+#: recall@5 monotonically, and the knee where added entries stop
+#: paying sits just above this line.
+PQ_BUDGET_SELF_SIM_FLOOR = 0.65
+
+
+def _write_index_qstats(
+    spark: SparkSession,
+    name: str,
+    path: str | None,
+    n_vecs: int,
+    self_sim: float | None,
+    n_entries: int,
+    rotated: bool,
+    kind: str,
+) -> None:
+    """Write the PQ families' one-row ``<name>_qstats`` quantization
+    ledger (r13): the seed build's mean ADC self-similarity in the
+    space the codes live in (``kind="adc"`` = full-vector for flat PQ,
+    ``"residual"`` = post-routing for IVFPQ), the per-subspace entry
+    budget, and whether a rotation was applied.  This is the one
+    number that tells an operator their recall ceiling is the CODE
+    BUDGET (rebuild bigger / rotate) rather than drift (retrain) or
+    routing (raise nprobe) — surfaced as ``index_info()["quantization"]
+    ["budget_limited"]`` against :data:`PQ_BUDGET_SELF_SIM_FLOOR`.
+
+    Seed-only by design: the codebooks are frozen between retrains, so
+    codebook FITNESS doesn't move on appends — appended-data fit is the
+    ``_stats`` drift ledger's job.  Rewritten by every (re)build;
+    model-sized (one row)."""
+    qs = spark.createDataFrame(
+        [(
+            int(n_vecs),
+            float(self_sim) if self_sim is not None else None,
+            int(n_entries),
+            int(PQ_M),
+            bool(rotated),
+            kind,
+        )],
+        "n_vecs BIGINT, self_sim DOUBLE, n_entries INT, m INT,"
+        " rotated BOOLEAN, kind STRING",
+    ).coalesce(1).write.mode("overwrite").format("parquet")
+    if path is not None:
+        qs = qs.option("path", f"{path}/{name}_qstats")
+    else:
+        clear_orphaned_table(spark, f"{name}_qstats")
+    qs.saveAsTable(f"{name}_qstats")
 
 
 def _bucket_aligned(spark: SparkSession, df: DataFrame, table: str, *keys):
@@ -1467,7 +1527,7 @@ def append_to_ivfpq_index(
     return True
 
 
-def _pq_self_sim(codes: DataFrame) -> DataFrame:
+def _pq_self_sim(codes: DataFrame, nrm_col: str = "nrm") -> DataFrame:
     """(vec_id, c_sim): per-vector ADC SELF-similarity — the cosine of
     each vector against its own PQ reconstruction, assembled entirely
     from the encode output (``code_dot``/``code_nrm2``/carried ``nrm``
@@ -1475,11 +1535,18 @@ def _pq_self_sim(codes: DataFrame) -> DataFrame:
     quantization-quality signal for the ``_stats`` drift ledger, the
     analogue of the IVF families' nearest-centroid cosine: appended
     data the frozen codebooks explain badly shows up as a lower mean
-    self-sim."""
+    self-sim.
+
+    ``nrm_col`` names the carried true-norm column the cosine divides
+    by.  Flat PQ passes the stored full-vector norm (default); the
+    IVFPQ build passes the RESIDUAL norm it carried through the encode,
+    turning the same identity into cosine(r, r̂) — the fine-quantization
+    quality in the space the codes actually live in (r13, the
+    ``_qstats`` budget signal)."""
     per = codes.groupBy("vec_id").agg(
         F.sum("code_dot").alias("rdot"),
         F.sum("code_nrm2").alias("rnrm2"),
-        F.first("nrm").alias("nrm"),
+        F.first(nrm_col).alias("nrm"),
     )
     return per.select(
         "vec_id",
@@ -3855,6 +3922,11 @@ def build_pq_index(
         clear_orphaned_table(spark, f"{name}_codebooks")
     bw.saveAsTable(f"{name}_codebooks")
     _write_index_aux(spark, name, path, seed["n"], seed["s"])
+    _write_index_qstats(
+        spark, name, path, seed["n"], seed["s"],
+        n_entries=cb.where("m = 0").count(), rotated=R is not None,
+        kind="adc",
+    )
     if path is not None:
         from hadoop_logfile_inputformat_spark.operators.maintenance import (
             write_index_spec,
@@ -4070,7 +4142,7 @@ def build_ivfpq_index(
         ).alias("q"),
     ).persist()
     t1 = time.monotonic()
-    enc_res, R = res, None
+    enc_res, R, codes_full = res, None, None
     # stored kind tag (r13) — same contract as build_pq_index
     rot_kind = rotation if rotation in ("opq", "opq-np") else (
         rotation_kind or "opq"
@@ -4117,9 +4189,22 @@ def build_ivfpq_index(
                 enc_res, n_entries=n_entries, iters=iters
             )
         t2 = time.monotonic()
-        codes = _pq_encode_fused(
-            enc_res, cb, carry=("centroid_id", "nrm", *carry)
-        ).select("vec_id", "centroid_id", "m", "code", "nrm", *carry)
+        # full encode output PERSISTED (narrow rows: M small ints plus
+        # a few doubles per vector — the resident-index footprint, the
+        # same discipline as build_pq_index's codes persist): it feeds
+        # the bucketed write AND the residual self-sim aggregate below
+        # without paying the |corpus| x M x n_entries encode twice.
+        # ``rnrm`` (the residual's true norm — rotation-invariant, so
+        # computed once on the encode input) rides the encode so the
+        # self-sim cosine divides by the right denominator.
+        codes_full = _pq_encode_fused(
+            enc_res.withColumn("rnrm", _norm("q")),
+            cb,
+            carry=("centroid_id", "nrm", "rnrm", *carry),
+        ).persist()
+        codes = codes_full.select(
+            "vec_id", "centroid_id", "m", "code", "nrm", *carry
+        )
         cw = (
             codes.repartition(n_buckets, F.col("centroid_id"))
             .write.bucketBy(n_buckets, "centroid_id")
@@ -4135,7 +4220,19 @@ def build_ivfpq_index(
         seed_stats = res.agg(
             F.count("*").alias("n"), F.avg("c_sim").alias("s")
         ).collect()[0]
+        # fine-quantization quality (r13): mean cosine of each residual
+        # against its own decoded codes, in the (rotated) residual
+        # space the codes live in — the ENTRY-BUDGET signal _qstats
+        # records, orthogonal to the _stats ledger's coarse routing
+        # cosine.  One aggregate over the persisted encode output.
+        seed_q = (
+            _pq_self_sim(codes_full, nrm_col="rnrm")
+            .agg(F.avg("c_sim").alias("s"))
+            .collect()[0]
+        )
     finally:
+        if codes_full is not None:
+            codes_full.unpersist(blocking=False)
         if enc_res is not res:
             enc_res.unpersist(blocking=False)
         res.unpersist(blocking=False)
@@ -4163,6 +4260,11 @@ def build_ivfpq_index(
             clear_orphaned_table(spark, f"{name}{suffix}")
         w.saveAsTable(f"{name}{suffix}")
     _write_index_aux(spark, name, path, seed_stats["n"], seed_stats["s"])
+    _write_index_qstats(
+        spark, name, path, seed_stats["n"], seed_q["s"],
+        n_entries=cb.where("m = 0").count(), rotated=R is not None,
+        kind="residual",
+    )
     if path is not None:
         from hadoop_logfile_inputformat_spark.operators.maintenance import (
             write_index_spec,

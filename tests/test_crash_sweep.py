@@ -333,7 +333,8 @@ def test_crash_sweep_retrain_pq(spark, tmp_path):
 
     def drop_all():
         for s in ("_codes", "_quantized", "_codebooks", "_batches",
-                  "_stats", "_tombstones", "_deferred", "_retrain_tmp"):
+                  "_stats", "_qstats", "_tombstones", "_deferred",
+                  "_retrain_tmp"):
             spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
 
     drop_all()

@@ -114,7 +114,7 @@ def test_drifted_appends_degrade_ivfpq_recall_and_retrain_recovers(spark):
     Lloyd's), so the asserted margins are stable."""
     v = S._vectors(spark, SF).select("vec_id", "embedding")
     sfx = ("_codes", "_quantized", "_centroids", "_codebooks",
-           "_batches", "_stats", "_tombstones", "_deferred")
+           "_batches", "_stats", "_qstats", "_tombstones", "_deferred")
     try:
         S.build_ivfpq_index(spark, v, "tdr", iters=3)
         base = _recall(

@@ -40,7 +40,8 @@ def _drop(spark, name, suffixes):
 
 IVF_SUFFIXES = ("_lists", "_centroids", "_batches", "_stats")
 IVFPQ_SUFFIXES = (
-    "_codes", "_quantized", "_centroids", "_codebooks", "_batches", "_stats"
+    "_codes", "_quantized", "_centroids", "_codebooks", "_batches",
+    "_stats", "_qstats",
 )
 
 
@@ -410,7 +411,8 @@ def test_ivfpq_retrain_resets_ledgers_and_stays_usable(spark):
         _drop(spark, "tia_pqrt", IVFPQ_SUFFIXES)
 
 
-PQ_SUFFIXES = ("_codes", "_quantized", "_codebooks", "_batches", "_stats")
+PQ_SUFFIXES = ("_codes", "_quantized", "_codebooks", "_batches",
+               "_stats", "_qstats")
 
 
 def test_pq_append_equals_rebuild_with_replay_and_ledger(spark):

@@ -572,7 +572,7 @@ def test_register_index_ivfpq_two_bucket_specs(spark, tmp_path):
     )
     name, root = "t_reg_ivfpq", str(tmp_path / "idx")
     suffixes = ("_codes", "_quantized", "_centroids", "_codebooks",
-                "_batches", "_stats", "_tombstones")
+                "_batches", "_stats", "_qstats", "_tombstones")
     try:
         S.build_ivfpq_index(spark, v, name, path=root)
         want = sorted(

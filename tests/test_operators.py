@@ -1736,7 +1736,7 @@ def test_pq_family_member_filter_equals_filtered_subindex(spark):
         F.col("vec_id") % similarity.QUERY_MODULUS == 0
     ).select(F.col("vec_id").alias("query_id"), "embedding")
     sfx = ("_codes", "_quantized", "_centroids", "_codebooks",
-           "_batches", "_stats")
+           "_batches", "_stats", "_qstats")
     names = ["tfq_all", "tfq_sub", "tfv_all", "tfv_sub"]
     try:
         # flat PQ: modulus codebooks from the seed build, reused by the

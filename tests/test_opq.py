@@ -23,8 +23,8 @@ from hadoop_logfile_inputformat_spark.operators import similarity as S
 
 SF = "/root/testdata/sf0.001"
 
-PQ_SUFFIXES = ("_codes", "_quantized", "_codebooks", "_batches", "_stats",
-               "_tombstones", "_deferred")
+PQ_SUFFIXES = ("_codes", "_quantized", "_codebooks", "_batches",
+               "_stats", "_qstats", "_tombstones", "_deferred")
 IVFPQ_SUFFIXES = PQ_SUFFIXES + ("_centroids", "_lists")
 
 

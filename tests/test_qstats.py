@@ -1,0 +1,163 @@
+"""The PQ families' quantization-quality ledger (r13): every
+``build_pq_index`` / ``build_ivfpq_index`` writes a one-row
+``<name>_qstats`` table (seed ADC / residual self-similarity + entry
+budget + rotation flag) and ``maintenance.index_info`` turns it into
+the ``budget_limited`` verdict — the third sizing verdict next to the
+drift ledger's ``retrain_recommended`` and the nprobe curve.
+Calibrated against the measured recall-vs-budget table in SCALING.md
+(tools/soak.py --budget-curve)."""
+
+from pyspark.sql import functions as F
+
+from hadoop_logfile_inputformat_spark.operators import similarity as S
+from hadoop_logfile_inputformat_spark.operators.maintenance import (
+    index_info,
+    register_index,
+    drop_index,
+)
+from hadoop_logfile_inputformat_spark.operators.tables import load
+
+SFX = ("_codes", "_quantized", "_centroids", "_codebooks", "_batches",
+       "_stats", "_qstats", "_tombstones", "_lists")
+
+
+def _drop(spark, name):
+    for s in SFX:
+        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+
+
+def _vecs(spark):
+    return load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+
+def test_pq_build_writes_adc_qstats_and_info_surfaces_it(spark):
+    v = _vecs(spark)
+    name = "t_qs_pq"
+    _drop(spark, name)
+    try:
+        S.build_pq_index(spark, v, name)
+        row = spark.table(f"{name}_qstats").collect()
+        assert len(row) == 1
+        row = row[0]
+        assert row["kind"] == "adc"
+        assert row["m"] == S.PQ_M
+        assert not row["rotated"]
+        assert row["n_vecs"] == v.count()
+        # the ledger value IS the _stats seed row's self-sim (flat PQ's
+        # drift signal and its quantization signal are the same number)
+        seed = (
+            spark.table(f"{name}_stats")
+            .where("batch_id = -1")
+            .collect()[0]
+        )
+        assert abs(row["self_sim"] - seed["mean_sim"]) < 1e-12
+        q = index_info(spark, name)["quantization"]
+        assert q["kind"] == "adc"
+        assert q["budget_limited"] == (
+            q["self_sim"] < S.PQ_BUDGET_SELF_SIM_FLOOR
+        )
+    finally:
+        _drop(spark, name)
+
+
+def test_ivfpq_qstats_residual_self_sim_grows_with_budget(spark):
+    """The calibration premise: residual self-sim is monotone in the
+    entry budget (more entries -> the codes explain more of the
+    residual), so index_info's floor comparison orders budgets the
+    same way the measured recall table does."""
+    v = _vecs(spark)
+    name = "t_qs_ivfpq"
+    sims = {}
+    for ne in (2, 24):
+        _drop(spark, name)
+        try:
+            S.build_ivfpq_index(spark, v, name, n_entries=ne, iters=2)
+            q = index_info(spark, name)["quantization"]
+            assert q["kind"] == "residual"
+            assert q["n_entries"] == ne
+            assert 0.0 <= q["self_sim"] <= 1.0
+            sims[ne] = q["self_sim"]
+        finally:
+            _drop(spark, name)
+    assert sims[24] > sims[2]
+
+
+def test_rotated_build_flags_rotated_and_register_round_trips(
+    spark, tmp_path
+):
+    v = _vecs(spark)
+    name = "t_qs_rot"
+    _drop(spark, name)
+    try:
+        S.build_ivfpq_index(
+            spark, v, name, iters=2, rotation="opq", path=str(tmp_path)
+        )
+        q1 = index_info(spark, name)["quantization"]
+        assert q1["rotated"]
+        drop_index(spark, name)
+        assert register_index(spark, name, str(tmp_path)) == "ivfpq"
+        q2 = index_info(spark, name)["quantization"]
+        assert q1 == q2
+    finally:
+        _drop(spark, name)
+
+
+def test_ivf_rebuild_over_pq_name_clears_stale_qstats(spark):
+    """A rebuild defines a new generation for the quantization ledger
+    too: an IVF build over a name that used to be a PQ-family index
+    must not leave the old family's budget verdict behind."""
+    v = _vecs(spark)
+    name = "t_qs_stale"
+    _drop(spark, name)
+    try:
+        S.build_pq_index(spark, v, name)
+        assert spark.catalog.tableExists(f"{name}_qstats")
+        # simulate the family change: drop the pq corpus tables, then
+        # build ivf under the same name (its family signature wins)
+        for s in ("_codes", "_quantized", "_codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+        S.build_ivf_index(spark, v, name)
+        assert not spark.catalog.tableExists(f"{name}_qstats")
+        assert "quantization" not in index_info(spark, name)
+    finally:
+        _drop(spark, name)
+
+
+def test_retrain_refreshes_qstats_budget(spark):
+    """A retrain rebuilds through the builder, so the quantization
+    ledger reflects the NEW codebooks (entry budget included)."""
+    v = _vecs(spark)
+    name = "t_qs_retrain"
+    _drop(spark, name)
+    try:
+        S.build_ivfpq_index(spark, v, name, n_entries=4, iters=2)
+        before = index_info(spark, name)["quantization"]
+        assert before["n_entries"] == 4
+        S.retrain_ivfpq_index(spark, name, n_entries=12, iters=2)
+        after = index_info(spark, name)["quantization"]
+        assert after["n_entries"] == 12
+        assert after["self_sim"] > before["self_sim"]
+    finally:
+        _drop(spark, name)
+        spark.sql(f"DROP TABLE IF EXISTS {name}_retrain_tmp")
+
+
+def test_append_leaves_qstats_alone(spark):
+    """qstats is seed-only by design: codebook fitness doesn't move on
+    appends (frozen codebooks) — appended-data fit is the _stats drift
+    ledger's job."""
+    v = _vecs(spark)
+    name = "t_qs_append"
+    _drop(spark, name)
+    try:
+        S.build_pq_index(spark, v, name)
+        before = spark.table(f"{name}_qstats").collect()
+        delta = v.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        ).limit(5)
+        assert S.append_to_pq_index(spark, delta, name, batch_id=1)
+        assert spark.table(f"{name}_qstats").collect() == before
+    finally:
+        _drop(spark, name)

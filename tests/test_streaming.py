@@ -1255,7 +1255,7 @@ def test_rotated_ivfpq_streaming_lifecycle(spark, tmp_path):
 
     name, twin = "t_rot_stream", "t_rot_twin"
     sfx = ("_codes", "_quantized", "_codebooks", "_centroids", "_lists",
-           "_batches", "_stats", "_tombstones", "_deferred")
+           "_batches", "_stats", "_qstats", "_tombstones", "_deferred")
 
     def _drop_all():
         for n in (name, twin):

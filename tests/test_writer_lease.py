@@ -157,7 +157,8 @@ def test_dedup_and_pq_families_are_guarded_too(spark):
         for s in ("_hashes", "_batches", "_tombstones", "_deferred"):
             spark.sql(f"DROP TABLE IF EXISTS tlk3{s}")
         for s in ("_codes", "_quantized", "_centroids", "_codebooks",
-                  "_batches", "_stats", "_tombstones", "_deferred"):
+                  "_batches", "_stats", "_qstats", "_tombstones",
+                  "_deferred"):
             spark.sql(f"DROP TABLE IF EXISTS tlk4{s}")
 
 

@@ -697,7 +697,7 @@ def run_drift_recall_suite(spark, src: str, topk: int = 5,
     n = v.count()
     name = "soak_drift_idx"
     sfx = ("_codes", "_quantized", "_centroids", "_codebooks",
-           "_batches", "_stats", "_lists")
+           "_batches", "_stats", "_qstats", "_lists")
     for s in sfx:
         spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
         spark.sql(f"DROP TABLE IF EXISTS {name}_ivf{s}")
@@ -1026,6 +1026,161 @@ def run_nprobe_curve(spark, src: str, topk: int = 5, warm: int = 1) -> dict:
     return out
 
 
+def _ground_truth(spark, queries, live, topk: int) -> dict:
+    """query_id -> set of the true top-``topk`` cosine neighbors over
+    ``live`` (vec_id, embedding, nrm) — computed ONCE so every point of
+    a sizing curve shares it (the nprobe-curve pattern, factored)."""
+    from pyspark.sql import Window
+
+    q2 = queries.select("query_id", F.col("embedding").alias("qe"))
+    q2 = q2.withColumn("qn", F.expr(
+        "sqrt(aggregate(zip_with(qe, qe, (x, y) -> CAST(x AS DOUBLE)"
+        " * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v))"))
+    pairs = q2.crossJoin(live).filter(
+        F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "vec_id",
+        (F.expr("aggregate(zip_with(qe, embedding, (x, y) ->"
+                " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+         / (F.col("qn") * F.col("nrm"))).alias("s"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("vec_id"))
+    truth: dict = {}
+    for r in pairs.withColumn("r", F.row_number().over(w)).filter(
+            F.col("r") <= topk).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return truth
+
+
+def _recall_against(truth: dict, probe_df) -> float:
+    got: dict = {}
+    for r in probe_df.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    per = [len(got.get(q, set()) & ww) / len(ww)
+           for q, ww in truth.items()]
+    return round(sum(per) / len(per), 3)
+
+
+def _with_nrm(df):
+    return df.withColumn("nrm", F.expr(
+        "sqrt(aggregate(zip_with(embedding, embedding, (x, y) ->"
+        " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (a, v) -> a + v))"))
+
+
+def run_budget_curve(spark, src: str, topk: int = 5, rerank: int = 20,
+                     multipliers=(1, 2, 4, 8), rotations=(None, "opq"),
+                     warm: int = 1) -> dict:
+    """The ENTRY-BUDGET sizing table (r13, the r12 verdict's top ask):
+    build the IVFPQ index at 1x/2x/4x/8x the legacy ~80-entry budget,
+    with and without the OPQ rotation, and record recall@k vs
+    brute-force ground truth NEXT TO the build wall, steady probe wall,
+    and the ``_qstats`` residual self-similarity — the signal
+    ``index_info`` surfaces, calibrated here against measured recall.
+    One JSON line per point; returns the dict for SCALING.md."""
+    from hadoop_logfile_inputformat_spark.operators import similarity as S
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    v = load(spark, src, "embeddings").select("vec_id", "embedding")
+    n = v.count()
+    # the LEGACY (pre-r13) default budget the multipliers scale from:
+    # n // max(25, n // 80) == min(n/25, ~80) entries per subspace
+    base = max(2, n // max(S.PQ_CODEBOOK_MODULUS, n // 80))
+    name = "soak_budget_idx"
+    sfx = ("_codes", "_quantized", "_centroids", "_codebooks",
+           "_batches", "_stats", "_qstats")
+    queries = v.filter(F.col("vec_id") % 1009 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = {"detail": "budget_curve", "n_corpus": n, "base_entries": base,
+           "n_queries": queries.count(), "rerank": rerank, "points": []}
+    truth = _ground_truth(spark, queries, _with_nrm(v), topk)
+    for mult in multipliers:
+        for rot in rotations:
+            for s in sfx:
+                spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+            t0 = time.monotonic()
+            S.build_ivfpq_index(spark, v, name, n_entries=base * mult,
+                                iters=2, rotation=rot)
+            build_s = round(time.monotonic() - t0, 2)
+            qrow = spark.table(f"{name}_qstats").collect()[0]
+            timing = _timed(
+                spark,
+                lambda: S.ann_ivfpq_probe(spark, queries, name, k=topk,
+                                          rerank=rerank),
+                warm=warm,
+            )
+            rec = _recall_against(
+                truth,
+                S.ann_ivfpq_probe(spark, queries, name, k=topk,
+                                  rerank=rerank))
+            point = {"n_entries": base * mult, "mult": mult,
+                     "rotation": rot or "none", "build_s": build_s,
+                     "recall": rec,
+                     "resid_self_sim": round(qrow["self_sim"], 4),
+                     "probe_steady_s": timing.get("steady")}
+            out["points"].append(point)
+            print(json.dumps({"detail": "budget_point", **point}))
+    for s in sfx:
+        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+    print(json.dumps(out))
+    return out
+
+
+def run_rerank_curve(spark, src: str, topk: int = 5,
+                     reranks=(20, 50, 100, 200), warm: int = 1) -> dict:
+    """The RERANK-DEPTH sizing table (r13): one flat-PQ build (learned
+    codebooks) + one IVFPQ build at their default budgets, probed at
+    rerank 20/50/100/200 — recall@k and steady probe wall per point.
+    Deepening the exact re-rank shortlist is the only recall lever
+    that needs NO rebuild; this prices it against the budget and
+    nprobe tables."""
+    from hadoop_logfile_inputformat_spark.operators import similarity as S
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    v = load(spark, src, "embeddings").select("vec_id", "embedding")
+    n = v.count()
+    queries = v.filter(F.col("vec_id") % 1009 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = {"detail": "rerank_curve", "n_corpus": n,
+           "n_queries": queries.count(), "tiers": {}}
+    truth = _ground_truth(spark, queries, _with_nrm(v), topk)
+    sfx = ("_codes", "_quantized", "_centroids", "_codebooks",
+           "_batches", "_stats", "_qstats")
+    for tier in ("pq", "ivfpq"):
+        name = f"soak_rerank_{tier}"
+        for s in sfx:
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+        t0 = time.monotonic()
+        if tier == "pq":
+            qv = S.quantize_frame(v)
+            cb = S.pq_codebooks_kmeans(
+                qv,
+                n_entries=max(2, n // S._effective_modulus(
+                    n, S.PQ_CODEBOOK_MODULUS)),
+                iters=2)
+            S.build_pq_index(spark, v, name, codebooks=cb)
+            probe = lambda rr: S.ann_pq_probe(  # noqa: E731
+                spark, queries, name, k=topk, rerank=rr)
+        else:
+            S.build_ivfpq_index(spark, v, name, iters=2)
+            probe = lambda rr: S.ann_ivfpq_probe(  # noqa: E731
+                spark, queries, name, k=topk, rerank=rr)
+        build_s = round(time.monotonic() - t0, 2)
+        points = []
+        for rr in reranks:
+            timing = _timed(spark, lambda r=rr: probe(r), warm=warm)
+            point = {"rerank": rr,
+                     "recall": _recall_against(truth, probe(rr)),
+                     "probe_steady_s": timing.get("steady")}
+            points.append(point)
+            print(json.dumps({"detail": "rerank_point", "tier": tier,
+                              **point}))
+        out["tiers"][tier] = {"build_s": build_s, "points": points}
+        for s in sfx:
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+    print(json.dumps(out))
+    return out
+
+
 def _stages(spark) -> dict:
     """stageId -> StageData from the UI REST API (local-mode UI)."""
     ui = spark.sparkContext.uiWebUrl
@@ -1156,6 +1311,19 @@ def main() -> None:
         "recall@k and steady probe wall",
     )
     ap.add_argument(
+        "--budget-curve",
+        action="store_true",
+        help="sweep the PQ entry budget (1x/2x/4x/8x, rotation "
+        "on/off) on the LARGEST scale dir recording recall@k, build "
+        "wall, probe wall, and the _qstats residual self-sim",
+    )
+    ap.add_argument(
+        "--rerank-curve",
+        action="store_true",
+        help="sweep the exact-rerank depth (20/50/100/200) on flat-PQ "
+        "and IVFPQ indexes at the LARGEST scale dir",
+    )
+    ap.add_argument(
         "--geometry",
         choices=["uniform", "clustered"],
         default="uniform",
@@ -1189,13 +1357,22 @@ def main() -> None:
 
     if args.mixed_stream:
         scale, src = dirs[-1]
+        if args.geometry == "clustered":
+            cl = os.path.join(args.out, f"x{scale}_clustered")
+            print(f"# building clustered x{scale} at {cl} ...",
+                  file=sys.stderr)
+            # the mixed soak reads only embeddings.parquet, which is
+            # exactly what build_clustered rewrites
+            build_clustered(spark, src, cl)
+            src = cl
         out = run_mixed_stream_suite(spark, src, args.out)
-        out["scale"] = scale
+        out["scale"], out["geometry"] = scale, args.geometry
         print(json.dumps({**out, "detail": "mixed_stream_summary"}))
         spark.stop()
         return
 
-    if args.drift_recall or args.nprobe_curve:
+    if (args.drift_recall or args.nprobe_curve or args.budget_curve
+            or args.rerank_curve):
         scale, src = dirs[-1]
         if args.geometry == "clustered":
             cl = os.path.join(args.out, f"x{scale}_clustered")
@@ -1211,6 +1388,14 @@ def main() -> None:
             out = run_nprobe_curve(spark, src, warm=args.warm)
             out["scale"], out["geometry"] = scale, args.geometry
             print(json.dumps({**out, "detail": "nprobe_curve_summary"}))
+        if args.budget_curve:
+            out = run_budget_curve(spark, src, warm=args.warm)
+            out["scale"], out["geometry"] = scale, args.geometry
+            print(json.dumps({**out, "detail": "budget_curve_summary"}))
+        if args.rerank_curve:
+            out = run_rerank_curve(spark, src, warm=args.warm)
+            out["scale"], out["geometry"] = scale, args.geometry
+            print(json.dumps({**out, "detail": "rerank_curve_summary"}))
         spark.stop()
         return
 
