@@ -44,11 +44,35 @@ IVF_NPROBE = 3
 #: modulus, so oracle parity is untouched.
 IVF_CENTROID_TARGET = 80
 
+#: PQ per-subspace ENTRY budget cap (r13) — deliberately HIGHER than
+#: the coarse-routing target above.  The two budgets price different
+#: things: centroids only ROUTE (the nprobe curve shows recall@5 0.94
+#: at nprobe=8 with ~80 lists on clustered data), while codebook
+#: entries must DESCRIBE the (residual) structure — and the measured
+#: recall-vs-budget curve on the clustered x10/x100 corpora
+#: (SCALING.md, tools/soak.py --budget-curve) shows the legacy shared
+#: 80-entry cap delivering recall@5 ≈ 0.03-0.07 on exactly the
+#: geometry real encoder embeddings exhibit, with entry budget the
+#: dominant lever (4x entries ≈ 3x recall; rotation adds most when the
+#: budget is tight).  320 sits at the measured knee: past it the
+#: encode cost (∝ entries) keeps growing linearly while recall gains
+#: flatten.  Every gated fixture scale still resolves to the plain
+#: modulus (max(25, n//320) == 25 up to n = 8000 > sf0.1's 2000
+#: vectors), so oracle parity and bench comparability are untouched;
+#: only >8k-vector corpora get the bigger (better-fitting) default.
+PQ_ENTRY_TARGET = 320
 
-def _effective_modulus(n_vecs: int, modulus: int = IVF_CENTROID_MODULUS) -> int:
-    """max(modulus, n // IVF_CENTROID_TARGET): the adaptive stand-in
-    selector (see IVF_CENTROID_TARGET).  Pure; unit-tested."""
-    return max(modulus, n_vecs // IVF_CENTROID_TARGET)
+
+def _effective_modulus(
+    n_vecs: int,
+    modulus: int = IVF_CENTROID_MODULUS,
+    target: int = IVF_CENTROID_TARGET,
+) -> int:
+    """max(modulus, n // target): the adaptive stand-in selector (see
+    IVF_CENTROID_TARGET / PQ_ENTRY_TARGET — centroid sites use the
+    routing target, PQ-entry sites pass target=PQ_ENTRY_TARGET).
+    Pure; unit-tested."""
+    return max(modulus, n_vecs // target)
 
 
 #: Wall-clock phase timings of the most recent lifecycle invocation,
@@ -799,11 +823,17 @@ def _write_index_aux(
 #: index ``budget_limited`` — the codes cannot describe the corpus'
 #: (residual) structure and recall is capped by the entry budget, not
 #: by drift or nprobe.  Calibrated against the measured recall-vs-
-#: budget curve on the clustered x100 corpus (tools/soak.py
-#: --budget-curve; table in SCALING.md): residual self-sim tracks
-#: recall@5 monotonically, and the knee where added entries stop
-#: paying sits just above this line.
-PQ_BUDGET_SELF_SIM_FLOOR = 0.65
+#: budget curves on the clustered x10/x100 corpora (tools/soak.py
+#: --budget-curve; tables in SCALING.md): self-sim tracks recall@5
+#: monotonically within a geometry, the legacy 80-entry default sits
+#: at ~0.72 with recall@5 ≈ 0.03 (flagged), and the r13 default
+#: (PQ_ENTRY_TARGET) sits at ~0.82 with ~3x that recall at the same
+#: rerank — above the line, rotation's relative gain shrinks and
+#: rerank depth becomes the cheaper remedy.  Tiny (fixture-scale)
+#: corpora quantize coarsely by construction and will often flag;
+#: the verdict's advice — rebuild with more entries — is still the
+#: correct remedy there.
+PQ_BUDGET_SELF_SIM_FLOOR = 0.80
 
 
 def _write_index_qstats(
@@ -2006,7 +2036,10 @@ def retrain_pq_index(
         if n_entries is None:
             n = qv.count()
             n_entries = max(
-                2, n // _effective_modulus(n, PQ_CODEBOOK_MODULUS)
+                2,
+                n // _effective_modulus(
+                    n, PQ_CODEBOOK_MODULUS, PQ_ENTRY_TARGET
+                ),
             )
         # OPQ (r12): a rotated index re-learns its rotation on the held
         # corpus and trains the new codebooks in the NEW rotated space.
@@ -3086,7 +3119,11 @@ def ann_pq_topk(
     the codebook ∝ N and makes the encode join |corpus| x |codebook| —
     the x100 soak measured an 8000-entry codebook and ~1.3e10 scored
     encode rows; fixture scales resolve to the plain modulus (oracle
-    parity).
+    parity).  The cap is :data:`PQ_ENTRY_TARGET` (~320 entries, r13),
+    NOT the routing tier's ~80: codebook entries must DESCRIBE residual
+    structure, not just route, and the measured recall-vs-budget table
+    (SCALING.md) shows the shared 80-entry cap delivering recall@5
+    ≈ 0.03-0.07 on clustered geometry.
     """
     v = quantized_vectors(spark, sf_dir)
     if codebook_modulus is not None:
@@ -3095,7 +3132,9 @@ def ann_pq_topk(
         eff_mod = codebook_modulus
     else:
         eff_mod = _effective_modulus(
-            cached_count(spark, sf_dir, "embeddings"), PQ_CODEBOOK_MODULUS
+            cached_count(spark, sf_dir, "embeddings"),
+            PQ_CODEBOOK_MODULUS,
+            PQ_ENTRY_TARGET,
         )
     cb = _pq_modulus_codebooks(v, eff_mod)
     queries = v.filter(F.col("vec_id") % query_modulus == 0)
@@ -3290,7 +3329,11 @@ def learn_opq_rotation(
             "vec_id"
         ).collect()
         X = np.array([[float(t) for t in r["x"]] for r in rows])
-        ne = n_entries or max(2, len(X) // PQ_CODEBOOK_MODULUS)
+        ne = n_entries or max(
+            2, len(X) // _effective_modulus(
+                len(X), PQ_CODEBOOK_MODULUS, PQ_ENTRY_TARGET
+            )
+        )
         ne = min(ne, len(X))
         for _ in range(refine_iters):
             Y = X @ R.T
@@ -3745,7 +3788,9 @@ def ann_pq_topk_kmeans(
     v = quantized_vectors(spark, sf_dir)
     if n_entries is None:
         n = cached_count(spark, sf_dir, "embeddings")
-        n_entries = max(2, n // _effective_modulus(n, PQ_CODEBOOK_MODULUS))
+        n_entries = max(
+            2, n // _effective_modulus(n, PQ_CODEBOOK_MODULUS, PQ_ENTRY_TARGET)
+        )
     t0 = time.monotonic()
     cb = pq_codebooks_kmeans(v, n_entries=n_entries, iters=iters)
     # the ADC search is lazy (caller's collect pays it): only training
@@ -3857,7 +3902,10 @@ def build_pq_index(
                 sample_modulus=_opq_sample_modulus(n_qv),
                 refine_iters=2 if rotation == "opq-np" else 0,
                 n_entries=max(
-                    2, n_qv // _effective_modulus(n_qv, PQ_CODEBOOK_MODULUS)
+                    2,
+                    n_qv // _effective_modulus(
+                        n_qv, PQ_CODEBOOK_MODULUS, PQ_ENTRY_TARGET
+                    ),
                 ) if rotation == "opq-np" else None,
             )
         else:
@@ -3872,7 +3920,9 @@ def build_pq_index(
     else:
         if n_qv is None:
             n_qv = qv.count()
-        eff_mod = _effective_modulus(n_qv, PQ_CODEBOOK_MODULUS)
+        eff_mod = _effective_modulus(
+            n_qv, PQ_CODEBOOK_MODULUS, PQ_ENTRY_TARGET
+        )
         cb = _pq_modulus_codebooks(enc_src, eff_mod)
     # codes feed two consumers (the table write + the seed self-sim
     # agg); narrow rows (M ints + one double per vector), so the
@@ -4164,7 +4214,10 @@ def build_ivfpq_index(
                 ne_rot = None
                 if rotation == "opq-np":
                     ne_rot = n_entries or max(
-                        2, n // _effective_modulus(n, PQ_CODEBOOK_MODULUS)
+                        2,
+                        n // _effective_modulus(
+                            n, PQ_CODEBOOK_MODULUS, PQ_ENTRY_TARGET
+                        ),
                     )
                 R = learn_opq_rotation(
                     res,
@@ -4183,7 +4236,10 @@ def build_ivfpq_index(
         else:
             if n_entries is None:
                 n_entries = max(
-                    2, n // _effective_modulus(n, PQ_CODEBOOK_MODULUS)
+                    2,
+                    n // _effective_modulus(
+                        n, PQ_CODEBOOK_MODULUS, PQ_ENTRY_TARGET
+                    ),
                 )
             cb = pq_codebooks_kmeans(
                 enc_res, n_entries=n_entries, iters=iters
@@ -4464,7 +4520,9 @@ def ann_ivfpq_topk(
     if n_centroids is None:
         n_centroids = max(2, n // _effective_modulus(n))
     if n_entries is None:
-        n_entries = max(2, n // _effective_modulus(n, PQ_CODEBOOK_MODULUS))
+        n_entries = max(
+            2, n // _effective_modulus(n, PQ_CODEBOOK_MODULUS, PQ_ENTRY_TARGET)
+        )
     build_ivfpq_index(
         spark,
         v.select("vec_id", "embedding"),

@@ -735,6 +735,20 @@ def test_effective_modulus_caps_centroid_and_codebook_cardinality():
     assert m(200_000) == 2500
     for n in (10**5, 10**7, 10**9):
         assert n // m(n) <= similarity.IVF_CENTROID_TARGET + 1
+    # PQ-entry sites pass target=PQ_ENTRY_TARGET (r13): the codebook
+    # budget knee measured on the clustered corpora — fixture scales
+    # (and everything up to 25*320 = 8000 vectors) still resolve to
+    # the plain modulus, so oracle parity and bench timings are
+    # untouched; larger corpora hold ~PQ_ENTRY_TARGET entries instead
+    # of the routing-tier's ~80.
+    def mp(n):
+        return m(n, similarity.PQ_CODEBOOK_MODULUS,
+                 similarity.PQ_ENTRY_TARGET)
+
+    assert mp(200) == 25 and mp(2_000) == 25 and mp(8_000) == 25
+    assert mp(20_000) == 62  # n // 320
+    for n in (10**5, 10**7, 10**9):
+        assert n // mp(n) <= similarity.PQ_ENTRY_TARGET + 1
 
 
 def test_embedding_near_dup_scale_adaptive_default_matches_explicit(spark):

@@ -1088,7 +1088,10 @@ def run_budget_curve(spark, src: str, topk: int = 5, rerank: int = 20,
     name = "soak_budget_idx"
     sfx = ("_codes", "_quantized", "_centroids", "_codebooks",
            "_batches", "_stats", "_qstats")
-    queries = v.filter(F.col("vec_id") % 1009 == 0).select(
+    # ~200 queries at every scale: recall@5 resolution ~0.001 (a fixed
+    # 1009 modulus left only ~20 queries at x10 — +/-0.05 noise)
+    qmod = max(1, n // 200)
+    queries = v.filter(F.col("vec_id") % qmod == 0).select(
         F.col("vec_id").alias("query_id"), "embedding")
     out = {"detail": "budget_curve", "n_corpus": n, "base_entries": base,
            "n_queries": queries.count(), "rerank": rerank, "points": []}
@@ -1138,7 +1141,8 @@ def run_rerank_curve(spark, src: str, topk: int = 5,
 
     v = load(spark, src, "embeddings").select("vec_id", "embedding")
     n = v.count()
-    queries = v.filter(F.col("vec_id") % 1009 == 0).select(
+    qmod = max(1, n // 200)  # ~200 queries at every scale
+    queries = v.filter(F.col("vec_id") % qmod == 0).select(
         F.col("vec_id").alias("query_id"), "embedding")
     out = {"detail": "rerank_curve", "n_corpus": n,
            "n_queries": queries.count(), "tiers": {}}
