@@ -4553,6 +4553,7 @@ def ann_ivfpq_topk(
         f"{name}_codebooks",
         f"{name}_batches",
         f"{name}_stats",
+        f"{name}_qstats",
     ):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     return out
