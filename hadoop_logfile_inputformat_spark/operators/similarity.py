@@ -829,11 +829,14 @@ def _write_index_aux(
 #: at ~0.72 with recall@5 ≈ 0.03 (flagged), and the r13 default
 #: (PQ_ENTRY_TARGET) sits at ~0.82 with ~3x that recall at the same
 #: rerank — above the line, rotation's relative gain shrinks and
-#: rerank depth becomes the cheaper remedy.  Tiny (fixture-scale)
-#: corpora quantize coarsely by construction and will often flag;
-#: the verdict's advice — rebuild with more entries — is still the
-#: correct remedy there.
-PQ_BUDGET_SELF_SIM_FLOOR = 0.80
+#: rerank depth becomes the cheaper remedy.  Self-sim is measured
+#: scale-INVARIANT (x10 vs x100 within ±0.01 at every budget), which
+#: is what makes one floor serviceable; 0.78 leaves margin so the
+#: default configuration (0.81-0.82 measured) never flaps across
+#: geometry wobble.  Tiny (fixture-scale) corpora quantize coarsely
+#: by construction and will often flag; the verdict's advice —
+#: rebuild with more entries — is still the correct remedy there.
+PQ_BUDGET_SELF_SIM_FLOOR = 0.78
 
 
 def _write_index_qstats(
