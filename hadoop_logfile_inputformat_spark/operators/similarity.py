@@ -4101,6 +4101,7 @@ def build_ivfpq_index(
     carry: tuple = (),
     rotation=None,
     rotation_kind: str | None = None,
+    write_qstats: bool = True,
 ) -> None:
     """Materialize the composite IVF-PQ (IVFADC) search structure of
     ``vectors`` (any ``(vec_id, embedding)`` DataFrame) — the canonical
@@ -4256,14 +4257,21 @@ def build_ivfpq_index(
         # ``rnrm`` (the residual's true norm — rotation-invariant, so
         # computed once on the encode input) rides the encode so the
         # self-sim cosine divides by the right denominator.
-        codes_full = _pq_encode_fused(
-            enc_res.withColumn("rnrm", _norm("q")),
-            cb,
-            carry=("centroid_id", "nrm", "rnrm", *carry),
-        ).persist()
-        codes = codes_full.select(
-            "vec_id", "centroid_id", "m", "code", "nrm", *carry
-        )
+        if write_qstats:
+            codes_full = _pq_encode_fused(
+                enc_res.withColumn("rnrm", _norm("q")),
+                cb,
+                carry=("centroid_id", "nrm", "rnrm", *carry),
+            ).persist()
+            codes = codes_full.select(
+                "vec_id", "centroid_id", "m", "code", "nrm", *carry
+            )
+        else:
+            # ephemeral build: no qstats consumer, so keep the exact
+            # single-consumer encode->write plan (no persist, no rnrm)
+            codes = _pq_encode_fused(
+                enc_res, cb, carry=("centroid_id", "nrm", *carry)
+            ).select("vec_id", "centroid_id", "m", "code", "nrm", *carry)
         cw = (
             codes.repartition(n_buckets, F.col("centroid_id"))
             .write.bucketBy(n_buckets, "centroid_id")
@@ -4284,10 +4292,15 @@ def build_ivfpq_index(
         # space the codes live in — the ENTRY-BUDGET signal _qstats
         # records, orthogonal to the _stats ledger's coarse routing
         # cosine.  One aggregate over the persisted encode output.
+        # write_qstats=False (the ephemeral lifecycle: the table would
+        # be dropped before anyone could DESCRIBE it) skips both the
+        # aggregate and the write.
         seed_q = (
             _pq_self_sim(codes_full, nrm_col="rnrm")
             .agg(F.avg("c_sim").alias("s"))
             .collect()[0]
+            if write_qstats
+            else None
         )
     finally:
         if codes_full is not None:
@@ -4319,11 +4332,12 @@ def build_ivfpq_index(
             clear_orphaned_table(spark, f"{name}{suffix}")
         w.saveAsTable(f"{name}{suffix}")
     _write_index_aux(spark, name, path, seed_stats["n"], seed_stats["s"])
-    _write_index_qstats(
-        spark, name, path, seed_stats["n"], seed_q["s"],
-        n_entries=cb.where("m = 0").count(), rotated=R is not None,
-        kind="residual",
-    )
+    if write_qstats:
+        _write_index_qstats(
+            spark, name, path, seed_stats["n"], seed_q["s"],
+            n_entries=cb.where("m = 0").count(), rotated=R is not None,
+            kind="residual",
+        )
     if path is not None:
         from hadoop_logfile_inputformat_spark.operators.maintenance import (
             write_index_spec,
@@ -4533,6 +4547,7 @@ def ann_ivfpq_topk(
         n_centroids=n_centroids,
         n_entries=n_entries,
         iters=iters,
+        write_qstats=not ephemeral,
     )
     phases = dict(LIFECYCLE_PHASES.get("build_ivfpq_index", {}))
     phases.pop("_t_coarse", None)
