@@ -496,7 +496,9 @@ def main() -> None:
     # the headline_variance spread below — single-round swings of
     # ±0.1-0.2s under co-tenant load are noise and have round-tripped
     # every time so far (r10 q5/q3/q7/q9 all reverted in r11; r11's
-    # dedup_exact +0.12 is the r12 watch item).  Investigate two-round
+    # dedup_exact +0.12 reverted in r12; r12's ann_ivf_deleted +0.1
+    # reverted in r13 (2.6 -> 2.7 -> 2.6) — closed as noise under the
+    # two-round rule, no open watch items).  Investigate two-round
     # monotone drifts; do not chase one-round deltas.
     print(json.dumps({
         "detail": "headline_variance",
