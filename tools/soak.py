@@ -678,7 +678,9 @@ def _brute_recall(spark, queries, probe_df, live, topk: int) -> float:
 
 
 def run_drift_recall_suite(spark, src: str, topk: int = 5,
-                           rerank: int = 20) -> dict:
+                           rerank: int = 20,
+                           alphas=(0.25, 0.5, 0.75, 1.0),
+                           retrain: bool = True) -> dict:
     """Close the drift→recall loop at soak volume: build the IVFPQ
     index on the corpus, append INCREASINGLY drifted deltas (α-blends
     toward the reflection isometry — internally as learnable as the
@@ -734,7 +736,7 @@ def run_drift_recall_suite(spark, src: str, topk: int = 5,
         pq_live(), topk)
     out["recall_seed"] = base
     deltas = []
-    for i, alpha in enumerate((0.25, 0.5, 0.75, 1.0), start=1):
+    for i, alpha in enumerate(alphas, start=1):
         d = blend(v, alpha, 1_000_000 * i)
         deltas.append((alpha, d))
         S.append_to_ivfpq_index(spark, d, name, batch_id=i)
@@ -756,6 +758,12 @@ def run_drift_recall_suite(spark, src: str, topk: int = 5,
                "recall_ivfpq": rec, "recall_ivf": rec_ivf}
         out["steps"].append(row)
         print(json.dumps({"detail": "drift_step", **row}))
+    if not retrain:
+        for s in sfx:
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+            spark.sql(f"DROP TABLE IF EXISTS {name}_ivf{s}")
+        print(json.dumps(out))
+        return out
     t0 = time.monotonic()
     S.retrain_ivfpq_index(spark, name, iters=2)
     out["retrain_s"] = round(time.monotonic() - t0, 2)
