@@ -500,6 +500,23 @@ def main() -> None:
     # reverted in r13 (2.6 -> 2.7 -> 2.6) — closed as noise under the
     # two-round rule, no open watch items).  Investigate two-round
     # monotone drifts; do not chase one-round deltas.
+    #
+    # r14 resolutions (quiet-machine re-run, load 0.14): r13's three
+    # headline watch items all reverted — dedup_minhash_lsh 1.1 ->
+    # 1.3 -> 0.97, top_orders_per_customer 0.51 -> 0.66 -> 0.56
+    # (closed: co-tenant wobble); part_brand_revenue 0.85 -> 1.0 ->
+    # 0.97 sits two rounds above r12 but within the headline spread —
+    # plan unchanged (no diff touches it); watch one more round.  The
+    # source-scan dip (284.9 -> 224.5 -> 242.3 MB/s steady) PERSISTED
+    # on the quiet box; tools/bench_source.py profile shows it is
+    # UNIFORM across all scanner classes and record shapes (narrow
+    # line/chunked/vectorized 45.6/65.0/95.8 vs the documented ~72/
+    # ~95/~130 MB/s/core — same ~1.4x ratios, all ~25% low; wide
+    # likewise) with zero scanner diff since r12, while the JVM-bound
+    # headline simultaneously hit its best round (15.2s) — i.e. a
+    # Python-interpreter/host-level effect on this container, not a
+    # code path.  No scanner change warranted; re-profile only if a
+    # THIRD round reads low AND per-class ratios stop being uniform.
     print(json.dumps({
         "detail": "headline_variance",
         "warm_totals": [round(t, 2) for t in warm_totals],

@@ -909,22 +909,43 @@ def index_info(spark: SparkSession, name: str) -> dict:
     # --budget-curve) — self-sim tracks recall@5 monotonically.
     if spark.catalog.tableExists(f"{name}_qstats"):
         from hadoop_logfile_inputformat_spark.operators.similarity import (
-            PQ_BUDGET_SELF_SIM_FLOOR,
+            pq_budget_floor,
+            recommended_rerank,
         )
 
         spark.catalog.refreshTable(f"{name}_qstats")
-        q = spark.table(f"{name}_qstats").collect()[0]
-        out["quantization"] = {
-            "kind": q["kind"],
-            "self_sim": q["self_sim"],
-            "n_entries": q["n_entries"],
-            "m": q["m"],
-            "rotated": q["rotated"],
-            "budget_limited": (
-                q["self_sim"] is not None
-                and q["self_sim"] < PQ_BUDGET_SELF_SIM_FLOOR
-            ),
-        }
+        # tolerate an EMPTY ledger (torn write between table creation
+        # and data commit — the crash-sweep scenario class; r13 ADVICE):
+        # a missing row degrades to no quantization block, same as a
+        # missing table, instead of raising out of DESCRIBE-INDEX
+        qrows = spark.table(f"{name}_qstats").collect()
+        q = qrows[0] if qrows else None
+        if q is not None:
+            # live corpus size for the rerank hint: the _quantized
+            # count this call already made (appends move it; the
+            # seed-only _qstats n_vecs is the fallback)
+            live_n = out["tables"].get(f"{name}_quantized", {}).get(
+                "rows"
+            ) or q["n_vecs"]
+            out["quantization"] = {
+                "kind": q["kind"],
+                "self_sim": q["self_sim"],
+                "n_entries": q["n_entries"],
+                "m": q["m"],
+                "rotated": q["rotated"],
+                "budget_limited": (
+                    q["self_sim"] is not None
+                    and q["self_sim"] < pq_budget_floor(q["kind"])
+                ),
+                # corpus-size-aware exact-rerank depth (r14): the
+                # measured law — recall at a fixed depth falls ~1/2.5
+                # per 10x corpus while deepening is probe-cost-free to
+                # first order.  budget_limited prices the CODES;
+                # this prices the SHORTLIST — the r13 gap where the
+                # budget verdict cleared while recall@5 sat at 0.05
+                # because the shortlist, not the codes, was binding.
+                "rerank_hint": recommended_rerank(live_n),
+            }
     # writer lease state (r12): the one operational fact an owner had
     # to read from `<name>_lock` by hand — who may mutate, until when
     lease = _read_lease(spark, _lease_site(spark, name))

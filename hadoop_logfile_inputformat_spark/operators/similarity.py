@@ -838,6 +838,34 @@ def _write_index_aux(
 #: rebuild with more entries — is still the correct remedy there.
 PQ_BUDGET_SELF_SIM_FLOOR = 0.78
 
+#: Per-KIND budget floors (r14, the r13 ADVICE): the 0.78 floor above
+#: is calibrated on IVFPQ *residual* self-sim; flat PQ's ``kind="adc"``
+#: statistic is the FULL-VECTOR reconstruction cosine, a differently-
+#: distributed (much higher-running) number — applying the residual
+#: floor to it would never flag.  Calibrated from the flat-tier
+#: budget sweep (tools/soak.py --budget-curve --budget-tier pq,
+#: table in SCALING.md): on clustered x10 the legacy 80-entry flat
+#: build reads ADC self-sim ~0.957 (recall@5 0.12 at rerank=20 —
+#: budget-capped) and the 320-entry default ~0.973 with ~2.4x that
+#: recall; like the residual statistic it is scale-invariant
+#: (x100: 0.957/0.973 at the same budgets).  0.965 splits the two
+#: cleanly at both scales with the same no-flap margin the residual
+#: floor keeps.
+PQ_BUDGET_SELF_SIM_FLOOR_BY_KIND = {
+    "residual": PQ_BUDGET_SELF_SIM_FLOOR,
+    "adc": 0.965,
+}
+
+
+def pq_budget_floor(kind: str) -> float:
+    """The ``budget_limited`` self-sim floor for a ``_qstats`` kind —
+    per-kind because residual and full-vector cosines are different
+    statistics (see :data:`PQ_BUDGET_SELF_SIM_FLOOR_BY_KIND`).
+    Unknown kinds fall back to the residual floor."""
+    return PQ_BUDGET_SELF_SIM_FLOOR_BY_KIND.get(
+        kind, PQ_BUDGET_SELF_SIM_FLOOR
+    )
+
 
 def _write_index_qstats(
     spark: SparkSession,
@@ -3054,8 +3082,51 @@ PQ_M = 8
 PQ_SUBDIM = 8
 PQ_CODEBOOK_MODULUS = 25
 #: ADC shortlist size: the exact re-rank touches only this many
-#: candidates per query (the standard IVF-PQ + re-rank shape).
+#: candidates per query (the standard IVF-PQ + re-rank shape).  This
+#: is the BASE depth — the anchor of :func:`recommended_rerank`'s
+#: corpus-size scaling, and the resolved depth at every corpus up to
+#: :data:`RERANK_REF_CORPUS` (all fixture/bench scales).
 PQ_RERANK = 50
+
+#: Anchor corpus size of the measured rerank-depth law (SCALING.md's
+#: rerank tables): the x10 soak corpus (20k vectors), where
+#: ``PQ_RERANK`` was measured to be a sane operating point.
+RERANK_REF_CORPUS = 20_000
+
+#: Exponent of the corpus-size rerank law.  Measured (SCALING.md, the
+#: x10/x100 rerank tables): recall at a FIXED depth falls ~1/2.5 per
+#: 10x corpus while recall grows ~linearly in depth at both scales —
+#: so holding recall needs depth x2.5 per 10x corpus, i.e. depth ∝
+#: n^(log10 2.5) ≈ n^0.4.  The cost side makes this affordable: the
+#: exact re-rank fetch is |queries| x depth rows through the vec_id
+#: bucketing — corpus-size-INDEPENDENT by construction — and the
+#: measured probe wall moved ≤ 15% for 10x the depth.
+RERANK_SCALE_EXP = 0.39794  # log10(2.5)
+
+
+def recommended_rerank(n_corpus: int | None, base: int = PQ_RERANK) -> int:
+    """Corpus-size-aware exact-rerank shortlist depth for the PQ/ADC
+    tiers, derived from the measured scale law (SCALING.md, the
+    rerank-depth sizing tables; r14 closes the r13 verdict's "the
+    fixed default fights the measured law" gap):
+
+    ``depth(n) = base * (n / RERANK_REF_CORPUS) ** RERANK_SCALE_EXP``,
+    floored at ``base`` — so every corpus at or below the 20k anchor
+    (all fixture, gate, and bench scales) resolves to exactly
+    ``PQ_RERANK`` and gated plans/values don't move, while a 200k
+    corpus reads ~126 and a 2M corpus ~316 (depth x2.5 per 10x,
+    holding the recall the anchor depth bought at 20k).
+
+    Monotone non-decreasing in ``n_corpus`` (pinned in
+    tests/test_qstats.py).  ``None`` (unknown size) returns ``base``.
+    """
+    if n_corpus is None or n_corpus <= RERANK_REF_CORPUS:
+        return base
+    import math
+
+    return int(
+        math.ceil(base * (n_corpus / RERANK_REF_CORPUS) ** RERANK_SCALE_EXP)
+    )
 
 
 def _pq_parts(v, id_col: str = "vec_id", carry: tuple = ()):
@@ -3087,7 +3158,7 @@ def ann_pq_topk(
     sf_dir: str,
     k: int = TOP_K,
     query_modulus: int = QUERY_MODULUS,
-    rerank: int = PQ_RERANK,
+    rerank: int | None = None,
     codebook_modulus: int | None = None,
 ) -> DataFrame:
     """Product-quantization ADC shortlist + exact re-rank — the
@@ -3129,6 +3200,10 @@ def ann_pq_topk(
     ≈ 0.03-0.07 on clustered geometry.
     """
     v = quantized_vectors(spark, sf_dir)
+    if rerank is None:
+        # corpus-size-aware shortlist depth (r14): the measured rerank
+        # law — fixture/gate/bench scales (≤ 20k) resolve to PQ_RERANK
+        rerank = recommended_rerank(cached_count(spark, sf_dir, "embeddings"))
     if codebook_modulus is not None:
         # explicit pin (oracle binding: ann_pq_topk_portable) — never
         # follow the adaptive pick, whatever the corpus size
@@ -3226,6 +3301,7 @@ def learn_opq_rotation(
     sample_modulus: int = 1,
     refine_iters: int = 0,
     n_entries: int | None = None,
+    n_corpus: int | None = None,
 ) -> list:
     """Parametric OPQ rotation (Ge, He, Ke, Sun, "Optimized Product
     Quantization", CVPR 2013/TPAMI 2014, §4 "OPQ-P"): eigendecompose
@@ -3263,8 +3339,14 @@ def learn_opq_rotation(
     rotated space with the orthogonal-Procrustes update ``R = V Uᵀ``
     of ``SVD(Σ x x̂ᵀ)`` — run entirely driver-side on the same bounded
     sample (numpy; a few MB).  ``n_entries`` sets the refinement's
-    internal codebook budget and should match the build's (defaults
-    to the modulus-family budget over the sample).  The builders
+    internal codebook budget and MUST match the build's for the
+    refinement to optimize the production grid (the builders pass it;
+    r12 ADVICE).  When omitted, the fallback derives the modulus-family
+    budget from ``n_corpus`` (pass the CORPUS size when calling with a
+    subsample, r14 ADVICE — deriving it from the sample would refine
+    against a far smaller grid, e.g. 25 entries for a 2k sample of a
+    200k corpus training 320), last-resort from the sample size when
+    neither is given.  The builders
     expose it as ``rotation="opq-np"``.  Measured honestly (r12, the
     clustered fixtures): NP ≈ parametric here — flat tier 0.628 vs
     0.644, x10 composite 0.104 vs 0.098 (after matching NP's internal
@@ -3332,9 +3414,10 @@ def learn_opq_rotation(
             "vec_id"
         ).collect()
         X = np.array([[float(t) for t in r["x"]] for r in rows])
+        nb = n_corpus if n_corpus is not None else len(X)
         ne = n_entries or max(
-            2, len(X) // _effective_modulus(
-                len(X), PQ_CODEBOOK_MODULUS, PQ_ENTRY_TARGET
+            2, nb // _effective_modulus(
+                nb, PQ_CODEBOOK_MODULUS, PQ_ENTRY_TARGET
             )
         )
         ne = min(ne, len(X))
@@ -3458,6 +3541,31 @@ def _read_rotation_cached(spark: SparkSession, name: str) -> list | None:
     while len(_ASSIGN_RENDER_CACHE) > _ASSIGN_RENDER_CACHE_MAX:
         _ASSIGN_RENDER_CACHE.popitem(last=False)
     return R
+
+
+def _live_quantized_count(spark: SparkSession, name: str) -> int | None:
+    """Row count of a PQ-family index's ``<name>_quantized`` table —
+    the live corpus size :func:`recommended_rerank` sizes the ADC
+    shortlist against — memoized on the table's file signature (the
+    :func:`_read_rotation_cached` discipline), so a serving loop that
+    probes a frozen index pays the count ONCE and any append / retrain
+    / compaction / foreign-session rebuild (new part filenames) misses
+    the cache and recounts.  Returns ``None`` when the table doesn't
+    exist (callers fall back to the base depth)."""
+    table = f"{name}_quantized"
+    if not spark.catalog.tableExists(table):
+        return None
+    sig = _table_files_key(spark, table)
+    if sig is None:
+        return spark.table(table).count()
+    key = ("nquant", spark.sparkContext.applicationId, table, sig)
+    if key in _ASSIGN_RENDER_CACHE:
+        return _ASSIGN_RENDER_CACHE[key]
+    n = spark.table(table).count()
+    _ASSIGN_RENDER_CACHE[key] = n
+    while len(_ASSIGN_RENDER_CACHE) > _ASSIGN_RENDER_CACHE_MAX:
+        _ASSIGN_RENDER_CACHE.popitem(last=False)
+    return n
 
 
 def _pq_encode_fused(v: DataFrame, cb: DataFrame, carry: tuple = ()) -> DataFrame:
@@ -3768,7 +3876,7 @@ def ann_pq_topk_kmeans(
     sf_dir: str,
     k: int = TOP_K,
     query_modulus: int = QUERY_MODULUS,
-    rerank: int = PQ_RERANK,
+    rerank: int | None = None,
     n_entries: int | None = None,
     iters: int = 3,
 ) -> DataFrame:
@@ -3789,6 +3897,8 @@ def ann_pq_topk_kmeans(
     registry's portable binding.
     """
     v = quantized_vectors(spark, sf_dir)
+    if rerank is None:
+        rerank = recommended_rerank(cached_count(spark, sf_dir, "embeddings"))
     if n_entries is None:
         n = cached_count(spark, sf_dir, "embeddings")
         n_entries = max(
@@ -3996,7 +4106,7 @@ def ann_pq_probe(
     queries: DataFrame,
     name: str,
     k: int = TOP_K,
-    rerank: int = PQ_RERANK,
+    rerank: int | None = None,
     member_filter=None,
     exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
@@ -4018,10 +4128,20 @@ def ann_pq_probe(
     ``exclude_ids`` (a ``(vec_id)`` DataFrame, broadcast) drops those
     members from the candidate set BEFORE the shortlist — the replay
     hook ``streaming.embedding_index_stream_batch`` needs (r13, same
-    contract as :func:`ann_ivf_probe`)."""
+    contract as :func:`ann_ivf_probe`).
+
+    ``rerank=None`` (the default, r14) resolves the shortlist depth
+    via :func:`recommended_rerank` over the LIVE corpus size — the
+    measured scale law (SCALING.md): a fixed depth loses ~1/2.5 of
+    its recall per 10x corpus while deepening costs |queries| x depth
+    corpus-independent fetch rows.  At fixture/gate scales this is
+    exactly ``PQ_RERANK``; the one count job it needs is memoized on
+    the table's file signature (hot serving loops pay it once)."""
     _refresh_index_relations(
         spark, name, "_codebooks", "_codes", "_quantized"
     )
+    if rerank is None:
+        rerank = recommended_rerank(_live_quantized_count(spark, name))
     cb = spark.table(f"{name}_codebooks")
     codes = spark.table(f"{name}_codes")
     if member_filter is not None:
@@ -4359,7 +4479,7 @@ def ann_ivfpq_probe(
     name: str,
     k: int = TOP_K,
     nprobe: int = IVF_NPROBE,
-    rerank: int = PQ_RERANK,
+    rerank: int | None = None,
     member_filter=None,
     exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
@@ -4392,10 +4512,18 @@ def ann_ivfpq_probe(
     members BEFORE the ADC shortlist — the replay hook
     ``streaming.embedding_index_stream_batch`` needs (r13, same
     contract as :func:`ann_ivf_probe`).
+
+    ``rerank=None`` (the default, r14) resolves the shortlist depth
+    via :func:`recommended_rerank` over the LIVE corpus size — see
+    :func:`ann_pq_probe`; fixture/gate scales resolve to exactly
+    ``PQ_RERANK``, the count is memoized on the table's file
+    signature.
     """
     _refresh_index_relations(
         spark, name, "_centroids", "_codebooks", "_codes", "_quantized"
     )
+    if rerank is None:
+        rerank = recommended_rerank(_live_quantized_count(spark, name))
     cent = spark.table(f"{name}_centroids")
     cb = spark.table(f"{name}_codebooks")
     codes = spark.table(f"{name}_codes")
@@ -4499,7 +4627,7 @@ def ann_ivfpq_topk(
     k: int = TOP_K,
     query_modulus: int = QUERY_MODULUS,
     nprobe: int = IVF_NPROBE,
-    rerank: int = PQ_RERANK,
+    rerank: int | None = None,
     n_centroids: int | None = None,
     n_entries: int | None = None,
     iters: int = 3,

@@ -55,8 +55,11 @@ def test_pq_build_writes_adc_qstats_and_info_surfaces_it(spark):
         assert abs(row["self_sim"] - seed["mean_sim"]) < 1e-12
         q = index_info(spark, name)["quantization"]
         assert q["kind"] == "adc"
+        # the verdict applies the PER-KIND floor (r14): flat PQ's
+        # full-vector self-sim is a higher-running statistic than
+        # IVFPQ's residual one — the residual floor would never fire
         assert q["budget_limited"] == (
-            q["self_sim"] < S.PQ_BUDGET_SELF_SIM_FLOOR
+            q["self_sim"] < S.pq_budget_floor("adc")
         )
     finally:
         _drop(spark, name)
@@ -142,6 +145,91 @@ def test_retrain_refreshes_qstats_budget(spark):
     finally:
         _drop(spark, name)
         spark.sql(f"DROP TABLE IF EXISTS {name}_retrain_tmp")
+
+
+def test_recommended_rerank_monotone_and_floored():
+    """The corpus-size-aware shortlist law (r14, SCALING.md's rerank
+    tables): depth is PQ_RERANK at and below the 20k anchor (every
+    fixture/gate/bench scale — frozen plans), then monotone
+    non-decreasing ∝ n^0.4 (depth x2.5 per 10x corpus, the measured
+    recall-at-fixed-depth decay), never below the base."""
+    ladder = [1, 500, 2_000, 8_000, S.RERANK_REF_CORPUS,
+              50_000, 200_000, 2_000_000, 20_000_000]
+    depths = [S.recommended_rerank(n) for n in ladder]
+    assert depths == sorted(depths)  # monotone in corpus size
+    for n, d in zip(ladder, depths):
+        if n <= S.RERANK_REF_CORPUS:
+            assert d == S.PQ_RERANK  # fixture scales: exactly the base
+        else:
+            assert d > S.PQ_RERANK
+    # the published law's x100 point: 200k -> ~2.5x the base
+    assert 120 <= S.recommended_rerank(200_000) <= 130
+    assert S.recommended_rerank(None) == S.PQ_RERANK
+    # respects a caller's base depth
+    assert S.recommended_rerank(10, base=7) == 7
+
+
+def test_index_info_surfaces_rerank_hint(spark):
+    """index_info prices the SHORTLIST next to the budget (r14): the
+    quantization block carries rerank_hint = recommended_rerank(live
+    corpus rows), so an operator who reads budget_limited also sees
+    the lever that was actually binding at scale in the r13 tables."""
+    v = _vecs(spark)
+    name = "t_qs_hint"
+    _drop(spark, name)
+    try:
+        S.build_ivfpq_index(spark, v, name, iters=2)
+        info = index_info(spark, name)
+        q = info["quantization"]
+        live = info["tables"][f"{name}_quantized"]["rows"]
+        assert q["rerank_hint"] == S.recommended_rerank(live)
+        assert q["rerank_hint"] == S.PQ_RERANK  # fixture scale
+    finally:
+        _drop(spark, name)
+
+
+def test_probe_default_rerank_resolves_to_recommended(spark):
+    """rerank=None (the r14 probe default) must resolve to the
+    corpus-size recommendation — at fixture scale that is exactly the
+    old fixed PQ_RERANK, so gated values are unchanged by
+    construction; the explicit-depth path stays available."""
+    v = _vecs(spark)
+    name = "t_qs_auto"
+    _drop(spark, name)
+    try:
+        S.build_pq_index(spark, v, name)
+        queries = v.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        auto = S.ann_pq_probe(spark, queries, name, k=5).collect()
+        explicit = S.ann_pq_probe(
+            spark, queries, name, k=5, rerank=S.PQ_RERANK
+        ).collect()
+        assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
+        assert len(auto) > 0
+    finally:
+        _drop(spark, name)
+
+
+def test_index_info_tolerates_empty_qstats(spark):
+    """Torn write between qstats table creation and data commit (the
+    crash-sweep scenario class, r13 ADVICE): an EMPTY ledger degrades
+    to no quantization block — index_info must stay a read-only
+    describe verb, never raise, under any crash debris."""
+    v = _vecs(spark)
+    name = "t_qs_torn"
+    _drop(spark, name)
+    try:
+        S.build_pq_index(spark, v, name)
+        empty = spark.table(f"{name}_qstats").limit(0)
+        empty.write.mode("overwrite").saveAsTable(f"{name}_qstats_e")
+        spark.sql(f"DROP TABLE {name}_qstats")
+        spark.sql(f"ALTER TABLE {name}_qstats_e RENAME TO {name}_qstats")
+        info = index_info(spark, name)
+        assert "quantization" not in info
+    finally:
+        _drop(spark, name)
+        spark.sql(f"DROP TABLE IF EXISTS {name}_qstats_e")
 
 
 def test_append_leaves_qstats_alone(spark):

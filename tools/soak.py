@@ -1077,22 +1077,37 @@ def _with_nrm(df):
 
 def run_budget_curve(spark, src: str, topk: int = 5, rerank: int = 20,
                      multipliers=(1, 2, 4, 8), rotations=(None, "opq"),
-                     warm: int = 1) -> dict:
+                     warm: int = 1, tier: str = "ivfpq",
+                     reranks=None) -> dict:
     """The ENTRY-BUDGET sizing table (r13, the r12 verdict's top ask):
     build the IVFPQ index at 1x/2x/4x/8x the legacy ~80-entry budget,
     with and without the OPQ rotation, and record recall@k vs
     brute-force ground truth NEXT TO the build wall, steady probe wall,
     and the ``_qstats`` residual self-similarity — the signal
     ``index_info`` surfaces, calibrated here against measured recall.
-    One JSON line per point; returns the dict for SCALING.md."""
+    One JSON line per point; returns the dict for SCALING.md.
+
+    ``tier="pq"`` (r14) runs the same grid on the FLAT-PQ tier —
+    codebooks learned at the same entry budgets, whole-corpus ADC —
+    recording the ``kind="adc"`` full-vector self-sim: the calibration
+    data the per-kind ``budget_limited`` floor needs (r13 ADVICE: the
+    residual floor never fires on the higher-running full-vector
+    statistic).
+
+    ``reranks`` (r14): probe each build at SEVERAL shortlist depths
+    instead of the single ``rerank`` — one build, len(reranks) recall
+    points — the plumbing that prices the COMPOSED remedy (e.g. 8x
+    entries x rerank 200) without a rebuild per depth."""
     from hadoop_logfile_inputformat_spark.operators import similarity as S
     from hadoop_logfile_inputformat_spark.operators.tables import load
 
     v = load(spark, src, "embeddings").select("vec_id", "embedding")
     n = v.count()
     # the LEGACY (pre-r13) default budget the multipliers scale from:
-    # n // max(25, n // 80) == min(n/25, ~80) entries per subspace
-    base = max(2, n // max(S.PQ_CODEBOOK_MODULUS, n // 80))
+    # n // max(25, n // IVF_CENTROID_TARGET) == min(n/25, ~80) entries
+    # per subspace (the routing target IS the pre-r13 PQ-entry target)
+    base = max(2, n // max(S.PQ_CODEBOOK_MODULUS,
+                           n // S.IVF_CENTROID_TARGET))
     name = "soak_budget_idx"
     sfx = ("_codes", "_quantized", "_centroids", "_codebooks",
            "_batches", "_stats", "_qstats")
@@ -1101,35 +1116,57 @@ def run_budget_curve(spark, src: str, topk: int = 5, rerank: int = 20,
     qmod = max(1, n // 200)
     queries = v.filter(F.col("vec_id") % qmod == 0).select(
         F.col("vec_id").alias("query_id"), "embedding")
+    reranks = tuple(reranks) if reranks else (rerank,)
     out = {"detail": "budget_curve", "n_corpus": n, "base_entries": base,
-           "n_queries": queries.count(), "rerank": rerank, "points": []}
+           "n_queries": queries.count(), "rerank": reranks[0],
+           "reranks": list(reranks), "tier": tier, "points": []}
     truth = _ground_truth(spark, queries, _with_nrm(v), topk)
     for mult in multipliers:
         for rot in rotations:
             for s in sfx:
                 spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
             t0 = time.monotonic()
-            S.build_ivfpq_index(spark, v, name, n_entries=base * mult,
-                                iters=2, rotation=rot)
+            if tier == "pq":
+                qv = S.quantize_frame(v)
+                R = None
+                if rot is not None:
+                    # external codebooks must train in the SAME space
+                    # they'll encode in: learn the rotation here, train
+                    # rotated, hand build_pq_index the explicit matrix
+                    R = S.learn_opq_rotation(
+                        qv, sample_modulus=S._opq_sample_modulus(n),
+                        refine_iters=2 if rot == "opq-np" else 0,
+                        n_entries=base * mult)
+                src_q = qv if R is None else qv.withColumn(
+                    "q", F.expr(S._rotate_expr("q", R)))
+                cb = S.pq_codebooks_kmeans(
+                    src_q, n_entries=base * mult, iters=2)
+                S.build_pq_index(spark, v, name, codebooks=cb,
+                                 rotation=R,
+                                 rotation_kind=rot if R is not None
+                                 else None)
+                probe = lambda rr: S.ann_pq_probe(  # noqa: E731
+                    spark, queries, name, k=topk, rerank=rr)
+            else:
+                S.build_ivfpq_index(spark, v, name,
+                                    n_entries=base * mult,
+                                    iters=2, rotation=rot)
+                probe = lambda rr: S.ann_ivfpq_probe(  # noqa: E731
+                    spark, queries, name, k=topk, rerank=rr)
             build_s = round(time.monotonic() - t0, 2)
             qrow = spark.table(f"{name}_qstats").collect()[0]
-            timing = _timed(
-                spark,
-                lambda: S.ann_ivfpq_probe(spark, queries, name, k=topk,
-                                          rerank=rerank),
-                warm=warm,
-            )
-            rec = _recall_against(
-                truth,
-                S.ann_ivfpq_probe(spark, queries, name, k=topk,
-                                  rerank=rerank))
-            point = {"n_entries": base * mult, "mult": mult,
-                     "rotation": rot or "none", "build_s": build_s,
-                     "recall": rec,
-                     "resid_self_sim": round(qrow["self_sim"], 4),
-                     "probe_steady_s": timing.get("steady")}
-            out["points"].append(point)
-            print(json.dumps({"detail": "budget_point", **point}))
+            for rr in reranks:
+                timing = _timed(spark, lambda r=rr: probe(r), warm=warm)
+                rec = _recall_against(truth, probe(rr))
+                point = {"n_entries": base * mult, "mult": mult,
+                         "rotation": rot or "none", "tier": tier,
+                         "rerank": rr, "build_s": build_s,
+                         "recall": rec,
+                         "self_sim_kind": qrow["kind"],
+                         "resid_self_sim": round(qrow["self_sim"], 4),
+                         "probe_steady_s": timing.get("steady")}
+                out["points"].append(point)
+                print(json.dumps({"detail": "budget_point", **point}))
     for s in sfx:
         spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
     print(json.dumps(out))
@@ -1164,10 +1201,15 @@ def run_rerank_curve(spark, src: str, topk: int = 5,
         t0 = time.monotonic()
         if tier == "pq":
             qv = S.quantize_frame(v)
+            # at the PQ-ENTRY default budget (r14 ADVICE fix: the
+            # target defaulted to the ~80 ROUTING cap here, so the
+            # published x100 flat-vs-IVFPQ rerank table compared an
+            # 80-entry flat build against a 320-entry IVFPQ — the
+            # corrected table is in SCALING.md)
             cb = S.pq_codebooks_kmeans(
                 qv,
                 n_entries=max(2, n // S._effective_modulus(
-                    n, S.PQ_CODEBOOK_MODULUS)),
+                    n, S.PQ_CODEBOOK_MODULUS, S.PQ_ENTRY_TARGET)),
                 iters=2)
             S.build_pq_index(spark, v, name, codebooks=cb)
             probe = lambda rr: S.ann_pq_probe(  # noqa: E731
@@ -1336,6 +1378,53 @@ def main() -> None:
         "and IVFPQ indexes at the LARGEST scale dir",
     )
     ap.add_argument(
+        "--alphas",
+        type=float,
+        nargs="*",
+        default=None,
+        help="drift-recall suite: the α-blend steps to append "
+        "(default: the suite's 0.25/0.5/0.75/1.0 ladder) — lets a "
+        "single missing cell (e.g. 1.0) be bought solo",
+    )
+    ap.add_argument(
+        "--no-retrain",
+        action="store_true",
+        help="drift-recall suite: stop after the drift/recall steps "
+        "(skip the retrain + post-retrain recovery columns)",
+    )
+    ap.add_argument(
+        "--budget-tier",
+        choices=["ivfpq", "pq"],
+        default="ivfpq",
+        help="budget curve: which PQ tier to sweep — 'pq' records the "
+        "flat tier's kind=adc full-vector self-sim (the per-kind "
+        "budget_limited floor's calibration data)",
+    )
+    ap.add_argument(
+        "--budget-multipliers",
+        type=int,
+        nargs="*",
+        default=None,
+        help="budget curve: entry-budget multipliers over the legacy "
+        "~80-entry base (default 1 2 4 8)",
+    )
+    ap.add_argument(
+        "--budget-rotations",
+        nargs="*",
+        default=None,
+        help="budget curve: rotation variants — 'none' and/or 'opq' "
+        "(default both)",
+    )
+    ap.add_argument(
+        "--budget-reranks",
+        type=int,
+        nargs="*",
+        default=None,
+        help="budget curve: probe each build at these shortlist "
+        "depths (default: the single legacy 20) — one build, many "
+        "recall points: prices the COMPOSED remedy (entries x rerank)",
+    )
+    ap.add_argument(
         "--geometry",
         choices=["uniform", "clustered"],
         default="uniform",
@@ -1393,7 +1482,12 @@ def main() -> None:
             build_clustered(spark, src, cl)
             src = cl
         if args.drift_recall:
-            out = run_drift_recall_suite(spark, src)
+            kw = {}
+            if args.alphas:
+                kw["alphas"] = tuple(args.alphas)
+            if args.no_retrain:
+                kw["retrain"] = False
+            out = run_drift_recall_suite(spark, src, **kw)
             out["scale"], out["geometry"] = scale, args.geometry
             print(json.dumps({**out, "detail": "drift_recall_summary"}))
         if args.nprobe_curve:
@@ -1401,7 +1495,17 @@ def main() -> None:
             out["scale"], out["geometry"] = scale, args.geometry
             print(json.dumps({**out, "detail": "nprobe_curve_summary"}))
         if args.budget_curve:
-            out = run_budget_curve(spark, src, warm=args.warm)
+            kw = {"tier": args.budget_tier}
+            if args.budget_multipliers:
+                kw["multipliers"] = tuple(args.budget_multipliers)
+            if args.budget_rotations:
+                kw["rotations"] = tuple(
+                    None if r == "none" else r
+                    for r in args.budget_rotations
+                )
+            if args.budget_reranks:
+                kw["reranks"] = tuple(args.budget_reranks)
+            out = run_budget_curve(spark, src, warm=args.warm, **kw)
             out["scale"], out["geometry"] = scale, args.geometry
             print(json.dumps({**out, "detail": "budget_curve_summary"}))
         if args.rerank_curve:
