@@ -1227,7 +1227,13 @@ def vacuum_index(
     Pass ``path=`` for an external index that is not (yet) registered
     in this session.  Returns ``{"removed": [...], "restored": [...],
     "completed_swaps": [...], "dropped_tables": [...],
-    "ambiguous": [...], "retrain_snapshots": [...]}`` — the last (r13)
+    "ambiguous": [...], "retrain_snapshots": [...],
+    "pending_appends": [...]}`` — ``pending_appends`` (r14) lists
+    ``_append_intent_*`` markers of crashed HALF-APPENDS whose batch
+    never reached the replay log: vacuum never deletes those (the
+    marker is what makes the stream's replay resume instead of
+    double-append); markers whose batch IS logged are debris and are
+    removed.  ``retrain_snapshots`` (r13)
     lists a stranded ``<name>_retrain_tmp``, the signal that a RETRAIN
     crashed mid-rebuild and the index may hold mixed table
     generations; vacuum never deletes it (it is the recovery corpus) —
@@ -1397,4 +1403,33 @@ def _vacuum_index_leased(
         sp = st.getPath()
         fs.delete(sp, False)
         report["removed"].append(sp.toString())
+    # append-INTENT markers (r14, similarity._begin_guarded_append):
+    # `_append_intent_<batch>` in the _batches dir.  One whose batch id
+    # already sits in the replay log is debris (crash between the log
+    # row and the marker delete) → removed.  One whose batch is NOT yet
+    # logged marks a crashed half-append whose replay will RESUME
+    # through it — deleting it would re-open the double-append window,
+    # so vacuum only REPORTS it (the retrain-snapshot discipline).
+    report["pending_appends"] = []
+    bt = f"{name}_batches"
+    bloc = _table_location(spark, bt) if spark.catalog.tableExists(
+        bt
+    ) else None
+    if bloc is not None:
+        applied = {
+            r["batch_id"] for r in spark.table(bt).collect()
+        }
+        bfs, bjvm = _hadoop_fs(spark, bloc)
+        BP = bjvm.org.apache.hadoop.fs.Path
+        for st in bfs.globStatus(BP(f"{bloc}/_append_intent_*")) or []:
+            sp = st.getPath()
+            try:
+                bid = int(sp.getName().rsplit("_", 1)[-1])
+            except ValueError:
+                continue
+            if bid in applied:
+                bfs.delete(sp, False)
+                report["removed"].append(sp.toString())
+            else:
+                report["pending_appends"].append(sp.toString())
     return report

@@ -988,25 +988,120 @@ def _append_index_bookkeeping(
     name: str,
     assigned: DataFrame,
     batch_id: int | None,
+    recovering: bool = False,
 ) -> None:
     """Append the delta's drift-ledger row (+ replay-log row when
     ``batch_id`` given).  ``assigned`` carries ``c_sim``; the stats agg
     is one map-side-partial pass over the (cached, delta-sized)
     assignment frame — two scalar rows, never the delta itself, reach
-    the tables."""
-    stats = assigned.agg(
-        F.count("*").alias("n"), F.avg("c_sim").alias("s")
-    ).collect()[0]
-    # unguarded (batch-API) appends record a NULL batch_id — still an
-    # "appended" row to the drift ledger, distinct from the −1 seed
-    spark.createDataFrame(
-        [(batch_id, stats["n"], stats["s"])],
-        "batch_id BIGINT, n_vecs BIGINT, mean_sim DOUBLE",
-    ).write.mode("append").insertInto(f"{name}_stats")
+    the tables.  ``recovering`` (r14, the intent protocol): a replay of
+    a crashed attempt skips the stats row if the prior attempt already
+    landed it (the replay-log row can never pre-exist here — its
+    absence is what admitted the replay)."""
+    if recovering and batch_id is not None and (
+        spark.table(f"{name}_stats")
+        .filter(F.col("batch_id") == batch_id)
+        .limit(1)
+        .count()
+    ):
+        pass
+    else:
+        stats = assigned.agg(
+            F.count("*").alias("n"), F.avg("c_sim").alias("s")
+        ).collect()[0]
+        # unguarded (batch-API) appends record a NULL batch_id — still
+        # an "appended" row to the drift ledger, distinct from the −1
+        # seed
+        spark.createDataFrame(
+            [(batch_id, stats["n"], stats["s"])],
+            "batch_id BIGINT, n_vecs BIGINT, mean_sim DOUBLE",
+        ).write.mode("append").insertInto(f"{name}_stats")
     if batch_id is not None:
         spark.createDataFrame([(batch_id,)], "batch_id BIGINT").write.mode(
             "append"
         ).insertInto(f"{name}_batches")
+
+
+def _intent_path(spark: SparkSession, name: str, batch_id: int):
+    """(fs, jvm-Path) of the hidden per-batch append-intent marker —
+    an underscore-prefixed empty file inside the ``<name>_batches``
+    table directory (parquet readers ignore ``_``/``.`` names, and the
+    replay log is part of every index family's triple, external builds
+    included, so the marker lives and dies with the index)."""
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        _hadoop_fs,
+        _table_location,
+    )
+
+    loc = _table_location(spark, f"{name}_batches")
+    if loc is None:
+        return None, None
+    p = f"{loc}/_append_intent_{batch_id}"
+    fs, jvm = _hadoop_fs(spark, p)
+    return fs, jvm.org.apache.hadoop.fs.Path(p)
+
+
+def _begin_guarded_append(
+    spark: SparkSession, name: str, batch_id: int | None
+) -> bool:
+    """Open the per-batch append INTENT (r14): called after the
+    ``_batches`` replay guard admits the batch and before the first
+    data mutation.  Creates the hidden marker and returns False on a
+    first delivery; returns True — recovery mode — when the marker
+    already exists, i.e. a prior attempt crashed somewhere between its
+    first data mutation and its replay-log row.
+
+    This closes the window the plain guard left open (caught by the
+    r14 crash sweep): the data inserts and the log row are separate
+    non-atomic mutations, so a kill between them made the replay
+    re-append rows that had already landed — duplicate list members,
+    double-counted membership.  In recovery mode the append verbs
+    re-check each corpus table for the delta (each ``insertInto`` is
+    all-or-nothing under Spark's job-commit protocol — partial files
+    never commit, the same granularity assumption as the rest of the
+    crash sweep) and skip the ones that already hold it, making replay
+    exactly-once per table.  Hot-path cost: one marker create here and
+    one delete in :func:`_finish_guarded_append` — two filesystem ops
+    per guarded append, zero extra jobs."""
+    if batch_id is None:
+        return False
+    fs, p = _intent_path(spark, name, batch_id)
+    if fs is None:
+        return False
+    if fs.exists(p):
+        return True
+    fs.create(p, True).close()
+    return False
+
+
+def _finish_guarded_append(
+    spark: SparkSession, name: str, batch_id: int | None
+) -> None:
+    """Retire the append intent once the replay-log row has landed —
+    from here a replay is rejected by the ``_batches`` guard itself,
+    and any marker left by a crash after the log row is debris (cleared
+    by the guard's no-op path)."""
+    if batch_id is None:
+        return
+    fs, p = _intent_path(spark, name, batch_id)
+    if fs is not None and fs.exists(p):
+        fs.delete(p, False)
+
+
+def _delta_missing_from(
+    spark: SparkSession, table: str, ids: DataFrame
+) -> bool:
+    """True when NONE of the delta's vec_ids are in ``table`` — the
+    per-table resume probe of the intent protocol (recovery path only,
+    never the hot path): one broadcast semi-join, first hit wins."""
+    spark.catalog.refreshTable(table)
+    return (
+        spark.table(table)
+        .join(F.broadcast(ids.select("vec_id")), "vec_id", "left_semi")
+        .limit(1)
+        .count()
+        == 0
+    )
 
 
 def build_ivf_index(
@@ -1436,18 +1531,24 @@ def append_to_ivf_index(
     ``batch_id`` adds the replay guard (same protocol as the LSH
     index's ``_batches`` log): an already-applied batch id is a no-op
     returning False — the contract ``streaming.embedding_index_stream``
-    relies on under foreachBatch's at-least-once replay.
+    relies on under foreachBatch's at-least-once replay.  The guard is
+    completed by the append-INTENT marker (r14,
+    :func:`_begin_guarded_append`): a replay of an attempt that
+    crashed between the data insert and the log row resumes per table
+    instead of double-appending.
     """
     _refresh_index_relations(
         spark, name, "_centroids", "_lists", "_batches", "_stats"
     )
     if batch_id is not None and _batch_applied(spark, name, batch_id):
+        _finish_guarded_append(spark, name, batch_id)  # crash debris
         return False
     from hadoop_logfile_inputformat_spark.operators.maintenance import (
         check_index_lease,
     )
 
     check_index_lease(spark, name)
+    recovering = _begin_guarded_append(spark, name, batch_id)
     _reject_tombstoned_delta(spark, name, delta_vectors)
     # out-of-order takedowns (delete issued before this id was ever
     # ingested) consume here: the victim rows never land; the hit
@@ -1480,10 +1581,15 @@ def append_to_ivf_index(
         ),
         ("ivf_append", name),
     )
-    _bucket_aligned(
-        spark, assigned.select(*lists_cols), f"{name}_lists", "centroid_id"
-    ).write.mode("append").insertInto(f"{name}_lists")
-    _append_index_bookkeeping(spark, name, assigned, batch_id)
+    if not recovering or _delta_missing_from(spark, f"{name}_lists", v):
+        _bucket_aligned(
+            spark, assigned.select(*lists_cols), f"{name}_lists",
+            "centroid_id"
+        ).write.mode("append").insertInto(f"{name}_lists")
+    _append_index_bookkeeping(
+        spark, name, assigned, batch_id, recovering=recovering
+    )
+    _finish_guarded_append(spark, name, batch_id)
     from hadoop_logfile_inputformat_spark.operators.maintenance import (
         retire_deferred,
     )
@@ -1518,12 +1624,14 @@ def append_to_ivfpq_index(
         "_batches", "_stats"
     )
     if batch_id is not None and _batch_applied(spark, name, batch_id):
+        _finish_guarded_append(spark, name, batch_id)  # crash debris
         return False
     from hadoop_logfile_inputformat_spark.operators.maintenance import (
         check_index_lease,
     )
 
     check_index_lease(spark, name)
+    recovering = _begin_guarded_append(spark, name, batch_id)
     _reject_tombstoned_delta(spark, name, delta_vectors)
     # out-of-order takedowns (delete issued before this id was ever
     # ingested) consume here: the victim rows never land; the hit
@@ -1571,15 +1679,22 @@ def append_to_ivfpq_index(
     codes = _pq_encode_fused(
         res, cb, carry=("centroid_id", "nrm", *carry)
     )
-    _bucket_aligned(
-        spark, codes.select(*spark.table(f"{name}_codes").columns),
-        f"{name}_codes", "centroid_id"
-    ).write.mode("append").insertInto(f"{name}_codes")
-    _bucket_aligned(
-        spark, qv.select(*spark.table(f"{name}_quantized").columns),
-        f"{name}_quantized", "vec_id"
-    ).write.mode("append").insertInto(f"{name}_quantized")
-    _append_index_bookkeeping(spark, name, assigned, batch_id)
+    if not recovering or _delta_missing_from(spark, f"{name}_codes", qv):
+        _bucket_aligned(
+            spark, codes.select(*spark.table(f"{name}_codes").columns),
+            f"{name}_codes", "centroid_id"
+        ).write.mode("append").insertInto(f"{name}_codes")
+    if not recovering or _delta_missing_from(
+        spark, f"{name}_quantized", qv
+    ):
+        _bucket_aligned(
+            spark, qv.select(*spark.table(f"{name}_quantized").columns),
+            f"{name}_quantized", "vec_id"
+        ).write.mode("append").insertInto(f"{name}_quantized")
+    _append_index_bookkeeping(
+        spark, name, assigned, batch_id, recovering=recovering
+    )
+    _finish_guarded_append(spark, name, batch_id)
     from hadoop_logfile_inputformat_spark.operators.maintenance import (
         retire_deferred,
     )
@@ -1643,12 +1758,14 @@ def append_to_pq_index(
         "_stats"
     )
     if batch_id is not None and _batch_applied(spark, name, batch_id):
+        _finish_guarded_append(spark, name, batch_id)  # crash debris
         return False
     from hadoop_logfile_inputformat_spark.operators.maintenance import (
         check_index_lease,
     )
 
     check_index_lease(spark, name)
+    recovering = _begin_guarded_append(spark, name, batch_id)
     _reject_tombstoned_delta(spark, name, delta_vectors)
     # out-of-order takedowns (delete issued before this id was ever
     # ingested) consume here: the victim rows never land; the hit
@@ -1679,15 +1796,22 @@ def append_to_pq_index(
         _pq_encode_fused(enc_in, cb, carry=("nrm", *carry)),
         ("pq_append", name),
     )
-    _bucket_aligned(
-        spark, codes.select(*spark.table(f"{name}_codes").columns),
-        f"{name}_codes", "vec_id"
-    ).write.mode("append").insertInto(f"{name}_codes")
-    _bucket_aligned(
-        spark, qv.select(*spark.table(f"{name}_quantized").columns),
-        f"{name}_quantized", "vec_id"
-    ).write.mode("append").insertInto(f"{name}_quantized")
-    _append_index_bookkeeping(spark, name, _pq_self_sim(codes), batch_id)
+    if not recovering or _delta_missing_from(spark, f"{name}_codes", qv):
+        _bucket_aligned(
+            spark, codes.select(*spark.table(f"{name}_codes").columns),
+            f"{name}_codes", "vec_id"
+        ).write.mode("append").insertInto(f"{name}_codes")
+    if not recovering or _delta_missing_from(
+        spark, f"{name}_quantized", qv
+    ):
+        _bucket_aligned(
+            spark, qv.select(*spark.table(f"{name}_quantized").columns),
+            f"{name}_quantized", "vec_id"
+        ).write.mode("append").insertInto(f"{name}_quantized")
+    _append_index_bookkeeping(
+        spark, name, _pq_self_sim(codes), batch_id, recovering=recovering
+    )
+    _finish_guarded_append(spark, name, batch_id)
     from hadoop_logfile_inputformat_spark.operators.maintenance import (
         retire_deferred,
     )

@@ -70,14 +70,21 @@ class _FsProxy:
         return attr
 
 
-def _run_patched(inj: _Injector, fn, fs_only: bool = False):
+def _run_patched(
+    inj: _Injector, fn, fs_only: bool = False, insert_into: bool = False
+):
     """Run ``fn`` with the three mutation seams patched; returns True
-    if the injector fired.  Patches revert before recovery runs."""
+    if the injector fired.  Patches revert before recovery runs.
+    ``insert_into`` adds ``DataFrameWriter.insertInto`` to the seams —
+    the append/replay-log/tombstone verb the STREAMING batch protocols
+    mutate through (r14; the swap/lease/retrain protocols don't use
+    it, so the original sweeps keep their counts)."""
     mp = pytest.MonkeyPatch()
     real_fs = M._hadoop_fs
     real_sat = DataFrameWriter.saveAsTable
     real_pq = DataFrameWriter.parquet
     real_sql = SparkSession.sql
+    real_ii = DataFrameWriter.insertInto
 
     def fake_fs(spark, path):
         fs, jvm = real_fs(spark, path)
@@ -102,6 +109,12 @@ def _run_patched(inj: _Injector, fn, fs_only: bool = False):
         mp.setattr(DataFrameWriter, "saveAsTable", sat)
         mp.setattr(DataFrameWriter, "parquet", pq)
         mp.setattr(SparkSession, "sql", sql)
+        if insert_into:
+            def ii(self, *a, **k):
+                inj.hit(f"insertInto{a[:1]}")
+                return real_ii(self, *a, **k)
+
+            mp.setattr(DataFrameWriter, "insertInto", ii)
     try:
         fn()
         return False
