@@ -843,17 +843,20 @@ PQ_BUDGET_SELF_SIM_FLOOR = 0.78
 #: statistic is the FULL-VECTOR reconstruction cosine, a differently-
 #: distributed (much higher-running) number — applying the residual
 #: floor to it would never flag.  Calibrated from the flat-tier
-#: budget sweep (tools/soak.py --budget-curve --budget-tier pq,
-#: table in SCALING.md): on clustered x10 the legacy 80-entry flat
-#: build reads ADC self-sim ~0.957 (recall@5 0.12 at rerank=20 —
-#: budget-capped) and the 320-entry default ~0.973 with ~2.4x that
-#: recall; like the residual statistic it is scale-invariant
-#: (x100: 0.957/0.973 at the same budgets).  0.965 splits the two
-#: cleanly at both scales with the same no-flap margin the residual
-#: floor keeps.
+#: budget sweep (tools/soak.py --budget-curve --budget-tier pq on the
+#: clustered x10 corpus; table in SCALING.md): ADC self-sim tracks
+#: recall@5 monotonically — 80 entries reads 0.9393 (recall 0.116 at
+#: rerank=20, budget-capped), 160 → 0.9479 (0.243), the 320-entry
+#: default → 0.9564 (0.356), 640 → 0.9644 (0.453).  0.95 puts the
+#: legacy default under the floor by ~0.011 and the current default
+#: above it by ~0.006 — margins are tighter than the residual floor's
+#: in absolute terms because the full-vector statistic compresses
+#: near 1; in recall terms the gap spans a 3x difference.  The x100
+#: spot-check (mult 1 and 4, same sweep) confirms scale-invariance
+#: within ±0.01, same as the residual statistic.
 PQ_BUDGET_SELF_SIM_FLOOR_BY_KIND = {
     "residual": PQ_BUDGET_SELF_SIM_FLOOR,
-    "adc": 0.965,
+    "adc": 0.95,
 }
 
 
@@ -1089,15 +1092,17 @@ def _finish_guarded_append(
 
 
 def _delta_missing_from(
-    spark: SparkSession, table: str, ids: DataFrame
+    spark: SparkSession, table: str, ids: DataFrame, id_col: str = "vec_id"
 ) -> bool:
-    """True when NONE of the delta's vec_ids are in ``table`` — the
+    """True when NONE of the delta's ids are in ``table`` — the
     per-table resume probe of the intent protocol (recovery path only,
-    never the hot path): one broadcast semi-join, first hit wins."""
+    never the hot path): one broadcast semi-join, first hit wins.
+    ``id_col`` is ``vec_id`` for the vector families, ``doc_id`` for
+    the text indexes (the streaming pipelines share the protocol)."""
     spark.catalog.refreshTable(table)
     return (
         spark.table(table)
-        .join(F.broadcast(ids.select("vec_id")), "vec_id", "left_semi")
+        .join(F.broadcast(ids.select(id_col)), id_col, "left_semi")
         .limit(1)
         .count()
         == 0

@@ -143,11 +143,13 @@ def near_dup_stream_batch(
       replayed batch rewrites its own partition instead of appending
       duplicates;
     - the index append is guarded by a ``<index>_batches`` bookkeeping
-      table of applied batch ids — a replay skips the append (the one
-      residual window is a crash BETWEEN the index append and the
-      bookkeeping write; duplicate banding rows are harmless — the
-      candidate join is DISTINCT — and duplicate shingle-set rows only
-      arise in that window).
+      table of applied batch ids — a replay skips the append — and the
+      crash window BETWEEN the index append and the bookkeeping write
+      is closed by the append-INTENT marker (r14, shared with the
+      vector appends — ``similarity._begin_guarded_append``): a replay
+      that finds the marker re-checks each table for this batch's rows
+      and skips the ones that already landed, so neither duplicate
+      banding rows nor duplicate shingle-set rows can arise.
     """
     from hadoop_logfile_inputformat_spark.operators import dedup
 
@@ -159,8 +161,15 @@ def near_dup_stream_batch(
     pairs.write.mode("overwrite").parquet(f"{pairs_sink}/batch_id={batch_id}")
     if not update_index:
         return
+    from hadoop_logfile_inputformat_spark.operators.similarity import (
+        _begin_guarded_append,
+        _delta_missing_from,
+        _finish_guarded_append,
+    )
+
     log = f"{index_name}_batches"  # part of the index triple (build_minhash_index)
     if spark.table(log).filter(F.col("batch_id") == batch_id).count() > 0:
+        _finish_guarded_append(spark, index_name, batch_id)  # debris
         return  # replayed batch: index rows already applied
     # re-appending a doc_id with a PENDING takedown tombstone is the
     # one append the lifecycle contract excludes — fail the batch fast
@@ -170,6 +179,7 @@ def near_dup_stream_batch(
     )
 
     check_index_lease(spark, index_name)
+    recovering = _begin_guarded_append(spark, index_name, batch_id)
     dedup._reject_tombstoned_docs(spark, index_name, batch_docs)
     # out-of-order takedowns (a takedown stream racing ahead of this
     # ingest) consume here: the victim doc never joins the INDEX (the
@@ -200,15 +210,22 @@ def near_dup_stream_batch(
         _bucket_aligned,
     )
 
-    _bucket_aligned(
-        spark, bands, f"{index_name}_buckets", "band", "bucket"
-    ).write.mode("append").insertInto(f"{index_name}_buckets")
-    _bucket_aligned(
-        spark, sets, f"{index_name}_sets", "doc_id"
-    ).write.mode("append").insertInto(f"{index_name}_sets")
+    if not recovering or _delta_missing_from(
+        spark, f"{index_name}_buckets", sets, "doc_id"
+    ):
+        _bucket_aligned(
+            spark, bands, f"{index_name}_buckets", "band", "bucket"
+        ).write.mode("append").insertInto(f"{index_name}_buckets")
+    if not recovering or _delta_missing_from(
+        spark, f"{index_name}_sets", sets, "doc_id"
+    ):
+        _bucket_aligned(
+            spark, sets, f"{index_name}_sets", "doc_id"
+        ).write.mode("append").insertInto(f"{index_name}_sets")
     spark.createDataFrame([(batch_id,)], "batch_id BIGINT").write.mode(
         "append"
     ).insertInto(log)
+    _finish_guarded_append(spark, index_name, batch_id)
     retire_deferred(spark, index_name, _dhit, "doc_id")
 
 
@@ -359,8 +376,14 @@ def curate_stream_batch(
     fresh.drop("text_hash").write.mode("overwrite").parquet(
         f"{corpus_sink}/batch_id={batch_id}"
     )
+    from hadoop_logfile_inputformat_spark.operators.similarity import (
+        _begin_guarded_append,
+        _finish_guarded_append,
+    )
+
     log = f"{index_name}_batches"
     if spark.table(log).filter(F.col("batch_id") == batch_id).count() > 0:
+        _finish_guarded_append(spark, index_name, batch_id)  # debris
         return  # replayed batch: hashes already applied
     # doc_id reuse under a PENDING tombstone would append a hash row
     # the probes exclude AND the next compaction fold deletes — fail
@@ -374,6 +397,7 @@ def curate_stream_batch(
     )
 
     check_index_lease(spark, index_name)
+    recovering = _begin_guarded_append(spark, index_name, batch_id)
     _reject_tombstoned_docs(spark, index_name, fresh)
     # out-of-order takedowns: the victim's hash never joins the index
     # (so identical future content stays admissible — "the index never
@@ -389,17 +413,28 @@ def curate_stream_batch(
         _bucket_aligned,
     )
 
-    _bucket_aligned(
-        spark,
-        fresh.select(
-            "text_hash", "doc_id",
-            F.lit(batch_id).cast("long").alias("batch_id"),
-        ),
-        f"{index_name}_hashes", "text_hash",
-    ).write.mode("append").insertInto(f"{index_name}_hashes")
+    # recovery resume probe: the hash rows carry their batch_id, so
+    # "did the crashed attempt's insert land" is one pruned filter
+    spark.catalog.refreshTable(f"{index_name}_hashes")
+    if not recovering or (
+        spark.table(f"{index_name}_hashes")
+        .filter(F.col("batch_id") == batch_id)
+        .limit(1)
+        .count()
+        == 0
+    ):
+        _bucket_aligned(
+            spark,
+            fresh.select(
+                "text_hash", "doc_id",
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            ),
+            f"{index_name}_hashes", "text_hash",
+        ).write.mode("append").insertInto(f"{index_name}_hashes")
     spark.createDataFrame([(batch_id,)], "batch_id BIGINT").write.mode(
         "append"
     ).insertInto(log)
+    _finish_guarded_append(spark, index_name, batch_id)
     retire_deferred(spark, index_name, _dhit, "doc_id")
 
 

@@ -190,6 +190,151 @@ def test_crash_sweep_ingest_with_inline_compaction(spark, tmp_path):
 
 
 # ------------------------------------------------------------------- #
+# near_dup_stream_batch (text LSH): pairs-sink overwrite, buckets/sets #
+# appends, replay-log row — no duplicate banding/shingle rows ever     #
+# ------------------------------------------------------------------- #
+
+def test_crash_sweep_near_dup_stream_batch(spark, tmp_path):
+    """Kill the LSH ingest batch after every mutation and replay.  The
+    r13 docstring called duplicate shingle-set rows in this window
+    'only arising there' — with the shared intent protocol they can no
+    longer arise at all: buckets/sets/pairs/log all land exactly
+    once."""
+    from hadoop_logfile_inputformat_spark.operators import dedup
+
+    name = "t_sweep_lsh"
+    base = ("the quick brown fox jumps over the lazy dog beside the"
+            " river today")
+    alt = ("many colorful parrots squawk loudly above the ancient"
+           " temple ruins at dawn")
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame([(1, base)], schema)
+    batch = spark.createDataFrame(
+        [(101, base + " extra"), (102, alt)], schema
+    ).localCheckpoint(eager=True)
+    sink = str(tmp_path / "pairs")
+
+    def drop_all():
+        for s in ("_buckets", "_sets", "_batches", "_tombstones",
+                  "_deferred"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+
+    def setup():
+        drop_all()
+        dedup.build_minhash_index(spark, corpus, name, n_buckets=2)
+
+    def run():
+        P.near_dup_stream_batch(batch, name, sink, batch_id=1)
+
+    def state():
+        spark.catalog.refreshTable(f"{name}_buckets")
+        spark.catalog.refreshTable(f"{name}_sets")
+        return (
+            sorted((r["doc_a"], r["doc_b"]) for r in
+                   spark.read.parquet(f"{sink}/batch_id=1").collect()),
+            sorted(map(tuple, spark.table(f"{name}_buckets")
+                       .select("doc_id", "band", "bucket").collect())),
+            sorted(r["doc_id"] for r in spark.table(f"{name}_sets")
+                   .select("doc_id").collect()),
+            _table_ids(spark, name, "_batches", "batch_id"),
+        )
+
+    setup()
+    run()
+    want = state()
+    assert (1, 101) in want[0] and want[3] == [1]
+
+    setup()
+    counter = _Injector(0)
+    crashed = _run_patched(counter, run, insert_into=True)
+    assert not crashed and counter.count >= 4, counter.log
+    total = counter.count
+
+    try:
+        for k in range(1, total + 1):
+            setup()
+            inj = _Injector(k)
+            crashed = _run_patched(inj, run, insert_into=True)
+            assert crashed, (k, inj.log)
+            run()  # replay
+            assert state() == want, (k, inj.log)
+    finally:
+        drop_all()
+
+
+# ------------------------------------------------------------------- #
+# curate_stream_batch (exact-hash): corpus-sink overwrite, hash-row    #
+# append, replay-log row — survivors and hashes exactly once           #
+# ------------------------------------------------------------------- #
+
+def test_crash_sweep_curate_stream_batch(spark, tmp_path):
+    """Kill the curation batch after every mutation and replay: the
+    corpus partition holds exactly the gated+deduped survivors, the
+    hash index holds this batch's hashes once (batch_id-tagged rows
+    make the resume probe a pruned filter), the log holds the batch
+    once."""
+    from hadoop_logfile_inputformat_spark.operators import dedup
+
+    name = "t_sweep_cur"
+    good = ("the quick brown fox jumps over the lazy dog beside the"
+            " calm river")
+    good2 = ("many colorful parrots squawk loudly above the ancient"
+             " temple ruins in the warm morning light")
+    junk = "1234 5678 9012 3456 7890"
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame([(1, good)], schema)
+    batch = spark.createDataFrame(
+        [(201, good2), (202, good), (203, junk)], schema
+    ).localCheckpoint(eager=True)
+    sink = str(tmp_path / "corpus")
+
+    def drop_all():
+        for s in ("_hashes", "_batches", "_tombstones", "_deferred"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+
+    def setup():
+        drop_all()
+        dedup.build_exact_index(spark, corpus, name, n_buckets=2)
+
+    def run():
+        P.curate_stream_batch(batch, name, sink, batch_id=4)
+
+    def state():
+        spark.catalog.refreshTable(f"{name}_hashes")
+        return (
+            sorted(r["doc_id"] for r in spark.read.parquet(
+                f"{sink}/batch_id=4").collect()),
+            sorted(map(tuple, spark.table(f"{name}_hashes")
+                       .select("doc_id", "batch_id").collect())),
+            _table_ids(spark, name, "_batches", "batch_id"),
+        )
+
+    setup()
+    run()
+    want = state()
+    # 201 survives; 202 is a cross-batch dup of the corpus doc; 203
+    # fails the quality gate
+    assert want[0] == [201] and want[2] == [4], want
+
+    setup()
+    counter = _Injector(0)
+    crashed = _run_patched(counter, run, insert_into=True)
+    assert not crashed and counter.count >= 3, counter.log
+    total = counter.count
+
+    try:
+        for k in range(1, total + 1):
+            setup()
+            inj = _Injector(k)
+            crashed = _run_patched(inj, run, insert_into=True)
+            assert crashed, (k, inj.log)
+            run()  # replay
+            assert state() == want, (k, inj.log)
+    finally:
+        drop_all()
+
+
+# ------------------------------------------------------------------- #
 # takedown_stream_batch: tombstone append, deferred intent, audit      #
 # overwrite — victims never probe-visible, trail exactly-once          #
 # ------------------------------------------------------------------- #
