@@ -768,15 +768,33 @@ def run_drift_recall_suite(spark, src: str, topk: int = 5,
     S.retrain_ivfpq_index(spark, name, iters=2)
     out["retrain_s"] = round(time.monotonic() - t0, 2)
     out["post"] = []
+    # the post-retrain corpus holds the seed plus every appended delta;
+    # probe at BOTH the pinned comparability depth and the r14 law's
+    # recommendation for that size — at large scale the post-retrain
+    # recall is shortlist-bound (the r14 x100 cell: retrain lifted
+    # recall 0.003 -> 0.008 at rerank=20 while the seed band was 0.053;
+    # the depth the law prescribes is what separates "retrain failed"
+    # from "retrain fixed drift and the shortlist needs its lawful
+    # depth")
+    n_post = n * (1 + len(deltas))
+    rr_rec = S.recommended_rerank(n_post)
+    out["post_rec_depth"] = rr_rec
     for alpha, d in deltas:
         dq = step_queries(d)
         rec = _brute_recall(
             spark, dq,
             S.ann_ivfpq_probe(spark, dq, name, k=topk, rerank=rerank),
             pq_live(), topk)
-        out["post"].append({"alpha": alpha, "recall_ivfpq": rec})
+        rec_law = rec if rr_rec == rerank else _brute_recall(
+            spark, dq,
+            S.ann_ivfpq_probe(spark, dq, name, k=topk, rerank=rr_rec),
+            pq_live(), topk)
+        out["post"].append({"alpha": alpha, "recall_ivfpq": rec,
+                            "recall_ivfpq_rec_depth": rec_law})
         print(json.dumps({"detail": "drift_post_retrain",
-                          "alpha": alpha, "recall_ivfpq": rec}))
+                          "alpha": alpha, "recall_ivfpq": rec,
+                          "rec_depth": rr_rec,
+                          "recall_ivfpq_rec_depth": rec_law}))
     dr = S.ivf_index_drift(spark, name)
     out["post_drift"] = dr["drift"]
     for s in sfx:
