@@ -1036,6 +1036,10 @@ def _intent_path(spark: SparkSession, name: str, batch_id: int):
         _table_location,
     )
 
+    if not spark.catalog.tableExists(f"{name}_batches"):
+        # no replay log, no replay story: the guard degrades to the
+        # plain pre-r14 behavior (same tolerance as _batch_applied)
+        return None, None
     loc = _table_location(spark, f"{name}_batches")
     if loc is None:
         return None, None
