@@ -505,18 +505,18 @@ def main() -> None:
     # headline watch items all reverted — dedup_minhash_lsh 1.1 ->
     # 1.3 -> 0.97, top_orders_per_customer 0.51 -> 0.66 -> 0.56
     # (closed: co-tenant wobble); part_brand_revenue 0.85 -> 1.0 ->
-    # 0.97 sits two rounds above r12 but within the headline spread —
-    # plan unchanged (no diff touches it); watch one more round.  The
-    # source-scan dip (284.9 -> 224.5 -> 242.3 MB/s steady) PERSISTED
-    # on the quiet box; tools/bench_source.py profile shows it is
-    # UNIFORM across all scanner classes and record shapes (narrow
-    # line/chunked/vectorized 45.6/65.0/95.8 vs the documented ~72/
-    # ~95/~130 MB/s/core — same ~1.4x ratios, all ~25% low; wide
-    # likewise) with zero scanner diff since r12, while the JVM-bound
-    # headline simultaneously hit its best round (15.2s) — i.e. a
-    # Python-interpreter/host-level effect on this container, not a
-    # code path.  No scanner change warranted; re-profile only if a
-    # THIRD round reads low AND per-class ratios stop being uniform.
+    # 0.97/0.90 (two same-day quiet samples bracketing toward r12's
+    # 0.85, plan unchanged, no diff touches it) — closed as wobble.  The
+    # source-scan dip (284.9 -> 224.5 MB/s steady) is CLOSED as load,
+    # not code: the r14 morning run on a load-0.14 box read 242.3 with
+    # a tools/bench_source.py profile UNIFORM across all scanner
+    # classes and record shapes (narrow line/chunked/vectorized
+    # 45.6/65.0/95.8 MB/s/core — same ~1.4x ratios, all ~25% low; wide
+    # likewise; zero scanner diff since r12), and the SAME code on the
+    # fully-idle box (load 0.00) that afternoon read 303.7 — ABOVE
+    # r12's 284.9.  The scan is Python-side and inherits whatever the
+    # interpreter's share of the box is; the JVM-bound headline barely
+    # moves under the same loads.  No scanner change warranted.
     print(json.dumps({
         "detail": "headline_variance",
         "warm_totals": [round(t, 2) for t in warm_totals],
