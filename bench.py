@@ -205,12 +205,21 @@ TAIL_BUDGET = 2000
 
 
 def summary_lines(timings, cold_timings, extra, n_errors, source_mb_s, sf,
-                  lifecycle=None):
+                  lifecycle=None, noise=None):
     """The two artifact lines that must BOTH survive the driver's
     stdout-tail truncation (``TAIL_BUDGET`` chars): the steady extras
     map, then the headline metric LAST.  Pure function of the timing
     maps so tests/test_bench_contract.py can assert the size budget
-    against worst-case values without running queries."""
+    against worst-case values without running queries.
+
+    ``noise`` (r15, the r14 verdict's artifact-first rule): the
+    headline's own noise bar, carried ON the metric line so the
+    GRADED artifact — not a local re-run — says whether a headline
+    move is real: ``{"wt": [w1, w2, w3], "ld": [load1_start,
+    load1_end]}`` — the three warm-pass totals (if they cluster, a
+    move is real; if they spread, it is box noise) and the 1-minute
+    load average at bench start/end (the co-tenant evidence r13/r14
+    had to reconstruct from quiet-box re-runs)."""
     # Tiered precision: 2 decimals under 1 s, 1 decimal above — the
     # quantization error (≤1% / ≤5%) is far below the box's observed
     # ±30% run-to-run noise, and the byte savings are what lets all 42
@@ -255,6 +264,7 @@ def summary_lines(timings, cold_timings, extra, n_errors, source_mb_s, sf,
             "queries": {k: _fmt(v) for k, v in timings.items()},
             "n_queries": len(timings),
             "sf": sf,
+            **({"noise": noise} if noise else {}),
         },
         separators=(",", ":"),
     )
@@ -416,6 +426,7 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
+    load_start = os.getloadavg()[0]
 
     # warm the JVM/session on a trivial job so query 1's cold number
     # measures the query, not executor startup
@@ -528,9 +539,13 @@ def main() -> None:
     print(json.dumps(src))
     if errors:
         print(json.dumps({"detail": "errors", "errors": errors}))
+    noise = {
+        "wt": [round(t, 1) for t in warm_totals],
+        "ld": [round(load_start, 1), round(os.getloadavg()[0], 1)],
+    }
     for line in summary_lines(timings, cold_timings, extra,
                               len(errors), src["steady_mb_s"], sf,
-                              lifecycle=lifecycle):
+                              lifecycle=lifecycle, noise=noise):
         print(line)
     from hadoop_logfile_inputformat_spark.operators.tables import clear_query_caches
 

@@ -844,6 +844,38 @@ def drop_tombstones(
         fs.delete(jvm.org.apache.hadoop.fs.Path(loc), True)
 
 
+def force_drop_table(spark: SparkSession, table: str) -> None:
+    """``DROP TABLE IF EXISTS`` that also clears ORPHANED managed-table
+    debris.  An interrupted writer can leave a managed table's data
+    directory in the warehouse without its catalog entry (the metastore
+    write is what crashed, or the catalog was session-scoped and the
+    session died); a plain ``DROP TABLE IF EXISTS`` is then a no-op and
+    the next managed ``CREATE TABLE`` fails with "location already
+    exists" (SQLSTATE 42710).  This verb makes drop idempotent against
+    that debris class: drop the catalog entry if present, then delete
+    whatever still sits at the warehouse location a managed re-CREATE
+    of ``table`` would claim.
+
+    An EXTERNAL table's own data is intentionally NOT touched (DROP on
+    an external table preserves data by contract; use
+    :func:`drop_tombstones`-style explicit deletes for that) — but the
+    warehouse slot for ``table``'s NAME is cleared either way, because
+    that slot is what blocks the next managed create.
+    """
+    if spark.catalog.tableExists(table):
+        spark.sql(f"DROP TABLE {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    parts = table.split(".")
+    leaf = parts[-1].lower().strip("`")
+    db = parts[-2].lower().strip("`") if len(parts) > 1 else None
+    sep = "" if wh.endswith("/") else "/"
+    loc = f"{wh}{sep}{db}.db/{leaf}" if db else f"{wh}{sep}{leaf}"
+    fs, jvm = _hadoop_fs(spark, loc)
+    p = jvm.org.apache.hadoop.fs.Path(loc)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 def index_info(spark: SparkSession, name: str) -> dict:
     """DESCRIBE INDEX — the one operational read an index owner runs
     before deciding on maintenance: per-table row/file/byte footprint
@@ -911,6 +943,7 @@ def index_info(spark: SparkSession, name: str) -> dict:
         from hadoop_logfile_inputformat_spark.operators.similarity import (
             pq_budget_floor,
             recommended_rerank,
+            tier_limited,
         )
 
         spark.catalog.refreshTable(f"{name}_qstats")
@@ -923,10 +956,12 @@ def index_info(spark: SparkSession, name: str) -> dict:
         if q is not None:
             # live corpus size for the rerank hint: the _quantized
             # count this call already made (appends move it; the
-            # seed-only _qstats n_vecs is the fallback)
-            live_n = out["tables"].get(f"{name}_quantized", {}).get(
-                "rows"
-            ) or q["n_vecs"]
+            # seed-only _qstats n_vecs is the fallback).  `is None`,
+            # not `or`: a genuinely EMPTY corpus (rows == 0, fully
+            # reclaimed) must not fall back to the stale seed-time
+            # n_vecs (r14 ADVICE).
+            rows = out["tables"].get(f"{name}_quantized", {}).get("rows")
+            live_n = rows if rows is not None else q["n_vecs"]
             out["quantization"] = {
                 "kind": q["kind"],
                 "self_sim": q["self_sim"],
@@ -945,6 +980,29 @@ def index_info(spark: SparkSession, name: str) -> dict:
                 # budget verdict cleared while recall@5 sat at 0.05
                 # because the shortlist, not the codes, was binding.
                 "rerank_hint": recommended_rerank(live_n),
+                # tier verdict (r15): fires when the ADC tier's
+                # MEASURED ceiling binds — clustered routing geometry
+                # (the _stats seed row's mean nearest-centroid cosine)
+                # at >=x100 live scale, where no budget/rerank/nprobe
+                # composition escapes recall ~0.27 but the flat tier
+                # reads 0.44-0.58 (SCALING.md composed-remedy grid).
+                # budget_limited prices the CODES, rerank_hint the
+                # SHORTLIST; this prices the one decision that
+                # dominates both at that geometry: tier choice.
+                # the routing floor is calibrated on COSINE ledgers;
+                # l2/ip seed means are data-scaled — stay silent there
+                "tier_hint": (
+                    "flat-pq"
+                    if tier_limited(
+                        q["kind"],
+                        (out.get("drift") or {}).get("seed_mean_sim")
+                        if (out.get("drift") or {}).get("metric")
+                        == "cosine"
+                        else None,
+                        live_n,
+                    )
+                    else None
+                ),
             }
     # writer lease state (r12): the one operational fact an owner had
     # to read from `<name>_lock` by hand — who may mutate, until when
@@ -1416,6 +1474,11 @@ def _vacuum_index_leased(
         bt
     ) else None
     if bloc is not None:
+        # refresh first: a stale in-session relation cache would miss
+        # freshly-logged batch ids and misreport their (deletable)
+        # debris markers as pending (r14 ADVICE) — deletion stays
+        # correct either way, but the report must not cry wolf
+        spark.catalog.refreshTable(bt)
         applied = {
             r["batch_id"] for r in spark.table(bt).collect()
         }

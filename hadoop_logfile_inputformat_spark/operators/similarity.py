@@ -870,6 +870,55 @@ def pq_budget_floor(kind: str) -> float:
     )
 
 
+#: Tier-verdict floors (r15, the r14 verdict's last programmatic-
+#: guidance gap): the composed-remedy grid (SCALING.md, r14) proved
+#: that on CLUSTERED geometry at >=x100 scale NO IVFPQ composition of
+#: budget x rerank x nprobe escapes recall@5 ~ 0.27 while the flat
+#: tier reads 0.44-0.58 at the same probe walls — the mechanism being
+#: that a high nearest-centroid cosine makes the coarse term a
+#: per-list constant, so ranking rides entirely on small-norm
+#: residuals where quantization noise is relatively larger.  That
+#: mechanism's signature is visible in two numbers every IVFPQ build
+#: already persists: the ``_stats`` seed row's mean ROUTING cosine
+#: (geometry: measured 0.932 clustered vs 0.396 uniform on the x1
+#: fixture, intra-cluster cosine ~0.7-0.9 by the fixture's own
+#: construction) and the live corpus size (scale: the ceiling is
+#: measured BINDING at 200k/x100 — 0.269 at the maximal 640x200x27
+#: composition — and NOT binding at 20k/x10, where the same protocol
+#: recovers to its seed band).  0.75 splits the geometry gap with wide
+#: margin on both sides; 100_000 sits log-scale between the measured
+#: non-binding and binding corpus sizes, conservative toward the
+#: binding side.
+TIER_ROUTING_CONCENTRATION_FLOOR = 0.75
+TIER_SCALE_FLOOR = 100_000
+
+
+def tier_limited(
+    kind: str,
+    routing_mean_sim: float | None,
+    live_n: int | None,
+) -> bool:
+    """True when the ADC tier's measured recall ceiling binds — the
+    one verdict ``budget_limited`` (codes) and ``rerank_hint``
+    (shortlist) cannot express, because at clustered geometry and
+    >=x100 scale NO spend on either lever (nor nprobe) escapes it;
+    only TIER CHOICE does (SCALING.md composed-remedy grid, r14).
+
+    Pure and monotone by construction (pinned in tests/test_qstats.py):
+    never fires for the flat kinds (``adc`` IS the escape tier), and
+    fires iff routing concentration and live corpus size both clear
+    their measured floors.  ``None`` for either statistic (no drift
+    ledger / unknown corpus) stays silent — a missing measurement is
+    not evidence of the ceiling."""
+    return (
+        kind == "residual"
+        and routing_mean_sim is not None
+        and live_n is not None
+        and routing_mean_sim >= TIER_ROUTING_CONCENTRATION_FLOOR
+        and live_n >= TIER_SCALE_FLOOR
+    )
+
+
 def _write_index_qstats(
     spark: SparkSession,
     name: str,
@@ -1098,19 +1147,34 @@ def _finish_guarded_append(
 def _delta_missing_from(
     spark: SparkSession, table: str, ids: DataFrame, id_col: str = "vec_id"
 ) -> bool:
-    """True when NONE of the delta's ids are in ``table`` — the
+    """True when ANY of the delta's ids is absent from ``table`` — the
     per-table resume probe of the intent protocol (recovery path only,
-    never the hot path): one broadcast semi-join, first hit wins.
-    ``id_col`` is ``vec_id`` for the vector families, ``doc_id`` for
-    the text indexes (the streaming pipelines share the protocol)."""
+    never the hot path): broadcast semi-join, distinct-count vs the
+    delta's own distinct count.  ``id_col`` is ``vec_id`` for the
+    vector families, ``doc_id`` for the text indexes (the streaming
+    pipelines share the protocol).
+
+    ALL-present, not ANY-present (r14 ADVICE): each guarded insert is
+    all-or-nothing under Spark's job-commit protocol, so a landed
+    crashed insert means every delta id is in the table.  An
+    ANY-present probe would mistake a delta that merely OVERLAPS
+    pre-batch live ids (re-ingest without tombstone) for "landed" and
+    silently drop the genuinely-new rows — the hot path makes no
+    membership assumption, and recovery must not either.  The one
+    remaining divergence is benign and deliberate: a delta consisting
+    ENTIRELY of already-live ids is skipped on replay (first delivery
+    would have appended duplicate rows for rows the table already
+    serves)."""
     spark.catalog.refreshTable(table)
-    return (
+    delta = ids.select(id_col).distinct()
+    present = (
         spark.table(table)
-        .join(F.broadcast(ids.select(id_col)), id_col, "left_semi")
-        .limit(1)
+        .join(F.broadcast(delta), id_col, "left_semi")
+        .select(id_col)
+        .distinct()
         .count()
-        == 0
     )
+    return present < delta.count()
 
 
 def build_ivf_index(

@@ -218,3 +218,22 @@ def test_lifecycle_key_without_phases_stays_in_steady_map():
     assert "ann_ivf_topk_kmeans" not in payload["steady"]
     assert "ann_pq_topk_kmeans" in payload["steady"]
     assert "ann_ivfpq_topk" in payload["steady"]
+
+
+def test_noise_bar_rides_the_metric_line_within_budget():
+    """The r15 noise bar (three warm totals + start/end load1) must
+    ride the METRIC line — the graded artifact is the driver's tail,
+    and r13/r14's wobble adjudication failed precisely because the
+    headline_variance line never survived truncation — without
+    pushing the two lines past TAIL_BUDGET at any plausible width."""
+    noise = {"wt": [9999.9, 9999.9, 9999.9], "ld": [99.9, 99.9]}
+    for v in (0.09, 0.99, 3.27, 42.4, 99.99):
+        t = {k: v for k in bench.HEADLINE}
+        e = {k: v for k in bench.EXTRA}
+        lines = bench.summary_lines(t, t, e, 0, 99999.9, 0.1, noise=noise)
+        payload = json.loads(lines[-1])
+        assert payload["noise"] == noise
+        assert sum(len(l) for l in lines) + len(lines) <= bench.TAIL_BUDGET
+    # omitted noise (older callers / tests) leaves the line unchanged
+    lines = bench.summary_lines(t, t, e, 0, 99999.9, 0.1)
+    assert "noise" not in json.loads(lines[-1])

@@ -189,10 +189,12 @@ def test_crash_sweep_compact_bucketed_external(spark, tmp_path):
     v = load(spark, SF, "embeddings").select("vec_id", "embedding")
 
     def drop_all():
+        # debris-tolerant: an interrupted run strands managed-table
+        # dirs a plain DROP TABLE IF EXISTS cannot clear (r14 verdict)
         for s in ("_lists", "_centroids", "_batches", "_stats",
                   "_tombstones", "_deferred",
                   "_lists__compact_tmp"):
-            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+            M.force_drop_table(spark, f"{name}{s}")
 
     def setup():
         drop_all()
@@ -348,7 +350,7 @@ def test_crash_sweep_retrain_pq(spark, tmp_path):
         for s in ("_codes", "_quantized", "_codebooks", "_batches",
                   "_stats", "_qstats", "_tombstones", "_deferred",
                   "_retrain_tmp"):
-            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+            M.force_drop_table(spark, f"{name}{s}")
 
     drop_all()
     try:

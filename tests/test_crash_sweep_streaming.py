@@ -39,9 +39,14 @@ SFX = ("_lists", "_centroids", "_batches", "_stats", "_tombstones",
        "_lists__compact_tmp")
 
 
-def _drop_all(spark, name):
-    for s in SFX:
-        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+def _drop_all(spark, name, sfx=SFX):
+    # force_drop_table, not DROP TABLE IF EXISTS: an interrupted prior
+    # run strands managed-table DIRECTORIES without catalog entries,
+    # which a plain drop cannot clear and which fail the next CREATE
+    # with "location already exists" — the r14 as-found pytest red.
+    # Setup must tolerate the same debris the sweeps inject.
+    for s in sfx:
+        M.force_drop_table(spark, f"{name}{s}")
 
 
 def _lists_ids(spark, name):
@@ -215,9 +220,8 @@ def test_crash_sweep_near_dup_stream_batch(spark, tmp_path):
     sink = str(tmp_path / "pairs")
 
     def drop_all():
-        for s in ("_buckets", "_sets", "_batches", "_tombstones",
-                  "_deferred"):
-            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+        _drop_all(spark, name, ("_buckets", "_sets", "_batches",
+                                "_tombstones", "_deferred"))
 
     def setup():
         drop_all()
@@ -289,8 +293,8 @@ def test_crash_sweep_curate_stream_batch(spark, tmp_path):
     sink = str(tmp_path / "corpus")
 
     def drop_all():
-        for s in ("_hashes", "_batches", "_tombstones", "_deferred"):
-            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+        _drop_all(spark, name, ("_hashes", "_batches", "_tombstones",
+                                "_deferred"))
 
     def setup():
         drop_all()

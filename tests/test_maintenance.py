@@ -979,3 +979,33 @@ def test_vacuum_holds_the_lease_and_cleans_steal_debris(spark, tmp_path):
         M.release_index_lease(spark, name)
         for s in ("_lists", "_centroids", "_batches", "_stats"):
             spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+
+
+def test_force_drop_table_clears_orphaned_location(spark):
+    """The r14 as-found pytest red, pinned at the product level: an
+    interrupted writer strands a managed table's DIRECTORY without its
+    catalog entry; DROP TABLE IF EXISTS is then a no-op and the next
+    managed CREATE fails with "location already exists".
+    force_drop_table must clear both the registered and the orphaned
+    state, and be a safe no-op when neither exists."""
+    name = "t_fdrop"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(wh, name)
+
+    # orphaned state: directory exists, catalog entry does not
+    maintenance.force_drop_table(spark, name)  # no-op from clean
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "part-orphan.parquet"), "wb") as f:
+        f.write(b"debris")
+    assert not spark.catalog.tableExists(name)
+    maintenance.force_drop_table(spark, name)
+    assert not os.path.exists(loc)
+
+    # the next managed CREATE must succeed
+    spark.createDataFrame([(1,)], "a long").write.saveAsTable(name)
+    assert spark.table(name).count() == 1
+
+    # registered state: drops catalog entry AND files
+    maintenance.force_drop_table(spark, name)
+    assert not spark.catalog.tableExists(name)
+    assert not os.path.exists(loc)

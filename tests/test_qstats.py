@@ -249,3 +249,72 @@ def test_append_leaves_qstats_alone(spark):
         assert spark.table(f"{name}_qstats").collect() == before
     finally:
         _drop(spark, name)
+
+
+def test_tier_limited_monotone_and_kind_gated():
+    """The tier verdict (r15, the r14 verdict's gap #1): pure and
+    monotone in both inputs, never fires for the flat kinds, and
+    reproduces the measured calibration cells — clustered x100
+    (routing 0.932, n=200k) BINDS, clustered x10 (n=20k) and uniform
+    (routing 0.396) do not (SCALING.md composed-remedy grid + the x1
+    geometry calibration in the constant's docstring)."""
+    # the three measured cells
+    assert S.tier_limited("residual", 0.932, 200_000)
+    assert not S.tier_limited("residual", 0.932, 20_000)   # x10: silent
+    assert not S.tier_limited("residual", 0.396, 200_000)  # uniform
+    # kind gate: adc IS the escape tier; unknown kinds stay silent
+    assert not S.tier_limited("adc", 0.99, 10_000_000)
+    assert not S.tier_limited("other", 0.99, 10_000_000)
+    # missing measurements are not evidence
+    assert not S.tier_limited("residual", None, 200_000)
+    assert not S.tier_limited("residual", 0.932, None)
+    # monotone: once fired, more concentration / more corpus never
+    # un-fires; below a firing cell in either coordinate, at most fires
+    routings = [0.0, 0.4, 0.75, 0.9, 1.0]
+    scales = [1, 20_000, 100_000, 200_000, 10_000_000]
+    for i, r in enumerate(routings):
+        for j, n in enumerate(scales):
+            if S.tier_limited("residual", r, n):
+                assert S.tier_limited("residual", routings[-1], n)
+                assert S.tier_limited("residual", r, scales[-1])
+    # exact floor edges fire (>=, documented)
+    assert S.tier_limited(
+        "residual", S.TIER_ROUTING_CONCENTRATION_FLOOR, S.TIER_SCALE_FLOOR
+    )
+
+
+def test_index_info_surfaces_tier_hint(spark, monkeypatch):
+    """index_info prices TIER CHOICE next to codes and shortlist
+    (r15): silent at fixture scale/geometry (both floors unmet), and
+    the end-to-end wiring — _stats seed routing cosine + live
+    _quantized count into tier_limited — fires when the floors are
+    lowered to the fixture's own statistics.  Flat PQ never carries a
+    hint (it IS the escape tier)."""
+    v = _vecs(spark)
+    name = "t_qs_tier"
+    _drop(spark, name)
+    try:
+        S.build_ivfpq_index(spark, v, name, iters=2)
+        q = index_info(spark, name)["quantization"]
+        assert q["tier_hint"] is None  # fixture scale: silent
+        seed = (
+            spark.table(f"{name}_stats").where("batch_id = -1").collect()
+        )[0]
+        monkeypatch.setattr(S, "TIER_SCALE_FLOOR", 1)
+        monkeypatch.setattr(
+            S, "TIER_ROUTING_CONCENTRATION_FLOOR", seed["mean_sim"]
+        )
+        q = index_info(spark, name)["quantization"]
+        assert q["tier_hint"] == "flat-pq"
+    finally:
+        _drop(spark, name)
+    name = "t_qs_tierf"
+    _drop(spark, name)
+    try:
+        S.build_pq_index(spark, v, name)
+        monkeypatch.setattr(S, "TIER_SCALE_FLOOR", 1)
+        monkeypatch.setattr(S, "TIER_ROUTING_CONCENTRATION_FLOOR", 0.0)
+        q = index_info(spark, name)["quantization"]
+        assert q["tier_hint"] is None  # kind gate: adc never hints
+    finally:
+        _drop(spark, name)

@@ -1192,13 +1192,20 @@ def run_budget_curve(spark, src: str, topk: int = 5, rerank: int = 20,
 
 
 def run_rerank_curve(spark, src: str, topk: int = 5,
-                     reranks=(20, 50, 100, 200), warm: int = 1) -> dict:
+                     reranks=(20, 50, 100, 200), warm: int = 1,
+                     tiers=("pq", "ivfpq")) -> dict:
     """The RERANK-DEPTH sizing table (r13): one flat-PQ build (learned
     codebooks) + one IVFPQ build at their default budgets, probed at
     rerank 20/50/100/200 — recall@k and steady probe wall per point.
     Deepening the exact re-rank shortlist is the only recall lever
     that needs NO rebuild; this prices it against the budget and
-    nprobe tables."""
+    nprobe tables.  ``reranks``/``tiers`` are CLI-settable (r15) so a
+    single curve cell — e.g. the seed law-depth point at rerank=165
+    the r14 retrain-recovery narrative interpolated — is one command
+    without re-paying the other tier's build.  Each build also prints
+    its ``index_info`` quantization/drift verdicts (``rerank_hint``,
+    ``budget_limited``, ``tier_hint``) so the programmatic guidance
+    can be read against the measured recall in the same log."""
     from hadoop_logfile_inputformat_spark.operators import similarity as S
     from hadoop_logfile_inputformat_spark.operators.tables import load
 
@@ -1212,7 +1219,7 @@ def run_rerank_curve(spark, src: str, topk: int = 5,
     truth = _ground_truth(spark, queries, _with_nrm(v), topk)
     sfx = ("_codes", "_quantized", "_centroids", "_codebooks",
            "_batches", "_stats", "_qstats")
-    for tier in ("pq", "ivfpq"):
+    for tier in tiers:
         name = f"soak_rerank_{tier}"
         for s in sfx:
             spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
@@ -1237,6 +1244,18 @@ def run_rerank_curve(spark, src: str, topk: int = 5,
             probe = lambda rr: S.ann_ivfpq_probe(  # noqa: E731
                 spark, queries, name, k=topk, rerank=rr)
         build_s = round(time.monotonic() - t0, 2)
+        from hadoop_logfile_inputformat_spark.operators.maintenance import (
+            index_info,
+        )
+
+        info = index_info(spark, name)
+        print(json.dumps({
+            "detail": "rerank_tier_info", "tier": tier,
+            "quantization": info.get("quantization"),
+            "seed_mean_sim": (info.get("drift") or {}).get("seed_mean_sim"),
+            "retrain_recommended":
+                (info.get("drift") or {}).get("retrain_recommended"),
+        }))
         points = []
         for rr in reranks:
             timing = _timed(spark, lambda r=rr: probe(r), warm=warm)
@@ -1396,6 +1415,23 @@ def main() -> None:
         "and IVFPQ indexes at the LARGEST scale dir",
     )
     ap.add_argument(
+        "--reranks",
+        type=int,
+        nargs="*",
+        default=None,
+        help="rerank curve: probe at these shortlist depths instead "
+        "of the default 20/50/100/200 ladder — one cell (e.g. the "
+        "law depth 165 on the clustered seed) is one command",
+    )
+    ap.add_argument(
+        "--rerank-tiers",
+        nargs="*",
+        choices=["pq", "ivfpq"],
+        default=None,
+        help="rerank curve: which tiers to build+probe (default both) "
+        "— a single-tier cell skips the other tier's build wall",
+    )
+    ap.add_argument(
         "--alphas",
         type=float,
         nargs="*",
@@ -1527,7 +1563,12 @@ def main() -> None:
             out["scale"], out["geometry"] = scale, args.geometry
             print(json.dumps({**out, "detail": "budget_curve_summary"}))
         if args.rerank_curve:
-            out = run_rerank_curve(spark, src, warm=args.warm)
+            kw = {}
+            if args.reranks:
+                kw["reranks"] = tuple(args.reranks)
+            if args.rerank_tiers:
+                kw["tiers"] = tuple(args.rerank_tiers)
+            out = run_rerank_curve(spark, src, warm=args.warm, **kw)
             out["scale"], out["geometry"] = scale, args.geometry
             print(json.dumps({**out, "detail": "rerank_curve_summary"}))
         spark.stop()
