@@ -49,6 +49,30 @@ def _drop_all(spark, name, sfx=SFX):
         M.force_drop_table(spark, f"{name}{s}")
 
 
+def _assert_intent_boundaries_enumerated(log):
+    """The intent protocol's OWN boundaries must be in the sweep's
+    enumeration (r15, the r14 verdict's ask for the text-stream verbs):
+    the counting injector's log must show the marker CREATE before the
+    first bucketed insert (so some k kills between marker create and
+    first insert), the replay-log insertInto as the LAST insert (so
+    some k kills between the last data insert and the log row), and
+    the marker DELETE after it (so some k kills between the log row
+    and the marker delete).  The injector routes the marker's
+    filesystem ops through the same seam as the data mutations
+    (``maintenance._hadoop_fs``), so these are counted kill points,
+    not just observed ones."""
+    creates = [i for i, d in enumerate(log) if d == "fs.create"]
+    deletes = [i for i, d in enumerate(log) if d == "fs.delete"]
+    inserts = [i for i, d in enumerate(log) if d.startswith("insertInto")]
+    assert creates and deletes and inserts, log
+    assert creates[0] < inserts[0], ("marker create must precede the "
+                                     "first insert", log)
+    assert "_batches" in log[inserts[-1]], ("the replay-log row must be "
+                                            "the last insert", log)
+    assert inserts[-1] < deletes[-1], ("marker delete must follow the "
+                                       "log row", log)
+
+
 def _lists_ids(spark, name):
     spark.catalog.refreshTable(f"{name}_lists")
     return sorted(
@@ -113,6 +137,7 @@ def test_crash_sweep_embedding_index_stream_batch(spark, tmp_path):
     crashed = _run_patched(counter, run, insert_into=True)
     assert not crashed and counter.count >= 3, counter.log
     total = counter.count
+    _assert_intent_boundaries_enumerated(counter.log)
 
     for k in range(1, total + 1):
         setup()
@@ -253,6 +278,7 @@ def test_crash_sweep_near_dup_stream_batch(spark, tmp_path):
     crashed = _run_patched(counter, run, insert_into=True)
     assert not crashed and counter.count >= 4, counter.log
     total = counter.count
+    _assert_intent_boundaries_enumerated(counter.log)
 
     try:
         for k in range(1, total + 1):
@@ -325,6 +351,7 @@ def test_crash_sweep_curate_stream_batch(spark, tmp_path):
     crashed = _run_patched(counter, run, insert_into=True)
     assert not crashed and counter.count >= 3, counter.log
     total = counter.count
+    _assert_intent_boundaries_enumerated(counter.log)
 
     try:
         for k in range(1, total + 1):
