@@ -66,6 +66,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # reuse the query-resolution chain + fixture-corpus rules
 from pyspark.sql import functions as F
 
+from hadoop_logfile_inputformat_spark.operators.maintenance import (
+    force_drop_table,  # interrupted soaks strand managed dirs (r15)
+)
 from hadoop_logfile_inputformat_spark.operators.tables import clear_query_caches
 from hadoop_logfile_inputformat_spark.session import get_spark
 
@@ -608,7 +611,7 @@ def run_delete_suite(spark, src: str, warm: int = 1) -> dict:
     )
     name = "soak_del_idx"
     for s in ("_lists", "_centroids", "_batches", "_stats", "_tombstones"):
-        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+        force_drop_table(spark, f"{name}{s}")
     t0 = time.monotonic()
     S.build_ivf_index(spark, v, name)
     build_wall = round(time.monotonic() - t0, 2)
@@ -629,7 +632,7 @@ def run_delete_suite(spark, src: str, warm: int = 1) -> dict:
     out["compact_s"] = round(time.monotonic() - t0, 2)
     out["probe_folded"] = _timed(spark, probe, warm=warm)
     for s in ("_lists", "_centroids", "_batches", "_stats", "_tombstones"):
-        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+        force_drop_table(spark, f"{name}{s}")
     print(json.dumps(out))
     return out
 
@@ -701,8 +704,8 @@ def run_drift_recall_suite(spark, src: str, topk: int = 5,
     sfx = ("_codes", "_quantized", "_centroids", "_codebooks",
            "_batches", "_stats", "_qstats", "_lists")
     for s in sfx:
-        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
-        spark.sql(f"DROP TABLE IF EXISTS {name}_ivf{s}")
+        force_drop_table(spark, f"{name}{s}")
+        force_drop_table(spark, f"{name}_ivf{s}")
 
     def blend(df, alpha: float, id_off: int):
         e = (f"transform(zip_with(embedding, {REFL}, (a, b) ->"
@@ -760,8 +763,8 @@ def run_drift_recall_suite(spark, src: str, topk: int = 5,
         print(json.dumps({"detail": "drift_step", **row}))
     if not retrain:
         for s in sfx:
-            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
-            spark.sql(f"DROP TABLE IF EXISTS {name}_ivf{s}")
+            force_drop_table(spark, f"{name}{s}")
+            force_drop_table(spark, f"{name}_ivf{s}")
         print(json.dumps(out))
         return out
     t0 = time.monotonic()
@@ -798,8 +801,8 @@ def run_drift_recall_suite(spark, src: str, topk: int = 5,
     dr = S.ivf_index_drift(spark, name)
     out["post_drift"] = dr["drift"]
     for s in sfx:
-        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
-        spark.sql(f"DROP TABLE IF EXISTS {name}_ivf{s}")
+        force_drop_table(spark, f"{name}{s}")
+        force_drop_table(spark, f"{name}_ivf{s}")
     print(json.dumps(out))
     return out
 
@@ -851,7 +854,7 @@ def run_mixed_stream_suite(
     sfx = ("_lists", "_centroids", "_batches", "_stats",
            "_tombstones", "_deferred")
     for s in sfx:
-        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+        force_drop_table(spark, f"{name}{s}")
     base = os.path.join(out_dir, "mixed_stream")
     shutil.rmtree(base, ignore_errors=True)
     dirs = {d: os.path.join(base, d) for d in
@@ -979,8 +982,8 @@ def run_mixed_stream_suite(
     out["max_lists_files"] = max(
         c["lists_files"] for c in out["checks"] if c["lists_files"])
     for s in sfx:
-        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
-        spark.sql(f"DROP TABLE IF EXISTS {name}_twin{s}")
+        force_drop_table(spark, f"{name}{s}")
+        force_drop_table(spark, f"{name}_twin{s}")
     print(json.dumps(out))
     return out
 
@@ -999,7 +1002,7 @@ def run_nprobe_curve(spark, src: str, topk: int = 5, warm: int = 1) -> dict:
     n = v.count()
     name = "soak_np_idx"
     for s in ("_lists", "_centroids", "_batches", "_stats"):
-        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+        force_drop_table(spark, f"{name}{s}")
     t0 = time.monotonic()
     S.build_ivf_index(spark, v, name)
     out = {"detail": "nprobe_curve", "n_corpus": n,
@@ -1047,7 +1050,7 @@ def run_nprobe_curve(spark, src: str, topk: int = 5, warm: int = 1) -> dict:
         out["points"].append(point)
         print(json.dumps({"detail": "nprobe_point", **point}))
     for s in ("_lists", "_centroids", "_batches", "_stats"):
-        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+        force_drop_table(spark, f"{name}{s}")
     print(json.dumps(out))
     return out
 
@@ -1142,7 +1145,7 @@ def run_budget_curve(spark, src: str, topk: int = 5, rerank: int = 20,
     for mult in multipliers:
         for rot in rotations:
             for s in sfx:
-                spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+                force_drop_table(spark, f"{name}{s}")
             t0 = time.monotonic()
             if tier == "pq":
                 qv = S.quantize_frame(v)
@@ -1186,7 +1189,7 @@ def run_budget_curve(spark, src: str, topk: int = 5, rerank: int = 20,
                 out["points"].append(point)
                 print(json.dumps({"detail": "budget_point", **point}))
     for s in sfx:
-        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+        force_drop_table(spark, f"{name}{s}")
     print(json.dumps(out))
     return out
 
@@ -1222,7 +1225,7 @@ def run_rerank_curve(spark, src: str, topk: int = 5,
     for tier in tiers:
         name = f"soak_rerank_{tier}"
         for s in sfx:
-            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+            force_drop_table(spark, f"{name}{s}")
         t0 = time.monotonic()
         if tier == "pq":
             qv = S.quantize_frame(v)
@@ -1267,7 +1270,7 @@ def run_rerank_curve(spark, src: str, topk: int = 5,
                               **point}))
         out["tiers"][tier] = {"build_s": build_s, "points": points}
         for s in sfx:
-            spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+            force_drop_table(spark, f"{name}{s}")
     print(json.dumps(out))
     return out
 
