@@ -861,19 +861,22 @@ def force_drop_table(spark: SparkSession, table: str) -> None:
     :func:`drop_tombstones`-style explicit deletes for that) — but the
     warehouse slot for ``table``'s NAME is cleared either way, because
     that slot is what blocks the next managed create.
+
+    The orphan removal delegates to ``tables.clear_orphaned_table``
+    (the builders' pre-``saveAsTable`` guard), inheriting its safety
+    property: only a directory that LOOKS like a table remnant
+    (parquet part / ``_SUCCESS`` / ``_temporary`` staging / empty) is
+    removed — a same-named directory holding anything else was never
+    a table, stays put, and the next CREATE fails loudly instead of
+    this verb silently eating user data.
     """
+    from hadoop_logfile_inputformat_spark.operators.tables import (
+        clear_orphaned_table,
+    )
+
     if spark.catalog.tableExists(table):
         spark.sql(f"DROP TABLE {table}")
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    parts = table.split(".")
-    leaf = parts[-1].lower().strip("`")
-    db = parts[-2].lower().strip("`") if len(parts) > 1 else None
-    sep = "" if wh.endswith("/") else "/"
-    loc = f"{wh}{sep}{db}.db/{leaf}" if db else f"{wh}{sep}{leaf}"
-    fs, jvm = _hadoop_fs(spark, loc)
-    p = jvm.org.apache.hadoop.fs.Path(loc)
-    if fs.exists(p):
-        fs.delete(p, True)
+    clear_orphaned_table(spark, table)
 
 
 def index_info(spark: SparkSession, name: str) -> dict:

@@ -2,6 +2,7 @@
 
 import glob
 import os
+import shutil
 
 from pyspark.sql import functions as F
 
@@ -1009,3 +1010,13 @@ def test_force_drop_table_clears_orphaned_location(spark):
     maintenance.force_drop_table(spark, name)
     assert not spark.catalog.tableExists(name)
     assert not os.path.exists(loc)
+
+    # safety: a same-named directory that was never a table (no part
+    # files / _SUCCESS / _temporary, not empty) is LEFT ALONE — the
+    # next CREATE fails loudly instead of the verb eating user data
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "not-a-table.txt"), "w") as f:
+        f.write("user data")
+    maintenance.force_drop_table(spark, name)
+    assert os.path.exists(os.path.join(loc, "not-a-table.txt"))
+    shutil.rmtree(loc)
