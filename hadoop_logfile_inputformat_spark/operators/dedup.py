@@ -1034,6 +1034,19 @@ def incremental_near_dups(
     default to out of scope; ``include_delta_pairs=True`` adds them
     (doc_a < doc_b, both delta) from a delta-only band self-join.
     """
+    # invalidate this session's cached relations first (the
+    # _refresh_index_relations discipline the vector probes follow): a
+    # standing index is rebuilt/compacted/appended from other sessions,
+    # and a stale file listing for the REUSED table location fails the
+    # probe with FILE_NOT_EXIST — observed on this exact read under
+    # memory pressure (r15, full-suite run co-tenant with an x100 soak)
+    from hadoop_logfile_inputformat_spark.operators.similarity import (
+        _refresh_index_relations,
+    )
+
+    _refresh_index_relations(
+        spark, index_name, "_buckets", "_sets", "_tombstones"
+    )
     # delta sets feed two consumers (signatures + verification); scoped
     # per index so repeated refreshes hold at most one cached frame
     delta_sets = scoped_persist(

@@ -355,7 +355,17 @@ def curate_stream_batch(
     )
     # exclude this batch's OWN prior contribution: a replay then
     # reproduces the identical survivor set (the overwrite below stays
-    # idempotent) instead of anti-joining against itself to empty
+    # idempotent) instead of anti-joining against itself to empty.
+    # Refresh first (the _refresh_index_relations discipline): the
+    # index is mutated across sessions and a stale file listing for
+    # the reused location fails the probe with FILE_NOT_EXIST (r15).
+    from hadoop_logfile_inputformat_spark.operators.similarity import (
+        _refresh_index_relations,
+    )
+
+    _refresh_index_relations(
+        spark, index_name, "_hashes", "_tombstones"
+    )
     seen = (
         spark.table(f"{index_name}_hashes")
         .filter(F.col("batch_id") != batch_id)
