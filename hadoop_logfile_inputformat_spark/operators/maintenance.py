@@ -1289,7 +1289,14 @@ def vacuum_index(
     in this session.  Returns ``{"removed": [...], "restored": [...],
     "completed_swaps": [...], "dropped_tables": [...],
     "ambiguous": [...], "retrain_snapshots": [...],
-    "pending_appends": [...]}`` — ``pending_appends`` (r14) lists
+    "pending_appends": [...], "orphaned_locations": [...]}`` —
+    ``orphaned_locations`` (r15) lists managed-table directories of
+    this index's exact suffixes that have NO catalog entry (an
+    interrupted writer's or dead session's debris — they block the
+    next managed CREATE with "location already exists"); vacuum only
+    reports them (the dir may be a crashed build's sole surviving
+    data) — :func:`force_drop_table` is the explicit destruction
+    verb.  ``pending_appends`` (r14) lists
     ``_append_intent_*`` markers of crashed HALF-APPENDS whose batch
     never reached the replay log: vacuum never deletes those (the
     marker is what makes the stream's replay resume instead of
@@ -1498,4 +1505,26 @@ def _vacuum_index_leased(
                 report["removed"].append(sp.toString())
             else:
                 report["pending_appends"].append(sp.toString())
+    # ORPHANED managed locations (r15): a table directory in the
+    # warehouse with no catalog entry — an interrupted writer's (or a
+    # dead session's) debris that silently blocks the next managed
+    # CREATE of the same name with "location already exists".  REPORT
+    # only (the pending-appends/retrain-snapshot discipline: vacuum
+    # never deletes data it cannot attribute — the dir may be the only
+    # surviving copy of a crashed build); force_drop_table is the
+    # explicit destruction verb.  Exact suffixes of THIS family only
+    # (the sibling-index lesson).  External ``path=`` indexes keep
+    # their files at the root by design — not orphans.
+    report["orphaned_locations"] = []
+    if path is None:
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        sep = "" if wh.endswith("/") else "/"
+        for suffix in corpus + aux + ("_tombstones", "_deferred"):
+            t = f"{name}{suffix}"
+            if spark.catalog.tableExists(t):
+                continue
+            loc = f"{wh}{sep}{t.lower()}"
+            ofs, ojvm = _hadoop_fs(spark, loc)
+            if ofs.exists(ojvm.org.apache.hadoop.fs.Path(loc)):
+                report["orphaned_locations"].append(loc)
     return report

@@ -1020,3 +1020,45 @@ def test_force_drop_table_clears_orphaned_location(spark):
     maintenance.force_drop_table(spark, name)
     assert os.path.exists(os.path.join(loc, "not-a-table.txt"))
     shutil.rmtree(loc)
+
+
+def test_vacuum_reports_orphaned_managed_locations(spark):
+    """vacuum_index REPORTS (never deletes) a managed-table directory
+    of the index's own suffixes that lost its catalog entry — the
+    debris that blocks the next managed CREATE.  Exact suffixes only:
+    a sibling index's same-prefix dir must not appear."""
+    from hadoop_logfile_inputformat_spark.operators import similarity as S
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    name = "t_vac_orph"
+    v = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    sfx = ("_lists", "_centroids", "_batches", "_stats")
+    try:
+        for s in sfx:
+            maintenance.force_drop_table(spark, f"{name}{s}")
+        S.build_ivf_index(spark, v, name, n_buckets=4)
+        rep = maintenance.vacuum_index(spark, name)
+        assert rep["orphaned_locations"] == [], rep
+        # strand _stats: drop the catalog entry but leave the dir (the
+        # interrupted-writer state), then vacuum must name it — and
+        # leave it on disk
+        loc = os.path.join(wh, f"{name}_stats")
+        os.makedirs(loc + ".save", exist_ok=True)
+        for f in os.listdir(loc):
+            shutil.copy(os.path.join(loc, f), os.path.join(loc + ".save", f))
+        spark.sql(f"DROP TABLE {name}_stats")
+        shutil.rmtree(loc, ignore_errors=True)
+        os.rename(loc + ".save", loc)
+        rep = maintenance.vacuum_index(spark, name)
+        assert [x for x in rep["orphaned_locations"]
+                if x.rstrip("/").endswith(f"{name}_stats")], rep
+        assert os.path.exists(loc), "vacuum must not delete the orphan"
+        # a sibling index's same-prefix dir is not this index's orphan
+        assert all(f"{name}_stats" in x or not x for x in
+                   rep["orphaned_locations"])
+    finally:
+        for s in sfx:
+            maintenance.force_drop_table(spark, f"{name}{s}")
