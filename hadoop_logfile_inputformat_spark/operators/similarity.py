@@ -3765,6 +3765,55 @@ def _live_quantized_count(spark: SparkSession, name: str) -> int | None:
     return n
 
 
+def _warn_if_tier_limited(
+    spark: SparkSession, name: str, live_n: int | None
+) -> None:
+    """Probe-time surfacing of the tier verdict (r15): an operator who
+    never runs DESCRIBE-INDEX still learns, once, that the ADC tier's
+    measured ceiling binds for this index.  Same memo key discipline
+    as :func:`_live_quantized_count` (file signature of the ledger →
+    one 1-row read per index generation, zero cost on subsequent
+    probes of a frozen index).  ``warnings.warn`` rather than logging:
+    serving loops commonly run with Spark logging quieted, and the
+    message is actionable exactly once.  Never changes results —
+    callers' plans and outputs are untouched."""
+    import warnings
+
+    st = f"{name}_stats"
+    if live_n is None or not spark.catalog.tableExists(st):
+        return
+    sig = _table_files_key(spark, st)
+    key = ("tierwarn", spark.sparkContext.applicationId, name, sig)
+    if key in _ASSIGN_RENDER_CACHE:
+        return
+    _ASSIGN_RENDER_CACHE[key] = True
+    while len(_ASSIGN_RENDER_CACHE) > _ASSIGN_RENDER_CACHE_MAX:
+        _ASSIGN_RENDER_CACHE.popitem(last=False)
+    spark.catalog.refreshTable(st)
+    rows = (
+        spark.table(st)
+        .filter(F.col("batch_id") == -1)
+        .select("mean_sim")
+        .collect()
+    )
+    seed = rows[0]["mean_sim"] if rows else None
+    metric = (
+        _index_metric(spark, name)
+        if spark.catalog.tableExists(f"{name}_centroids")
+        else "cosine"
+    )
+    if metric == "cosine" and tier_limited("residual", seed, live_n):
+        warnings.warn(
+            f"index '{name}': clustered routing geometry (seed cosine "
+            f"{seed:.3f}) at {live_n} live vectors — the IVFPQ ADC "
+            "tier's measured recall ceiling binds here and neither "
+            "entry budget, rerank depth, nor nprobe escapes it; "
+            "prefer the flat-PQ tier (see index_info()['quantization']"
+            "['tier_hint'] and SCALING.md's composed-remedy grid)",
+            stacklevel=3,
+        )
+
+
 def _pq_encode_fused(v: DataFrame, cb: DataFrame, carry: tuple = ()) -> DataFrame:
     """One-pass PQ encode: same output as :func:`_pq_encode` —
     ``(vec_id, m, code, code_nrm2, code_dot[, carry...])`` — computed
@@ -4720,7 +4769,13 @@ def ann_ivfpq_probe(
         spark, name, "_centroids", "_codebooks", "_codes", "_quantized"
     )
     if rerank is None:
-        rerank = recommended_rerank(_live_quantized_count(spark, name))
+        live_n = _live_quantized_count(spark, name)
+        rerank = recommended_rerank(live_n)
+        # once per index generation: tell an operator who never
+        # DESCRIBEs when the ADC tier's measured ceiling binds (r15).
+        # Default-path only — an explicit rerank is a sizing choice,
+        # and gated/portable members keep their exact job counts.
+        _warn_if_tier_limited(spark, name, live_n)
     cent = spark.table(f"{name}_centroids")
     cb = spark.table(f"{name}_codebooks")
     codes = spark.table(f"{name}_codes")

@@ -318,3 +318,46 @@ def test_index_info_surfaces_tier_hint(spark, monkeypatch):
         assert q["tier_hint"] is None  # kind gate: adc never hints
     finally:
         _drop(spark, name)
+
+
+def test_probe_warns_once_when_tier_limited(spark, monkeypatch):
+    """The default-rerank probe path surfaces the tier verdict as a
+    one-per-generation warning (r15): silent at fixture scale, fires
+    once when the floors are met, memoized so a serving loop is not
+    spammed.  Results are untouched either way."""
+    import warnings as W
+
+    v = _vecs(spark)
+    name = "t_qs_tierw"
+    _drop(spark, name)
+    try:
+        S.build_ivfpq_index(spark, v, name, iters=2)
+        queries = v.limit(3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        with W.catch_warnings(record=True) as rec:
+            W.simplefilter("always")
+            S.ann_ivfpq_probe(spark, queries, name, k=2).collect()
+        assert not [x for x in rec if "ceiling" in str(x.message)]
+        # a NEW generation (rebuild) with the floors lowered to the
+        # fixture's own statistics must warn exactly once
+        _drop(spark, name)
+        S.build_ivfpq_index(spark, v, name, iters=2)
+        seed = (
+            spark.table(f"{name}_stats").where("batch_id = -1").collect()
+        )[0]
+        monkeypatch.setattr(S, "TIER_SCALE_FLOOR", 1)
+        monkeypatch.setattr(
+            S, "TIER_ROUTING_CONCENTRATION_FLOOR", seed["mean_sim"]
+        )
+        with W.catch_warnings(record=True) as rec:
+            W.simplefilter("always")
+            a = S.ann_ivfpq_probe(spark, queries, name, k=2).collect()
+            n1 = len([x for x in rec if "ceiling" in str(x.message)])
+            b = S.ann_ivfpq_probe(spark, queries, name, k=2).collect()
+            n2 = len([x for x in rec if "ceiling" in str(x.message)])
+        assert n1 == 1, [str(x.message) for x in rec]
+        assert n2 == 1  # memoized: once per index generation
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    finally:
+        _drop(spark, name)
