@@ -1154,7 +1154,17 @@ def drop_index(spark: SparkSession, name: str, delete_files: bool = False) -> li
 
     Resolves the family from the catalog signature, so the caller
     never enumerates suffixes; unknown names raise (nothing to drop is
-    a caller bug worth hearing about)."""
+    a caller bug worth hearing about).
+
+    ``delete_files=True`` also clears ORPHANED managed slots of the
+    family's suffixes (r15): a crashed writer can strand a family
+    table's warehouse directory without its catalog entry — invisible
+    to the catalog walk above but fatal to the next build's CREATE
+    ("location already exists").  Destruction intent is explicit here,
+    so the orphans go too (via ``tables.clear_orphaned_table``'s
+    conservative remnant check — a same-named non-table directory
+    stays).  The default keeps them: an orphan may be a crashed
+    build's sole surviving data, and :func:`vacuum_index` reports it."""
     family = index_family(spark, name)
     corpus, aux = INDEX_FAMILIES[family]
     dropped = []
@@ -1182,6 +1192,15 @@ def drop_index(spark: SparkSession, name: str, delete_files: bool = False) -> li
         p = jvm.org.apache.hadoop.fs.Path(spec_loc)
         if fs.exists(p):
             fs.delete(p, True)
+    if delete_files:
+        from hadoop_logfile_inputformat_spark.operators.tables import (
+            clear_orphaned_table,
+        )
+
+        for suffix in corpus + aux + ("_tombstones", "_deferred"):
+            t = f"{name}{suffix}"
+            if not spark.catalog.tableExists(t):
+                clear_orphaned_table(spark, t)
     return dropped
 
 

@@ -8,7 +8,11 @@ from hadoop_logfile_inputformat_spark.session import get_spark
 
 #: Warehouse entries the test suite owns (table dirs AND lease files):
 #: every fixture index/table name in tests/ starts with one of these.
-_TEST_OWNED = ("t", "kmh_", "ivfpqh", "ann_ivf_append_result")
+#: Exact prefixes, not a bare "t" — a future library table that merely
+#: starts with the letter must never be collateral.
+_TEST_OWNED = ("t_", "tdf_", "tdl_", "tdr", "tfq_", "tia_", "tlk",
+               "tmp_", "topq", "kmh_", "ivfpqh",
+               "ann_ivf_append_result")
 
 #: Ephemeral uuid-named indexes the library drops before returning
 #: (similarity.ann_ivf_append_lifecycle and friends) — an interrupted

@@ -1062,3 +1062,38 @@ def test_vacuum_reports_orphaned_managed_locations(spark):
     finally:
         for s in sfx:
             maintenance.force_drop_table(spark, f"{name}{s}")
+
+
+def test_drop_index_delete_files_clears_orphaned_family_slots(spark):
+    """drop_index(delete_files=True) declares destruction intent for
+    the whole index, so an ORPHANED family slot (table dir whose
+    catalog entry a crash lost) goes too — otherwise the next build's
+    CREATE fails on the stranded location.  The default keeps it."""
+    from hadoop_logfile_inputformat_spark.operators import similarity as S
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    name = "t_dropi_orph"
+    v = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    sfx = ("_lists", "_centroids", "_batches", "_stats")
+    try:
+        for s in sfx:
+            maintenance.force_drop_table(spark, f"{name}{s}")
+        S.build_ivf_index(spark, v, name, n_buckets=4)
+        # orphan _stats: drop its entry, keep its dir
+        loc = os.path.join(wh, f"{name}_stats")
+        shutil.copytree(loc, loc + ".save")
+        spark.sql(f"DROP TABLE {name}_stats")
+        shutil.rmtree(loc, ignore_errors=True)
+        os.rename(loc + ".save", loc)
+        dropped = maintenance.drop_index(spark, name, delete_files=True)
+        assert f"{name}_lists" in dropped and f"{name}_stats" not in dropped
+        assert not os.path.exists(loc), "orphan slot must be cleared"
+        # and the next build succeeds from a clean slate
+        S.build_ivf_index(spark, v, name, n_buckets=4)
+        assert spark.table(f"{name}_stats").count() >= 1
+    finally:
+        for s in sfx:
+            maintenance.force_drop_table(spark, f"{name}{s}")
