@@ -203,6 +203,12 @@ EXTRA = [
 #: summary lines together must stay under this so neither is cut.
 TAIL_BUDGET = 2000
 
+#: Noise-bar thresholds (r16): the numeric definition of "wt clusters"
+#: and "ld is low" — see summary_lines' docstring for the rule and the
+#: BENCH_r15 worked example.  test_bench_contract.py pins both.
+NOISE_WT_SPREAD_S = 1.0
+NOISE_LD_MAX = 2.0
+
 
 def summary_lines(timings, cold_timings, extra, n_errors, source_mb_s, sf,
                   lifecycle=None, noise=None):
@@ -216,10 +222,23 @@ def summary_lines(timings, cold_timings, extra, n_errors, source_mb_s, sf,
     headline's own noise bar, carried ON the metric line so the
     GRADED artifact — not a local re-run — says whether a headline
     move is real: ``{"wt": [w1, w2, w3], "ld": [load1_start,
-    load1_end]}`` — the three warm-pass totals (if they cluster, a
-    move is real; if they spread, it is box noise) and the 1-minute
-    load average at bench start/end (the co-tenant evidence r13/r14
-    had to reconstruct from quiet-box re-runs)."""
+    load1_end], "spread": max(wt)-min(wt), "quiet": bool}``.
+
+    The decision rule, PINNED numerically (r16, the r15 verdict's
+    "clusters"/"low" were prose): ``quiet`` is ``spread <=
+    NOISE_WT_SPREAD_S`` (1.0 s — ~6% of the headline, twice the
+    largest same-code same-quiet-box delta observed across r12-r15)
+    AND ``max(ld) <= NOISE_LD_MAX`` (2.0 — <7% busy on this 32-core
+    box; every adjudicated load incident read 5+).  Adjudication is
+    DIRECTIONAL: a headline/key REGRESSION counts toward the
+    two-round rule only when the artifact reads ``"quiet": true``;
+    a non-quiet slower round is load-suspect, not evidence.  An
+    IMPROVEMENT stands regardless of ``quiet`` — co-tenant load can
+    only inflate wall clock, never deflate it.  Worked example,
+    BENCH_r15 itself: wt [17.1, 15.5, 15.8] (spread 1.6), ld
+    [6.2, 5.4] → ``quiet: false`` — yet its 15.174 s headline was
+    correctly accepted: the move was FASTER, and a loaded box cannot
+    manufacture an improvement."""
     # Tiered precision: 2 decimals under 1 s, 1 decimal above — the
     # quantization error (≤1% / ≤5%) is far below the box's observed
     # ±30% run-to-run noise, and the byte savings are what lets all 42
@@ -562,6 +581,14 @@ def main() -> None:
         "wt": [round(t, 1) for t in warm_totals],
         "ld": [round(load_start, 1), round(os.getloadavg()[0], 1)],
     }
+    # machine-readable verdict (r16): the pinned rule applied by the
+    # artifact itself — regressions adjudicate only on quiet rounds,
+    # improvements stand regardless (load can't deflate wall clock)
+    noise["spread"] = round(max(warm_totals) - min(warm_totals), 1)
+    noise["quiet"] = bool(
+        noise["spread"] <= NOISE_WT_SPREAD_S
+        and max(noise["ld"]) <= NOISE_LD_MAX
+    )
     for line in summary_lines(timings, cold_timings, extra,
                               len(errors), src["steady_mb_s"], sf,
                               lifecycle=lifecycle, noise=noise):

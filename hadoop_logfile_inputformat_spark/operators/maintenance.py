@@ -874,8 +874,11 @@ def force_drop_table(spark: SparkSession, table: str) -> None:
         clear_orphaned_table,
     )
 
-    if spark.catalog.tableExists(table):
-        spark.sql(f"DROP TABLE {table}")
+    # unconditional IF EXISTS, identifier quoted (r15 ADVICE): a
+    # tableExists-then-DROP pair is a cross-session TOCTOU — a
+    # concurrent drop between the check and the DROP raised here
+    quoted = ".".join(f"`{p}`" for p in table.split("."))
+    spark.sql(f"DROP TABLE IF EXISTS {quoted}")
     clear_orphaned_table(spark, table)
 
 
@@ -1536,13 +1539,19 @@ def _vacuum_index_leased(
     # their files at the root by design — not orphans.
     report["orphaned_locations"] = []
     if path is None:
-        wh = spark.conf.get("spark.sql.warehouse.dir")
-        sep = "" if wh.endswith("/") else "/"
+        from hadoop_logfile_inputformat_spark.operators.tables import (
+            managed_table_location,
+        )
+
         for suffix in corpus + aux + ("_tombstones", "_deferred"):
             t = f"{name}{suffix}"
             if spark.catalog.tableExists(t):
                 continue
-            loc = f"{wh}{sep}{t.lower()}"
+            # db-aware resolution shared with clear_orphaned_table
+            # (r15 ADVICE: the bare {warehouse}/{table} guess missed
+            # real orphans under a non-default db's {db}.db/ prefix
+            # and could report an unrelated same-named root directory)
+            loc = managed_table_location(spark, t)
             ofs, ojvm = _hadoop_fs(spark, loc)
             if ofs.exists(ojvm.org.apache.hadoop.fs.Path(loc)):
                 report["orphaned_locations"].append(loc)

@@ -561,6 +561,14 @@ def _metric_score(metric: str, vec: str, nrm: str, q_vec: str, q_nrm: str) -> Co
 _ASSIGN_RENDER_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
 _ASSIGN_RENDER_CACHE_MAX = 32
 
+#: Once-per-index-generation tier warnings already emitted (r15 ADVICE:
+#: a dedicated store, NOT _ASSIGN_RENDER_CACHE — eviction pressure from
+#: render/rotation keys there could re-fire a "once" warning, and the
+#: render cache's value type is tuples).  Bounded only as a leak guard;
+#: eviction at worst re-arms a warning, never changes results.
+_TIER_WARNED: set = set()
+_TIER_WARNED_MAX = 1024
+
 
 def _centroids_table_key(spark: SparkSession, name: str) -> tuple | None:
     """Memoization key for a FROZEN ``<name>_centroids`` table's
@@ -1164,9 +1172,16 @@ def _delta_missing_from(
     remaining divergence is benign and deliberate: a delta consisting
     ENTIRELY of already-live ids is skipped on replay (first delivery
     would have appended duplicate rows for rows the table already
-    serves)."""
+    serves).
+
+    NULL ids are excluded from the comparison (r15 ADVICE): a NULL can
+    never match the semi-join, so counting it on the delta side would
+    make the probe read "missing" FOREVER — every replay of a landed
+    crashed insert would re-append the batch, duplicating rows.  A
+    NULL id row is not addressable by any id-keyed verb (tombstones,
+    probes, compaction) regardless, so it cannot gate resume."""
     spark.catalog.refreshTable(table)
-    delta = ids.select(id_col).distinct()
+    delta = ids.select(id_col).where(F.col(id_col).isNotNull()).distinct()
     present = (
         spark.table(table)
         .join(F.broadcast(delta), id_col, "left_semi")
@@ -3776,7 +3791,14 @@ def _warn_if_tier_limited(
     probes of a frozen index).  ``warnings.warn`` rather than logging:
     serving loops commonly run with Spark logging quieted, and the
     message is actionable exactly once.  Never changes results —
-    callers' plans and outputs are untouched."""
+    callers' plans and outputs are untouched.
+
+    Memoized in a DEDICATED store, not ``_ASSIGN_RENDER_CACHE`` (r15
+    ADVICE): the shared 32-entry render cache evicts under pressure
+    from argmin/rotation keys across many indexes, which would re-fire
+    a "once" warning — and its declared value type is render tuples.
+    The key embeds the ledger's file signature, so a retrain/append
+    (new generation) naturally re-arms the warning."""
     import warnings
 
     st = f"{name}_stats"
@@ -3784,11 +3806,11 @@ def _warn_if_tier_limited(
         return
     sig = _table_files_key(spark, st)
     key = ("tierwarn", spark.sparkContext.applicationId, name, sig)
-    if key in _ASSIGN_RENDER_CACHE:
+    if key in _TIER_WARNED:
         return
-    _ASSIGN_RENDER_CACHE[key] = True
-    while len(_ASSIGN_RENDER_CACHE) > _ASSIGN_RENDER_CACHE_MAX:
-        _ASSIGN_RENDER_CACHE.popitem(last=False)
+    _TIER_WARNED.add(key)
+    while len(_TIER_WARNED) > _TIER_WARNED_MAX:
+        _TIER_WARNED.pop()
     spark.catalog.refreshTable(st)
     rows = (
         spark.table(st)

@@ -231,6 +231,26 @@ def _table_sizes(spark: SparkSession, path: str):
     return n, total
 
 
+def managed_table_location(spark: SparkSession, table: str) -> str:
+    """The warehouse path a MANAGED create of ``table`` would claim —
+    resolved against the current database (a non-default db's tables
+    live under ``{warehouse}/{db}.db/``; the bare
+    ``{warehouse}/{table}`` guess both misses the real location and
+    can point at an unrelated same-named directory).  Shared by
+    :func:`clear_orphaned_table` and ``maintenance.vacuum_index``'s
+    orphan scan (r15 ADVICE: the two previously resolved differently,
+    so vacuum could miss real orphans in non-default dbs)."""
+    name = table
+    db = None
+    if "." in table:
+        db, name = table.rsplit(".", 1)
+    if db is None:
+        db = spark.catalog.currentDatabase()
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    prefix = "" if db == "default" else f"{db.lower()}.db/"
+    return f"{wh.rstrip('/')}/{prefix}{name.lower()}"
+
+
 def clear_orphaned_table(spark: SparkSession, table: str) -> None:
     """Make ``saveAsTable(mode("overwrite"))`` safe across sessions.
 
@@ -253,20 +273,10 @@ def clear_orphaned_table(spark: SparkSession, table: str) -> None:
     subsequent ``saveAsTable`` then fails loudly instead of this
     helper silently eating user data.
     """
-    name = table
-    db = None
-    if "." in table:
-        db, name = table.rsplit(".", 1)
     if spark.catalog.tableExists(table):
         return
-    if db is None:
-        db = spark.catalog.currentDatabase()
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    prefix = "" if db == "default" else f"{db.lower()}.db/"
     jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(
-        f"{wh.rstrip('/')}/{prefix}{name.lower()}"
-    )
+    jpath = jvm.org.apache.hadoop.fs.Path(managed_table_location(spark, table))
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
         return

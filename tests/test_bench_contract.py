@@ -226,7 +226,8 @@ def test_noise_bar_rides_the_metric_line_within_budget():
     and r13/r14's wobble adjudication failed precisely because the
     headline_variance line never survived truncation — without
     pushing the two lines past TAIL_BUDGET at any plausible width."""
-    noise = {"wt": [9999.9, 9999.9, 9999.9], "ld": [99.9, 99.9]}
+    noise = {"wt": [9999.9, 9999.9, 9999.9], "ld": [99.9, 99.9],
+             "spread": 9999.9, "quiet": False}
     for v in (0.09, 0.99, 3.27, 42.4, 99.99):
         t = {k: v for k in bench.HEADLINE}
         e = {k: v for k in bench.EXTRA}
@@ -237,3 +238,29 @@ def test_noise_bar_rides_the_metric_line_within_budget():
     # omitted noise (older callers / tests) leaves the line unchanged
     lines = bench.summary_lines(t, t, e, 0, 99999.9, 0.1)
     assert "noise" not in json.loads(lines[-1])
+
+
+def test_noise_bar_decision_rule_is_pinned():
+    """The r16 numeric rule (the r15 verdict: "clusters" and "low"
+    were prose a future drift adjudication would hinge on): quiet ⇔
+    spread ≤ NOISE_WT_SPREAD_S and max(ld) ≤ NOISE_LD_MAX.  The
+    thresholds themselves are pinned so a silent loosening shows up
+    as a test diff, and the BENCH_r15 worked example (wt spread 1.6,
+    ld 6.2/5.4 → not quiet) must classify as load-suspect."""
+    assert bench.NOISE_WT_SPREAD_S == 1.0
+    assert bench.NOISE_LD_MAX == 2.0
+
+    def classify(wt, ld):
+        spread = round(max(wt) - min(wt), 1)
+        return (spread <= bench.NOISE_WT_SPREAD_S
+                and max(ld) <= bench.NOISE_LD_MAX)
+
+    # BENCH_r15's own cell: loaded box — regression evidence invalid
+    # (its faster headline stood because improvements need no quiet)
+    assert classify([17.1, 15.5, 15.8], [6.2, 5.4]) is False
+    # quiet box, clustered totals — a regression here is real
+    assert classify([16.3, 16.4, 16.4], [0.2, 0.1]) is True
+    # clustered totals but loaded box — still load-suspect
+    assert classify([16.3, 16.4, 16.4], [5.0, 0.1]) is False
+    # quiet box but spread totals — co-tenant burst mid-run
+    assert classify([15.5, 17.1, 15.5], [0.2, 0.3]) is False

@@ -728,3 +728,30 @@ def test_argmin_render_cache_invalidates_on_centroid_rewrite(spark):
         for s in ("_lists", "_centroids", "_batches", "_stats",
                   "_tombstones", "_deferred"):
             spark.sql(f"DROP TABLE IF EXISTS tia_cache{s}")
+
+
+def test_delta_missing_probe_ignores_null_ids(spark):
+    """The intent protocol's resume probe (r15 ADVICE): a NULL id can
+    never match the semi-join, so counting it on the delta side would
+    read "missing" forever and a landed crashed insert would be
+    re-appended on every replay, duplicating rows.  NULL ids must not
+    gate resume in either direction."""
+    name = "tia_nullprobe"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        spark.createDataFrame(
+            [(1,), (2,), (3,)], "vec_id long"
+        ).write.saveAsTable(name)
+        landed = spark.createDataFrame(
+            [(1,), (2,), (None,)], "vec_id long"
+        )
+        # every NON-NULL delta id is present -> the batch landed
+        assert S._delta_missing_from(spark, name, landed) is False
+        # a genuinely absent non-null id still reads missing, with or
+        # without NULL passengers
+        missing = spark.createDataFrame(
+            [(2,), (9,), (None,)], "vec_id long"
+        )
+        assert S._delta_missing_from(spark, name, missing) is True
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -1097,3 +1097,72 @@ def test_drop_index_delete_files_clears_orphaned_family_slots(spark):
     finally:
         for s in sfx:
             maintenance.force_drop_table(spark, f"{name}{s}")
+
+
+def test_managed_table_location_resolves_current_db(spark):
+    """The shared resolver (r15 ADVICE: vacuum's orphan scan built the
+    bare {warehouse}/{table} guess, missing real orphans under a
+    non-default db's {db}.db/ prefix)."""
+    from hadoop_logfile_inputformat_spark.operators.tables import (
+        managed_table_location,
+    )
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    assert managed_table_location(spark, "t_mtl_x") == f"{wh}/t_mtl_x"
+    assert (
+        managed_table_location(spark, "otherdb.t_mtl_x")
+        == f"{wh}/otherdb.db/t_mtl_x"
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS t_mtl_db")
+    spark.catalog.setCurrentDatabase("t_mtl_db")
+    try:
+        assert (
+            managed_table_location(spark, "t_mtl_x")
+            == f"{wh}/t_mtl_db.db/t_mtl_x"
+        )
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql("DROP DATABASE IF EXISTS t_mtl_db CASCADE")
+
+
+def test_vacuum_orphan_scan_is_db_aware(spark):
+    """vacuum_index's orphan scan must resolve the managed location
+    under the CURRENT database (r15 ADVICE): an index living in a
+    non-default db keeps its table dirs under {db}.db/ — the bare
+    warehouse-root guess would miss a real stranded suffix there."""
+    from hadoop_logfile_inputformat_spark.operators import similarity as S
+    from hadoop_logfile_inputformat_spark.operators.tables import load
+
+    name = "t_vacdb"
+    v = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    sfx = ("_lists", "_centroids", "_batches", "_stats")
+    spark.sql("CREATE DATABASE IF NOT EXISTS t_vac_db")
+    spark.catalog.setCurrentDatabase("t_vac_db")
+    try:
+        for s in sfx:
+            maintenance.force_drop_table(spark, f"{name}{s}")
+        S.build_ivf_index(spark, v, name, n_buckets=4)
+        rep = maintenance.vacuum_index(spark, name)
+        assert rep["orphaned_locations"] == [], rep
+        # strand _stats under the db's .db/ prefix: drop the catalog
+        # entry, leave the directory
+        loc = os.path.join(wh, "t_vac_db.db", f"{name}_stats")
+        assert os.path.isdir(loc), loc
+        os.makedirs(loc + ".save", exist_ok=True)
+        for f in os.listdir(loc):
+            shutil.copy(os.path.join(loc, f), os.path.join(loc + ".save", f))
+        spark.sql(f"DROP TABLE {name}_stats")
+        shutil.rmtree(loc, ignore_errors=True)
+        os.rename(loc + ".save", loc)
+        rep = maintenance.vacuum_index(spark, name)
+        assert [x for x in rep["orphaned_locations"]
+                if x.rstrip("/").endswith(f"t_vac_db.db/{name}_stats")], rep
+        assert os.path.exists(loc), "vacuum must not delete the orphan"
+    finally:
+        for s in sfx:
+            maintenance.force_drop_table(spark, f"{name}{s}")
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql("DROP DATABASE IF EXISTS t_vac_db CASCADE")

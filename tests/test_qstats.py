@@ -361,3 +361,47 @@ def test_probe_warns_once_when_tier_limited(spark, monkeypatch):
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     finally:
         _drop(spark, name)
+
+
+def test_tier_warning_memo_survives_render_cache_pressure(
+    spark, monkeypatch
+):
+    """The once-per-generation memo lives in a DEDICATED store (r15
+    ADVICE): eviction pressure on the shared 32-entry render cache —
+    argmin renders and rotations across many indexes — must not
+    re-arm a warning that already fired for this generation."""
+    import warnings as W
+
+    v = _vecs(spark)
+    name = "t_qs_tierw2"
+    _drop(spark, name)
+    try:
+        S.build_ivfpq_index(spark, v, name, iters=2)
+        seed = (
+            spark.table(f"{name}_stats").where("batch_id = -1").collect()
+        )[0]
+        monkeypatch.setattr(S, "TIER_SCALE_FLOOR", 1)
+        monkeypatch.setattr(
+            S, "TIER_ROUTING_CONCENTRATION_FLOOR", seed["mean_sim"]
+        )
+        queries = v.limit(3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        with W.catch_warnings(record=True) as rec:
+            W.simplefilter("always")
+            S.ann_ivfpq_probe(spark, queries, name, k=2).collect()
+            assert len(
+                [x for x in rec if "ceiling" in str(x.message)]
+            ) == 1
+            # flood the render cache far past its cap — the old memo
+            # site; the dedicated store must be unaffected
+            for i in range(3 * S._ASSIGN_RENDER_CACHE_MAX):
+                S._ASSIGN_RENDER_CACHE[("pressure", i)] = ("x",)
+            while len(S._ASSIGN_RENDER_CACHE) > S._ASSIGN_RENDER_CACHE_MAX:
+                S._ASSIGN_RENDER_CACHE.popitem(last=False)
+            S.ann_ivfpq_probe(spark, queries, name, k=2).collect()
+            assert len(
+                [x for x in rec if "ceiling" in str(x.message)]
+            ) == 1
+    finally:
+        _drop(spark, name)
