@@ -974,6 +974,10 @@ def index_info(spark: SparkSession, name: str) -> dict:
                 "n_entries": q["n_entries"],
                 "m": q["m"],
                 "rotated": q["rotated"],
+                # seed mean nearest-centroid cosine (r16) — the tier
+                # verdict's geometry input, metric-independent; None
+                # for flat indexes and pre-r16 rows
+                "routing_cos": q.asDict().get("routing_cos"),
                 "budget_limited": (
                     q["self_sim"] is not None
                     and q["self_sim"] < pq_budget_floor(q["kind"])
@@ -995,16 +999,23 @@ def index_info(spark: SparkSession, name: str) -> dict:
                 # budget_limited prices the CODES, rerank_hint the
                 # SHORTLIST; this prices the one decision that
                 # dominates both at that geometry: tier choice.
-                # the routing floor is calibrated on COSINE ledgers;
-                # l2/ip seed means are data-scaled — stay silent there
+                # geometry comes from the qstats row's routing_cos
+                # (r16: recorded under EVERY serving metric — the x100
+                # clustered l2 grid measured the same ceiling, see
+                # SCALING.md); pre-r16 indexes fall back to the
+                # cosine-only _stats seed read
                 "tier_hint": (
                     "flat-pq"
                     if tier_limited(
                         q["kind"],
-                        (out.get("drift") or {}).get("seed_mean_sim")
-                        if (out.get("drift") or {}).get("metric")
-                        == "cosine"
-                        else None,
+                        q.asDict().get("routing_cos")
+                        if q.asDict().get("routing_cos") is not None
+                        else (
+                            (out.get("drift") or {}).get("seed_mean_sim")
+                            if (out.get("drift") or {}).get("metric")
+                            == "cosine"
+                            else None
+                        ),
                         live_n,
                     )
                     else None

@@ -887,18 +887,22 @@ def pq_budget_floor(kind: str) -> float:
 #: per-list constant, so ranking rides entirely on small-norm
 #: residuals where quantization noise is relatively larger.  That
 #: mechanism's signature is visible in two numbers every IVFPQ build
-#: already persists: the ``_stats`` seed row's mean ROUTING cosine
-#: (geometry: measured 0.932 clustered vs 0.396 uniform on the x1
-#: fixture, intra-cluster cosine ~0.7-0.9 by the fixture's own
-#: construction) and the live corpus size (scale: the ceiling is
-#: measured BINDING at 200k/x100 — 0.269 at the maximal 640x200x27
-#: composition — and NOT binding at 20k/x10, where the same protocol
-#: recovers to its seed band).  0.75 splits the geometry gap with wide
-#: margin on both sides; 100_000 sits log-scale between the measured
-#: non-binding and binding corpus sizes, conservative toward the
-#: binding side.
+#: already persists: the mean ROUTING cosine (geometry: measured 0.932
+#: clustered vs 0.396 uniform on the x1 fixture, intra-cluster cosine
+#: ~0.7-0.9 by the fixture's own construction; r16: recorded
+#: metric-independently as ``_qstats.routing_cos``) and the live
+#: corpus size.  The scale boundary is a MEASURED BRACKET (r16,
+#: replacing the r15 log-interpolation at 100_000): the maximal
+#: 640-entry x rerank-200 composition reads 0.704 at 20k/x10
+#: (ESCAPES — budget x depth still buys usable recall, tier choice
+#: not forced), 0.388 at 60k/x30 (capped under the 0.4 usable bar
+#: while flat-PQ reads 0.668 at the same depth, 0.495 at the law
+#: depth 78), 0.269 at 200k/x100 (nprobe 27 included).  0.75 splits
+#: the geometry gap with wide margin on both sides; 40_000 sits
+#: log-scale between the measured clearing (20k) and binding (60k)
+#: cells, conservative toward the binding side.
 TIER_ROUTING_CONCENTRATION_FLOOR = 0.75
-TIER_SCALE_FLOOR = 100_000
+TIER_SCALE_FLOOR = 40_000
 
 
 def tier_limited(
@@ -936,6 +940,7 @@ def _write_index_qstats(
     n_entries: int,
     rotated: bool,
     kind: str,
+    routing_cos: float | None = None,
 ) -> None:
     """Write the PQ families' one-row ``<name>_qstats`` quantization
     ledger (r13): the seed build's mean ADC self-similarity in the
@@ -950,7 +955,14 @@ def _write_index_qstats(
     Seed-only by design: the codebooks are frozen between retrains, so
     codebook FITNESS doesn't move on appends — appended-data fit is the
     ``_stats`` drift ledger's job.  Rewritten by every (re)build;
-    model-sized (one row)."""
+    model-sized (one row).
+
+    ``routing_cos`` (r16): the seed's mean nearest-centroid COSINE —
+    the tier verdict's geometry statistic, recorded here under EVERY
+    serving metric (an l2/ip ``_stats`` ledger is data-scaled, so the
+    verdict previously had to stay silent off-cosine).  None for the
+    flat family (no routing tier) and for pre-r16 rows (readers treat
+    an absent column the same)."""
     qs = spark.createDataFrame(
         [(
             int(n_vecs),
@@ -959,9 +971,10 @@ def _write_index_qstats(
             int(PQ_M),
             bool(rotated),
             kind,
+            float(routing_cos) if routing_cos is not None else None,
         )],
         "n_vecs BIGINT, self_sim DOUBLE, n_entries INT, m INT,"
-        " rotated BOOLEAN, kind STRING",
+        " rotated BOOLEAN, kind STRING, routing_cos DOUBLE",
     ).coalesce(1).write.mode("overwrite").format("parquet")
     if path is not None:
         qs = qs.option("path", f"{path}/{name}_qstats")
@@ -1329,6 +1342,18 @@ def _index_metric(spark: SparkSession, name: str) -> str:
     cent = spark.table(f"{name}_centroids")
     if "metric" in cent.columns:
         return cent.select("metric").first()["metric"]
+    return "cosine"
+
+
+def _pq_index_metric(spark: SparkSession, name: str) -> str:
+    """The serving metric a FLAT-PQ index was built with (r16) — read
+    from the ``metric`` column :func:`build_pq_index` stores on the
+    (tiny) codebooks table; absent column (every pre-r16 or cosine
+    index) means cosine.  The flat family has no centroids table, so
+    the codebooks play :func:`_index_metric`'s role."""
+    cb = spark.table(f"{name}_codebooks")
+    if "metric" in cb.columns:
+        return cb.select("metric").first()["metric"]
     return "cosine"
 
 
@@ -1738,9 +1763,12 @@ def append_to_ivfpq_index(
         quantize_frame(delta_vectors, carry=carry),
         ("ivfpq_append_in", name),
     )
+    # assigns under the INDEX's serving metric (r16), exactly as the
+    # seed did — the append == rebuild bit-equality depends on it
     assigned = scoped_persist(
         _assign_to_centroids(
             qv, cent, vec_col="q", carry=carry,
+            metric=_index_metric(spark, name),
             cache_key=_centroids_table_key(spark, name),
         ),
         ("ivfpq_append", name),
@@ -2228,6 +2256,9 @@ def retrain_ivfpq_index(
         prior_kind = _read_rotation_kind(
             spark.table(f"{name}_codebooks")
         )
+        # the serving metric survives the retrain (r16): read BEFORE
+        # the rebuild overwrites the centroids table that stores it
+        idx_metric = _index_metric(spark, name)
         build_ivfpq_index(
             spark,
             held,
@@ -2237,6 +2268,7 @@ def retrain_ivfpq_index(
             iters=iters,
             carry=carry,
             rotation=prior_kind,
+            metric=idx_metric,
             **site,
         )
         _restore_deferred(spark, name, dsnap, f"{name}_quantized")
@@ -2307,9 +2339,12 @@ def retrain_pq_index(
             ).persist()
         cb = pq_codebooks_kmeans(train_src, n_entries=n_entries, iters=iters)
         dsnap = _preserve_deferred(spark, name)
+        # the serving metric survives the retrain (r16): read BEFORE
+        # the rebuild overwrites the codebooks table that stores it
         build_pq_index(
             spark, held, name, codebooks=cb, carry=carry,
-            rotation=rotation, rotation_kind=prior_kind, **site
+            rotation=rotation, rotation_kind=prior_kind,
+            metric=_pq_index_metric(spark, name), **site
         )
         if train_src is not qv:
             train_src.unpersist(blocking=False)
@@ -3780,6 +3815,42 @@ def _live_quantized_count(spark: SparkSession, name: str) -> int | None:
     return n
 
 
+def _routing_geometry(spark: SparkSession, name: str) -> float | None:
+    """The tier verdict's geometry statistic for index ``name``: the
+    seed's mean nearest-centroid COSINE.  Preferred source is the
+    ``_qstats`` row's ``routing_cos`` (r16 — written under EVERY
+    serving metric, so l2/ip indexes get a real geometry reading
+    instead of a data-scaled ledger value); pre-r16 indexes fall back
+    to the ``_stats`` seed row, which IS the routing cosine exactly
+    when the serving metric is cosine and is unusable (None) otherwise.
+    One 1-row read either way — callers memoize per generation."""
+    qt = f"{name}_qstats"
+    if spark.catalog.tableExists(qt):
+        spark.catalog.refreshTable(qt)
+        qrows = spark.table(qt).collect()
+        if qrows:
+            qd = qrows[0].asDict()
+            if qd.get("routing_cos") is not None:
+                return qd["routing_cos"]
+    st = f"{name}_stats"
+    if not spark.catalog.tableExists(st):
+        return None
+    metric = (
+        _index_metric(spark, name)
+        if spark.catalog.tableExists(f"{name}_centroids")
+        else "cosine"
+    )
+    if metric != "cosine":
+        return None
+    rows = (
+        spark.table(st)
+        .filter(F.col("batch_id") == -1)
+        .select("mean_sim")
+        .collect()
+    )
+    return rows[0]["mean_sim"] if rows else None
+
+
 def _warn_if_tier_limited(
     spark: SparkSession, name: str, live_n: int | None
 ) -> None:
@@ -3812,19 +3883,8 @@ def _warn_if_tier_limited(
     while len(_TIER_WARNED) > _TIER_WARNED_MAX:
         _TIER_WARNED.pop()
     spark.catalog.refreshTable(st)
-    rows = (
-        spark.table(st)
-        .filter(F.col("batch_id") == -1)
-        .select("mean_sim")
-        .collect()
-    )
-    seed = rows[0]["mean_sim"] if rows else None
-    metric = (
-        _index_metric(spark, name)
-        if spark.catalog.tableExists(f"{name}_centroids")
-        else "cosine"
-    )
-    if metric == "cosine" and tier_limited("residual", seed, live_n):
+    seed = _routing_geometry(spark, name)
+    if tier_limited("residual", seed, live_n):
         warnings.warn(
             f"index '{name}': clustered routing geometry (seed cosine "
             f"{seed:.3f}) at {live_n} live vectors — the IVFPQ ADC "
@@ -3929,17 +3989,39 @@ def _pq_encode_fused(v: DataFrame, cb: DataFrame, carry: tuple = ()) -> DataFram
 
 
 def _exact_rerank(
-    shortlist: DataFrame, qs: DataFrame, ns: DataFrame, k: int
+    shortlist: DataFrame, qs: DataFrame, ns: DataFrame, k: int,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Exact re-rank of an ADC ``(query_id, neighbor_id)`` shortlist,
     shared by every PQ-family search: fetch both sides' quantized
     vectors (|queries| × rerank rows — constant per query regardless
-    of corpus size), score the exact int8 cosine, keep the top ``k``.
-    ``qs`` is ``(query_id, q_q, q_nrm)`` (broadcast — query-set
-    sized); ``ns`` is ``(neighbor_id, n_q, n_nrm)``, either the inline
-    corpus frame or a vec_id-bucketed ``<name>_quantized`` table whose
-    bucketing the fetch join consumes."""
-    exact_sim = F.round(_dot("q_q", "n_q") / (F.col("q_nrm") * F.col("n_nrm")), 4)
+    of corpus size), score the exact int8 similarity under ``metric``,
+    keep the top ``k``.  ``qs`` is ``(query_id, q_q, q_nrm)``
+    (broadcast — query-set sized); ``ns`` is ``(neighbor_id, n_q,
+    n_nrm)``, either the inline corpus frame or a vec_id-bucketed
+    ``<name>_quantized`` table whose bucketing the fetch join consumes.
+
+    ``metric`` (r16): same higher-is-better convention as
+    :func:`_metric_score` — cosine (default, exact pre-r16 plan), raw
+    inner product, or NEGATED squared L2 via the norm identity
+    ``-(|q|² + |n|² − 2·q·n)`` (no per-element subtraction pass);
+    non-cosine scores take the portable half-up rounding the oracled
+    ``l2_topk``/``ip_topk`` members established."""
+    dot = _dot("q_q", "n_q")
+    if metric == "cosine":
+        exact_sim = F.round(dot / (F.col("q_nrm") * F.col("n_nrm")), 4)
+    elif metric == "ip":
+        exact_sim = _round4_portable(dot)
+    elif metric == "l2":
+        exact_sim = _round4_portable(
+            -(
+                F.col("q_nrm") * F.col("q_nrm")
+                + F.col("n_nrm") * F.col("n_nrm")
+                - F.lit(2.0) * dot
+            )
+        )
+    else:
+        raise ValueError(f"metric must be cosine/l2/ip, got {metric!r}")
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         shortlist.join(F.broadcast(qs), "query_id")
@@ -4221,6 +4303,7 @@ def build_pq_index(
     carry: tuple = (),
     rotation=None,
     rotation_kind: str | None = None,
+    metric: str = "cosine",
 ) -> None:
     """Materialize the PQ search structure of ``vectors`` (any
     ``(vec_id, embedding)`` DataFrame): quantize + encode the corpus
@@ -4259,11 +4342,23 @@ def build_pq_index(
     ``_quantized`` re-rank table stays in ORIGINAL space (rotation is
     orthonormal — ADC similarities are unchanged in meaning, only the
     quantization grid improves).  LIBRARY_ONLY: float matrix math has
-    no SQL oracle; the gated members stay unrotated."""
+    no SQL oracle; the gated members stay unrotated.
+
+    ``metric`` (r16): the index's SERVING metric ("cosine" default,
+    "l2", "ip") — stored as a column on the (tiny) codebooks table,
+    exactly the :func:`build_ivf_index` pattern, so probes and
+    retrains recover it for free; an absent column (every pre-r16
+    index) reads as cosine.  Flat-PQ ENCODING is metric-independent
+    (codes approximate the vector either way; the ``_stats``/
+    ``_qstats`` ledgers record code fidelity, not ranking), so only
+    the probe's ADC score and exact re-rank change shape — see
+    :func:`ann_pq_probe`."""
     from hadoop_logfile_inputformat_spark.operators.maintenance import (
         check_index_lease,
     )
 
+    if metric not in ("cosine", "l2", "ip"):
+        raise ValueError(f"metric must be cosine/l2/ip, got {metric!r}")
     check_index_lease(spark, name, path)
     # persisted for the build (see build_ivfpq_index: the quantize HOF
     # would re-inline into the fused encode's per-entry lambdas)
@@ -4346,6 +4441,11 @@ def build_pq_index(
         "m", "entry_id", F.col("c_sub").cast("array<double>").alias("c_sub"),
         "c_nrm2",
     ).unionByName(_rotation_rows(spark, R, rot_kind))
+    # serving metric rides the tiny codebooks table (r16) — absent
+    # column (pre-metric indexes) reads as cosine, same contract as
+    # build_ivf_index's centroids column
+    if metric != "cosine":
+        cb_out = cb_out.withColumn("metric", F.lit(metric))
     bw = cb_out.coalesce(1).write.mode("overwrite").format("parquet")
     if path is not None:
         bw = bw.option("path", f"{path}/{name}_codebooks")
@@ -4377,6 +4477,7 @@ def ann_pq_probe(
     rerank: int | None = None,
     member_filter=None,
     exclude_ids: DataFrame | None = None,
+    metric: str | None = None,
 ) -> DataFrame:
     """Search a persisted :func:`build_pq_index`: ADC shortlist against
     the codes table, exact re-rank against the bucketed quantized
@@ -4404,10 +4505,19 @@ def ann_pq_probe(
     its recall per 10x corpus while deepening costs |queries| x depth
     corpus-independent fetch rows.  At fixture/gate scales this is
     exactly ``PQ_RERANK``; the one count job it needs is memoized on
-    the table's file signature (hot serving loops pay it once)."""
+    the table's file signature (hot serving loops pay it once).
+
+    ``metric`` (r16) defaults to the INDEX's own serving metric
+    (:func:`_pq_index_metric`).  The ADC shortlist score keeps the one
+    LUT/codes-scan shape under every metric — the reconstructed dot
+    ``Σ pdot`` feeds cosine (over the reconstructed norm), raw inner
+    product, or negated-L2 via ``-(|q|² + |x̂|² − 2·q·x̂)``; the exact
+    re-rank applies :func:`_exact_rerank`'s matching score."""
     _refresh_index_relations(
         spark, name, "_codebooks", "_codes", "_quantized"
     )
+    if metric is None:
+        metric = _pq_index_metric(spark, name)
     if rerank is None:
         rerank = recommended_rerank(_live_quantized_count(spark, name))
     cb = spark.table(f"{name}_codebooks")
@@ -4447,7 +4557,25 @@ def ann_pq_probe(
         .agg(F.sum("pdot").alias("adc"), F.sum("code_nrm2").alias("rnrm2"))
         .filter(F.col("vec_id") != F.col("query_id"))
     )
-    adc_sim = F.round(F.col("adc") / (F.col("q_nrm") * F.sqrt("rnrm2")), 4)
+    if metric == "cosine":
+        adc_sim = F.round(
+            F.col("adc") / (F.col("q_nrm") * F.sqrt("rnrm2")), 4
+        )
+    elif metric == "ip":
+        adc_sim = _round4_portable(F.col("adc"))
+    elif metric == "l2":
+        # reconstructed negated-L2: |q - x̂|² = |q|² + |x̂|² − 2·q·x̂,
+        # with |x̂|² = Σ code_nrm2 (the same reconstruction the cosine
+        # denominator uses) — higher-is-better like every serving score
+        adc_sim = _round4_portable(
+            -(
+                F.col("q_nrm") * F.col("q_nrm")
+                + F.col("rnrm2")
+                - F.lit(2.0) * F.col("adc")
+            )
+        )
+    else:
+        raise ValueError(f"metric must be cosine/l2/ip, got {metric!r}")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("adc_sim"), F.asc("neighbor_id")
     )
@@ -4472,7 +4600,7 @@ def ann_pq_probe(
         F.col("q").alias("n_q"),
         F.col("nrm").alias("n_nrm"),
     )
-    return _exact_rerank(shortlist, qs, ns, k)
+    return _exact_rerank(shortlist, qs, ns, k, metric=metric)
 
 
 def build_ivfpq_index(
@@ -4490,6 +4618,7 @@ def build_ivfpq_index(
     rotation=None,
     rotation_kind: str | None = None,
     write_qstats: bool = True,
+    metric: str = "cosine",
 ) -> None:
     """Materialize the composite IVF-PQ (IVFADC) search structure of
     ``vectors`` (any ``(vec_id, embedding)`` DataFrame) — the canonical
@@ -4539,11 +4668,26 @@ def build_ivfpq_index(
     a pushed-down pre-filter on the resident tier) and the quantized
     re-rank table (what lets :func:`retrain_ivfpq_index` keep them);
     appends recover the carry set from the codes schema.
+
+    ``metric`` (r16): the index's SERVING metric ("cosine" default,
+    "l2", "ip") — list assignment, the drift ledger's routing scores,
+    every probe's routing/ADC/re-rank, appends, and retrains all run
+    under it (stored on the centroids table; :func:`_index_metric`
+    recovers it, same contract as :func:`build_ivf_index`).  Coarse
+    training is classic Lloyd's for "l2" and spherical k-means
+    otherwise (ip routes from cosine-trained centroids, the
+    :func:`build_ivf_index` convention).  Residual encoding itself is
+    metric-independent; the ``_qstats`` row additionally records the
+    seed's mean routing COSINE (``routing_cos``) under every metric —
+    the scale-free geometry statistic the tier verdict reads, which a
+    metric-scaled l2/ip ``_stats`` ledger cannot provide.
     """
     from hadoop_logfile_inputformat_spark.operators.maintenance import (
         check_index_lease,
     )
 
+    if metric not in ("cosine", "l2", "ip"):
+        raise ValueError(f"metric must be cosine/l2/ip, got {metric!r}")
     check_index_lease(spark, name, path)
     # PERSISTED for the build's duration: the quantize HOF otherwise
     # re-inlines into every per-centroid lambda of the literal-argmin
@@ -4565,20 +4709,33 @@ def build_ivfpq_index(
             qv.select("vec_id", F.col("q").alias("embedding")),
             k=n_centroids,
             iters=iters,
-            metric="cosine",
+            metric="l2" if metric == "l2" else "cosine",
         ).select("centroid_id", "c_emb", _norm("c_emb").alias("c_nrm"))
-    assigned = _assign_to_centroids(qv, cent, vec_col="q", carry=carry).join(
-        F.broadcast(cent.select("centroid_id", "c_emb")), "centroid_id"
+    assigned = _assign_to_centroids(
+        qv, cent, vec_col="q", carry=carry, metric=metric
+    ).join(
+        F.broadcast(cent.select("centroid_id", "c_emb", "c_nrm")),
+        "centroid_id",
     )
     # residual carried as column "q" so _pq_parts / pq_codebooks_kmeans
     # consume it unchanged; c_sim rides along for the seed drift-ledger
-    # row (aggregated from this persisted frame — no extra corpus pass)
+    # row (aggregated from this persisted frame — no extra corpus pass).
+    # c_cos is the ROUTING COSINE — identical to c_sim on a cosine
+    # index, computed from the same joined columns otherwise: the
+    # metric-independent geometry statistic _qstats records for the
+    # tier verdict (r16; l2/ip c_sim is data-scaled)
+    c_cos = (
+        F.col("c_sim")
+        if metric == "cosine"
+        else _dot("q", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
+    )
     res = assigned.select(
         "vec_id",
         "centroid_id",
         "nrm",
         *carry,
         "c_sim",
+        c_cos.alias("c_cos"),
         F.expr(
             "zip_with(q, c_emb, (x, y) -> CAST(x AS DOUBLE) - y)"
         ).alias("q"),
@@ -4673,7 +4830,9 @@ def build_ivfpq_index(
             clear_orphaned_table(spark, f"{name}_codes")
         cw.saveAsTable(f"{name}_codes")
         seed_stats = res.agg(
-            F.count("*").alias("n"), F.avg("c_sim").alias("s")
+            F.count("*").alias("n"),
+            F.avg("c_sim").alias("s"),
+            F.avg("c_cos").alias("cos"),
         ).collect()[0]
         # fine-quantization quality (r13): mean cosine of each residual
         # against its own decoded codes, in the (rotated) residual
@@ -4712,6 +4871,12 @@ def build_ivfpq_index(
         "m", "entry_id", F.col("c_sub").cast("array<double>").alias("c_sub"),
         "c_nrm2",
     ).unionByName(_rotation_rows(spark, R, rot_kind))
+    # the serving metric is an INDEX property (probes, appends, drift
+    # calibration, and retrains must all agree) — stored on the tiny
+    # centroids table so _index_metric recovers it in any session;
+    # absent column (pre-metric indexes) reads as cosine
+    if metric != "cosine":
+        cent = cent.withColumn("metric", F.lit(metric))
     for frame, suffix in ((cent, "_centroids"), (cb_out, "_codebooks")):
         w = frame.coalesce(1).write.mode("overwrite").format("parquet")
         if path is not None:
@@ -4724,7 +4889,7 @@ def build_ivfpq_index(
         _write_index_qstats(
             spark, name, path, seed_stats["n"], seed_q["s"],
             n_entries=cb.where("m = 0").count(), rotated=R is not None,
-            kind="residual",
+            kind="residual", routing_cos=seed_stats["cos"],
         )
     if path is not None:
         from hadoop_logfile_inputformat_spark.operators.maintenance import (
@@ -4750,6 +4915,7 @@ def ann_ivfpq_probe(
     rerank: int | None = None,
     member_filter=None,
     exclude_ids: DataFrame | None = None,
+    metric: str | None = None,
 ) -> DataFrame:
     """Search a persisted :func:`build_ivfpq_index` — coarse routing,
     residual-ADC shortlist inside the probed lists only, exact re-rank.
@@ -4786,10 +4952,23 @@ def ann_ivfpq_probe(
     :func:`ann_pq_probe`; fixture/gate scales resolve to exactly
     ``PQ_RERANK``, the count is memoized on the table's file
     signature.
+
+    ``metric`` (r16) defaults to the INDEX's serving metric
+    (:func:`_index_metric` — what the build assigned lists with).
+    Routing, the ADC shortlist, and the exact re-rank share it: the
+    reconstructed dot ``qc_dot + rdot`` feeds cosine (over the stored
+    exact norm), raw inner product, or negated-L2 via
+    ``-(|q|² + |x|² − 2·(qc_dot + rdot))`` — the EXACT stored ``|x|``,
+    a strictly better denominator than l2-IVFADC's usual
+    reconstructed-norm term, for free (the lists carry it anyway).
     """
     _refresh_index_relations(
         spark, name, "_centroids", "_codebooks", "_codes", "_quantized"
     )
+    if metric is None:
+        metric = _index_metric(spark, name)
+    if metric not in ("cosine", "l2", "ip"):
+        raise ValueError(f"metric must be cosine/l2/ip, got {metric!r}")
     if rerank is None:
         live_n = _live_quantized_count(spark, name)
         rerank = recommended_rerank(live_n)
@@ -4820,6 +4999,19 @@ def ann_ivfpq_probe(
         F.desc("c_sim"), F.asc("centroid_id")
     )
     qc = _dot("q", "c_emb")
+    # routing score under the serving metric (same shapes as
+    # _metric_score, inlined here because the probe also needs the raw
+    # qc_dot term for the ADC reconstruction below)
+    if metric == "cosine":
+        route = qc / (F.col("q_nrm") * F.col("c_nrm"))
+    elif metric == "ip":
+        route = qc
+    else:  # l2, negated squared distance — higher is better
+        route = -(
+            F.col("q_nrm") * F.col("q_nrm")
+            + F.col("c_nrm") * F.col("c_nrm")
+            - F.lit(2.0) * qc
+        )
     probes = (
         q.join(F.broadcast(cent), how="cross")
         .select(
@@ -4827,7 +5019,7 @@ def ann_ivfpq_probe(
             "q_nrm",
             "centroid_id",
             qc.alias("qc_dot"),
-            (qc / (F.col("q_nrm") * F.col("c_nrm"))).alias("c_sim"),
+            route.alias("c_sim"),
         )
         .withColumn("p", F.row_number().over(probe_w))
         .filter(F.col("p") <= nprobe)
@@ -4866,9 +5058,19 @@ def ann_ivfpq_probe(
             F.first("q_nrm").alias("q_nrm"),
         )
     )
-    adc_sim = F.round(
-        (F.col("qc_dot") + F.col("rdot")) / (F.col("q_nrm") * F.col("nrm")), 4
-    )
+    adc_dot = F.col("qc_dot") + F.col("rdot")
+    if metric == "cosine":
+        adc_sim = F.round(adc_dot / (F.col("q_nrm") * F.col("nrm")), 4)
+    elif metric == "ip":
+        adc_sim = _round4_portable(adc_dot)
+    else:  # l2: exact stored norm, reconstructed dot
+        adc_sim = _round4_portable(
+            -(
+                F.col("q_nrm") * F.col("q_nrm")
+                + F.col("nrm") * F.col("nrm")
+                - F.lit(2.0) * adc_dot
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("adc_sim"), F.asc("neighbor_id")
     )
@@ -4892,7 +5094,7 @@ def ann_ivfpq_probe(
         F.col("q").alias("n_q"),
         F.col("nrm").alias("n_nrm"),
     )
-    return _exact_rerank(shortlist, qs, ns, k)
+    return _exact_rerank(shortlist, qs, ns, k, metric=metric)
 
 
 def ann_ivfpq_topk(

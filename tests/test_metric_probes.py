@@ -254,3 +254,235 @@ def test_full_coverage_metric_probes_equal_oracled_brute_force(spark):
     finally:
         for metric in ("l2", "ip"):
             _drop(spark, f"tmp_fc_{metric}")
+
+
+PQ_SFX = ("_codes", "_quantized", "_centroids", "_codebooks",
+          "_batches", "_stats", "_qstats", "_tombstones")
+
+
+def _drop_pq(spark, name):
+    for s in PQ_SFX:
+        spark.sql(f"DROP TABLE IF EXISTS {name}{s}")
+
+
+def _quantized_brute(spark, name, queries, metric, k):
+    """Ground truth for the PQ families: exact top-k under ``metric``
+    over the QUANTIZED corpus (the ``_quantized`` re-rank table — the
+    vectors the exact re-rank actually scores; per-vector int8 scaling
+    means raw-embedding l2/ip ground truth would be a different
+    question).  Score arithmetic mirrors _exact_rerank's column form:
+    higher-is-better, portable rounding off-cosine."""
+    from pyspark.sql import Window
+
+    qv = S.quantize_frame(
+        queries.select(F.col("query_id").alias("vec_id"), "embedding")
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("q_q"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    ns = spark.table(f"{name}_quantized").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("n_q"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    dot = S._dot("q_q", "n_q")
+    if metric == "l2":
+        sim = S._round4_portable(
+            -(F.col("q_nrm") * F.col("q_nrm")
+              + F.col("n_nrm") * F.col("n_nrm") - F.lit(2.0) * dot)
+        )
+    else:  # ip
+        sim = S._round4_portable(dot)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        qv.crossJoin(ns)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def test_ivfpq_l2_ip_full_coverage_equals_quantized_brute_force(spark):
+    """At nprobe == |centroids| and rerank == |corpus| the IVFPQ probe
+    degenerates to exact search under the index's serving metric — so
+    an l2/ip IVFPQ index (r16) must be BIT-EQUAL to brute force over
+    the quantized corpus, pinning routing + ADC + re-rank arithmetic
+    in one equality per metric."""
+    v = S._vectors(spark, SF).select("vec_id", "embedding")
+    n = v.count()
+    for metric in ("l2", "ip"):
+        name = f"tmp_pqm_{metric}"
+        _drop_pq(spark, name)
+        try:
+            S.build_ivfpq_index(spark, v, name, iters=2, metric=metric)
+            assert S._index_metric(spark, name) == metric
+            n_cent = spark.table(f"{name}_centroids").count()
+            q = _queries(v)
+            probe = sorted(
+                tuple(r)
+                for r in S.ann_ivfpq_probe(
+                    spark, q, name, k=5, nprobe=n_cent, rerank=n
+                ).collect()
+            )
+            brute = sorted(
+                tuple(r)
+                for r in _quantized_brute(spark, name, q, metric, 5).collect()
+            )
+            assert probe == brute and probe, metric
+        finally:
+            _drop_pq(spark, name)
+
+
+def test_flat_pq_l2_ip_full_coverage_equals_quantized_brute_force(spark):
+    """Flat-PQ twin of the IVFPQ equality: rerank == |corpus| makes
+    the ADC shortlist a pass-through, so the l2/ip probe must equal
+    exact search over the quantized corpus; the serving metric is
+    recovered from the codebooks table, not re-passed per probe."""
+    v = S._vectors(spark, SF).select("vec_id", "embedding")
+    n = v.count()
+    for metric in ("l2", "ip"):
+        name = f"tmp_fpqm_{metric}"
+        _drop_pq(spark, name)
+        try:
+            S.build_pq_index(spark, v, name, metric=metric)
+            assert S._pq_index_metric(spark, name) == metric
+            q = _queries(v)
+            probe = sorted(
+                tuple(r)
+                for r in S.ann_pq_probe(
+                    spark, q, name, k=5, rerank=n
+                ).collect()
+            )
+            brute = sorted(
+                tuple(r)
+                for r in _quantized_brute(spark, name, q, metric, 5).collect()
+            )
+            assert probe == brute and probe, metric
+        finally:
+            _drop_pq(spark, name)
+
+
+def test_ivfpq_l2_append_assigns_under_index_metric(spark):
+    """An append to an l2-serving IVFPQ index must assign the delta
+    under l2 (the seed's metric), so append == rebuild stays bit-equal
+    — probed at full coverage under the recovered metric."""
+    v = S._vectors(spark, SF).select("vec_id", "embedding")
+    n = v.count()
+    is_delta = F.col("vec_id") % S.INCR_SPLIT_MOD == S.INCR_DELTA_REM
+    seed = v.filter(~is_delta)
+    delta = v.filter(is_delta)
+    a, b = "tmp_l2app_a", "tmp_l2app_b"
+    for name in (a, b):
+        _drop_pq(spark, name)
+    try:
+        S.build_ivfpq_index(spark, seed, a, iters=2, metric="l2")
+        S.append_to_ivfpq_index(spark, delta, a, batch_id=1)
+        # rebuild over the union with the SAME model (centroids +
+        # codebooks reused) — the appended index must match it exactly
+        cent = spark.table(f"{a}_centroids").select(
+            "centroid_id", "c_emb"
+        )
+        cb = spark.table(f"{a}_codebooks").where("m >= 0")
+        S.build_ivfpq_index(
+            spark, v, b, centroids=cent, codebooks=cb, metric="l2"
+        )
+        q = _queries(v)
+        n_cent = spark.table(f"{a}_centroids").count()
+        ra = sorted(
+            tuple(r) for r in S.ann_ivfpq_probe(
+                spark, q, a, k=5, nprobe=n_cent, rerank=n
+            ).collect()
+        )
+        rb = sorted(
+            tuple(r) for r in S.ann_ivfpq_probe(
+                spark, q, b, k=5, nprobe=n_cent, rerank=n
+            ).collect()
+        )
+        assert ra == rb and ra
+        # and the codes themselves are identical (assignment + encode)
+        ca = sorted(
+            tuple(r)
+            for r in spark.table(f"{a}_codes")
+            .select("vec_id", "centroid_id", "m", "code")
+            .collect()
+        )
+        cbb = sorted(
+            tuple(r)
+            for r in spark.table(f"{b}_codes")
+            .select("vec_id", "centroid_id", "m", "code")
+            .collect()
+        )
+        assert ca == cbb
+    finally:
+        for name in (a, b):
+            _drop_pq(spark, name)
+
+
+def test_metric_survives_retrain_and_routing_cos_recorded(spark):
+    """The serving metric is an index property across the whole
+    lifecycle (r16): retrain re-learns under it and re-stores it; and
+    every IVFPQ build — any metric — records the seed's mean routing
+    COSINE in _qstats (the tier verdict's metric-independent geometry
+    statistic), bit-equal to the _stats seed row on a cosine index."""
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        index_info,
+    )
+
+    v = S._vectors(spark, SF).select("vec_id", "embedding")
+    name = "tmp_l2life"
+    _drop_pq(spark, name)
+    try:
+        S.build_ivfpq_index(spark, v, name, iters=2, metric="l2")
+        q = spark.table(f"{name}_qstats").collect()[0]
+        assert q["routing_cos"] is not None
+        assert -1.0 <= q["routing_cos"] <= 1.0
+        info = index_info(spark, name)
+        assert info["quantization"]["routing_cos"] == q["routing_cos"]
+        S.retrain_ivfpq_index(spark, name, iters=2)
+        assert S._index_metric(spark, name) == "l2"
+        q2 = spark.table(f"{name}_qstats").collect()[0]
+        assert q2["routing_cos"] is not None
+    finally:
+        _drop_pq(spark, name)
+    # cosine twin: routing_cos IS the _stats seed mean, same aggregate
+    name = "tmp_coslife"
+    _drop_pq(spark, name)
+    try:
+        S.build_ivfpq_index(spark, v, name, iters=2)
+        q = spark.table(f"{name}_qstats").collect()[0]
+        seed = (
+            spark.table(f"{name}_stats").where("batch_id = -1").collect()
+        )[0]["mean_sim"]
+        assert q["routing_cos"] == seed
+    finally:
+        _drop_pq(spark, name)
+
+
+def test_tier_verdict_reaches_l2_indexes(spark, monkeypatch):
+    """The r15 cosine gate is dropped (r16): the tier verdict's
+    geometry input now comes from _qstats.routing_cos, which an
+    l2-serving IVFPQ build records too — measured on the x100
+    clustered l2 grid (SCALING.md) to hit the same ADC ceiling.  With
+    the floors lowered to the fixture's own statistics, an l2 index
+    must surface tier_hint 'flat-pq' exactly like its cosine twin."""
+    from hadoop_logfile_inputformat_spark.operators.maintenance import (
+        index_info,
+    )
+
+    v = S._vectors(spark, SF).select("vec_id", "embedding")
+    name = "tmp_l2tier"
+    _drop_pq(spark, name)
+    try:
+        S.build_ivfpq_index(spark, v, name, iters=2, metric="l2")
+        rc = spark.table(f"{name}_qstats").collect()[0]["routing_cos"]
+        monkeypatch.setattr(S, "TIER_SCALE_FLOOR", 1)
+        monkeypatch.setattr(S, "TIER_ROUTING_CONCENTRATION_FLOOR", rc)
+        info = index_info(spark, name)
+        assert info["quantization"]["tier_hint"] == "flat-pq"
+    finally:
+        _drop_pq(spark, name)

@@ -258,9 +258,12 @@ def test_tier_limited_monotone_and_kind_gated():
     (routing 0.932, n=200k) BINDS, clustered x10 (n=20k) and uniform
     (routing 0.396) do not (SCALING.md composed-remedy grid + the x1
     geometry calibration in the constant's docstring)."""
-    # the three measured cells
+    # the measured cells (r16: the scale boundary is a bracket now —
+    # the 640x200 composed cell ESCAPES at 20k (0.704) and CAPS at 60k
+    # (0.388 vs flat 0.668), so the floor moved 100k -> 40k)
     assert S.tier_limited("residual", 0.932, 200_000)
-    assert not S.tier_limited("residual", 0.932, 20_000)   # x10: silent
+    assert S.tier_limited("residual", 0.927, 60_000)       # x30: binds
+    assert not S.tier_limited("residual", 0.928, 20_000)   # x10: escapes
     assert not S.tier_limited("residual", 0.396, 200_000)  # uniform
     # kind gate: adc IS the escape tier; unknown kinds stay silent
     assert not S.tier_limited("adc", 0.99, 10_000_000)
@@ -403,5 +406,72 @@ def test_tier_warning_memo_survives_render_cache_pressure(
             assert len(
                 [x for x in rec if "ceiling" in str(x.message)]
             ) == 1
+    finally:
+        _drop(spark, name)
+
+
+def test_tier_hint_stays_fresh_across_drift_lifecycle(spark, monkeypatch):
+    """The r15 verdict's freshness question, pinned: the tier verdict
+    reads the SEED ``_stats`` routing statistic plus the LIVE corpus
+    count — so (A) at seed it reflects the build's own geometry, (B) a
+    drifted-not-yet-retrained index verdicts on the UNCHANGED seed row
+    at the GROWN live count (appends must not rewrite the seed row, and
+    the scale input must move), and (C) retrain resets the ledger —
+    every held vector becomes seed data — so the hint recomputes from
+    the post-retrain geometry.  At every point the surfaced hint must
+    equal ``tier_limited`` applied to the CURRENT persisted statistics,
+    never a cached generation's."""
+    v = _vecs(spark)
+    name = "t_qs_fresh"
+    _drop(spark, name)
+
+    def surfaced():
+        info = index_info(spark, name)
+        seed = (
+            spark.table(f"{name}_stats")
+            .where("batch_id = -1")
+            .collect()[0]["mean_sim"]
+        )
+        live = info["tables"][f"{name}_quantized"]["rows"]
+        assert abs(info["drift"]["seed_mean_sim"] - seed) < 1e-12
+        expected = (
+            "flat-pq" if S.tier_limited("residual", seed, live) else None
+        )
+        assert info["quantization"]["tier_hint"] == expected
+        return seed, live
+
+    try:
+        S.build_ivfpq_index(spark, v, name, iters=2)
+        s0 = (
+            spark.table(f"{name}_stats")
+            .where("batch_id = -1")
+            .collect()[0]["mean_sim"]
+        )
+        monkeypatch.setattr(S, "TIER_SCALE_FLOOR", 1)
+        monkeypatch.setattr(S, "TIER_ROUTING_CONCENTRATION_FLOOR", s0)
+        seed_a, live_a = surfaced()
+        assert seed_a == s0
+
+        # drift: a reflected delta changes live geometry, NOT the seed
+        delta = v.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.expr(
+                "transform(embedding, x -> CAST(-x AS FLOAT))"
+            ).alias("embedding"),
+        )
+        S.append_to_ivfpq_index(spark, delta, name, batch_id=1)
+        seed_b, live_b = surfaced()
+        assert seed_b == s0, "appends must not rewrite the seed row"
+        assert live_b == 2 * live_a, "scale input must track live rows"
+
+        # retrain: ledger reset — the hint must recompute from the NEW
+        # seed geometry (seed + reflected delta re-trained together)
+        S.retrain_ivfpq_index(spark, name, iters=2)
+        seed_c, live_c = surfaced()
+        assert live_c == live_b
+        rows = spark.table(f"{name}_stats").collect()
+        assert {r["batch_id"] for r in rows} == {-1}, (
+            "retrain must leave only the new seed generation's ledger"
+        )
     finally:
         _drop(spark, name)

@@ -720,6 +720,35 @@ def run_drift_recall_suite(spark, src: str, topk: int = 5,
     out = {"detail": "drift_recall_soak", "n_corpus": n,
            "build_s": round(time.monotonic() - t0, 2), "steps": []}
 
+    def tier_point(label: str) -> dict:
+        """The tier verdict at a lifecycle point (r16, the r15
+        verdict's freshness question): the verdict reads the SEED
+        ``_stats`` routing statistic and the LIVE corpus count, so a
+        drifted-not-yet-retrained index verdicts on pre-drift geometry
+        at the post-drift size; retrain resets the ledger (every held
+        vector becomes seed data).  Log all three points so SCALING.md
+        can say whether the hint stays truthful across the lifecycle."""
+        from hadoop_logfile_inputformat_spark.operators.maintenance import (
+            index_info,
+        )
+
+        info = index_info(spark, name)
+        pt = {
+            "detail": "drift_tier_point", "point": label,
+            "tier_hint": (info.get("quantization") or {}).get("tier_hint"),
+            "rerank_hint": (info.get("quantization") or {}).get(
+                "rerank_hint"),
+            "budget_limited": (info.get("quantization") or {}).get(
+                "budget_limited"),
+            "seed_mean_sim": (info.get("drift") or {}).get("seed_mean_sim"),
+            "live_n": (info.get("tables") or {}).get(
+                f"{name}_quantized", {}).get("rows"),
+        }
+        print(json.dumps(pt))
+        return pt
+
+    out["tier_points"] = [tier_point("seed")]
+
     def pq_live():
         live = spark.table(f"{name}_quantized").select(
             "vec_id", F.col("q").alias("embedding"))
@@ -761,6 +790,7 @@ def run_drift_recall_suite(spark, src: str, topk: int = 5,
                "recall_ivfpq": rec, "recall_ivf": rec_ivf}
         out["steps"].append(row)
         print(json.dumps({"detail": "drift_step", **row}))
+    out["tier_points"].append(tier_point("post_drift_pre_retrain"))
     if not retrain:
         for s in sfx:
             force_drop_table(spark, f"{name}{s}")
@@ -770,6 +800,7 @@ def run_drift_recall_suite(spark, src: str, topk: int = 5,
     t0 = time.monotonic()
     S.retrain_ivfpq_index(spark, name, iters=2)
     out["retrain_s"] = round(time.monotonic() - t0, 2)
+    out["tier_points"].append(tier_point("post_retrain"))
     out["post"] = []
     # the post-retrain corpus holds the seed plus every appended delta;
     # probe at BOTH the pinned comparability depth and the r14 law's
@@ -1055,23 +1086,34 @@ def run_nprobe_curve(spark, src: str, topk: int = 5, warm: int = 1) -> dict:
     return out
 
 
-def _ground_truth(spark, queries, live, topk: int) -> dict:
-    """query_id -> set of the true top-``topk`` cosine neighbors over
-    ``live`` (vec_id, embedding, nrm) — computed ONCE so every point of
-    a sizing curve shares it (the nprobe-curve pattern, factored)."""
+def _ground_truth(spark, queries, live, topk: int,
+                  metric: str = "cosine") -> dict:
+    """query_id -> set of the true top-``topk`` neighbors under
+    ``metric`` over ``live`` (vec_id, embedding, nrm) — computed ONCE
+    so every point of a sizing curve shares it (the nprobe-curve
+    pattern, factored).  Truth is over the RAW embeddings under every
+    metric (the operator's question is "do I find my true neighbors",
+    not "my true quantized neighbors") — the published cosine tables
+    use the same convention."""
     from pyspark.sql import Window
 
     q2 = queries.select("query_id", F.col("embedding").alias("qe"))
     q2 = q2.withColumn("qn", F.expr(
         "sqrt(aggregate(zip_with(qe, qe, (x, y) -> CAST(x AS DOUBLE)"
         " * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v))"))
+    dot = F.expr("aggregate(zip_with(qe, embedding, (x, y) ->"
+                 " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                 " CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+    if metric == "cosine":
+        score = dot / (F.col("qn") * F.col("nrm"))
+    elif metric == "ip":
+        score = dot
+    else:  # l2, negated squared distance (higher is better)
+        score = -(F.col("qn") * F.col("qn")
+                  + F.col("nrm") * F.col("nrm") - F.lit(2.0) * dot)
     pairs = q2.crossJoin(live).filter(
         F.col("vec_id") != F.col("query_id")).select(
-        "query_id", "vec_id",
-        (F.expr("aggregate(zip_with(qe, embedding, (x, y) ->"
-                " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-                " CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
-         / (F.col("qn") * F.col("nrm"))).alias("s"))
+        "query_id", "vec_id", score.alias("s"))
     w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("vec_id"))
     truth: dict = {}
     for r in pairs.withColumn("r", F.row_number().over(w)).filter(
@@ -1099,7 +1141,7 @@ def _with_nrm(df):
 def run_budget_curve(spark, src: str, topk: int = 5, rerank: int = 20,
                      multipliers=(1, 2, 4, 8), rotations=(None, "opq"),
                      warm: int = 1, tier: str = "ivfpq",
-                     reranks=None) -> dict:
+                     reranks=None, metric: str = "cosine") -> dict:
     """The ENTRY-BUDGET sizing table (r13, the r12 verdict's top ask):
     build the IVFPQ index at 1x/2x/4x/8x the legacy ~80-entry budget,
     with and without the OPQ rotation, and record recall@k vs
@@ -1140,8 +1182,9 @@ def run_budget_curve(spark, src: str, topk: int = 5, rerank: int = 20,
     reranks = tuple(reranks) if reranks else (rerank,)
     out = {"detail": "budget_curve", "n_corpus": n, "base_entries": base,
            "n_queries": queries.count(), "rerank": reranks[0],
-           "reranks": list(reranks), "tier": tier, "points": []}
-    truth = _ground_truth(spark, queries, _with_nrm(v), topk)
+           "reranks": list(reranks), "tier": tier, "metric": metric,
+           "points": []}
+    truth = _ground_truth(spark, queries, _with_nrm(v), topk, metric=metric)
     for mult in multipliers:
         for rot in rotations:
             for s in sfx:
@@ -1165,13 +1208,14 @@ def run_budget_curve(spark, src: str, topk: int = 5, rerank: int = 20,
                 S.build_pq_index(spark, v, name, codebooks=cb,
                                  rotation=R,
                                  rotation_kind=rot if R is not None
-                                 else None)
+                                 else None, metric=metric)
                 probe = lambda rr: S.ann_pq_probe(  # noqa: E731
                     spark, queries, name, k=topk, rerank=rr)
             else:
                 S.build_ivfpq_index(spark, v, name,
                                     n_entries=base * mult,
-                                    iters=2, rotation=rot)
+                                    iters=2, rotation=rot,
+                                    metric=metric)
                 probe = lambda rr: S.ann_ivfpq_probe(  # noqa: E731
                     spark, queries, name, k=topk, rerank=rr)
             build_s = round(time.monotonic() - t0, 2)
@@ -1196,7 +1240,7 @@ def run_budget_curve(spark, src: str, topk: int = 5, rerank: int = 20,
 
 def run_rerank_curve(spark, src: str, topk: int = 5,
                      reranks=(20, 50, 100, 200), warm: int = 1,
-                     tiers=("pq", "ivfpq")) -> dict:
+                     tiers=("pq", "ivfpq"), metric: str = "cosine") -> dict:
     """The RERANK-DEPTH sizing table (r13): one flat-PQ build (learned
     codebooks) + one IVFPQ build at their default budgets, probed at
     rerank 20/50/100/200 — recall@k and steady probe wall per point.
@@ -1218,8 +1262,8 @@ def run_rerank_curve(spark, src: str, topk: int = 5,
     queries = v.filter(F.col("vec_id") % qmod == 0).select(
         F.col("vec_id").alias("query_id"), "embedding")
     out = {"detail": "rerank_curve", "n_corpus": n,
-           "n_queries": queries.count(), "tiers": {}}
-    truth = _ground_truth(spark, queries, _with_nrm(v), topk)
+           "n_queries": queries.count(), "metric": metric, "tiers": {}}
+    truth = _ground_truth(spark, queries, _with_nrm(v), topk, metric=metric)
     sfx = ("_codes", "_quantized", "_centroids", "_codebooks",
            "_batches", "_stats", "_qstats")
     for tier in tiers:
@@ -1239,11 +1283,11 @@ def run_rerank_curve(spark, src: str, topk: int = 5,
                 n_entries=max(2, n // S._effective_modulus(
                     n, S.PQ_CODEBOOK_MODULUS, S.PQ_ENTRY_TARGET)),
                 iters=2)
-            S.build_pq_index(spark, v, name, codebooks=cb)
+            S.build_pq_index(spark, v, name, codebooks=cb, metric=metric)
             probe = lambda rr: S.ann_pq_probe(  # noqa: E731
                 spark, queries, name, k=topk, rerank=rr)
         else:
-            S.build_ivfpq_index(spark, v, name, iters=2)
+            S.build_ivfpq_index(spark, v, name, iters=2, metric=metric)
             probe = lambda rr: S.ann_ivfpq_probe(  # noqa: E731
                 spark, queries, name, k=topk, rerank=rr)
         build_s = round(time.monotonic() - t0, 2)
@@ -1482,6 +1526,15 @@ def main() -> None:
         "recall points: prices the COMPOSED remedy (entries x rerank)",
     )
     ap.add_argument(
+        "--metric",
+        choices=["cosine", "l2", "ip"],
+        default="cosine",
+        help="budget/rerank curves: the index SERVING metric — builds "
+        "pass it through, probes recover it from the index, ground "
+        "truth ranks raw embeddings under it (r16: the l2 ADC-ceiling "
+        "measurement)",
+    )
+    ap.add_argument(
         "--geometry",
         choices=["uniform", "clustered"],
         default="uniform",
@@ -1552,7 +1605,7 @@ def main() -> None:
             out["scale"], out["geometry"] = scale, args.geometry
             print(json.dumps({**out, "detail": "nprobe_curve_summary"}))
         if args.budget_curve:
-            kw = {"tier": args.budget_tier}
+            kw = {"tier": args.budget_tier, "metric": args.metric}
             if args.budget_multipliers:
                 kw["multipliers"] = tuple(args.budget_multipliers)
             if args.budget_rotations:
@@ -1566,7 +1619,7 @@ def main() -> None:
             out["scale"], out["geometry"] = scale, args.geometry
             print(json.dumps({**out, "detail": "budget_curve_summary"}))
         if args.rerank_curve:
-            kw = {}
+            kw = {"metric": args.metric}
             if args.reranks:
                 kw["reranks"] = tuple(args.reranks)
             if args.rerank_tiers:
