@@ -3407,6 +3407,7 @@ def ann_pq_topk(
     query_modulus: int = QUERY_MODULUS,
     rerank: int | None = None,
     codebook_modulus: int | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Product-quantization ADC shortlist + exact re-rank — the
     memory-floor ANN tier.
@@ -3463,7 +3464,7 @@ def ann_pq_topk(
         )
     cb = _pq_modulus_codebooks(v, eff_mod)
     queries = v.filter(F.col("vec_id") % query_modulus == 0)
-    return _pq_adc_search(v, cb, queries, k=k, rerank=rerank)
+    return _pq_adc_search(v, cb, queries, k=k, rerank=rerank, metric=metric)
 
 
 def _pq_modulus_codebooks(v: DataFrame, eff_mod: int) -> DataFrame:
@@ -4039,6 +4040,7 @@ def _pq_adc_search(
     queries: DataFrame,
     k: int = TOP_K,
     rerank: int = PQ_RERANK,
+    metric: str = "cosine",
 ) -> DataFrame:
     """The PQ search stage shared by :func:`ann_pq_topk` (modulus
     codebooks) and :func:`ann_pq_topk_kmeans` (learned codebooks):
@@ -4046,7 +4048,11 @@ def _pq_adc_search(
     ``queries`` subset (rows of ``v``), exact-re-rank the shortlist.
     The plan shape — broadcast codebook encode with a map-side argmin
     partial, broadcast LUT, constant re-rank fetches per query — is
-    identical for both codebook families."""
+    identical for both codebook families.  ``metric`` (r16) swaps only
+    the two score expressions (ADC + re-rank), same contract as
+    :func:`ann_pq_probe`; integer-valued quantized components keep
+    every pre-round double exact, so the l2/ip forms stay
+    value-hash-checkable cross-engine."""
     codes = _pq_encode(_pq_parts(v), cb)
     # per-query lookup table: dot of each query subvector with each
     # codebook entry (|queries| × PQ_M × |codebook| rows — broadcast)
@@ -4068,7 +4074,22 @@ def _pq_adc_search(
         .agg(F.sum("pdot").alias("adc"), F.sum("code_nrm2").alias("rnrm2"))
         .filter(F.col("vec_id") != F.col("query_id"))
     )
-    adc_sim = F.round(F.col("adc") / (F.col("q_nrm") * F.sqrt("rnrm2")), 4)
+    if metric == "cosine":
+        adc_sim = F.round(
+            F.col("adc") / (F.col("q_nrm") * F.sqrt("rnrm2")), 4
+        )
+    elif metric == "ip":
+        adc_sim = _round4_portable(F.col("adc"))
+    elif metric == "l2":
+        adc_sim = _round4_portable(
+            -(
+                F.col("q_nrm") * F.col("q_nrm")
+                + F.col("rnrm2")
+                - F.lit(2.0) * F.col("adc")
+            )
+        )
+    else:
+        raise ValueError(f"metric must be cosine/l2/ip, got {metric!r}")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("adc_sim"), F.asc("neighbor_id")
     )
@@ -4099,7 +4120,7 @@ def _pq_adc_search(
         F.col("q").alias("n_q"),
         F.col("nrm").alias("n_nrm"),
     )
-    return _exact_rerank(shortlist, qs, ns, k)
+    return _exact_rerank(shortlist, qs, ns, k, metric=metric)
 
 
 def ann_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4109,6 +4130,20 @@ def ann_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-modulus codebook, so the binding must never follow the
     adaptive :func:`_effective_modulus`)."""
     return ann_pq_topk(spark, sf_dir, codebook_modulus=PQ_CODEBOOK_MODULUS)
+
+
+def ann_pq_topk_portable_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The l2-serving twin of :func:`ann_pq_topk_portable` (r16): the
+    same pinned-modulus codebook and two-tier ADC → exact-re-rank
+    search, scored as negated squared L2 with the portable half-up
+    rounding — the oracle binding that value-hashes the l2 ADC
+    arithmetic the persisted-index probes
+    (:func:`ann_pq_probe` / :func:`ann_ivfpq_probe` ``metric="l2"``)
+    rank with.  Integer quantized components keep every pre-round
+    double exact in both engines, same as the cosine member."""
+    return ann_pq_topk(
+        spark, sf_dir, codebook_modulus=PQ_CODEBOOK_MODULUS, metric="l2"
+    )
 
 
 def _pq_lloyd_iteration_means(parts: DataFrame, cents) -> DataFrame:

@@ -1308,6 +1308,90 @@ _SQL: Dict[str, str] = {
             FROM rer
         ) WHERE rank <= {similarity.TOP_K}
     """,
+    "ann_pq_topk_l2": f"""
+        -- l2-serving flat PQ (r16): same quantize/codebook/encode/LUT
+        -- pipeline as ann_pq_topk, scored as NEGATED squared L2 —
+        -- ADC via |q|^2 + |x̂|^2 − 2·q·x̂ (reconstructed norm = Σ
+        -- code_nrm2), exact re-rank via the norm identity on the
+        -- quantized vectors; floor(x*1e4+0.5)/1e4 is the
+        -- _round4_portable twin (integer components keep every
+        -- pre-round double exact in both engines)
+        WITH sv AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   greatest(list_max(list_transform(embedding,
+                                                    x -> abs(CAST(x AS DOUBLE)))),
+                            1e-30) / 127.0 AS s
+            FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, q,
+                   sqrt(list_sum(list_transform(q, x -> x * x))) AS nrm
+            FROM (SELECT vec_id,
+                         list_transform(e, x -> floor(x / s + 0.5)) AS q
+                  FROM sv)
+        ),
+        parts AS (
+            SELECT vec_id, r.range AS m,
+                   q[(r.range * {similarity.PQ_SUBDIM} + 1):
+                     (r.range * {similarity.PQ_SUBDIM} + {similarity.PQ_SUBDIM})]
+                       AS sub
+            FROM n CROSS JOIN range(0, {similarity.PQ_M}) r
+        ),
+        cb AS (
+            SELECT m, vec_id AS entry_id, sub AS c_sub,
+                   list_sum(list_transform(sub, x -> x * x)) AS c_nrm2
+            FROM parts WHERE vec_id % {similarity.PQ_CODEBOOK_MODULUS} = 0
+        ),
+        codes AS (
+            SELECT vec_id, m, entry_id AS code, c_nrm2 AS code_nrm2 FROM (
+                SELECT p.vec_id, p.m, c.entry_id, c.c_nrm2,
+                       row_number() OVER (PARTITION BY p.vec_id, p.m
+                           ORDER BY c.c_nrm2
+                                    - 2 * list_dot_product(p.sub, c.c_sub) ASC,
+                                    c.entry_id ASC) AS rn
+                FROM parts p JOIN cb c ON c.m = p.m
+            ) WHERE rn = 1
+        ),
+        lut AS (
+            SELECT qp.vec_id AS query_id, qp.m, c.entry_id,
+                   list_dot_product(qp.sub, c.c_sub) AS pdot
+            FROM parts qp JOIN cb c ON c.m = qp.m
+            WHERE qp.vec_id % {similarity.QUERY_MODULUS} = 0
+        ),
+        adc AS (
+            SELECT l.query_id, co.vec_id,
+                   sum(l.pdot) AS adc, sum(co.code_nrm2) AS rnrm2
+            FROM codes co JOIN lut l ON l.m = co.m AND l.entry_id = co.code
+            GROUP BY 1, 2
+        ),
+        shortlist AS (
+            SELECT query_id, vec_id AS neighbor_id FROM (
+                SELECT a.query_id, a.vec_id,
+                       row_number() OVER (PARTITION BY a.query_id
+                           ORDER BY floor(-(qn.nrm * qn.nrm + a.rnrm2
+                                            - 2 * a.adc) * 10000 + 0.5)
+                                        / 10000 DESC,
+                                    a.vec_id ASC) AS r
+                FROM adc a JOIN n qn ON qn.vec_id = a.query_id
+                WHERE a.vec_id <> a.query_id
+            ) WHERE r <= {similarity.PQ_RERANK}
+        ),
+        rer AS (
+            SELECT s.query_id, s.neighbor_id,
+                   floor(-(q.nrm * q.nrm + c.nrm * c.nrm
+                           - 2 * list_dot_product(q.q, c.q)) * 10000 + 0.5)
+                       / 10000 AS sim
+            FROM shortlist s
+            JOIN n q ON q.vec_id = s.query_id
+            JOIN n c ON c.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, sim, rank FROM (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM rer
+        ) WHERE rank <= {similarity.TOP_K}
+    """,
     "ann_ivf_topk": f"""
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -2621,6 +2705,13 @@ _PACKS: Dict[str, list] = {
         # the codebook modulus (oracle hardcodes it); bench FAST_PATH
         # times the adaptive library default.
         _m("pq", similarity.ann_pq_topk_portable, "ann_pq_topk",
+           k1="query_id", k2="neighbor_id", v1="sim", v2="rank"),
+        # l2-serving flat PQ (r16): the ADC tier's negated-squared-L2
+        # scoring — the arithmetic ann_pq_probe/ann_ivfpq_probe
+        # (metric="l2") rank with, value-hashed end-to-end (portable
+        # half-up rounding, integer quantized components exact in
+        # double on both engines)
+        _m("pq_l2", similarity.ann_pq_topk_portable_l2, "ann_pq_topk_l2",
            k1="query_id", k2="neighbor_id", v1="sim", v2="rank"),
         # incremental IVF: seed-frozen centroids, delta assigned to
         # them (the append_to_ivf_index math inline), delta queries
