@@ -4387,7 +4387,15 @@ def build_pq_index(
     (codes approximate the vector either way; the ``_stats``/
     ``_qstats`` ledgers record code fidelity, not ranking), so only
     the probe's ADC score and exact re-rank change shape — see
-    :func:`ann_pq_probe`."""
+    :func:`ann_pq_probe`.  Metric fit against RAW-vector truth is
+    NOT symmetric (SCALING.md "ADC ceiling on l2 ledgers"): int8
+    per-vector scaling preserves direction, not magnitude — l2 runs
+    at ~0.3-0.5x its cosine recall, and raw INNER-PRODUCT ranking is
+    measured DESTROYED (~0.002 recall at every depth) because the
+    scaling flattens exactly the norms ip ranks by.  Use
+    ``metric="ip"`` here only for norm-normalized corpora (where ip
+    is cosine); raw-ip workloads belong on the full-vector
+    ``build_ivf_index(metric="ip")`` tier."""
     from hadoop_logfile_inputformat_spark.operators.maintenance import (
         check_index_lease,
     )
@@ -4715,7 +4723,12 @@ def build_ivfpq_index(
     metric-independent; the ``_qstats`` row additionally records the
     seed's mean routing COSINE (``routing_cos``) under every metric —
     the scale-free geometry statistic the tier verdict reads, which a
-    metric-scaled l2/ip ``_stats`` ledger cannot provide.
+    metric-scaled l2/ip ``_stats`` ledger cannot provide.  Same
+    metric-fit caveat as :func:`build_pq_index`: l2 serving runs at a
+    measured ~0.3-0.5x of cosine recall against raw truth, and raw-ip
+    serving from int8-quantized vectors is measured broken (~0.002
+    recall — per-vector scaling flattens the norms ip ranks by; use
+    the full-vector ``build_ivf_index(metric="ip")`` tier instead).
     """
     from hadoop_logfile_inputformat_spark.operators.maintenance import (
         check_index_lease,
