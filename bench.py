@@ -228,17 +228,24 @@ def summary_lines(timings, cold_timings, extra, n_errors, source_mb_s, sf,
     "clusters"/"low" were prose): ``quiet`` is ``spread <=
     NOISE_WT_SPREAD_S`` (1.0 s — ~6% of the headline, twice the
     largest same-code same-quiet-box delta observed across r12-r15)
-    AND ``max(ld) <= NOISE_LD_MAX`` (2.0 — <7% busy on this 32-core
-    box; every adjudicated load incident read 5+).  Adjudication is
-    DIRECTIONAL: a headline/key REGRESSION counts toward the
-    two-round rule only when the artifact reads ``"quiet": true``;
-    a non-quiet slower round is load-suspect, not evidence.  An
-    IMPROVEMENT stands regardless of ``quiet`` — co-tenant load can
-    only inflate wall clock, never deflate it.  Worked example,
-    BENCH_r15 itself: wt [17.1, 15.5, 15.8] (spread 1.6), ld
-    [6.2, 5.4] → ``quiet: false`` — yet its 15.174 s headline was
-    correctly accepted: the move was FASTER, and a loaded box cannot
-    manufacture an improvement."""
+    AND ``ld[0] <= NOISE_LD_MAX`` (2.0 — <7% busy on this 32-core
+    box; every adjudicated load incident read 5+).  Two samples are
+    deliberately EXCLUDED from the gate, both measured self-noise:
+    the END load (a load-0.0 box reads ld_end ~5-7 from the bench's
+    own threads) and the FIRST warm pass (structurally ~1.5s of
+    residual JIT/cache warmup — r15 [17.1, 15.5, 15.8] and the r16
+    idle-box rerun [17.2, 15.8, 15.7] show the identical shape), so
+    ``spread`` is over ``wt[1:]``; a co-tenant arriving mid-run
+    still shows there.  Adjudication is DIRECTIONAL: a headline/key
+    REGRESSION counts toward the two-round rule only when the
+    artifact reads ``"quiet": true``; a non-quiet slower round is
+    load-suspect, not evidence.  An IMPROVEMENT stands regardless of
+    ``quiet`` — co-tenant load can only inflate wall clock, never
+    deflate it.  Worked example, BENCH_r15 itself: wt
+    [17.1, 15.5, 15.8] (steady spread 0.3 — clusters), ld [6.2, 5.4]
+    → ``quiet: false`` on the start-load test alone; its 15.174 s
+    headline was correctly accepted regardless: the move was FASTER,
+    and a loaded box cannot manufacture an improvement."""
     # Tiered precision: 2 decimals under 1 s, 1 decimal above — the
     # quantization error (≤1% / ≤5%) is far below the box's observed
     # ±30% run-to-run noise, and the byte savings are what lets all 42
@@ -583,11 +590,18 @@ def main() -> None:
     }
     # machine-readable verdict (r16): the pinned rule applied by the
     # artifact itself — regressions adjudicate only on quiet rounds,
-    # improvements stand regardless (load can't deflate wall clock)
-    noise["spread"] = round(max(warm_totals) - min(warm_totals), 1)
+    # improvements stand regardless (load can't deflate wall clock).
+    # ld[0] only: the end sample is self-contaminated (see
+    # summary_lines' docstring); mid-run co-tenants show as spread.
+    # spread over wt[1:]: the FIRST warm pass structurally carries
+    # ~1.5s of residual JIT/cache warmup on an idle box (measured
+    # r15 [17.1,15.5,15.8] and r16 [17.2,15.8,15.7] — same shape),
+    # so including it would trip the rule on every quiet run.
+    steady_wt = warm_totals[1:] if len(warm_totals) > 1 else warm_totals
+    noise["spread"] = round(max(steady_wt) - min(steady_wt), 1)
     noise["quiet"] = bool(
         noise["spread"] <= NOISE_WT_SPREAD_S
-        and max(noise["ld"]) <= NOISE_LD_MAX
+        and noise["ld"][0] <= NOISE_LD_MAX
     )
     for line in summary_lines(timings, cold_timings, extra,
                               len(errors), src["steady_mb_s"], sf,

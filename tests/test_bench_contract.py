@@ -243,24 +243,31 @@ def test_noise_bar_rides_the_metric_line_within_budget():
 def test_noise_bar_decision_rule_is_pinned():
     """The r16 numeric rule (the r15 verdict: "clusters" and "low"
     were prose a future drift adjudication would hinge on): quiet ⇔
-    spread ≤ NOISE_WT_SPREAD_S and max(ld) ≤ NOISE_LD_MAX.  The
-    thresholds themselves are pinned so a silent loosening shows up
-    as a test diff, and the BENCH_r15 worked example (wt spread 1.6,
-    ld 6.2/5.4 → not quiet) must classify as load-suspect."""
+    steady spread (over wt[1:]) ≤ NOISE_WT_SPREAD_S and ld[0] ≤
+    NOISE_LD_MAX.  Two samples are excluded as measured self-noise:
+    ld_end (the bench's own threads read ~5-7 on an idle box) and the
+    first warm pass (~1.5s structural JIT/cache warmup, identical
+    shape on r15 and the r16 idle rerun); a co-tenant arriving
+    mid-run still shows in the steady spread.  The thresholds are
+    pinned so a silent loosening shows up as a test diff, and the
+    BENCH_r15 worked example (ld 6.2 start → not quiet) must
+    classify as load-suspect."""
     assert bench.NOISE_WT_SPREAD_S == 1.0
     assert bench.NOISE_LD_MAX == 2.0
 
     def classify(wt, ld):
-        spread = round(max(wt) - min(wt), 1)
+        steady = wt[1:] if len(wt) > 1 else wt
+        spread = round(max(steady) - min(steady), 1)
         return (spread <= bench.NOISE_WT_SPREAD_S
-                and max(ld) <= bench.NOISE_LD_MAX)
+                and ld[0] <= bench.NOISE_LD_MAX)
 
     # BENCH_r15's own cell: loaded box — regression evidence invalid
     # (its faster headline stood because improvements need no quiet)
     assert classify([17.1, 15.5, 15.8], [6.2, 5.4]) is False
-    # quiet box, clustered totals — a regression here is real
-    assert classify([16.3, 16.4, 16.4], [0.2, 0.1]) is True
-    # clustered totals but loaded box — still load-suspect
+    # idle box (the r16 rerun shape): warmup pass + clustered steady
+    # passes + self-loaded end — quiet
+    assert classify([17.2, 15.8, 15.7], [0.2, 6.6]) is True
+    # loaded start, clustered totals — load-suspect
     assert classify([16.3, 16.4, 16.4], [5.0, 0.1]) is False
-    # quiet box but spread totals — co-tenant burst mid-run
-    assert classify([15.5, 17.1, 15.5], [0.2, 0.3]) is False
+    # quiet start but steady passes spread — co-tenant burst mid-run
+    assert classify([15.5, 17.1, 15.8], [0.2, 0.3]) is False
