@@ -1357,6 +1357,34 @@ def _pq_index_metric(spark: SparkSession, name: str) -> str:
     return "cosine"
 
 
+#: Serving-metric reads memoized per index GENERATION (r16): the metric
+#: is immutable between rebuilds, but resolving it costs a 1-row Spark
+#: job on the hot probe path — the same cost class _read_rotation_cached
+#: exists for.  Keyed on the metric table's file signature, so a
+#: retrain (new files) naturally invalidates.  Dedicated store, not
+#: _ASSIGN_RENDER_CACHE (its declared value type is render tuples).
+_METRIC_CACHE: "OrderedDict[tuple, str]" = OrderedDict()
+_METRIC_CACHE_MAX = 64
+
+
+def _serving_metric_cached(
+    spark: SparkSession, name: str, flat: bool = False
+) -> str:
+    t = f"{name}_codebooks" if flat else f"{name}_centroids"
+    sig = _table_files_key(spark, t)
+    read = _pq_index_metric if flat else _index_metric
+    if sig is None:
+        return read(spark, name)
+    key = (spark.sparkContext.applicationId, t, sig)
+    if key in _METRIC_CACHE:
+        return _METRIC_CACHE[key]
+    m = read(spark, name)
+    _METRIC_CACHE[key] = m
+    while len(_METRIC_CACHE) > _METRIC_CACHE_MAX:
+        _METRIC_CACHE.popitem(last=False)
+    return m
+
+
 def ann_ivf_probe(
     spark: SparkSession,
     queries: DataFrame,
@@ -1409,7 +1437,7 @@ def ann_ivf_probe(
     _refresh_index_relations(spark, name, "_centroids", "_lists")
     cent = spark.table(f"{name}_centroids")
     if metric is None:
-        metric = _index_metric(spark, name)
+        metric = _serving_metric_cached(spark, name)
     q = queries.select(
         F.col("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -4560,7 +4588,7 @@ def ann_pq_probe(
         spark, name, "_codebooks", "_codes", "_quantized"
     )
     if metric is None:
-        metric = _pq_index_metric(spark, name)
+        metric = _serving_metric_cached(spark, name, flat=True)
     if rerank is None:
         rerank = recommended_rerank(_live_quantized_count(spark, name))
     cb = spark.table(f"{name}_codebooks")
@@ -5014,7 +5042,7 @@ def ann_ivfpq_probe(
         spark, name, "_centroids", "_codebooks", "_codes", "_quantized"
     )
     if metric is None:
-        metric = _index_metric(spark, name)
+        metric = _serving_metric_cached(spark, name)
     if metric not in ("cosine", "l2", "ip"):
         raise ValueError(f"metric must be cosine/l2/ip, got {metric!r}")
     if rerank is None:

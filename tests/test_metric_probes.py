@@ -486,3 +486,27 @@ def test_tier_verdict_reaches_l2_indexes(spark, monkeypatch):
         assert info["quantization"]["tier_hint"] == "flat-pq"
     finally:
         _drop_pq(spark, name)
+
+
+def test_cached_metric_invalidates_on_rebuild(spark):
+    """The probe-path metric memo (r16: one 1-row job per index
+    GENERATION, not per probe) must re-read when the index is rebuilt
+    under a different metric — the file-signature key changes with the
+    rebuild, same discipline as _read_rotation_cached."""
+    v = S._vectors(spark, SF).select("vec_id", "embedding")
+    name = "tmp_mcache"
+    _drop_pq(spark, name)
+    try:
+        S.build_ivfpq_index(spark, v, name, iters=2, metric="l2")
+        assert S._serving_metric_cached(spark, name) == "l2"
+        # memo hit returns the same answer
+        assert S._serving_metric_cached(spark, name) == "l2"
+        S.build_ivfpq_index(spark, v, name, iters=2)  # cosine rebuild
+        S._refresh_index_relations(spark, name, "_centroids")
+        assert S._serving_metric_cached(spark, name) == "cosine"
+        # flat twin
+        S.build_pq_index(spark, v, name, metric="ip")
+        S._refresh_index_relations(spark, name, "_codebooks")
+        assert S._serving_metric_cached(spark, name, flat=True) == "ip"
+    finally:
+        _drop_pq(spark, name)
