@@ -9,6 +9,7 @@ parquet reader (verify with ``.explain``: ``PushedFilters`` /
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -272,36 +273,60 @@ def clear_orphaned_table(spark: SparkSession, table: str) -> None:
     holding anything else was never a table and is left alone: the
     subsequent ``saveAsTable`` then fails loudly instead of this
     helper silently eating user data.
+
+    The recursive scan tolerates entries VANISHING mid-iteration: the
+    debris this helper clears is by definition left by a dying writer,
+    and that writer's own JVM may still be tearing down its
+    ``_temporary`` staging while we list it (observed: SIGKILL the
+    Python driver, the orphaned JVM keeps committing/cleaning for a few
+    seconds — ``listFiles`` then throws on the vanished subdir).  A
+    vanished entry means the directory is CHANGING, so the scan
+    re-lists for a consistent view; a vanished root means nothing left
+    to clear.  If it still cannot get a stable listing after a few
+    tries, a writer is actively working there — deleting under it would
+    be wrong, so the error propagates.
     """
     if spark.catalog.tableExists(table):
         return
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(managed_table_location(spark, table))
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
-        return
     root = fs.makeQualified(jpath).toUri().getPath().rstrip("/")
-    any_file = False
-    looks_like_table = False
-    it = fs.listFiles(jpath, True)
-    while it.hasNext():
-        any_file = True
-        p = it.next().getPath()
-        fname = p.getName()
-        ppath = p.toUri().getPath()
-        rel = ppath[len(root) :].lstrip("/") if ppath.startswith(root) else ppath
-        dirs = [c for c in rel.split("/") if c][:-1]
-        if (
-            fname.endswith(".parquet")
-            or fname == "_SUCCESS"
-            or "_temporary" in dirs
-        ):
-            looks_like_table = True
-            break
-    # zero files at all (empty dir, or empty _temporary/ scaffolding
-    # left by a crash before the first task wrote) is equally a remnant
-    if looks_like_table or not any_file:
-        fs.delete(jpath, True)
+    last_exc = None
+    for _ in range(5):
+        if not fs.exists(jpath):
+            return
+        any_file = False
+        looks_like_table = False
+        try:
+            it = fs.listFiles(jpath, True)
+            while it.hasNext():
+                any_file = True
+                p = it.next().getPath()
+                fname = p.getName()
+                ppath = p.toUri().getPath()
+                rel = (
+                    ppath[len(root):].lstrip("/")
+                    if ppath.startswith(root) else ppath
+                )
+                dirs = [c for c in rel.split("/") if c][:-1]
+                if (
+                    fname.endswith(".parquet")
+                    or fname == "_SUCCESS"
+                    or "_temporary" in dirs
+                ):
+                    looks_like_table = True
+                    break
+        except Exception as exc:  # noqa: BLE001 - entry vanished mid-scan
+            last_exc = exc
+            time.sleep(0.2)
+            continue
+        # zero files at all (empty dir, or empty _temporary/ scaffolding
+        # left by a crash before the first task wrote) is equally a remnant
+        if looks_like_table or not any_file:
+            fs.delete(jpath, True)
+        return
+    raise last_exc
 
 
 def _needs_fanout(spark: SparkSession, path: str, target: int) -> bool:
