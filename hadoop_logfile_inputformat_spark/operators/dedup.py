@@ -189,36 +189,38 @@ def _signatures_from_sets(
       DuckDB recompute the exact signature for the registry's
       value-hash check.
     """
+    # Expressions are SQL strings, not Column compositions: the Column
+    # form of the 32 permutation mins cost ~10 py4j round trips EACH
+    # (measured ~0.3s of driver time per invocation at 0.1-0.15 ms per
+    # round trip); ``F.expr``/``selectExpr`` parse the identical
+    # Catalyst tree JVM-side in one call per expression (guide §4: the
+    # Python boundary is paid per call, not per byte).
     sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
     if hash_fn == "xxhash64":
         # seed 1: full candidate recall on the fixture corpus (seed 0
         # loses one borderline jaccard-0.889 pair to banding luck)
-        base = F.shiftrightunsigned(F.xxhash64(F.col("shingle"), F.lit(1)), 4)
+        base_sql = "shiftrightunsigned(xxhash64(shingle, 1), 4)"
     elif hash_fn == "md5":
         # stage the base through its own projection so md5+conv runs
         # ONCE per shingle; inlining it into lo AND hi relies on
         # codegen subexpression elimination, which does not fire here
-        base = _portable_base60(F.col("shingle"))
+        base_sql = "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
     else:
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
-    sh = sh.select("doc_id", base.alias("base")).select(
+    sh = sh.selectExpr("doc_id", f"{base_sql} AS base").selectExpr(
         "doc_id",
-        F.col("base").bitwiseAND(F.lit(_LO_MASK)).alias("lo"),
-        F.shiftrightunsigned("base", 30).alias("hi"),
+        f"(base & {_LO_MASK}) AS lo",
+        "shiftrightunsigned(base, 30) AS hi",
     )
     mins = [
-        F.min(
-            (
-                F.lit(PORTABLE_A[i]) * F.col("lo")
-                + F.lit(PORTABLE_B[i]) * F.col("hi")
-                + F.lit(i)
-            )
-            % F.lit(PORTABLE_MOD)
-        ).alias(f"h{i}")
+        F.expr(
+            f"min(({PORTABLE_A[i]} * lo + {PORTABLE_B[i]} * hi + {i})"
+            f" % {PORTABLE_MOD}) AS h{i}"
+        )
         for i in range(N_PERMUTATIONS)
     ]
-    sig = F.array(*[F.col(f"h{i}") for i in range(N_PERMUTATIONS)])
-    return sh.groupBy("doc_id").agg(*mins).select("doc_id", sig.alias("sig"))
+    sig_sql = "array(" + ",".join(f"h{i}" for i in range(N_PERMUTATIONS)) + ") AS sig"
+    return sh.groupBy("doc_id").agg(*mins).selectExpr("doc_id", sig_sql)
 
 
 def _cap_buckets(
@@ -257,21 +259,23 @@ def _band_buckets(sigs: DataFrame, hash_fn: str) -> DataFrame:
     """
     rows_per_band = N_PERMUTATIONS // LSH_BANDS
 
-    def _bucket(bi):
-        vals = [F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]
+    def _bucket_sql(bi):
+        vals = ", ".join(
+            f"sig[{bi * rows_per_band + r}]" for r in range(rows_per_band)
+        )
         if hash_fn == "md5":
-            return F.concat_ws("_", *vals)
-        return F.xxhash64(*vals)
+            return f"concat_ws('_', {vals})"
+        return f"xxhash64({vals})"
 
-    band_cols = F.array(
-        *[
-            F.struct(F.lit(bi).alias("band"), _bucket(bi).alias("bucket"))
-            for bi in range(LSH_BANDS)
-        ]
+    # one parsed SQL string instead of ~300 py4j Column calls (see
+    # _signatures_from_sets) — the Catalyst tree is unchanged
+    band_arr = ", ".join(
+        f"struct({bi} AS band, {_bucket_sql(bi)} AS bucket)"
+        for bi in range(LSH_BANDS)
     )
-    return sigs.select("doc_id", F.explode(band_cols).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    return sigs.selectExpr(
+        "doc_id", f"explode(array({band_arr})) AS bb"
+    ).selectExpr("doc_id", "bb.band AS band", "bb.bucket AS bucket")
 
 
 def _verify_pairs(
@@ -398,8 +402,11 @@ def simhash_64(
     # materialized every shingle hash of a doc into one array row —
     # unbounded row width for boilerplate-heavy docs, and no map-side
     # combine.)
+    # SQL strings, not Column compositions: 64 CASE sums cost ~770 py4j
+    # round trips in Column form vs ~2 per expression here — identical
+    # Catalyst tree (see _signatures_from_sets)
     bit_sums = [
-        F.sum(F.when(F.getbit("h", F.lit(k)) == 1, 1).otherwise(-1)).alias(f"b{k}")
+        F.expr(f"sum(CASE WHEN getbit(h, {k}) = 1 THEN 1 ELSE -1 END) AS b{k}")
         for k in range(n_bits)
     ]
     per_doc = hashed.groupBy("doc_id").agg(*bit_sums)
@@ -461,30 +468,23 @@ def simhash_pairs(
         simhash_64(spark, sf_dir, hash_fn), ("simhash_sigs", sf_dir, hash_fn)
     )
 
-    def _cv(i):
-        return (
-            F.shiftrightunsigned(F.col("simhash"), i * 8)
-            .bitwiseAND(F.lit(255))
-        )
+    def _cv_sql(i):
+        return f"(shiftrightunsigned(simhash, {i * 8}) & 255)"
 
+    # SQL strings, not Column compositions (see _signatures_from_sets)
     if candidate_chunks == 1:
-        keys = [
-            F.struct(F.lit(i).alias("ci"), _cv(i).alias("cv"))
-            for i in range(8)
-        ]
+        key_arr = ", ".join(
+            f"struct({i} AS ci, {_cv_sql(i)} AS cv)" for i in range(8)
+        )
     else:
         combos = [(i, j) for i in range(8) for j in range(i + 1, 8)]
-        keys = [
-            F.struct(
-                F.lit(p).alias("ci"),
-                (_cv(i) * 256 + _cv(j)).alias("cv"),
-            )
+        key_arr = ", ".join(
+            f"struct({p} AS ci, ({_cv_sql(i)} * 256 + {_cv_sql(j)}) AS cv)"
             for p, (i, j) in enumerate(combos)
-        ]
-    chunk = F.explode(F.array(*keys))
-    chunks = sh.select("doc_id", "simhash", chunk.alias("c")).select(
-        "doc_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
-    )
+        )
+    chunks = sh.selectExpr(
+        "doc_id", "simhash", f"explode(array({key_arr})) AS c"
+    ).selectExpr("doc_id", "simhash", "c.ci AS ci", "c.cv AS cv")
     # same hot-bucket hazard as LSH banding: a common 8-bit chunk value
     # shared by B docs yields B² join rows
     chunks = _cap_buckets(chunks, ["ci", "cv"], max_bucket_size)
@@ -548,7 +548,20 @@ def near_dup_groups(
     if edge_sig is not None and memo_key in _CC_MEMO:
         labels = _CC_MEMO[memo_key]
     else:
-        labels = _propagate_min_labels(spark, sf_dir, pairs, max_iter)
+        converged = _propagate_min_labels(spark, sf_dir, pairs, max_iter)
+        # Truncate the converged frame's iterative lineage (guide §3.3:
+        # materialize to cut a huge plan): the fixpoint loop leaves a
+        # plan that grew with every propagation round, and downstream
+        # compositions (curate_documents -> training_corpus) re-analyze
+        # it per invocation — measured ~16k formatted-plan lines and
+        # >1s of Catalyst/py4j per training_corpus build at sf0.1.
+        # After localCheckpoint the labels read as a LogicalRDD scan
+        # (the data was just computed; this only drops the recipe).  On
+        # a cluster the executor-local blocks are lost with an
+        # executor; the labels are one (node, label) row per doc and
+        # recompute from the memoized edge plan if that ever bites.
+        labels = converged.localCheckpoint(eager=True)
+        converged.unpersist(blocking=False)
         # keep the converged frame cached; scoping frees it if the memo
         # entry is ever replaced (and clear_query_caches drops both)
         labels = scoped_persist(labels, memo_key)

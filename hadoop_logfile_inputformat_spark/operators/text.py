@@ -69,30 +69,39 @@ def quality_flags(d: DataFrame) -> DataFrame:
     The four-decimal ratios use :func:`_ratio4` (integer half-up
     rounding), not ``round(double, 4)`` — see its docstring.
     """
-    text = F.col("text")
-    toks = _ws_tokens(text)
-    n_chars = F.length(text)
-    n_words = F.size(toks)
-    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
-    n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
-    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    # SQL strings, not Column compositions: the Column form of these
+    # ratios cost ~1500 py4j round trips per invocation (~0.2s of
+    # driver time); selectExpr parses the IDENTICAL Catalyst tree
+    # JVM-side in one call.  Double literals carry the D suffix —
+    # a bare `10000.0` parses as DECIMAL and would change the result
+    # type (the Column form used DoubleType lits).
+    n_chars = "length(text)"
+    n_words = "size(split(trim(text), '\\\\s+'))"
+    n_alpha = "length(regexp_replace(text, '[^A-Za-z]', ''))"
+    n_digit = "length(regexp_replace(text, '[^0-9]', ''))"
+    n_punct = "length(regexp_replace(text, '[^.,;:!?]', ''))"
     sw_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
-    n_stop = F.expr(
-        f"size(filter(split(trim(lower(text)), '\\\\s+'), t -> t IN ({sw_list})))"
-    )
-    n_nospace = F.length(F.regexp_replace(text, r"\s+", ""))
-    return d.select(
+    n_stop = f"size(filter(split(trim(lower(text)), '\\\\s+'), t -> t IN ({sw_list})))"
+    n_nospace = "length(regexp_replace(text, '\\\\s+', ''))"
+
+    def _ratio4_sql(a, b):
+        # mirrors _ratio4: floor((a*20000 + b) / (2b)) / 10000
+        return (
+            f"floor((CAST({a} AS BIGINT) * 20000 + CAST({b} AS BIGINT))"
+            f" / (CAST({b} AS BIGINT) * 2)) / 10000.0D"
+        )
+
+    return d.selectExpr(
         "doc_id",
-        n_chars.cast("long").alias("n_chars"),
-        n_words.cast("long").alias("n_words"),
-        _ratio4(n_nospace, n_words).alias("avg_word_len"),
-        _ratio4(n_alpha, n_chars).alias("alpha_ratio"),
-        _ratio4(n_digit, n_chars).alias("digit_ratio"),
-        _ratio4(n_punct, n_chars).alias("punct_ratio"),
-        _ratio4(n_stop, n_words).alias("stopword_ratio"),
-        (
-            (n_words >= 5) & (n_chars >= 20) & (n_alpha / n_chars > 0.5)
-        ).cast("int").alias("quality_keep"),
+        f"CAST({n_chars} AS BIGINT) AS n_chars",
+        f"CAST({n_words} AS BIGINT) AS n_words",
+        f"{_ratio4_sql(n_nospace, n_words)} AS avg_word_len",
+        f"{_ratio4_sql(n_alpha, n_chars)} AS alpha_ratio",
+        f"{_ratio4_sql(n_digit, n_chars)} AS digit_ratio",
+        f"{_ratio4_sql(n_punct, n_chars)} AS punct_ratio",
+        f"{_ratio4_sql(n_stop, n_words)} AS stopword_ratio",
+        f"CAST(({n_words} >= 5 AND {n_chars} >= 20"
+        f" AND ({n_alpha} / {n_chars}) > 0.5D) AS INT) AS quality_keep",
     )
 
 
