@@ -100,8 +100,12 @@ def verify_counts(spark: SparkSession, work_dir: str) -> DataFrame:
     for metric in ("TOTAL", "INFO", "WARN", "ERROR"):
         e, a, g = expected[metric], log_counts.get(metric, 0), gz_counts.get(metric, 0)
         rows.append((metric, e, a, g, e == a == g))
-    return spark.createDataFrame(
-        rows, "metric string, expected long, actual_log long, actual_gz long, success boolean"
+    from hadoop_logfile_inputformat_spark.operators.tables import local_df
+
+    return local_df(
+        spark,
+        rows,
+        "metric string, expected long, actual_log long, actual_gz long, success boolean",
     )
 
 

@@ -1087,8 +1087,10 @@ def write_index_spec(
             sib = P(f"{path}/{name}{suffix}__compact")
             if fs.exists(sib):
                 fs.delete(sib, True)
-    spark.createDataFrame(
-        [(family, n_buckets)], "family STRING, n_buckets INT"
+    from hadoop_logfile_inputformat_spark.operators.tables import local_df
+
+    local_df(
+        spark, [(family, n_buckets)], "family STRING, n_buckets INT"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{name}_spec")
 
 

@@ -24,6 +24,7 @@ from hadoop_logfile_inputformat_spark.operators.tables import (
     cached_count,
     clear_orphaned_table,
     load,
+    local_df,
     register_aux_cache,
     scoped_persist,
 )
@@ -525,8 +526,8 @@ def kmeans_centroids(
         for r in means:
             new.setdefault(r["centroid_id"], [0.0] * dim)[r["pos"]] = r["m"]
         cents = [new.get(i, cents[i]) for i in range(k)]
-    return spark.createDataFrame(
-        list(enumerate(cents)), "centroid_id int, c_emb array<double>"
+    return local_df(
+        spark, list(enumerate(cents)), "centroid_id int, c_emb array<double>"
     )
 
 
@@ -810,7 +811,8 @@ def _write_index_aux(
     else:
         clear_orphaned_table(spark, f"{name}_batches")
     logw.saveAsTable(f"{name}_batches")
-    sw = spark.createDataFrame(
+    sw = local_df(
+        spark,
         [(-1, n_vecs, mean_sim)],
         "batch_id BIGINT, n_vecs BIGINT, mean_sim DOUBLE",
     ).write.mode("overwrite").format("parquet")
@@ -963,7 +965,8 @@ def _write_index_qstats(
     verdict previously had to stay silent off-cosine).  None for the
     flat family (no routing tier) and for pre-r16 rows (readers treat
     an absent column the same)."""
-    qs = spark.createDataFrame(
+    qs = local_df(
+        spark,
         [(
             int(n_vecs),
             float(self_sim) if self_sim is not None else None,
@@ -1085,12 +1088,13 @@ def _append_index_bookkeeping(
         # unguarded (batch-API) appends record a NULL batch_id — still
         # an "appended" row to the drift ledger, distinct from the −1
         # seed
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(batch_id, stats["n"], stats["s"])],
             "batch_id BIGINT, n_vecs BIGINT, mean_sim DOUBLE",
         ).write.mode("append").insertInto(f"{name}_stats")
     if batch_id is not None:
-        spark.createDataFrame([(batch_id,)], "batch_id BIGINT").write.mode(
+        local_df(spark, [(batch_id,)], "batch_id BIGINT").write.mode(
             "append"
         ).insertInto(f"{name}_batches")
 
@@ -2978,7 +2982,8 @@ def _hyperplanes(spark: SparkSession, n_planes: int, dim: int, seed: int) -> Dat
         import numpy as np
 
         H = np.random.RandomState(seed).standard_normal((n_planes, dim))
-        _PLANES_CACHE[key] = spark.createDataFrame(
+        _PLANES_CACHE[key] = local_df(
+            spark,
             [(i, [float(x) for x in H[i]]) for i in range(n_planes)],
             "plane_id int, plane array<double>",
         )
@@ -3768,7 +3773,8 @@ def _rotation_rows(
     parametric path wrote) — so retrains re-learn with the SAME
     refinement the index was built with instead of silently
     downgrading NP to parametric."""
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(-1, i, row) for i, row in enumerate(R)],
         "m int, entry_id int, c_sub array<double>",
     ).withColumn("c_nrm2", F.lit(2.0 if kind == "opq-np" else 1.0))
@@ -4275,7 +4281,8 @@ def pq_codebooks_kmeans(
             [new.get((m, e), cents[m][e]) for e in range(n_entries)]
             for m in range(PQ_M)
         ]
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(m, e, cents[m][e]) for m in range(PQ_M) for e in range(n_entries)],
         "m int, entry_id int, c_sub array<double>",
     ).withColumn(

@@ -63,6 +63,36 @@ def msum(expr, scale: int = 2):
     return F.round(F.sum(expr), scale).cast("double")
 
 
+def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """A tiny driver-local DataFrame planned as a JVM ``LocalTableScan``
+    (Arrow conversion via pandas) instead of a pickled Python RDD
+    (``Scan ExistingRDD``) — ``spark.createDataFrame(list)`` executes
+    every downstream action of such a frame through a spawned Python
+    worker, measured 1.6 s vs 0.19 s for one centroid-table write at
+    bench scale (guide §4: eliminate the JVM↔Python boundary; these
+    frames are bounded model/marker rows, never the corpus, so the
+    literal lives happily inside the plan and broadcasts job-free).
+
+    Bit-exact: rows convert with ``dtype=object`` so pandas can never
+    coerce a NULL-bearing int64 column to float64 (the 2^53 precision
+    trap); Arrow float64/int64/bool/string/list round-trip exactly.
+    Falls back to plain ``createDataFrame`` for empty inputs (the
+    Arrow path rejects 0-row frames — such frames execute no tasks
+    worth saving anyway) or if pandas/Arrow is unavailable.
+    """
+    if rows:
+        try:
+            import pandas as pd
+
+            pdf = pd.DataFrame(
+                rows, columns=list(range(len(rows[0]))), dtype=object
+            )
+            return spark.createDataFrame(pdf, schema=schema)
+        except Exception:
+            pass
+    return spark.createDataFrame(rows, schema)
+
+
 #: (query_key) → the last DataFrame persisted for that query.  Queries
 #: that legitimately need a mid-plan ``persist`` (a small aggregate
 #: consumed by both a scalar-threshold branch and the result branch,

@@ -17,6 +17,7 @@ from hadoop_logfile_inputformat_spark.operators.ranks import (
 )
 from hadoop_logfile_inputformat_spark.operators.tables import (
     load,
+    local_df,
     scoped_persist,
 )
 
@@ -477,8 +478,8 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression once per branch — the generated code overflows
     # janino's method limit and kicks the stage out of whole-stage
     # codegen.  The join keeps lang_pred computed exactly once.
-    rates = spark.createDataFrame(
-        list(MIXTURE_RATES.items()), "lang_pred string, rate int"
+    rates = local_df(
+        spark, list(MIXTURE_RATES.items()), "lang_pred string, rate int"
     )
     return (
         langs.select(
@@ -1078,7 +1079,8 @@ def bpe_merges(
                 scol, F.lit(f"|{l}|{r}|"), F.lit(f"|{l}{r}|")
             )
         cur = cur.withColumn("s", scol)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         merges,
         "rank int, left_sym string, right_sym string, merged string,"
         " pair_count long",

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hadoop_logfile_inputformat_spark.operators.tables import local_df
+
 
 def events_hourly_stream(
     events: DataFrame,
@@ -222,7 +224,7 @@ def near_dup_stream_batch(
         _bucket_aligned(
             spark, sets, f"{index_name}_sets", "doc_id"
         ).write.mode("append").insertInto(f"{index_name}_sets")
-    spark.createDataFrame([(batch_id,)], "batch_id BIGINT").write.mode(
+    local_df(spark, [(batch_id,)], "batch_id BIGINT").write.mode(
         "append"
     ).insertInto(log)
     _finish_guarded_append(spark, index_name, batch_id)
@@ -441,7 +443,7 @@ def curate_stream_batch(
             ),
             f"{index_name}_hashes", "text_hash",
         ).write.mode("append").insertInto(f"{index_name}_hashes")
-    spark.createDataFrame([(batch_id,)], "batch_id BIGINT").write.mode(
+    local_df(spark, [(batch_id,)], "batch_id BIGINT").write.mode(
         "append"
     ).insertInto(log)
     _finish_guarded_append(spark, index_name, batch_id)
