@@ -8,7 +8,10 @@ implemented here:
 
 1. ``repartitionByRange`` on the sort keys — the range shuffle gives
    partition *p* strictly smaller keys than partition *p+1*;
-2. partition-local ``row_number`` (each task sorts only its slice);
+2. partition-local row number (each task sorts only its slice — via
+   the ``monotonically_increasing_id`` encoding, NOT a window over
+   ``spark_partition_id()``, which would re-shuffle the data a second
+   time; see :func:`_with_partition_rank`);
 3. global row number = local row number + the total count of all
    earlier partitions.  The per-partition counts are a ≤#partitions-row
    DataFrame; offsets come from a broadcast theta self-join, so NO
@@ -37,10 +40,44 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _PID = "__rank_pid"
+_MID = "__rank_mid"
 _LRN = "__rank_local_rn"
 _OFF = "__rank_offset"
 _CNT = "__rank_count"
 _TOT = "__rank_total"
+
+
+def _with_partition_rank(part: DataFrame, cols: Sequence[Column]) -> DataFrame:
+    """``(…, _PID, _LRN)`` — partition id and 1-based LOCAL row number
+    under ``cols`` — via the ``monotonically_increasing_id`` encoding
+    (``pid·2³³ + local_index``, computed AFTER an intra-partition sort)
+    instead of ``row_number() OVER (PARTITION BY spark_partition_id())``.
+
+    The window form forces Catalyst to insert ``Exchange
+    hashpartitioning(_PID)`` — a DATA-SIZED shuffle that is
+    semantically a no-op (rows are already grouped by their own
+    partition id, but the optimizer cannot know that) — plus a second
+    sort.  The mid encoding keeps everything in the range-shuffle's
+    map task: Sort → Project, one data shuffle total instead of two
+    (guide §2.1: remove shuffles outright).  The nondeterministic
+    ``monotonically_increasing_id`` also pins the Sort below it
+    (EliminateSorts cannot reorder across nondeterministic
+    projections), so the local ordering the ids encode is exactly
+    ``cols`` — verified bit-identical to the windowed form and pinned
+    by tests/test_rank_suite plan + value asserts.
+    """
+    return (
+        part.sortWithinPartitions(*cols)
+        .withColumn(_MID, F.monotonically_increasing_id())
+        .withColumn(_PID, F.shiftrightunsigned(F.col(_MID), 33))
+        .withColumn(
+            _LRN,
+            F.col(_MID)
+            - F.shiftleft(F.shiftrightunsigned(F.col(_MID), 33), 33)
+            + F.lit(1),
+        )
+        .drop(_MID)
+    )
 
 
 def with_global_row_number(
@@ -63,9 +100,7 @@ def with_global_row_number(
         part = df.repartitionByRange(num_partitions, *cols)
     else:
         part = df.repartitionByRange(*cols)
-    local = part.withColumn(_PID, F.spark_partition_id()).withColumn(
-        _LRN, F.row_number().over(Window.partitionBy(_PID).orderBy(*cols))
-    )
+    local = _with_partition_rank(part, cols)
     counts = local.groupBy(_PID).agg(F.count("*").alias(_CNT))
     a, b = counts.alias("a"), counts.alias("b")
     # offset(p) = Σ counts of partitions before p; total = Σ all counts.

@@ -505,6 +505,44 @@ def test_corpus_split_deterministic_and_weighted(spark):
     assert 0.03 <= frac["test"] / n <= 0.2
 
 
+def test_global_row_number_matches_window_without_pid_shuffle(spark):
+    """The mid-encoded two-phase row number (r16: local rank via
+    ``monotonically_increasing_id`` after an intra-partition sort) must
+    be value-identical to the single-partition window form, and its
+    plan must NOT contain the data-sized ``hashpartitioning(__rank_pid)``
+    exchange the old ``row_number() OVER (PARTITION BY
+    spark_partition_id())`` formulation paid: every remaining
+    ``__rank_pid`` exchange may only merge a partial aggregate."""
+    from pyspark.sql import Window
+    from hadoop_logfile_inputformat_spark.operators.ranks import (
+        with_global_row_number,
+    )
+
+    rows = [((i * 37) % 11, i) for i in range(200)]
+    df = spark.createDataFrame(rows, "g int, k int")
+    ranked = with_global_row_number(
+        df, [F.asc("g"), F.asc("k")], rn_col="rn", total_col="n",
+        num_partitions=8,
+    )
+    got = {(r.g, r.k): (r.rn, r.n) for r in ranked.collect()}
+    w = Window.orderBy("g", "k")
+    want = {
+        (r.g, r.k): (r.rn, 200)
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want and len(got) == 200
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange hashpartitioning(__rank_pid" not in line:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        assert "HashAggregate" in child and "partial_" in child, (
+            f"data-sized __rank_pid exchange survived:\n{line}\n{child}"
+        )
+    assert "Window" not in plan  # local rank needs no window at all
+
+
 def test_global_running_sum_matches_window(spark):
     """The two-phase distributed cumsum must be value-identical to the
     single-partition window it replaces, under a total order."""
