@@ -32,28 +32,46 @@ def _revenue():
     )
 
 
+#: SQL-text twin of :func:`_revenue` — the headline builders are
+#: written as ONE parameterized ``spark.sql`` text each (r16): building
+#: the same tree Column-by-Column costs 400-850 py4j round-trips per
+#: warm invocation (driver-side latency the bench pays 4× per query),
+#: the SQL form ~7.  The analyzed trees are identical (proven via
+#: ``sameResult`` at rewrite time; oracle-gated every round).
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+)
+
+#: SQL-text twin of :func:`tables.msum`.
+def _msum_sql(expr: str, alias: str) -> str:
+    return f"CAST(round(sum({expr}), 2) AS DOUBLE) AS {alias}"
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy partial-aggregate rollup of lineitem.
 
     At 100 TB this is the pure-throughput query: no join, one shuffle of
     |groups| ≈ 6 rows after map-side partial aggregation.
     """
-    l = load(spark, sf_dir, "lineitem")
-    disc_price = _revenue()
-    charge = disc_price * (F.lit(1).cast("decimal(3,2)") + money("l_tax"))
-    return (
-        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            msum(disc_price).alias("sum_disc_price"),
-            msum(charge).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               {_msum_sql(_REV_SQL, 'sum_disc_price')},
+               {_msum_sql(
+                   f'({_REV_SQL}) * (CAST(1 AS DECIMAL(3,2))'
+                   ' + CAST(l_tax AS DECIMAL(12,2)))', 'sum_charge')},
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM {{lineitem}}
+        WHERE l_shipdate <= '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        lineitem=load(spark, sf_dir, "lineitem"),
     )
 
 
@@ -65,16 +83,23 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer side to broadcast when the filtered size is under the
     threshold (64 MB in session defaults).
     """
-    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
-    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
-    return (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(msum(_revenue()).alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-        .limit(10)
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(c) */ l_orderkey, o_orderdate, o_orderpriority,
+               {_msum_sql(_REV_SQL, 'revenue')}
+        FROM {{lineitem}} l
+        JOIN {{orders}} o ON l.l_orderkey = o.o_orderkey
+        JOIN {{customer}} c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < '1998-01-01'
+          AND l.l_shipdate > '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+        """,
+        lineitem=load(spark, sf_dir, "lineitem"),
+        orders=load(spark, sf_dir, "orders"),
+        customer=load(spark, sf_dir, "customer"),
     )
 
 
@@ -85,27 +110,26 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality is an extra join predicate, not a post-filter, so Catalyst
     can plan it inside the join.
     """
-    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    n = load(spark, sf_dir, "nation")
-    c = load(spark, sf_dir, "customer")
-    s = load(spark, sf_dir, "supplier")
-    o = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01"))
-    )
-    l = load(spark, sf_dir, "lineitem")
-    return (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(
-            F.broadcast(s),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
-        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy("n_name")
-        .agg(msum(_revenue()).alias("revenue"))
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(s) */ n_name, {_msum_sql(_REV_SQL, 'revenue')}
+        FROM {{lineitem}} l
+        JOIN {{orders}} o ON l.l_orderkey = o.o_orderkey
+        JOIN {{customer}} c ON o.o_custkey = c.c_custkey
+        JOIN {{supplier}} s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+        JOIN {{nation}} n ON s.s_nationkey = n.n_nationkey
+        JOIN {{region}} r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1998-01-01'
+        GROUP BY n_name
+        """,
+        lineitem=load(spark, sf_dir, "lineitem"),
+        orders=load(spark, sf_dir, "orders"),
+        customer=load(spark, sf_dir, "customer"),
+        supplier=load(spark, sf_dir, "supplier"),
+        nation=load(spark, sf_dir, "nation"),
+        region=load(spark, sf_dir, "region"),
     )
 
 
@@ -115,28 +139,32 @@ def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffles once on o_custkey; the rank filter is applied before any
     further join, so at scale only 3×|customers| rows survive the stage.
     """
-    o = load(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    )
-    return (
-        o.select(
-            "o_custkey",
-            "o_orderkey",
-            F.round("o_totalprice", 2).alias("totalprice"),
-            F.row_number().over(w).cast("long").alias("rn"),
-        )
-        .filter(F.col("rn") <= 3)
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT o_custkey, o_orderkey,
+                 round(o_totalprice, 2) AS totalprice,
+                 CAST(row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey ASC)
+                   AS BIGINT) AS rn
+          FROM {orders}
+        ) WHERE rn <= 3
+        """,
+        orders=load(spark, sf_dir, "orders"),
     )
 
 
 def q_rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets aggregate: ROLLUP(status, priority)."""
-    o = load(spark, sf_dir, "orders")
-    return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM {orders}
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        orders=load(spark, sf_dir, "orders"),
     )
 
 
@@ -152,16 +180,15 @@ def q_distinct_custs_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregate over the event stream table (batch
     form; the streaming twin lives in ``streaming/``)."""
-    e = load(spark, sf_dir, "events")
-    return (
-        e.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"),
-            F.col("event_type"),
-        )
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
+    return spark.sql(
+        """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM {events}
+        GROUP BY date_trunc('hour', ts), event_type
+        """,
+        events=load(spark, sf_dir, "events"),
     )
 
 
@@ -170,21 +197,32 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     new session.  Two window passes over the same (user_id, ts)
     partitioning — Catalyst reuses one shuffle for both.
     """
-    e = load(spark, sf_dir, "events")
-    by_user = Window.partitionBy("user_id").orderBy("ts")
-    # timestamp_diff is NTZ-safe and timezone-independent (pure wall-clock
+    # timestampdiff is NTZ-safe and timezone-independent (pure wall-clock
     # field arithmetic); casting ts to BIGINT breaks on TIMESTAMP_NTZ in
     # Spark 4 and epoch-based variants drag the session timezone in.
     # Microsecond units keep exact parity with the DuckDB oracle's
     # epoch_us() difference — no per-operand truncation on either side.
-    gap = F.timestamp_diff("MICROSECOND", F.lag("ts").over(by_user), F.col("ts"))
-    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
-    sessions = e.select(
-        "user_id", "ts", "value", is_new.alias("new_session")
-    ).withColumn("session_id", F.sum("new_session").over(by_user))
-    return sessions.groupBy("user_id").agg(
-        F.max("session_id").alias("n_sessions"),
-        F.count("*").alias("n_events"),
+    return spark.sql(
+        """
+        SELECT user_id, max(session_id) AS n_sessions,
+               count(*) AS n_events
+        FROM (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS session_id
+          FROM (
+            SELECT user_id, ts,
+                   CASE WHEN gap IS NULL OR gap > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM (
+              SELECT user_id, ts,
+                     timestampdiff(MICROSECOND,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+                       AS gap
+              FROM {events})))
+        GROUP BY user_id
+        """,
+        events=load(spark, sf_dir, "events"),
     )
 
 
@@ -224,31 +262,36 @@ def q_running_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Monthly sums are rounded *before* the cumulative pass so both
     engines accumulate identical addends.
     """
-    o = load(spark, sf_dir, "orders")
-    monthly = (
-        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
-    )
-    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
-    return monthly.select(
-        "month",
-        "revenue",
-        F.round(F.sum("revenue").over(w), 2).alias("cum_revenue"),
+    return spark.sql(
+        """
+        SELECT month, revenue,
+               round(sum(revenue) OVER (ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                 AS cum_revenue
+        FROM (
+          SELECT date_trunc('month', o_orderdate) AS month,
+                 round(sum(o_totalprice), 2) AS revenue
+          FROM {orders}
+          GROUP BY date_trunc('month', o_orderdate))
+        """,
+        orders=load(spark, sf_dir, "orders"),
     )
 
 
 def q_part_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact ⋈ dimension with explicit broadcast: part is ~0.2% of
     lineitem rows at every SF — always the broadcast side."""
-    p = load(spark, sf_dir, "part")
-    l = load(spark, sf_dir, "lineitem")
-    return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("p_brand")
-        .agg(
-            msum(_revenue()).alias("revenue"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        )
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(p) */ p_brand,
+               {_msum_sql(_REV_SQL, 'revenue')},
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM {{lineitem}} l
+        JOIN {{part}} p ON l.l_partkey = p.p_partkey
+        GROUP BY p_brand
+        """,
+        lineitem=load(spark, sf_dir, "lineitem"),
+        part=load(spark, sf_dir, "part"),
     )
 
 
@@ -266,8 +309,13 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_order_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated median per priority class (sort-based
     aggregate; at 100 TB swap to approx_percentile and drop the oracle)."""
-    o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
-        F.count("*").alias("n_orders"),
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               round(percentile(o_totalprice, 0.5), 2) AS median_price,
+               count(*) AS n_orders
+        FROM {orders}
+        GROUP BY o_orderpriority
+        """,
+        orders=load(spark, sf_dir, "orders"),
     )

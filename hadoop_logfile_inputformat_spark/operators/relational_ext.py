@@ -27,6 +27,12 @@ def _revenue():
     )
 
 
+from hadoop_logfile_inputformat_spark.operators.relational import (  # noqa: E402
+    _REV_SQL,
+    _msum_sql,
+)
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure predicate scan → single-row aggregate.
 
@@ -34,19 +40,18 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the only cost is the parquet scan; all three predicates
     push down (verify: PushedFilters in .explain).
     """
-    l = load(spark, sf_dir, "lineitem")
-    return (
-        l.filter(
-            (F.col("l_shipdate") >= F.lit("1997-01-01"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01"))
-            & (F.col("l_discount") >= 0.05)
-            & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            msum(money("l_extendedprice") * money("l_discount")).alias("revenue"),
-            F.count("*").alias("n_items"),
-        )
+    return spark.sql(
+        f"""
+        SELECT {_msum_sql(
+            'CAST(l_extendedprice AS DECIMAL(12,2))'
+            ' * CAST(l_discount AS DECIMAL(12,2))', 'revenue')},
+               count(*) AS n_items
+        FROM {{lineitem}}
+        WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+          AND l_discount >= 0.05D AND l_discount <= 0.07D
+          AND l_quantity < 24
+        """,
+        lineitem=load(spark, sf_dir, "lineitem"),
     )
 
 
@@ -78,33 +83,30 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier- and customer-nation; the only big shuffles are the
     l⋈o and o⋈c key joins.  supp≠cust inequality applied post-join.
     """
-    n1 = load(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
-    )
-    n2 = load(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
-    )
-    c = load(spark, sf_dir, "customer")
-    s = load(spark, sf_dir, "supplier")
-    o = load(spark, sf_dir, "orders")
-    l = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01"))
-    )
-    return (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(n1, F.col("c_nationkey") == F.col("c_nk"))
-        .join(n2, F.col("s_nationkey") == F.col("s_nk"))
-        .filter(F.col("supp_nation") != F.col("cust_nation"))
-        .groupBy(
-            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
-        )
-        .agg(
-            msum(_revenue()).alias("volume"),
-            F.count("*").alias("n_items"),
-        )
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(s) */ supp_nation, cust_nation,
+               year(l_shipdate) AS l_year,
+               {_msum_sql(_REV_SQL, 'volume')},
+               count(*) AS n_items
+        FROM {{lineitem}} l
+        JOIN {{orders}} o ON l.l_orderkey = o.o_orderkey
+        JOIN {{customer}} c ON o.o_custkey = c.c_custkey
+        JOIN {{supplier}} s ON l.l_suppkey = s.s_suppkey
+        JOIN (SELECT n_nationkey AS c_nk, n_name AS cust_nation
+              FROM {{nation1}}) n1 ON c.c_nationkey = n1.c_nk
+        JOIN (SELECT n_nationkey AS s_nk, n_name AS supp_nation
+              FROM {{nation2}}) n2 ON s.s_nationkey = n2.s_nk
+        WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1998-01-01'
+          AND supp_nation != cust_nation
+        GROUP BY supp_nation, cust_nation, year(l_shipdate)
+        """,
+        lineitem=load(spark, sf_dir, "lineitem"),
+        orders=load(spark, sf_dir, "orders"),
+        customer=load(spark, sf_dir, "customer"),
+        supplier=load(spark, sf_dir, "supplier"),
+        nation1=load(spark, sf_dir, "nation"),
+        nation2=load(spark, sf_dir, "nation"),
     )
 
 
@@ -115,19 +117,27 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     10% of p_retailprice per unit.  part broadcasts (0.2% of fact
     rows); nation broadcasts always; one shuffle on l_suppkey.
     """
-    p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
-    s = load(spark, sf_dir, "supplier")
-    n = load(spark, sf_dir, "nation")
-    l = load(spark, sf_dir, "lineitem")
-    amount = _revenue() - F.lit("0.1").cast("decimal(2,1)") * money(
-        "p_retailprice"
-    ) * money("l_quantity")
-    return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
-        .agg(msum(amount).alias("profit"))
+    amount = (
+        f"({_REV_SQL}) - CAST('0.1' AS DECIMAL(2,1))"
+        " * CAST(p_retailprice AS DECIMAL(12,2))"
+        " * CAST(l_quantity AS DECIMAL(12,2))"
+    )
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(p), BROADCAST(s) */
+               n_name AS nation, year(l_shipdate) AS o_year,
+               {_msum_sql(amount, 'profit')}
+        FROM {{lineitem}} l
+        JOIN (SELECT p_partkey, p_retailprice FROM {{part}}) p
+          ON l.l_partkey = p.p_partkey
+        JOIN {{supplier}} s ON l.l_suppkey = s.s_suppkey
+        JOIN {{nation}} n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n_name, year(l_shipdate)
+        """,
+        lineitem=load(spark, sf_dir, "lineitem"),
+        part=load(spark, sf_dir, "part"),
+        supplier=load(spark, sf_dir, "supplier"),
+        nation=load(spark, sf_dir, "nation"),
     )
 
 
@@ -195,25 +205,20 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     The heavy groupBy(l_orderkey) runs first and the >170 filter cuts
     it to a sliver before any join — join input is minimal.
     """
-    l = load(spark, sf_dir, "lineitem")
-    o = load(spark, sf_dir, "orders")
-    c = load(spark, sf_dir, "customer")
-    big = (
-        l.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("qty"))
-        .filter(F.col("qty") > 170)
-    )
-    return (
-        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .select(
-            "c_custkey",
-            "c_name",
-            "o_orderkey",
-            "o_orderdate",
-            F.round("o_totalprice", 2).alias("totalprice"),
-            F.round("qty", 2).alias("sum_qty"),
-        )
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+               round(o_totalprice, 2) AS totalprice,
+               round(qty, 2) AS sum_qty
+        FROM (SELECT l_orderkey, sum(l_quantity) AS qty
+              FROM {lineitem} GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 170) big
+        JOIN {orders} o ON big.l_orderkey = o.o_orderkey
+        JOIN {customer} c ON o.o_custkey = c.c_custkey
+        """,
+        lineitem=load(spark, sf_dir, "lineitem"),
+        orders=load(spark, sf_dir, "orders"),
+        customer=load(spark, sf_dir, "customer"),
     )
 
 
@@ -287,44 +292,32 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DuckDB oracle uses its native ASOF LEFT JOIN.)
     """
     e = load(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.lit(0).alias("kind"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.col("ts").alias("c_ts"),
-        F.col("value").alias("c_value"),
-    )
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("kind"),
-        "event_id",
-        # match the source ts type exactly (TIMESTAMP_NTZ vs _LTZ depends
-        # on how the parquet was written); a hardcoded "timestamp" would
-        # force a union-coercion that flips with the writer's convention
-        F.lit(None).cast(e.schema["ts"].dataType).alias("c_ts"),
-        F.lit(None).cast("double").alias("c_value"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "kind")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        clicks.unionByName(purchases)
-        .select(
-            "user_id",
-            "ts",
-            "kind",
-            "event_id",
-            F.last("c_ts", ignorenulls=True).over(w).alias("click_ts"),
-            F.round(F.last("c_value", ignorenulls=True).over(w), 2).alias(
-                "click_value"
-            ),
-        )
-        .filter(F.col("kind") == 1)
-        .select("event_id", "user_id", "ts", "click_ts", "click_value")
+    # match the source ts type exactly (TIMESTAMP_NTZ vs _LTZ depends
+    # on how the parquet was written); a hardcoded "timestamp" would
+    # force a union-coercion that flips with the writer's convention
+    ts_ddl = e.schema["ts"].dataType.simpleString()
+    return spark.sql(
+        f"""
+        SELECT event_id, user_id, ts, click_ts, click_value FROM (
+          SELECT user_id, ts, kind, event_id,
+                 last(c_ts, true) OVER w AS click_ts,
+                 round(last(c_value, true) OVER w, 2) AS click_value
+          FROM (
+            SELECT user_id, ts, 0 AS kind,
+                   CAST(NULL AS BIGINT) AS event_id,
+                   ts AS c_ts, value AS c_value
+            FROM {{events}} WHERE event_type = 'click'
+            UNION ALL
+            SELECT user_id, ts, 1 AS kind, event_id,
+                   CAST(NULL AS {ts_ddl}) AS c_ts,
+                   CAST(NULL AS DOUBLE) AS c_value
+            FROM {{events2}} WHERE event_type = 'purchase')
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ) WHERE kind = 1
+        """,
+        events=e,
+        events2=load(spark, sf_dir, "events"),
     )
 
 
@@ -335,22 +328,20 @@ def q_price_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluated as a broadcast nested-loop join — the right physical plan
     for interval joins against a bounded dim at any scale.
     """
-    bands = spark.range(10).select(
-        F.col("id").cast("int").alias("band_id"),
-        (F.col("id") * 50000.0).alias("lo"),
-        ((F.col("id") + 1) * 50000.0).alias("hi"),
-    )
-    o = load(spark, sf_dir, "orders")
-    return (
-        o.join(
-            F.broadcast(bands),
-            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
-        )
-        .groupBy("band_id")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-        )
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(bands) */ band_id,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM {orders} o
+        JOIN (SELECT CAST(id AS INT) AS band_id,
+                     id * 50000.0D AS lo,
+                     (id + 1) * 50000.0D AS hi
+              FROM range(10)) bands
+          ON o.o_totalprice >= bands.lo AND o.o_totalprice < bands.hi
+        GROUP BY band_id
+        """,
+        orders=load(spark, sf_dir, "orders"),
     )
 
 
@@ -383,10 +374,15 @@ def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets over lineitem flags (all 4 subtotal levels)."""
-    l = load(spark, sf_dir, "lineitem")
-    return l.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n_items"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM {lineitem}
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        lineitem=load(spark, sf_dir, "lineitem"),
     )
 
 
@@ -434,16 +430,19 @@ def q_weekly_moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the data still age out correctly.  Daily sums are rounded before
     the window so both engines accumulate identical addends.
     """
-    o = load(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.date_trunc("day", F.col("o_orderdate")).alias("day")
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
-    day_num = F.datediff(F.col("day"), F.lit("1970-01-01"))
-    w = Window.orderBy(day_num).rangeBetween(-6, 0)
-    return daily.select(
-        "day",
-        "revenue",
-        F.round(F.sum("revenue").over(w), 2).alias("ma7"),
+    return spark.sql(
+        """
+        SELECT day, revenue,
+               round(sum(revenue) OVER (
+                 ORDER BY datediff(day, '1970-01-01')
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+        FROM (
+          SELECT date_trunc('day', o_orderdate) AS day,
+                 round(sum(o_totalprice), 2) AS revenue
+          FROM {orders}
+          GROUP BY date_trunc('day', o_orderdate))
+        """,
+        orders=load(spark, sf_dir, "orders"),
     )
 
 
