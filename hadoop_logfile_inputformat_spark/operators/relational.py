@@ -71,7 +71,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_shipdate <= '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
         """,
-        lineitem=load(spark, sf_dir, "lineitem"),
+        lineitem=load(spark, sf_dir, "lineitem", fanout="wide:l_extendedprice"),
     )
 
 

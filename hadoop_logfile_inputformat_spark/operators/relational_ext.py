@@ -101,7 +101,7 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND supp_nation != cust_nation
         GROUP BY supp_nation, cust_nation, year(l_shipdate)
         """,
-        lineitem=load(spark, sf_dir, "lineitem"),
+        lineitem=load(spark, sf_dir, "lineitem", fanout="wide:l_extendedprice"),
         orders=load(spark, sf_dir, "orders"),
         customer=load(spark, sf_dir, "customer"),
         supplier=load(spark, sf_dir, "supplier"),
@@ -134,7 +134,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN {{nation}} n ON s.s_nationkey = n.n_nationkey
         GROUP BY n_name, year(l_shipdate)
         """,
-        lineitem=load(spark, sf_dir, "lineitem"),
+        lineitem=load(spark, sf_dir, "lineitem", fanout="wide:l_extendedprice"),
         part=load(spark, sf_dir, "part"),
         supplier=load(spark, sf_dir, "supplier"),
         nation=load(spark, sf_dir, "nation"),

@@ -402,8 +402,21 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load(
-    spark: SparkSession, sf_dir: str, name: str, fanout: bool = True
+    spark: SparkSession, sf_dir: str, name: str, fanout: "bool | str" = True
 ) -> DataFrame:
+    """Read one corpus table; ``fanout`` controls the guarded scan
+    fan-out.  ``True`` (default) fans out only the COMPUTE_HEAVY
+    corpora; ``"wide"`` extends the same ``_needs_fanout``-guarded
+    repartition to THIS call site — for fact scans feeding
+    compute-dense, low-cardinality aggregation pipelines (q1/q7/q9
+    class) whose single-row-group parquet would otherwise pin scan +
+    joins + partial agg to one task (measured q9 2.25 s → 1.33 s at
+    sf0.1/local[32]).  The guard makes it scale-adaptive: a multi-split
+    scan (the 100 TB case) plans ≥ target/2 partitions and gets NO
+    extra exchange.  Queries whose downstream agg/join keys are
+    high-cardinality (q18's per-orderkey agg, q5's o⋈c chain) must NOT
+    pass it — there the round-robin exchange is pure overhead (measured
+    +0.4 s); ``False`` skips every fan-out (tiny filtered sides)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
@@ -429,7 +442,8 @@ def load(
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = _read_parquet(spark, path)
-    if fanout and name in COMPUTE_HEAVY:
+    wide = isinstance(fanout, str) and fanout.startswith("wide")
+    if fanout and (name in COMPUTE_HEAVY or wide):
         # documents/embeddings feed compute-dense per-row operators
         # (shingling, 32-way hashing, vector math).  A small corpus in
         # one parquet file would otherwise pin that work to ONE task;
@@ -440,7 +454,29 @@ def load(
         # skip the repartition exchange entirely.
         target = spark.sparkContext.defaultParallelism
         if _needs_fanout(spark, path, target):
-            df = df.repartition(target)
+            # "wide:<col>" sites hash on a near-unique column of their
+            # own read set, NOT round-robin: plain repartition(n)
+            # first SORTS every row locally (sortBeforeRepartition,
+            # the retry-determinism guard), measured 1.07 s vs 0.54 s
+            # for the same 600k-row fan-out.  A column hash is uniform
+            # when the column is near-unique, deterministic under task
+            # retry, and — unlike a monotonically_increasing_id
+            # expression, which is a nondeterministic projection
+            # BARRIER — transparent to filter pushdown
+            # (plan-asserted).  The partitioning column does join the
+            # scan's ReadSchema, so call sites name a column they read
+            # anyway (q1/q7/q9 pass l_extendedprice), keeping the
+            # pruned-scan contract of
+            # test_q1_filter_pushdown_and_column_pruning intact.  The
+            # COMPUTE_HEAVY corpora keep round-robin: their fan-out
+            # moves ≤1 MB (the sort penalty is noise) and an
+            # id-hash exchange would be indistinguishable from the
+            # regroup-by-vec_id anti-pattern
+            # test_lloyd_training_iteration guards against.
+            if wide and ":" in fanout:
+                df = df.repartition(target, F.col(fanout.split(":", 1)[1]))
+            else:
+                df = df.repartition(target)
     if name in ALWAYS_BROADCAST:
         return F.broadcast(df)
     return df

@@ -2396,3 +2396,41 @@ def test_compression_profile_flags_constructed_repetition(spark, tmp_path):
     assert got[1].compress_ratio < 0.1 and got[1].highly_compressible == 1
     assert got[2].compress_ratio > 0.5 and got[2].highly_compressible == 0
     assert got[3].n_bytes == 0 and got[3].highly_compressible == 0
+
+
+def test_wide_fanout_hashes_named_column_and_keeps_values(spark):
+    """``load(..., fanout="wide:<col>")`` (r16) must fan the scan out
+    through an ``Exchange hashpartitioning(<col>)`` — not round-robin
+    (whose sortBeforeRepartition pass costs a full local row sort) and
+    not a nondeterministic-id hash (which blocks filter pushdown into
+    the scan) — while leaving aggregate values identical to the
+    un-fanned scan.  The fan-out itself stays behind ``_needs_fanout``:
+    when the estimated scan parallelism is already wide (the 100 TB
+    multi-split case, simulated by shrinking maxPartitionBytes), NO
+    exchange may be added."""
+    from hadoop_logfile_inputformat_spark.operators import tables as T
+
+    agg = lambda df: sorted(  # noqa: E731
+        (r.l_returnflag, r.n, float(r.s))
+        for r in df.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("s"))
+        .collect()
+    )
+    wide = T.load(spark, SF, "lineitem", fanout="wide:l_extendedprice")
+    plain = T.load(spark, SF, "lineitem", fanout=False)
+    assert agg(wide) == agg(plain)
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(l_extendedprice" in plan
+    assert "roundrobin" not in plan.lower()
+    # scale guard: wide scans get no exchange at all
+    prior = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    T._FANOUT_CACHE.clear()
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024))
+        at_scale = T.load(spark, SF, "lineitem", fanout="wide:l_extendedprice")
+        assert "Exchange" not in (
+            at_scale._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prior)
+        T._FANOUT_CACHE.clear()
