@@ -2403,6 +2403,45 @@ def test_compression_profile_flags_constructed_repetition(spark, tmp_path):
     assert got[3].n_bytes == 0 and got[3].highly_compressible == 0
 
 
+def test_load_memo_reuses_plan_and_invalidates_on_rewrite(spark, tmp_path):
+    """``load`` memoizes the constructed DataFrame per (session, path,
+    fanout mode, fanout decision, content signature) — r17, guide §4:
+    the py4j control plane is a per-call Python boundary; ~13
+    round-trips of reader/schema construction per table per build were
+    the residual after r16's SQL rewrites.  The memo must (a) hand back
+    the SAME object for identical calls (plans trivially sameResult),
+    (b) key the fanout MODE separately, and (c) miss when the table is
+    rewritten in place (the os-level signature — the r16 ADVICE
+    staleness hazard for _SCHEMA_CACHE, fixed by the same key)."""
+    from hadoop_logfile_inputformat_spark.operators import tables as T
+
+    a = T.load(spark, SF, "lineitem")
+    assert T.load(spark, SF, "lineitem") is a
+    wide = T.load(spark, SF, "lineitem", fanout="wide:l_extendedprice")
+    assert wide is not a
+    assert T.load(spark, SF, "lineitem", fanout="wide:l_extendedprice") is wide
+    # in-place rewrite: new signature -> fresh frame, fresh schema, and
+    # the row count follows the NEW data (no stale file listing)
+    base = str(tmp_path)
+    spark.range(5).selectExpr("id AS doc_id").write.parquet(
+        base + "/documents.parquet"
+    )
+    x1 = T.load(spark, base, "documents", fanout=False)
+    assert x1.count() == 5
+    import shutil
+
+    shutil.rmtree(base + "/documents.parquet")
+    spark.range(9).selectExpr("id AS doc_id", "'t' AS text").write.parquet(
+        base + "/documents.parquet"
+    )
+    x2 = T.load(spark, base, "documents", fanout=False)
+    assert x2 is not x1
+    assert x2.count() == 9 and "text" in x2.columns
+    # a full cache clear drops the memo
+    T.clear_query_caches()
+    assert not T._DF_MEMO
+
+
 def test_wide_fanout_hashes_named_column_and_keeps_values(spark):
     """``load(..., fanout="wide:<col>")`` (r16) must fan the scan out
     through an ``Exchange hashpartitioning(<col>)`` — not round-robin
