@@ -357,7 +357,13 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey"
     )
-    l = load(spark, sf_dir, "lineitem").select(
+    # r17: fan the scan out on l_orderkey — every downstream step
+    # (semi join, per-order aggregate, achievers join, distinct,
+    # unique-last aggregate) clusters on it, so ONE scan-side exchange
+    # replaces two mid-plan exchanges (executed plan 9 → 7 Exchange
+    # nodes; guide §2.4 exchange reuse) and the per-order pipeline
+    # runs 32-way instead of in the lone scan task.
+    l = load(spark, sf_dir, "lineitem", fanout="wide:l_orderkey").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     lf = l.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
