@@ -891,98 +891,91 @@ def substring_dedup(
     a keep flag, and the md5 of the span-removed rewritten text so the
     rewrite itself is value-checkable.
 
-    Scale shape: one gram explode → hash-key shuffle for global
-    frequency + first-owner (single ``min_by`` groupBy, map-side
-    partials), hash join back restricted to duplicated grams, one
-    ``(doc_id, tpos)`` distinct + anti-join at token granularity, and
-    per-doc windows/groupBys (bounded by doc length — never global).
-    Nothing quadratic; hot boilerplate grams are content-addressed skew
-    handled by AQE's skew-join split, same as paragraph_dedup.
+    Scale shape (r17 rewrite, guide §2.3/§2.4 — shuffle fewer bytes,
+    remove shuffles outright): one gram explode → hash-key shuffle for
+    global frequency + first-owner (single ``min_by`` groupBy,
+    map-side partials), hash join back restricted to duplicated
+    grams, then ONE ``groupBy(doc_id)`` over the duplicated-window
+    POSITIONS only.  Everything per-document — the covered-position
+    union, maximal-span merge, kept-token selection and the rewrite
+    md5 — is array arithmetic on that one row per doc, so the corpus
+    tokens are never exploded, never shuffled and never re-sorted
+    (the previous form paid a data-sized DISTINCT on (doc_id, tpos),
+    a token-granularity anti-join and a collect_list+sort groupBy
+    over EVERY token in the corpus: 12 data Exchanges → 4, Window and
+    LeftAnti nodes gone — plans/r17/substring_dedup_{before,after}.txt
+    — measured 3.5 s → 1.3 s steady at sf0.1/local[32], values
+    byte-identical on all three fixture SFs).  Nothing quadratic; hot
+    boilerplate grams
+    are content-addressed skew handled by AQE, same as
+    paragraph_dedup.
     """
-    d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", _ws_tokens(F.lower(F.trim(F.col("text")))).alias("t")
-    )
-    grams = (
-        toks.filter(F.size("t") >= k)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, size(t) - {k - 1}),"
-                    f" i -> array_join(slice(t, i, {k}), ' '))"
-                )
-            ).alias("pos", "gram"),
+    km1 = k - 1
+    return spark.sql(
+        f"""
+        WITH toks AS (
+            SELECT doc_id, split(trim(lower(trim(text))), '\\\\s+') AS t
+            FROM {{documents}}
+        ),
+        grams AS (
+            SELECT doc_id, pos, md5(w) AS h
+            FROM (SELECT doc_id, t FROM toks WHERE size(t) >= {k})
+            LATERAL VIEW posexplode(
+                transform(sequence(1, size(t) - {km1}),
+                          i -> array_join(slice(t, i, {k}), ' '))) g AS pos, w
+        ),
+        freq AS (
+            SELECT h, count(*) AS n_occ,
+                   min_by(struct(doc_id, pos), struct(doc_id, pos)) AS owner
+            FROM grams GROUP BY h
+        ),
+        dup AS (
+            SELECT g.doc_id, g.pos
+            FROM grams g JOIN freq f ON g.h = f.h
+            WHERE f.n_occ > 1
+              AND NOT (f.owner.doc_id = g.doc_id AND f.owner.pos = g.pos)
+        ),
+        -- one row per doc: sorted distinct token positions covered by
+        -- >=1 duplicated non-owner window (the union of the windows IS
+        -- the merged-span set); the shuffle carries window START
+        -- positions only, expansion to covered positions happens after
+        per_doc AS (
+            SELECT doc_id,
+                   array_sort(array_distinct(flatten(transform(
+                       collect_list(pos),
+                       p -> sequence(p, p + {km1}))))) AS cov
+            FROM dup GROUP BY doc_id
         )
-        .select("doc_id", "pos", F.md5("gram").alias("h"))
-    )
-    freq = grams.groupBy("h").agg(
-        F.count("*").alias("n_occ"),
-        F.expr("min_by(struct(doc_id, pos), struct(doc_id, pos))").alias("owner"),
-    )
-    dup = (
-        grams.join(freq, "h")
-        .filter(
-            (F.col("n_occ") > 1)
-            & ~(
-                (F.col("owner.doc_id") == F.col("doc_id"))
-                & (F.col("owner.pos") == F.col("pos"))
-            )
+        SELECT doc_id, n_tokens,
+               -- a covered position starts a new maximal span iff it
+               -- is not adjacent to the previous covered position
+               CAST(IF(cov IS NULL, 0L,
+                    size(filter(zip_with(slice(cov, 1, size(cov) - 1),
+                                         slice(cov, 2, size(cov) - 1),
+                                         (a, b) -> b > a + 1),
+                                x -> x)) + 1L) AS BIGINT) AS n_dup_spans,
+               n_dup AS n_dup_tokens,
+               floor((n_dup * 20000 + n_tokens) / (n_tokens * 2))
+                   / 10000.0D AS dup_token_ratio,
+               CAST(coalesce(size(kept), 0) AS BIGINT) AS n_kept_tokens,
+               -- null only when EVERY token sat in a duplicated span
+               -- (the oracle's string_agg over zero rows is null too)
+               IF(size(kept) = 0, NULL,
+                  md5(array_join(transform(kept,
+                                           i -> element_at(t, i + 1)),
+                                 ' '))) AS dedup_md5,
+               CAST(n_dup * 2 < n_tokens AS INT) AS substr_keep
+        FROM (
+            SELECT t.doc_id, t.t, p.cov,
+                   CAST(size(t.t) AS BIGINT) AS n_tokens,
+                   CAST(IF(p.cov IS NULL, 0L, size(p.cov)) AS BIGINT)
+                       AS n_dup,
+                   array_except(sequence(0, size(t.t) - 1),
+                                coalesce(p.cov, array())) AS kept
+            FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
         )
-        .select("doc_id", "pos")
-    )
-    # token positions covered by at least one duplicated non-owner
-    # window — the union of the windows IS the merged-span set
-    covered = dup.select(
-        "doc_id", F.explode(F.expr(f"sequence(pos, pos + {k - 1})")).alias("tpos")
-    ).distinct()
-    w = Window.partitionBy("doc_id").orderBy("tpos")
-    prev = F.lag("tpos").over(w)
-    spans = covered.withColumn(
-        # a covered position starts a new maximal span iff it is not
-        # adjacent to the previous covered position
-        "brk",
-        (prev.isNull() | (F.col("tpos") > prev + 1)).cast("long"),
-    )
-    per_doc_dup = spans.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_dup_tokens"),
-        F.sum("brk").cast("long").alias("n_dup_spans"),
-    )
-    tokens = toks.select("doc_id", F.posexplode("t").alias("tpos", "token"))
-    kept = tokens.join(covered, ["doc_id", "tpos"], "left_anti")
-    rewritten = kept.groupBy("doc_id").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("tpos", "token"))),
-                    lambda x: x["token"],
-                ),
-                " ",
-            )
-        ).alias("dedup_md5"),
-        F.count("*").cast("long").alias("n_kept_tokens"),
-    )
-    base = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
-    n_dup = F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("long")
-    return (
-        base.join(per_doc_dup, "doc_id", "left")
-        .join(rewritten, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias(
-                "n_dup_spans"
-            ),
-            n_dup.alias("n_dup_tokens"),
-            _ratio4(n_dup, F.col("n_tokens")).alias("dup_token_ratio"),
-            F.coalesce(F.col("n_kept_tokens"), F.lit(0)).cast("long").alias(
-                "n_kept_tokens"
-            ),
-            # null only when EVERY token sat in a duplicated span (the
-            # oracle's string_agg over zero rows is null too)
-            F.col("dedup_md5"),
-            (n_dup * 2 < F.col("n_tokens")).cast("int").alias("substr_keep"),
-        )
+        """,
+        documents=load(spark, sf_dir, "documents"),
     )
 
 
