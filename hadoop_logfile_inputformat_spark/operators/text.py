@@ -1036,23 +1036,52 @@ def bpe_merges(
         F.lit("|</w>|"),
     )
     cur = words.select(sym0.alias("s"), "cnt")
-    cur = scoped_persist(cur.repartition(spark.sparkContext.defaultParallelism), "bpe_vocab")
+    # Scale-adaptive vocab partitioning (r17, guide §2 — partitioning
+    # must match the DATA, not the core count): the merge loop runs
+    # n_merges sequential jobs against this persisted frame, so its
+    # partition count is each round's task count.  A fixed
+    # defaultParallelism fan-out made every round a 32-task stage over
+    # a Zipf-small vocab (the sf0.1 fixture's vocab is 31 rows —
+    # measured 2.2 s for 8 rounds of pure task-launch overhead);
+    # deriving the count from the corpus' on-disk size gives 1
+    # partition at fixture scale and the full parallelism cap for any
+    # corpus big enough that its vocabulary needs it (vocab grows
+    # sublinearly with corpus bytes, so 64 MB of corpus per vocab
+    # partition is conservative).
+    from hadoop_logfile_inputformat_spark.operators.tables import (
+        _default_parallelism,
+        _table_sizes,
+    )
+
+    target = _default_parallelism(spark)
+    try:
+        _, corpus_bytes = _table_sizes(
+            spark, os.path.join(sf_dir, "documents.parquet")
+        )
+        vocab_parts = max(1, min(target, corpus_bytes // (64 << 20)))
+    except Exception:
+        vocab_parts = target  # unlistable path: keep the wide default
+    cur = scoped_persist(cur.repartition(vocab_parts), "bpe_vocab")
     merges = []
+    # Per-round query stays in the DATAFRAME API on purpose: a
+    # parameterized ``spark.sql("... FROM {vocab}", vocab=cur)`` twin
+    # was measured 5x SLOWER per round — the substituted plan misses
+    # the CacheManager lookup for the scoped-persisted vocab and every
+    # round re-derived the vocabulary from the corpus (round jobs
+    # 0.13 s -> 0.6-1.0 s).  selectExpr strings keep the py4j cost of
+    # the Column chain down without changing the plan.  Adjacent pairs
+    # via zip_with over two slices: a fully-merged word (single
+    # symbol) yields an EMPTY pair array.  The earlier
+    # sequence(1, size(t) - 1) construction inferred step -1 when
+    # size(t) == 1 (sequence(1, 0) == [1, 0]) and crashed
+    # element_at(t, 2) — found by the x10 scale soak, where a word
+    # fully merged mid-loop.
     for rank in range(n_merges):
-        toks = F.expr("filter(split(s, '\\\\|'), x -> x <> '')")
-        # adjacent pairs via zip_with over two slices: a fully-merged
-        # word (single symbol) yields an EMPTY pair array.  The earlier
-        # sequence(1, size(t) - 1) construction inferred step -1 when
-        # size(t) == 1 (sequence(1, 0) == [1, 0]) and crashed
-        # element_at(t, 2) — found by the x10 scale soak, where a word
-        # fully merged mid-loop.
-        pairs = cur.select(toks.alias("t"), "cnt").select(
-            F.explode(
-                F.expr(
-                    "zip_with(slice(t, 1, size(t) - 1),"
-                    " slice(t, 2, size(t) - 1), (l, r) -> struct(l, r))"
-                )
-            ).alias("p"),
+        pairs = cur.selectExpr(
+            "filter(split(s, '\\\\|'), x -> x <> '') AS t", "cnt"
+        ).selectExpr(
+            "explode(zip_with(slice(t, 1, size(t) - 1),"
+            " slice(t, 2, size(t) - 1), (l, r) -> struct(l, r))) AS p",
             "cnt",
         )
         best = (
@@ -1066,12 +1095,15 @@ def bpe_merges(
             break
         l, r, c = best[0]["l"], best[0]["r"], best[0]["c"]
         merges.append((rank, l, r, l + r, int(c)))
-        scol = F.col("s")
+        # the `passes` fixed replace iterations as ONE expression text
+        # (symbols never contain quotes — vocab filter — but escape
+        # anyway, same as bpe_tokenize)
+        pat = f"|{l}|{r}|".replace("\\", "\\\\").replace("'", "\\'")
+        rep = f"|{l}{r}|".replace("\\", "\\\\").replace("'", "\\'")
+        scol = "s"
         for _ in range(passes):
-            scol = F.replace(
-                scol, F.lit(f"|{l}|{r}|"), F.lit(f"|{l}{r}|")
-            )
-        cur = cur.withColumn("s", scol)
+            scol = f"replace({scol}, '{pat}', '{rep}')"
+        cur = cur.withColumn("s", F.expr(scol))
     return local_df(
         spark,
         merges,
