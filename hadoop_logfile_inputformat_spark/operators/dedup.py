@@ -556,10 +556,17 @@ def near_dup_groups(
         # it per invocation — measured ~16k formatted-plan lines and
         # >1s of Catalyst/py4j per training_corpus build at sf0.1.
         # After localCheckpoint the labels read as a LogicalRDD scan
-        # (the data was just computed; this only drops the recipe).  On
-        # a cluster the executor-local blocks are lost with an
-        # executor; the labels are one (node, label) row per doc and
-        # recompute from the memoized edge plan if that ever bites.
+        # (the data was just computed; this only drops the recipe).
+        # CLUSTER FAILURE MODE (r16 ADVICE): localCheckpoint blocks are
+        # non-reliable AND non-recomputable — losing an executor makes
+        # every subsequent action over the memoized labels fail LOUDLY
+        # with missing-block errors, and the fix is a
+        # clear_query_caches() (the next call then re-runs the
+        # fixpoint).  There is no transparent recompute.  Accepted
+        # trade: the labels are one (node, label) row per doc, the
+        # memo is session-scoped, and a reliable checkpoint would pay
+        # a distributed write per convergence; a long-lived cluster
+        # service should swap this for checkpoint()/a parquet spill.
         labels = converged.localCheckpoint(eager=True)
         converged.unpersist(blocking=False)
         # keep the converged frame cached; scoping frees it if the memo

@@ -65,6 +65,13 @@ def _with_partition_rank(part: DataFrame, cols: Sequence[Column]) -> DataFrame:
     projections), so the local ordering the ids encode is exactly
     ``cols`` — verified bit-identical to the windowed form and pinned
     by tests/test_rank_suite plan + value asserts.
+
+    Bound: the encoding reserves 33 bits for the per-partition record
+    index — a single range partition past 2³³ (~8.6B) rows silently
+    overflows into the pid bits and corrupts both _PID and _LRN.
+    Callers size ``num_partitions`` so no range approaches that (see
+    SCALING.md's rank note; the windowed form it replaced overflowed
+    at 2³¹ anyway).
     """
     return (
         part.sortWithinPartitions(*cols)

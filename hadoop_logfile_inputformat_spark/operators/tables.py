@@ -314,7 +314,11 @@ def clear_orphaned_table(spark: SparkSession, table: str) -> None:
     re-lists for a consistent view; a vanished root means nothing left
     to clear.  If it still cannot get a stable listing after a few
     tries, a writer is actively working there — deleting under it would
-    be wrong, so the error propagates.
+    be wrong, so the error propagates.  Only IOException-family
+    failures are retried (r16 ADVICE): FileNotFoundException and
+    friends are exactly the vanished-mid-scan race, while permission /
+    connectivity / py4j protocol errors are not transient and re-raise
+    immediately instead of burning five sleeps.
     """
     if spark.catalog.tableExists(table):
         return
@@ -347,7 +351,23 @@ def clear_orphaned_table(spark: SparkSession, table: str) -> None:
                 ):
                     looks_like_table = True
                     break
-        except Exception as exc:  # noqa: BLE001 - entry vanished mid-scan
+        except Exception as exc:  # noqa: BLE001 - inspected below
+            # transient only if some cause in the JVM chain is a
+            # java.io.IOException (FileNotFoundException et al — the
+            # vanished-mid-scan race this loop exists for); anything
+            # else (permissions, protocol, Python-side) re-raises now
+            jexc = getattr(exc, "java_exception", None)
+            transient = False
+            if jexc is not None:
+                io_cls = jvm.java.lang.Class.forName("java.io.IOException")
+                j = jexc
+                while j is not None:
+                    if io_cls.isInstance(j):
+                        transient = True
+                        break
+                    j = j.getCause()
+            if not transient:
+                raise
             last_exc = exc
             time.sleep(0.2)
             continue
