@@ -4,13 +4,17 @@ Prints per-query ``{"detail": ...}`` JSON lines first (full-precision
 cold + steady maps for headline and extra sets), then two COMPACT
 lines sized so that BOTH fit inside the driver's 2000-char stdout
 tail (asserted by tests/test_bench_contract.py):
-    {"detail":"extra_steady","cold_total":...,"extra_total":...,
-     "n_extra":N,"n_errors":N,"source_mb_s":...,"steady":{name: sec}}
+    {"detail":"extra_steady","ct":<cold total>,"ne":<n_errors>,
+     "src":<source MB/s>,"steady":{name: sec},"lo":[sec,...],
+     "lc":{...}}
     {"metric":"headline_queries_total_wall","value":<steady total>,
      "unit":"sec","queries":{name: sec},"n_queries":N,"sf":<float>}
-The extra_steady map orders throwaway keys (logfile fixtures,
-portable twins) first so truncation, if it ever bites again, drops
-the least-trended entries.
+r17 byte diet (see summary_lines): the sacrificial keys (logfile
+fixtures, portable twins) ride as the ``lo`` ARRAY in pinned order —
+sorted(name) over that set — and the six TPC-H extras under their
+query numbers (EXTRA_ALIASES), so EVERY extra key's value is in the
+artifact at realistic widths (r16 shed ten).  extra_total is
+derivable (sum of steady + lo + lc phase sums).
 
 Each query is timed over a full materialization (collect) so the
 measurement includes scan → shuffle → result, not just plan time.
@@ -203,6 +207,20 @@ EXTRA = [
 #: summary lines together must stay under this so neither is cut.
 TAIL_BUDGET = 2000
 
+#: r17 byte diet (the r16 verdict's task 7: TEN extras timings fell
+#: off the tail, semantic_dedup/rare_token_profile lost their trend):
+#: the six TPC-H extras ride under their unambiguous query numbers in
+#: the steady map.  PINNED literal mapping — the artifact key on the
+#: left of the trend ledger is the alias, the operator is the value.
+EXTRA_ALIASES = {
+    "q2_min_cost_supplier": "q2",
+    "q8_market_share": "q8",
+    "q10_returned_items": "q10",
+    "q12_shipping_delay": "q12",
+    "q16_supplier_part_counts": "q16",
+    "q21_waiting_suppliers": "q21",
+}
+
 #: Noise-bar thresholds (r16): the numeric definition of "wt clusters"
 #: and "ld is low" — see summary_lines' docstring for the rule and the
 #: BENCH_r15 worked example.  test_bench_contract.py pins both.
@@ -264,11 +282,20 @@ def summary_lines(timings, cold_timings, extra, n_errors, source_mb_s, sf,
             return round(v, 2)
         return round(v, 1) if v < 10 else int(round(v))
 
-    # Least-interesting keys first (fixed-overhead logfile fixtures,
-    # portable oracle twins): if box noise ever pushes the two tail
-    # lines past the cap, the adaptive guard below (and, failing that,
-    # truncation itself) eats those, not the operators the judge
-    # actually trends.
+    # r17 byte diet — the r16 artifact shed TEN extras timings to the
+    # tail cap (semantic_dedup / rare_token_profile lost their
+    # round-over-round trail entirely).  Three structural savings so
+    # EVERY extra key fits at realistic widths:
+    #   1. the sacrificial keys (logfile fixtures, portable twins —
+    #      fixed-overhead numbers whose signal lives in source_mb_s
+    #      and the fast-path twins) leave the named map for a compact
+    #      ``"lo"`` ARRAY in pinned order: sorted(key) over that set.
+    #      Their values stay in the artifact every round; only the
+    #      repeated names go.
+    #   2. the six TPC-H extras ride under their query numbers
+    #      (EXTRA_ALIASES above — pinned literal mapping).
+    #   3. framing diet: cold_total→ct, n_errors→ne, source_mb_s→src;
+    #      extra_total is gone (derivable: sum of steady + lo + lc).
     lifecycle = lifecycle or {}
     # lifecycle keys whose phases are carried in "lc" leave the steady
     # map (their totals are reconstructible as the phase sum); a
@@ -276,12 +303,17 @@ def summary_lines(timings, cold_timings, extra, n_errors, source_mb_s, sf,
     in_lc = {
         k for k, short in LIFECYCLE_KEYS.items() if short in lifecycle
     }
-    low = [k for k in extra if k.startswith("logfile_") or k.endswith("_portable")]
-    ordered = {k: _fmt_x(extra[k]) for k in low if k not in in_lc}
-    ordered.update(
-        {k: _fmt_x(v) for k, v in extra.items()
-         if k not in ordered and k not in in_lc}
+    low = sorted(
+        k for k in extra
+        if (k.startswith("logfile_") or k.endswith("_portable"))
+        and k not in in_lc
     )
+    ordered = {
+        EXTRA_ALIASES.get(k, k): _fmt_x(v)
+        for k, v in extra.items()
+        if k not in in_lc and k not in low
+    }
+    lo_vals = [_fmt_x(extra[k]) for k in low]
     metric_line = json.dumps(
         {
             "metric": "headline_queries_total_wall",
@@ -295,20 +327,18 @@ def summary_lines(timings, cold_timings, extra, n_errors, source_mb_s, sf,
         separators=(",", ":"),
     )
 
-    def _extra_line(steady_map, dropped):
-        # byte diet (the two tail lines share a hard 2000-char driver
-        # window): n_extra is gone (derivable: len(steady) + n_dropped
-        # + the lc keys), and the two totals use _fmt_x (1 decimal
-        # under 10 s, integer seconds above) — each key the map keeps
-        # is worth more than a decimal on an aggregate
+    def _extra_line(steady_map, lo, dropped):
+        # n_extra stays derivable: len(steady) + len(lo) + n_dropped
+        # + the lc keys covers every EXTRA entry
         payload = {
             "detail": "extra_steady",
-            "cold_total": _fmt_x(sum(cold_timings.values())),
-            "extra_total": _fmt_x(sum(extra.values())),
-            "n_errors": n_errors,
-            "source_mb_s": source_mb_s,
+            "ct": _fmt_x(sum(cold_timings.values())),
+            "ne": n_errors,
+            "src": source_mb_s,
             "steady": steady_map,
         }
+        if lo is not None:
+            payload["lo"] = lo
         if lifecycle:
             payload["lc"] = {
                 short: {ph: _fmt_x(v) for ph, v in phases.items()}
@@ -318,24 +348,20 @@ def summary_lines(timings, cold_timings, extra, n_errors, source_mb_s, sf,
             payload["n_dropped"] = dropped
         return json.dumps(payload, separators=(",", ":"))
 
-    extra_line = _extra_line(ordered, 0)
+    extra_line = _extra_line(ordered, lo_vals, 0)
     if len(extra_line) + len(metric_line) + 2 > TAIL_BUDGET:
-        # Last resort: sacrifice the low-value keys (counted as
-        # "n_dropped"; the set is deterministic — logfile fixtures and
-        # portable twins — so the artifact still says what was cut) to
-        # keep every trended operator inside the tail.
-        kept = {k: v for k, v in ordered.items() if k not in low}
+        # Last resort, unchanged semantics from earlier rounds: the
+        # sacrificial set goes first (now by dropping the whole "lo"
+        # array, counted in n_dropped so the artifact says what was
+        # cut), then trended keys shed one at a time from the front —
+        # a front-truncated line is worse than a shorter map.
+        kept = dict(ordered)
         dropped = len(low)
-        extra_line = _extra_line(kept, dropped)
-        # Re-check after the bulk drop: pathological timing widths
-        # (many multi-hundred-second values) can still overflow, and a
-        # front-truncated line is worse than a shorter map.  Shed one
-        # key at a time — front of the map first, matching the
-        # least-trended-first ordering — until both lines fit.
+        extra_line = _extra_line(kept, None, dropped)
         while len(extra_line) + len(metric_line) + 2 > TAIL_BUDGET and kept:
             kept.pop(next(iter(kept)))
             dropped += 1
-            extra_line = _extra_line(kept, dropped)
+            extra_line = _extra_line(kept, None, dropped)
     return [extra_line, metric_line]
 
 
