@@ -129,8 +129,16 @@ def _round4_portable(c: Column) -> Column:
     return F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
 
 
-def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+def _vectors(
+    spark: SparkSession, sf_dir: str, fanout: bool = True
+) -> DataFrame:
+    """``fanout=False`` (r17): the tiny broadcast sides of the ANN
+    probes (centroid subsets, query subsets) don't need the
+    COMPUTE_HEAVY corpus fan-out — inheriting it put a round-robin
+    Exchange inside every broadcast-build subtree, re-paid per
+    invocation (guide §2.4: remove shuffles outright).  The MAIN
+    corpus branch keeps the fan-out."""
+    e = load(spark, sf_dir, "embeddings", fanout=fanout)
     return e.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
 
 
@@ -323,30 +331,29 @@ def ann_ivf_topk(
         eff_mod = centroid_modulus
     else:
         eff_mod = _effective_modulus(cached_count(spark, sf_dir, "embeddings"))
-    cent = v.filter(F.col("vec_id") % eff_mod == 0).select(
+    # centroid/query subsets come from the UN-FANNED scan: they feed
+    # broadcast builds, where the corpus fan-out exchange is pure
+    # re-paid overhead (see _vectors)
+    v_thin = _vectors(spark, sf_dir, fanout=False)
+    cent = v_thin.filter(F.col("vec_id") % eff_mod == 0).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
     )
-    sim_vc = _dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
-    # nearest-centroid assignment via max_by, not a ranking window: the
-    # |corpus|×|centroids| scored rows partial-aggregate map-side down
-    # to one row per vector BEFORE the shuffle (a row_number window
-    # would shuffle the full cross product).  Tie-break: highest c_sim,
-    # then lowest centroid_id (the -centroid_id struct field).
-    assigned = (
-        v.join(F.broadcast(cent), how="cross")
-        .select("vec_id", "embedding", "nrm", "centroid_id", sim_vc.alias("c_sim"))
-        .groupBy("vec_id")
-        .agg(
-            F.first("embedding").alias("embedding"),
-            F.first("nrm").alias("nrm"),
-            F.expr("max_by(centroid_id, struct(c_sim, -centroid_id))").alias(
-                "centroid_id"
-            ),
-        )
-    )
-    queries = assigned.filter(F.col("vec_id") % query_modulus == 0).select(
+    # Nearest-centroid assignment via the shuffle-free literal-argmin
+    # projection (r17 — the same :func:`_assign_to_centroids` the
+    # index builders and the deleted/incremental twins already use;
+    # value parity with the old broadcast-cross-join + max_by regroup
+    # is exact: same per-pair double arithmetic, same
+    # (score, lowest-id) tie-break, proven row-identical on all three
+    # fixture SFs).  The join form re-grouped the WHOLE corpus —
+    # embedding payloads included — through a data-sized Exchange per
+    # invocation (guide §2.1: remove shuffles outright).
+    assigned = _assign_via_broadcast(v, cent)
+    # the query subset never reads the assignment columns, so derive
+    # it straight from the thin scan (bit-identical rows; saves the
+    # column-pruner the work and keeps the broadcast subtree flat)
+    queries = v_thin.filter(F.col("vec_id") % query_modulus == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -768,6 +775,66 @@ def _assign_to_centroids(
         *carry,
         F.col("_best.cid").alias("centroid_id"),
         (-F.col("_best.negs")).alias("c_sim"),
+    )
+
+
+def _assign_via_broadcast(
+    v: DataFrame,
+    cent: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, <vec_col>, nrm, centroid_id, c_sim): nearest-centroid
+    COSINE assignment with the centroids riding as ONE broadcast row
+    of sorted structs instead of :func:`_assign_to_centroids`' SQL
+    literal.  Same argmin, same per-pair double arithmetic (zip_with
+    CAST products summed in element order, divided by nrm·c_nrm),
+    same (score, lowest-cid) tie-break — value-identical by
+    construction and pinned by the same registry hashes.
+
+    Why a second form (r17): the literal render embeds k×dim doubles
+    (~100 KB at fixture geometry) into the expression tree, and every
+    FRESH invocation of an inline probe twin re-pays Janino codegen of
+    that source (~2 s of the twins' 2.7-3.2 s steady on the r16
+    driver artifact — profiled: exec on a fresh plan object 2.0-2.5 s
+    vs 0.13 s on a reused one, with execution proper trivial).  The
+    builders keep the literal form — they re-plan one assignment
+    subtree against FROZEN centroids many times per build, where the
+    memoized parse amortizes and no per-call codegen recurs.  Here the
+    centroids arrive as a plan-size-free broadcast column: codegen
+    source is small and constant, the corpus still never shuffles
+    (broadcast nested-loop of a one-row side), and the only extra
+    work is the centroid-side aggregate job the literal form paid as
+    a driver collect anyway.
+
+    Empty ``cent`` yields NULL assignments (the literal form raises);
+    the inline twins run over non-empty fixture corpora where the
+    distinction cannot arise.
+    """
+    cents = cent.agg(
+        F.expr(
+            "array_sort(collect_list(struct(centroid_id AS cid,"
+            " c_emb AS emb, c_nrm AS cnrm))) AS __cents"
+        )
+    )
+    dot = (
+        f"aggregate(zip_with({vec_col}, e.emb, (x, y) ->"
+        f" CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    best = F.expr(
+        f"array_min(transform(__cents, e ->"
+        f" struct(-({dot} / (nrm * e.cnrm)) AS negs, e.cid AS cid)))"
+    )
+    return (
+        v.join(F.broadcast(cents), how="cross")
+        .select("vec_id", vec_col, "nrm", best.alias("_best"))
+        .select(
+            "vec_id",
+            vec_col,
+            "nrm",
+            F.col("_best.cid").alias("centroid_id"),
+            (-F.col("_best.negs")).alias("c_sim"),
+        )
     )
 
 
@@ -2587,21 +2654,20 @@ def ann_ivf_incremental(
     plan).
     """
     v = _vectors(spark, sf_dir)
+    # broadcast-side subsets from the un-fanned scan (r17, see
+    # _vectors); rows are bit-identical — the assignment columns were
+    # never read by the query subset
+    v_thin = _vectors(spark, sf_dir, fanout=False)
     is_delta = F.col("vec_id") % INCR_SPLIT_MOD == INCR_DELTA_REM
-    cent = v.filter(~is_delta & (F.col("vec_id") % centroid_modulus == 0)).select(
+    cent = v_thin.filter(
+        ~is_delta & (F.col("vec_id") % centroid_modulus == 0)
+    ).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
     )
-    # memoized render: the fixture parquet is immutable per signature,
-    # so repeated gate/bench runs skip the centroid collect job
-    sig = _files_signature(spark, f"{sf_dir}/embeddings.parquet")
-    assigned = _assign_to_centroids(
-        v, cent,
-        cache_key=None if sig is None
-        else ("ivfincr", sig, centroid_modulus),
-    )
-    queries = assigned.filter(
+    assigned = _assign_via_broadcast(v, cent)
+    queries = v_thin.filter(
         F.col("vec_id") % INCR_QUERY_MODULUS == INCR_DELTA_REM
     ).select(
         F.col("vec_id").alias("query_id"),
@@ -2665,18 +2731,17 @@ def ann_ivf_deleted(
     filter on the corpus-side scan, no extra shuffle.
     """
     v = _vectors(spark, sf_dir)
-    cent = v.filter(F.col("vec_id") % centroid_modulus == 0).select(
+    # broadcast-side subsets from the un-fanned scan (r17, see
+    # _vectors); rows are bit-identical — the assignment columns were
+    # never read by the query subset
+    v_thin = _vectors(spark, sf_dir, fanout=False)
+    cent = v_thin.filter(F.col("vec_id") % centroid_modulus == 0).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
     )
-    sig = _files_signature(spark, f"{sf_dir}/embeddings.parquet")
-    assigned = _assign_to_centroids(
-        v, cent,
-        cache_key=None if sig is None
-        else ("ivfdel", sig, centroid_modulus),
-    )
-    queries = assigned.filter(F.col("vec_id") % QUERY_MODULUS == 0).select(
+    assigned = _assign_via_broadcast(v, cent)
+    queries = v_thin.filter(F.col("vec_id") % QUERY_MODULUS == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
