@@ -218,7 +218,11 @@ def cosine_topk(
     ties broken by neighbor id, making ranks engine-deterministic.
     """
     v = _vectors(spark, sf_dir)
-    q = v.filter(F.col("vec_id") % query_modulus == 0).select(
+    # query subset from the un-fanned scan (r17, see _vectors): the
+    # broadcast-build subtree needs no COMPUTE_HEAVY repartition
+    q = _vectors(spark, sf_dir, fanout=False).filter(
+        F.col("vec_id") % query_modulus == 0
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -252,7 +256,9 @@ def l2_topk(
     L2-serving IVF index (:func:`build_ivf_index` ``metric="l2"``)
     assigns and ranks with."""
     v = _vectors(spark, sf_dir)
-    q = v.filter(F.col("vec_id") % query_modulus == 0).select(
+    q = _vectors(spark, sf_dir, fanout=False).filter(
+        F.col("vec_id") % query_modulus == 0
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
     )
@@ -282,7 +288,9 @@ def ip_topk(
     ann_variants_pack; the oracle value-hash gates the raw-dot ranking
     the ``metric="ip"`` IVF probes use."""
     v = _vectors(spark, sf_dir)
-    q = v.filter(F.col("vec_id") % query_modulus == 0).select(
+    q = _vectors(spark, sf_dir, fanout=False).filter(
+        F.col("vec_id") % query_modulus == 0
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
     )
