@@ -4141,6 +4141,48 @@ def _exact_rerank(
     )
 
 
+def _pq_encode_bcast(parts: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, code, code_nrm2): PQ encode with the codebook riding
+    as ONE broadcast row — per-subspace entry arrays indexed by ``m``
+    — instead of :func:`_pq_encode`'s broadcast-join +
+    ``groupBy(vec_id, m)`` min_by, which re-grouped the corpus parts
+    through a data-sized Exchange per invocation (r17; the PQ
+    counterpart of :func:`_assign_via_broadcast`, with the same
+    rationale and the same exactness argument: quantized components
+    are integer-valued, so ``|c|² − 2·x·c`` is exact in double
+    arithmetic and the (score, lowest entry_id) argmin is
+    order-independent — bit-equal to the join form by construction).
+    Used by the two-tier ADC search; the table-backed builders keep
+    :func:`_pq_encode_fused` (carry columns, literal-codebook plan
+    asserts)."""
+    cbm = (
+        cb.groupBy("m")
+        .agg(F.expr(
+            "array_sort(collect_list(struct(entry_id, c_sub, c_nrm2)))"
+            " AS es"
+        ))
+        .groupBy()
+        .agg(F.expr("array_sort(collect_list(struct(m, es))) AS __cbm"))
+    )
+    best = F.expr(
+        "array_min(transform(element_at(__cbm, m + 1).es, e ->"
+        " struct(e.c_nrm2 - 2 * aggregate(zip_with(sub, e.c_sub,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS s,"
+        " e.entry_id AS eid, e.c_nrm2 AS cn)))"
+    )
+    return (
+        parts.join(F.broadcast(cbm), how="cross")
+        .select("vec_id", "m", best.alias("_b"))
+        .select(
+            "vec_id",
+            "m",
+            F.col("_b.eid").alias("code"),
+            F.col("_b.cn").alias("code_nrm2"),
+        )
+    )
+
+
 def _pq_adc_search(
     v: DataFrame,
     cb: DataFrame,
@@ -4153,14 +4195,23 @@ def _pq_adc_search(
     codebooks) and :func:`ann_pq_topk_kmeans` (learned codebooks):
     encode the quantized corpus ``v`` against ``cb``, ADC-shortlist the
     ``queries`` subset (rows of ``v``), exact-re-rank the shortlist.
-    The plan shape — broadcast codebook encode with a map-side argmin
-    partial, broadcast LUT, constant re-rank fetches per query — is
-    identical for both codebook families.  ``metric`` (r16) swaps only
-    the two score expressions (ADC + re-rank), same contract as
+    The plan shape — broadcast codebook encode as a PURE PROJECTION
+    (r17: the codebook rides as one broadcast row of per-subspace
+    entry arrays and the argmin evaluates in place — the former
+    ``_pq_encode`` broadcast-join + ``groupBy(vec_id, m)`` regrouped
+    the corpus through a data-sized Exchange per invocation, the same
+    shape the IVF twins shed this round), broadcast LUT, constant
+    re-rank fetches per query — identical for both codebook families.
+    Bit-equal to ``_pq_encode`` by construction: same
+    ``|c|² − 2·x·c`` double arithmetic (exact — integer-valued
+    quantized components), same (score, lowest entry_id) tie-break;
+    proven row-identical on all three fixture SFs and gated by the
+    ann_variants_pack value-hash.  ``metric`` (r16) swaps only the
+    two score expressions (ADC + re-rank), same contract as
     :func:`ann_pq_probe`; integer-valued quantized components keep
     every pre-round double exact, so the l2/ip forms stay
     value-hash-checkable cross-engine."""
-    codes = _pq_encode(_pq_parts(v), cb)
+    codes = _pq_encode_bcast(_pq_parts(v), cb)
     # per-query lookup table: dot of each query subvector with each
     # codebook entry (|queries| × PQ_M × |codebook| rows — broadcast)
     lut = (
