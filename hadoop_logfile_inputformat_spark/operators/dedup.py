@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_logfile_inputformat_spark.operators.tables import (
+    cached_columns,
     cached_count,
     load,
     register_aux_cache,
@@ -212,13 +213,20 @@ def _signatures_from_sets(
         f"(base & {_LO_MASK}) AS lo",
         "shiftrightunsigned(base, 30) AS hi",
     )
-    mins = [
-        F.expr(
-            f"min(({PORTABLE_A[i]} * lo + {PORTABLE_B[i]} * hi + {i})"
-            f" % {PORTABLE_MOD}) AS h{i}"
-        )
-        for i in range(N_PERMUTATIONS)
-    ]
+    # the 32 permutation-min templates are session-memoized (r17):
+    # even as one-call F.expr parses they cost ~3 round-trips each,
+    # per invocation; the unresolved Columns are reusable as-is
+    mins = cached_columns(
+        sets.sparkSession,
+        "minhash_mins",
+        lambda: [
+            F.expr(
+                f"min(({PORTABLE_A[i]} * lo + {PORTABLE_B[i]} * hi + {i})"
+                f" % {PORTABLE_MOD}) AS h{i}"
+            )
+            for i in range(N_PERMUTATIONS)
+        ],
+    )
     sig_sql = "array(" + ",".join(f"h{i}" for i in range(N_PERMUTATIONS)) + ") AS sig"
     return sh.groupBy("doc_id").agg(*mins).selectExpr("doc_id", sig_sql)
 
@@ -404,14 +412,26 @@ def simhash_64(
     # combine.)
     # SQL strings, not Column compositions: 64 CASE sums cost ~770 py4j
     # round trips in Column form vs ~2 per expression here — identical
-    # Catalyst tree (see _signatures_from_sets)
-    bit_sums = [
-        F.expr(f"sum(CASE WHEN getbit(h, {k}) = 1 THEN 1 ELSE -1 END) AS b{k}")
-        for k in range(n_bits)
-    ]
+    # Catalyst tree (see _signatures_from_sets).  r17: the templates
+    # are additionally session-memoized (~190 residual round-trips per
+    # invocation as one-call parses).
+    bit_sums = cached_columns(
+        spark,
+        ("simhash_bits", n_bits),
+        lambda: [
+            F.expr(f"sum(CASE WHEN getbit(h, {k}) = 1 THEN 1 ELSE -1 END) AS b{k}")
+            for k in range(n_bits)
+        ],
+    )
     per_doc = hashed.groupBy("doc_id").agg(*bit_sums)
-    simhash = F.expr(
-        " + ".join(f"IF(b{k} > 0, shiftleft(1L, {k}), 0L)" for k in range(n_bits))
+    simhash = cached_columns(
+        spark,
+        ("simhash_pack", n_bits),
+        lambda: F.expr(
+            " + ".join(
+                f"IF(b{k} > 0, shiftleft(1L, {k}), 0L)" for k in range(n_bits)
+            )
+        ),
     )
     return per_doc.select("doc_id", simhash.alias("simhash"))
 

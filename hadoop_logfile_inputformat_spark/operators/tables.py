@@ -478,6 +478,29 @@ _DF_MEMO: dict = register_aux_cache({}, static_input=True)
 _PARALLELISM_CACHE: dict = register_aux_cache({}, static_input=True)
 
 
+#: (id(session), tag) -> (session, Column/list-of-Columns): unresolved
+#: expression templates memoized per session (r17, guide §4 — each
+#: ``F.expr`` costs ~3 py4j round-trips, and the wide operators build
+#: 32-64 of them per invocation: dedup_simhash's bit sums alone were
+#: ~190 round-trips per warm build).  Unresolved Columns are reusable
+#: across DataFrames; they die with their SparkContext, hence the
+#: session-identity check.  Registered non-static: rebuilt in one call
+#: batch after any clear.
+_COLUMN_CACHE: dict = register_aux_cache({})
+
+
+def cached_columns(spark: SparkSession, tag, builder):
+    """Session-memoized expression template(s): ``builder()`` runs once
+    per (session, tag); later calls reuse the parsed Column objects."""
+    key = (id(spark), tag)
+    hit = _COLUMN_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    cols = builder()
+    _COLUMN_CACHE[key] = (spark, cols)
+    return cols
+
+
 def _default_parallelism(spark: SparkSession) -> int:
     hit = _PARALLELISM_CACHE.get(id(spark))
     if hit is not None and hit[0] is spark:

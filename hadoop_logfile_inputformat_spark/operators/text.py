@@ -16,6 +16,7 @@ from hadoop_logfile_inputformat_spark.operators.ranks import (
     with_global_running_sum,
 )
 from hadoop_logfile_inputformat_spark.operators.tables import (
+    cached_columns,
     load,
     local_df,
     scoped_persist,
@@ -114,21 +115,31 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic, engine-independent).
     """
     d = load(spark, sf_dir, "documents")
-    lower = F.lower(F.col("text"))
-    # F.regexp_extract_all with lit patterns — not F.expr — so regex
-    # backslashes never pass through SQL string-literal unescaping.
-    scores = {
-        lang: F.size(F.regexp_extract_all(lower, F.lit(pat), F.lit(0))).cast("long")
-        for lang, pat in LANG_PROFILES.items()
-    }
-    scores["zh"] = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(CJK_PATTERN), F.lit(0))
-    ).cast("long")
-    langs = list(scores)  # priority order on ties: en, de, fr, es, zh
-    best = F.greatest(*[scores[lg] for lg in langs])
-    pred = F.when(best <= 0, F.lit("und"))
-    for lg in langs:
-        pred = pred.when(scores[lg] == best, F.lit(lg))
+
+    def _templates():
+        lower = F.lower(F.col("text"))
+        # F.regexp_extract_all with lit patterns — not F.expr — so
+        # regex backslashes never pass through SQL string-literal
+        # unescaping.
+        scores = {
+            lang: F.size(
+                F.regexp_extract_all(lower, F.lit(pat), F.lit(0))
+            ).cast("long")
+            for lang, pat in LANG_PROFILES.items()
+        }
+        scores["zh"] = F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(CJK_PATTERN), F.lit(0))
+        ).cast("long")
+        langs = list(scores)  # priority order on ties: en, de, fr, es, zh
+        best = F.greatest(*[scores[lg] for lg in langs])
+        pred = F.when(best <= 0, F.lit("und"))
+        for lg in langs:
+            pred = pred.when(scores[lg] == best, F.lit(lg))
+        return pred, best
+
+    # the score/argmax templates are ~330 py4j round-trips to compose;
+    # session-memoized (r17, guide §4 — reusable unresolved Columns)
+    pred, best = cached_columns(spark, "language_id", _templates)
     return d.select("doc_id", pred.alias("lang_pred"), best.alias("best_score"))
 
 
